@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The engine is a catalog of named DataFrame operators (SURVEY.md §7.1):
+  * each entry replicates one operator family from the reference's query
+  * surface (delegated to MySQL via /root/reference/main.go:106) or one
+  * north-star extension operator, expressed as a declarative Spark plan.
+  * `oracleSql` carries the DuckDB-equivalent ANSI SQL for the driver's
+  * hash-compare correctness gate; ops whose semantics are not
+  * SQL-expressible (streaming, hash-seeded sketches) are checked by
+  * ScalaTest specs instead and omitted here.
+  */
 object SparkEntry {
+  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (ops.Relational.queries, ops.Relational.oracle),
+      (ops.Joins.queries, ops.Joins.oracle)
+    )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.iterator.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    modules.iterator.map(_._2).reduce(_ ++ _)
 }

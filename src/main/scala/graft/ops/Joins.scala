@@ -1,0 +1,213 @@
+package graft.ops
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join operator family. The reference can only exercise joins through
+  * the MySQL passthrough (/root/reference/main.go:106 — MySQL picks
+  * nested-loop/hash internally); here each join is a declarative plan and
+  * Catalyst + AQE pick the physical strategy. Scale posture:
+  *  - fact⋈fact equi-joins (lineitem⋈orders) shuffle on the join key —
+  *    the unavoidable 100 TB shape; AQE coalesces/splits skewed
+  *    partitions at runtime.
+  *  - fact⋈dimension joins broadcast the dimension (explicit
+  *    broadcast() hint) so the fact side never moves.
+  *  - theta/non-equi joins deliberately keep one side broadcast-small —
+  *    a non-equi join with two large sides is an O(n·m) cross product
+  *    and must be bucketed/banded instead (see Dedup/VectorOps for the
+  *    banded versions of that idea).
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Inner equi-join fact⋈fact; Catalyst chooses sort-merge (both big),
+    // AQE may demote to broadcast at small SF. Partial aggs after join.
+    "q10_join_inner" -> ((s, d) => {
+      val li = T.lineitem(s, d)
+      val o  = T.orders(s, d).filter(col("o_orderstatus") === "F")
+      li.join(o, col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Left outer join preserving the orders side; count(l_orderkey)
+    // counts only matched rows (null-skipping), exactly SQL semantics.
+    "q11_join_left" -> ((s, d) => {
+      val o  = T.orders(s, d)
+      val li = T.lineitem(s, d).filter(col("l_quantity") > 45)
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .groupBy(col("o_orderkey"))
+        .agg(count(col("l_orderkey")).as("n_big_items"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Right outer join preserving the (broadcast) nation side.
+    "q12_join_right" -> ((s, d) => {
+      val c = T.customer(s, d).filter(col("c_acctbal") > 5000)
+      c.join(T.nationDim(s, d), col("c_nationkey") === col("n_nationkey"), "right_outer")
+        .groupBy(col("n_nationkey"), col("n_name"))
+        .agg(count(col("c_custkey")).as("n_rich"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // Full outer join — a capability upgrade over the MySQL dialect,
+    // which lacks FULL OUTER entirely (SURVEY.md §2.2).
+    "q13_join_full" -> ((s, d) => {
+      val neg = T.customer(s, d).filter(col("c_acctbal") < 0)
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+      val big = T.orders(s, d).filter(col("o_totalprice") > 150000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big_orders"))
+      neg.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("acctbal"), col("n_big_orders"))
+        .orderBy(col("custkey"))
+    }),
+
+    // Left semi = EXISTS. Only customer columns flow downstream, so the
+    // probe side is never widened — the cheap way to run EXISTS at scale.
+    "q14_join_semi" -> ((s, d) => {
+      val big = T.orders(s, d).filter(col("o_totalprice") > 200000)
+      T.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Left anti = NOT EXISTS.
+    "q15_join_anti" -> ((s, d) => {
+      val big = T.orders(s, d).filter(col("o_totalprice") > 200000)
+      T.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Cross join of two fixed-cardinality dims (5×5) — the only safe
+    // cross-join shape; anything larger must be banded (see Dedup).
+    "q16_join_cross" -> ((s, d) => {
+      val r1 = T.region(s, d).select(col("r_name").as("r1_name"))
+      val r2 = T.region(s, d).select(col("r_name").as("r2_name"))
+      r1.crossJoin(r2).orderBy(col("r1_name"), col("r2_name"))
+    }),
+
+    // Theta (non-equi) join: supplier (tiny, broadcast) × customer with
+    // an inequality predicate → broadcast-nested-loop, fact side streams.
+    "q17_join_theta" -> ((s, d) => {
+      val sup = broadcast(T.supplier(s, d))
+      T.customer(s, d)
+        .join(sup, col("c_acctbal") > col("s_acctbal"), "inner")
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_richer_cust"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // 5-table star join: one fact-fact shuffle join + broadcast dims.
+    // This is the canonical 100 TB shape: lineitem⋈orders shuffles once,
+    // customer/nation/region ride along as broadcasts.
+    "q18_join_star" -> ((s, d) => {
+      val li = T.lineitem(s, d)
+      val o  = T.orders(s, d)
+      val c  = T.customer(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(T.nationDim(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(T.regionDim(s, d), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Self join via aliasing: unordered order pairs per customer.
+    "q19_join_self" -> ((s, d) => {
+      val a = T.orders(s, d).select(col("o_custkey").as("custkey"), col("o_orderkey").as("k1"))
+      val b = T.orders(s, d).select(col("o_custkey").as("custkey2"), col("o_orderkey").as("k2"))
+      a.join(b, col("custkey") === col("custkey2") && col("k1") < col("k2"))
+        .groupBy(col("custkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("custkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q10_join_inner" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q11_join_left" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_big_items
+        |FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) li
+        |  ON o_orderkey = li.l_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q12_join_right" ->
+      """SELECT n_nationkey, n_name, count(c_custkey) AS n_rich
+        |FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        |RIGHT JOIN nation ON c.c_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q13_join_full" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey, acctbal, n_big_orders
+        |FROM (SELECT c_custkey, round(c_acctbal,2) AS acctbal FROM customer WHERE c_acctbal < 0) a
+        |FULL JOIN (SELECT o_custkey, count(*) AS n_big_orders FROM orders
+        |           WHERE o_totalprice > 150000 GROUP BY o_custkey) b
+        |  ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q14_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q15_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q16_join_cross" ->
+      """SELECT r1.r_name AS r1_name, r2.r_name AS r2_name
+        |FROM region r1 CROSS JOIN region r2
+        |ORDER BY r1_name, r2_name""".stripMargin,
+
+    "q17_join_theta" ->
+      """SELECT s_suppkey, count(*) AS n_richer_cust
+        |FROM customer JOIN supplier ON c_acctbal > s_acctbal
+        |GROUP BY s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q18_join_star" ->
+      """SELECT r_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey  = o_orderkey
+        |JOIN customer ON o_custkey   = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+
+    "q19_join_self" ->
+      """SELECT a.o_custkey AS custkey, count(*) AS n_pairs
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |GROUP BY a.o_custkey
+        |ORDER BY custkey""".stripMargin
+  )
+}

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py [sfdir] [outdir]
+  1. expects `sbt "runMain graft.Verify <sfdir> <outdir>"` to have run
+     (or runs it with --run)
+  2. registers each testdata parquet as a DuckDB view
+  3. runs every oracle_sql.json entry and compares with the Spark parquet
+     output: schema (column names sorted), row count, and cell values
+     (rows compared in order; queries are required to end in a total
+     ORDER BY).
+"""
+import sys, os, json, math, subprocess
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+if "--run" in sys.argv:
+    r = subprocess.run(["sbt", f'runMain graft.Verify {SF} {OUT}'], cwd="/root/repo",
+                       capture_output=True, text=True)
+    print(r.stdout[-3000:], r.stderr[-2000:])
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return round(v, 9)
+    return v
+
+n_pass = n_fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.sql(sql)
+        exp_cols = list(exp.columns)
+        exp_rows = exp.fetchall()
+        got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+        got_cols = list(got.columns)
+        got_rows = got.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: error {str(e)[:200]}")
+        n_fail += 1
+        continue
+    ok = True
+    if sorted(exp_cols) != sorted(got_cols):
+        print(f"FAIL {name}: cols exp={sorted(exp_cols)} got={sorted(got_cols)}")
+        ok = False
+    elif len(exp_rows) != len(got_rows):
+        print(f"FAIL {name}: rows exp={len(exp_rows)} got={len(got_rows)}")
+        ok = False
+    else:
+        # align columns by sorted name (driver sorts by name before hashing)
+        ei = [exp_cols.index(c) for c in sorted(exp_cols)]
+        gi = [got_cols.index(c) for c in sorted(got_cols)]
+        for rn, (er, gr) in enumerate(zip(exp_rows, got_rows)):
+            e = [norm(er[i]) for i in ei]; g = [norm(gr[i]) for i in gi]
+            if e != g:
+                print(f"FAIL {name}: row {rn} exp={e} got={g}")
+                ok = False
+                break
+    if ok:
+        print(f"PASS {name} ({len(exp_rows)} rows)")
+        n_pass += 1
+    else:
+        n_fail += 1
+
+# queries without oracle => rows-only check
+for q in sorted(os.listdir(OUT)):
+    p = os.path.join(OUT, q)
+    if os.path.isdir(p) and q not in oracle:
+        n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+        print(f"INFO {q}: no oracle, {n} rows")
+
+print(f"\n{n_pass} passed, {n_fail} failed, {len(oracle)} total oracles")
+sys.exit(1 if n_fail else 0)
