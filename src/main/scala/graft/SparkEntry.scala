@@ -17,7 +17,10 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (ops.Relational.queries, ops.Relational.oracle),
-      (ops.Joins.queries, ops.Joins.oracle)
+      (ops.Joins.queries, ops.Joins.oracle),
+      (ops.Aggregates.queries, ops.Aggregates.oracle),
+      (ops.Windows.queries, ops.Windows.oracle),
+      (ops.SortSetOps.queries, ops.SortSetOps.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,155 @@
+package graft.ops
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operator family (delegated in the reference via
+  * /root/reference/main.go:106; MySQL executes them server-side).
+  *
+  * Scale posture: every groupBy below compiles to Spark's two-phase hash
+  * aggregate — partial (map-side combine) before the shuffle, final
+  * after — so the shuffle volume is O(groups), not O(rows). The
+  * exceptions are called out inline: exact count-distinct carries the
+  * distinct keys through the shuffle (use approx_count_distinct at
+  * 100 TB when ±2% is acceptable), and collect_list is bounded only by
+  * group size (safe here: groups are nation-sized).
+  */
+object Aggregates {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // COUNT(DISTINCT) — expands to a two-shuffle plan (distinct then
+    // count). The approx_ variant is the 100 TB path: single pass, HLL
+    // sketch, mergeable. Both exercised; only exact ones oracle-compared.
+    "q21_count_distinct" -> ((s, d) =>
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+
+    // GROUP_CONCAT equivalent: collect_list + array_sort + array_join
+    // gives MySQL's GROUP_CONCAT(... ORDER BY ...) deterministically.
+    "q22_group_concat" -> ((s, d) =>
+      T.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy(col("n_regionkey"))),
+
+    // HAVING = filter over the aggregated frame.
+    "q23_having" -> ((s, d) =>
+      T.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
+             count(lit(1)).as("n_items"))
+        .filter(col("total_qty") > 15000)
+        .orderBy(col("l_suppkey"))),
+
+    // WITH ROLLUP (MySQL surface) — hierarchical subtotals.
+    "q24_rollup" -> ((s, d) =>
+      T.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // CUBE — a superset MySQL 5.7 lacks (SURVEY.md §2.2): all grouping
+    // combinations in one pass.
+    "q25_cube" -> ((s, d) =>
+      T.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // Statistical aggregates.
+    "q26_stats" -> ((s, d) =>
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(stddev_pop(col("l_quantity")), 4).as("sdp_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(var_pop(col("l_discount")), 6).as("varp_disc"),
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"))
+        .orderBy(col("l_returnflag"))),
+
+    // GROUPING SETS via Spark SQL (the declarative form Catalyst expands
+    // to a single Expand + aggregate — one scan for all three groupings).
+    "q27_grouping_sets" -> ((s, d) => {
+      T.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(1) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Approximate distinct (HLL++) vs exact — the scale path for
+    // count-distinct at 100 TB. Oracle-checked on the *exact* column;
+    // the approx column is asserted within rsd in ScalaTest instead, so
+    // it is not part of this query (DuckDB's approx sketch differs).
+    "q28_conditional_agg" -> ((s, d) =>
+      T.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          round(avg(when(col("o_totalprice") > 100000, col("o_totalprice"))), 2).as("avg_big"))
+        .orderBy(col("o_orderpriority")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q21_count_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q22_group_concat" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q23_having" ->
+      """SELECT l_suppkey, round(sum(l_quantity),2) AS total_qty, count(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING round(sum(l_quantity),2) > 15000
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q24_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q25_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q26_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity),4) AS sd_qty,
+        | round(stddev_pop(l_quantity),4) AS sdp_qty,
+        | round(var_samp(l_discount),6) AS var_disc,
+        | round(var_pop(l_discount),6) AS varp_disc,
+        | round(min(l_extendedprice),2) AS min_price,
+        | round(max(l_extendedprice),2) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q27_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q28_conditional_agg" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | round(avg(CASE WHEN o_totalprice > 100000 THEN o_totalprice END), 2) AS avg_big
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}

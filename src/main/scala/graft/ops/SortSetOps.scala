@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ORDER BY / LIMIT / OFFSET and set-operation families.
+  *
+  * Scale posture: `orderBy(...).limit(n)` is planned by Spark as
+  * TakeOrderedAndProject — a per-partition top-n followed by a top-n
+  * merge on the driver, O(n) memory, no global sort. A bare global
+  * ORDER BY range-partitions (sampled boundaries) and is reserved for
+  * final result presentation. Set ops are shuffles on the full row; the
+  * distinct variants add a hash-aggregate — same cost envelope as
+  * groupBy at 100 TB.
+  */
+object SortSetOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ORDER BY ... LIMIT → TakeOrderedAndProject (top-n, not full sort).
+    "q40_order_limit" -> ((s, d) =>
+      T.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))),
+
+    // LIMIT with OFFSET (Spark ≥3.4 df.offset).
+    "q41_offset" -> ((s, d) =>
+      T.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(20)
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))),
+
+    // Multi-key mixed-direction global sort with explicit null placement.
+    "q42_multikey_sort" -> ((s, d) =>
+      T.customer(s, d)
+        .select(col("c_mktsegment"), col("c_nationkey"), col("c_custkey"),
+                round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy(col("c_mktsegment").asc, col("acctbal").desc, col("c_custkey").asc)),
+
+    // UNION ALL (bag union, by position — MySQL's default surface).
+    "q45_union_all" -> ((s, d) => {
+      val c = T.customer(s, d).select(col("c_nationkey").as("nk"), lit("customer").as("src"))
+      val p = T.supplier(s, d).select(col("s_nationkey").as("nk"), lit("supplier").as("src"))
+      c.union(p).orderBy(col("nk"), col("src"))
+    }),
+
+    // UNION DISTINCT.
+    "q46_union_distinct" -> ((s, d) => {
+      val c = T.customer(s, d).select(col("c_nationkey").as("nk"))
+      val p = T.supplier(s, d).select(col("s_nationkey").as("nk"))
+      c.union(p).distinct().orderBy(col("nk"))
+    }),
+
+    // INTERSECT (distinct semantics, as in SQL).
+    "q47_intersect" -> ((s, d) => {
+      val c = T.customer(s, d).select(col("c_nationkey").as("nk"))
+      val p = T.supplier(s, d).select(col("s_nationkey").as("nk"))
+      c.intersect(p).orderBy(col("nk"))
+    }),
+
+    // EXCEPT (distinct semantics).
+    "q48_except" -> ((s, d) => {
+      val c = T.customer(s, d).select(col("c_nationkey").as("nk"))
+      val p = T.supplier(s, d).select(col("s_nationkey").as("nk"))
+      c.except(p).orderBy(col("nk"))
+    }),
+
+    // EXCEPT ALL / INTERSECT ALL — bag semantics (MySQL 8.0.31+ surface).
+    "q49_except_all" -> ((s, d) => {
+      val a = T.orders(s, d).filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("ck"))
+      val b = T.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("ck"))
+      a.exceptAll(b).orderBy(col("ck"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_order_limit" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q41_offset" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20""".stripMargin,
+
+    "q42_multikey_sort" ->
+      """SELECT c_mktsegment, c_nationkey, c_custkey, round(c_acctbal,2) AS acctbal
+        |FROM customer
+        |ORDER BY c_mktsegment ASC, round(c_acctbal,2) DESC, c_custkey ASC""".stripMargin,
+
+    "q45_union_all" ->
+      """SELECT c_nationkey AS nk, 'customer' AS src FROM customer
+        |UNION ALL
+        |SELECT s_nationkey AS nk, 'supplier' AS src FROM supplier
+        |ORDER BY nk, src""".stripMargin,
+
+    "q46_union_distinct" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q47_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q48_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q49_except_all" ->
+      """SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 100000
+        |EXCEPT ALL
+        |SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY ck""".stripMargin
+  )
+}

@@ -1,0 +1,173 @@
+package graft.ops
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window function family (MySQL ≥8.0 surface through the reference's
+  * passthrough, /root/reference/main.go:106).
+  *
+  * Scale posture: a window spec shuffles once on partitionBy keys and
+  * sorts within partitions. All specs below partition on a real key
+  * (custkey/suppkey/priority) — never an empty partitionBy, which would
+  * funnel 100 TB through one task. Rows within a partition are bounded
+  * (orders per customer, lines per supplier), so per-partition sort and
+  * frame evaluation stay in memory. Window ORDER BYs always carry a
+  * unique tiebreaker so results are deterministic across engines.
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Top-k per group: the classic export query (SURVEY.md §2.2).
+    // row_number + filter prunes to k rows per key *before* anything
+    // downstream — at scale this is the shuffle-once alternative to a
+    // global sort.
+    "q30_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+                round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Ranking family: row_number / rank / dense_rank / ntile.
+    "q31_ranking" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T.orders(s, d)
+        .select(
+          col("o_orderpriority"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+
+    // Analytic offsets: lag / lead with defaults.
+    "q32_lag_lead" -> ((s, d) => {
+      // NB: (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // data — l_partkey completes the key for deterministic ordering.
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      T.lineitem(s, d)
+        .filter(col("l_suppkey") <= 20)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          round(col("l_quantity"), 2).as("qty"),
+          round(lag(col("l_quantity"), 1).over(w), 2).as("prev_qty"),
+          round(lead(col("l_quantity"), 1, -1.0).over(w), 2).as("next_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    }),
+
+    // Frames: running total (ROWS UNBOUNDED), moving average (ROWS 2
+    // PRECEDING), and a value-RANGE frame over a numeric order key.
+    "q33_frames" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = wOrd.rowsBetween(-2, Window.currentRow)
+      val rng = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+        .rangeBetween(-1000, Window.currentRow)
+      T.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(run), 2).as("run_total"),
+          round(avg(col("o_totalprice")).over(mov), 4).as("mov_avg3"),
+          count(lit(1)).over(rng).as("n_near_keys"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // first_value / last_value / nth_value over the full-partition frame
+    // (last_value needs UNBOUNDED FOLLOWING to mean "partition last").
+    "q34_first_last" -> ((s, d) => {
+      val full = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(full).as("first_key"),
+          last(col("o_orderkey")).over(full).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Distribution functions.
+    "q35_distribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T.orders(s, d)
+        .select(
+          col("o_orderstatus"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q30_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q31_ranking" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | row_number() OVER w AS rn,
+        | rank() OVER w AS rnk,
+        | dense_rank() OVER w AS drnk,
+        | ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q32_lag_lead" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+        | round(l_quantity,2) AS qty,
+        | round(lag(l_quantity, 1) OVER w, 2) AS prev_qty,
+        | round(lead(l_quantity, 1, -1.0) OVER w, 2) AS next_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 20
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin,
+
+    "q33_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total,
+        | round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3,
+        | count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_near_keys
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q34_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER w AS first_key,
+        | last_value(o_orderkey) OVER w AS last_key,
+        | nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q35_distribution" ->
+      """SELECT o_orderstatus, o_orderkey,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+  )
+}
