@@ -20,7 +20,8 @@ object SparkEntry {
       (ops.Joins.queries, ops.Joins.oracle),
       (ops.Aggregates.queries, ops.Aggregates.oracle),
       (ops.Windows.queries, ops.Windows.oracle),
-      (ops.SortSetOps.queries, ops.SortSetOps.oracle)
+      (ops.SortSetOps.queries, ops.SortSetOps.oracle),
+      (ops.ScalarFns.queries, ops.ScalarFns.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

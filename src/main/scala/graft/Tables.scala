@@ -25,7 +25,16 @@ object T {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = load(s, d, "events")
+  /** events.ts is TIMESTAMP(NANOS,false) in the parquet footer, which
+    * Spark's vectorized reader refuses; sessions set
+    * spark.sql.legacy.parquet.nanosAsLong=true and the nanos→micros
+    * conversion happens here so every consumer sees a real TimestampType
+    * `ts` (micro truncation only — the generator emits µs resolution).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    load(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
