@@ -21,7 +21,11 @@ object SparkEntry {
       (ops.Aggregates.queries, ops.Aggregates.oracle),
       (ops.Windows.queries, ops.Windows.oracle),
       (ops.SortSetOps.queries, ops.SortSetOps.oracle),
-      (ops.ScalarFns.queries, ops.ScalarFns.oracle)
+      (ops.ScalarFns.queries, ops.ScalarFns.oracle),
+      (ops.Dedup.queries, ops.Dedup.oracle),
+      (ops.TextOps.queries, ops.TextOps.oracle),
+      (ops.VectorOps.queries, ops.VectorOps.oracle),
+      (ops.EventOps.queries, ops.EventOps.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

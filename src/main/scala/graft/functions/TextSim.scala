@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared text-similarity building blocks for the dedup operator family
+  * (north-star extensions; the reference has no analog — its only
+  * "function" is the type-map switch at /root/reference/main.go:131-148).
+  *
+  * Everything is expressed over DataFrame columns with higher-order
+  * functions and hash() — no UDFs — so the whole pipeline stays inside
+  * whole-stage codegen and scales by partitioning:
+  *  - shingling is a per-row transform (no shuffle);
+  *  - pair generation shuffles on the shingle/band value, which is the
+  *    LSH trick that replaces the O(n²) cross join at 100 TB;
+  *  - exact verification only touches candidate pairs (a semi-join-sized
+  *    input), never the full pair space.
+  */
+object TextSim {
+
+  /** Word n-gram shingles, one row per distinct (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"""CASE WHEN size(ws) < $n THEN array()
+           |ELSE transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', slice(ws, i+1, $n)))
+           |END""".stripMargin))).as("g"))
+
+  /** All-pairs n-gram Jaccard via shingle-equality join (exact).
+    * Output: id1 < id2, jaccard rounded to 4.
+    *
+    * Scale note: the join key is the shingle value, so cost is
+    * Σ_g m_g² over shingle frequencies — fine for mostly-unique
+    * shingles, quadratic for stop-shingles. The MinHash/SimHash
+    * variants below are the 100 TB path; this exact form doubles as
+    * their verification oracle.
+    */
+  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    withJaccard(inter, sizes, minJaccard)
+  }
+
+  /** Exact-verify candidate pairs (id1, id2) against true n-gram Jaccard.
+    * Joins shingles only for candidate docs — the post-LSH step.
+    */
+  def verifyJaccard(cand: DataFrame, sh: DataFrame, minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("id1"), col("g").as("g1"))
+    val b = sh.select(col("doc_id").as("cid2"), col("g").as("g2"))
+    val inter = cand
+      .join(a, "id1")
+      .join(b, col("id2") === col("cid2") && col("g1") === col("g2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+    withJaccard(inter, sizes, minJaccard)
+  }
+
+  private def withJaccard(inter: DataFrame, sizes: DataFrame, minJ: Double): DataFrame = {
+    val s1 = sizes.select(col("doc_id").as("id1"), col("n").as("n1"))
+    val s2 = sizes.select(col("doc_id").as("id2"), col("n").as("n2"))
+    inter.join(s1, "id1").join(s2, "id2")
+      .withColumn("jacc", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jacc") >= minJ)
+      .select(col("id1"), col("id2"), round(col("jacc"), 4).as("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  // ---------------- MinHash ----------------
+
+  /** Prime modulus for the universal hash family (2^31 - 1, so that
+    * a*x+b stays within Long without overflow: a,x < 2^31 → a*x < 2^62).
+    */
+  private val P = 2147483647L
+
+  /** Deterministic (a,b) coefficients, seed 42. */
+  private def coefficients(nHashes: Int): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nHashes)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
+  }
+
+  /** MinHash signature: one row per doc, columns h0..h{n-1}.
+    * Base hash = murmur3(shingle) (Spark's hash(), seed fixed), lifted
+    * to [0, P). The n mins are computed in a single hash aggregate —
+    * one pass over the exploded shingles, partial aggregation before
+    * the shuffle.
+    */
+  def minhashSignature(sh: DataFrame, nHashes: Int): DataFrame = {
+    val x = hash(col("g")).cast("long").bitwiseAND(lit(0xFFFFFFFFL)) % P
+    val aggs = coefficients(nHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((x * a + b) % P).as(s"h$i")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+  }
+
+  /** LSH banding: (doc_id, band, band_hash), one row per band.
+    * Docs agreeing on any band become candidate pairs via an equi-join
+    * on (band, band_hash) — the shuffle key that replaces the cross
+    * join. bands*rowsPerBand must equal the signature width.
+    */
+  def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { j =>
+      val rowCols = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(j).as("band"), hash(rowCols: _*).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** Candidate pairs from any banding table keyed (doc_id, band, bh). */
+  def bandCandidates(bandsDf: DataFrame): DataFrame =
+    bandsDf.as("l")
+      .join(bandsDf.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+      .distinct()
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash over term-frequency-weighted token hashes
+    * (xxhash64). Returns (doc_id, simhash). Single aggregation pass:
+    * 64 signed bit-sums then bit assembly.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("th", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("th"), i).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$i")
+    }
+    val sig = tf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val assembled = (0 until 64)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)): Column)
+      .reduce(_ + _)
+    sig.select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** Byte-banding of a 64-bit simhash: 8 bands of 8 bits. Same candidate
+    * join shape as MinHash LSH.
+    */
+  def simhashBands(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until 8).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), 8 * j).bitwiseAND(lit(0xFFL)).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.T
+import graft.functions.TextSim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family — north-star extensions for
+  * training-data pipelines (BASELINE.json north_star; absent from the
+  * reference, whose closest notion is the SELECT DISTINCT it can
+  * delegate via /root/reference/main.go:106).
+  *
+  * Four tiers, by cost at 100 TB:
+  *  1. exact        — hash groupBy on the dedup key; one shuffle.
+  *  2. ngram-jaccard — exact all-pairs similarity; the correctness
+  *     oracle for the sketch tiers, quadratic in shingle collisions.
+  *  3. minhash-lsh  — 128-hash signatures, 32 bands × 4 rows; candidate
+  *     pairs come from a band-equality shuffle, then exact verification.
+  *     The standard web-scale near-dup pipeline.
+  *  4. simhash      — 64-bit TF-weighted fingerprint, byte-banded; the
+  *     cheap end of the sketch spectrum (8 bytes/doc of state).
+  *
+  * Tiers 3 and 4 produce the same final relation as tier 2 at their
+  * threshold (candidates are exact-verified), so they share tier 2's SQL
+  * oracle: the sketches only affect *recall*, and at the planted-dup
+  * similarity (~0.97 Jaccard) the miss probability is ≪1e-6.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB side of the exact n-gram Jaccard pairs, parameterized by
+    * threshold — shared by the exact and sketch-verified variants.
+    */
+  private def jaccardOracle(thr: String): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+       |         generate_subscripts(string_split(text,' '),1) AS i
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+       |  FROM w a
+       |  JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |  JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+       |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS inter
+       |  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.id1, p.id2,
+       |       round(CAST(p.inter AS DOUBLE)/(s1.n + s2.n - p.inter), 4) AS jaccard
+       |FROM pairs p
+       |JOIN sizes s1 ON p.id1 = s1.doc_id
+       |JOIN sizes s2 ON p.id2 = s2.doc_id
+       |WHERE CAST(p.inter AS DOUBLE)/(s1.n + s2.n - p.inter) >= $thr
+       |ORDER BY id1, id2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on the key, keep the smallest id as the
+    // canonical representative. One shuffle on the key at any scale.
+    "q60_dedup_exact" -> ((s, d) =>
+      T.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy(col("lang"), col("source"))),
+
+    // Exact all-pairs near-dup via 3-gram shingle join.
+    "q61_neardup_jaccard" -> ((s, d) =>
+      TextSim.jaccardPairs(TextSim.shingles(T.documents(s, d), 3), 0.6)),
+
+    // MinHash(128) + LSH(32×4) candidates, exact-verified at 0.8.
+    "q62_neardup_minhash_lsh" -> ((s, d) => {
+      val sh = TextSim.shingles(T.documents(s, d), 3)
+      val sig = TextSim.minhashSignature(sh, 128)
+      val cand = TextSim.bandCandidates(TextSim.lshBands(sig, 32, 4))
+      TextSim.verifyJaccard(cand, sh, 0.8)
+    }),
+
+    // SimHash(64) + byte-band candidates, exact-verified at 0.8.
+    "q63_neardup_simhash" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val cand = TextSim.bandCandidates(TextSim.simhashBands(TextSim.simhash(docs)))
+      TextSim.verifyJaccard(cand, TextSim.shingles(docs, 3), 0.8)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q60_dedup_exact" ->
+      """SELECT lang, source, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q61_neardup_jaccard" -> jaccardOracle("0.6"),
+    "q62_neardup_minhash_lsh" -> jaccardOracle("0.8"),
+    "q63_neardup_simhash" -> jaccardOracle("0.8")
+  )
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the events table, batch formulations —
+  * sessionization, time bucketing, pivoting. The streaming variants
+  * (watermarks, session_window, dropDuplicatesWithinWatermark) live in
+  * graft.streaming and are ScalaTest-verified; these batch forms are the
+  * DuckDB-oracle-checkable equivalents (SURVEY.md §2.2 Streaming).
+  *
+  * Scale posture: sessionization is one shuffle (by user) + an in-order
+  * scan per user partition — the batch analog of keyed streaming state.
+  * Time bucketing uses Spark's window() on the event-time column, which
+  * is a pure projection (no shuffle beyond the final agg).
+  */
+object EventOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Gap-based sessionization (30 min): lag → new-session flag →
+    // running sum = session id → per-session rollup. Epochs are floored
+    // to whole seconds in BOTH engines (unix_timestamp ≡ floor(epoch)).
+    "q74_sessionize" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, d)
+        .withColumn("ep", unix_timestamp(col("ts")))
+        .withColumn("new_s",
+          when(lag(col("ep"), 1).over(wOrd).isNull ||
+               col("ep") - lag(col("ep"), 1).over(wOrd) > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             (max(col("ep")) - min(col("ep"))).as("dur_s"),
+             round(sum(col("value")), 2).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Tumbling 1-hour event-time windows via Spark's window() — the
+    // same construct the streaming path uses; batch-equivalent of a
+    // watermarked windowed aggregation.
+    "q75_time_buckets" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("w.start").as("hour_bucket"), col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("hour_bucket"), col("event_type"))),
+
+    // Pivot: event_type counts per user-id bucket (explicit value list →
+    // deterministic output columns; single shuffle + conditional aggs).
+    "q76_event_pivot" -> ((s, d) =>
+      T.events(s, d)
+        .withColumn("bucket", col("user_id") % 10)
+        .groupBy(col("bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("bucket")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q74_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, value, ep,
+        |    CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+        |), s AS (
+        |  SELECT user_id, value, ep,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ep, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM m
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       max(ep) - min(ep) AS dur_s,
+        |       round(sum(value), 2) AS session_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q75_time_buckets" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
+        | event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "q76_event_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        | CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+  )
+}

@@ -1,0 +1,159 @@
+package graft.ops
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table — north-star
+  * extensions for training-data pipelines (language ID, quality scoring,
+  * token counting, fingerprinting).
+  *
+  * q70/q71 are written once as engine-neutral ANSI SQL (only length /
+  * replace / CASE / arithmetic, identical semantics in Spark SQL and
+  * DuckDB) and executed via spark.sql over a temp view — the operator
+  * IS its oracle text, which removes dialect-drift risk entirely. All
+  * are single-pass projections: at 100 TB they pipeline inside the scan
+  * with no shuffle (the final ORDER BY is presentation-only).
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Marker-word language ID, engine-neutral SQL. Counts occurrences of
+    * per-language stopword markers by padded replace-shrinkage (the
+    * count is (len-len_after)/(marker_len-1); non-overlapping replace
+    * semantics are identical in both engines). Deterministic argmax with
+    * fixed precedence de<en<es<fr<zh on ties.
+    */
+  private val langIdSql =
+    """SELECT doc_id,
+      | CAST((length(p) - length(replace(p, ' der ', ' '))) / 4
+      |    + (length(p) - length(replace(p, ' und ', ' '))) / 4 AS INT) AS s_de,
+      | CAST((length(p) - length(replace(p, ' the ', ' '))) / 4
+      |    + (length(p) - length(replace(p, ' and ', ' '))) / 4 AS INT) AS s_en,
+      | CAST((length(p) - length(replace(p, ' el ', ' '))) / 3
+      |    + (length(p) - length(replace(p, ' que ', ' '))) / 4 AS INT) AS s_es,
+      | CAST((length(p) - length(replace(p, ' le ', ' '))) / 3
+      |    + (length(p) - length(replace(p, ' et ', ' '))) / 3 AS INT) AS s_fr,
+      | CAST(length(p) - length(replace(p, '的', '')) AS INT) AS s_zh,
+      | CASE
+      |  WHEN (length(p) - length(replace(p, ' der ', ' '))) / 4
+      |     + (length(p) - length(replace(p, ' und ', ' '))) / 4 >=
+      |       (length(p) - length(replace(p, ' the ', ' '))) / 4
+      |     + (length(p) - length(replace(p, ' and ', ' '))) / 4
+      |   AND (length(p) - length(replace(p, ' der ', ' '))) / 4
+      |     + (length(p) - length(replace(p, ' und ', ' '))) / 4 >=
+      |       (length(p) - length(replace(p, ' el ', ' '))) / 3
+      |     + (length(p) - length(replace(p, ' que ', ' '))) / 4
+      |   AND (length(p) - length(replace(p, ' der ', ' '))) / 4
+      |     + (length(p) - length(replace(p, ' und ', ' '))) / 4 >=
+      |       (length(p) - length(replace(p, ' le ', ' '))) / 3
+      |     + (length(p) - length(replace(p, ' et ', ' '))) / 3
+      |   AND (length(p) - length(replace(p, ' der ', ' '))) / 4
+      |     + (length(p) - length(replace(p, ' und ', ' '))) / 4 >=
+      |       length(p) - length(replace(p, '的', ''))
+      |  THEN 'de'
+      |  WHEN (length(p) - length(replace(p, ' the ', ' '))) / 4
+      |     + (length(p) - length(replace(p, ' and ', ' '))) / 4 >=
+      |       (length(p) - length(replace(p, ' el ', ' '))) / 3
+      |     + (length(p) - length(replace(p, ' que ', ' '))) / 4
+      |   AND (length(p) - length(replace(p, ' the ', ' '))) / 4
+      |     + (length(p) - length(replace(p, ' and ', ' '))) / 4 >=
+      |       (length(p) - length(replace(p, ' le ', ' '))) / 3
+      |     + (length(p) - length(replace(p, ' et ', ' '))) / 3
+      |   AND (length(p) - length(replace(p, ' the ', ' '))) / 4
+      |     + (length(p) - length(replace(p, ' and ', ' '))) / 4 >=
+      |       length(p) - length(replace(p, '的', ''))
+      |  THEN 'en'
+      |  WHEN (length(p) - length(replace(p, ' el ', ' '))) / 3
+      |     + (length(p) - length(replace(p, ' que ', ' '))) / 4 >=
+      |       (length(p) - length(replace(p, ' le ', ' '))) / 3
+      |     + (length(p) - length(replace(p, ' et ', ' '))) / 3
+      |   AND (length(p) - length(replace(p, ' el ', ' '))) / 3
+      |     + (length(p) - length(replace(p, ' que ', ' '))) / 4 >=
+      |       length(p) - length(replace(p, '的', ''))
+      |  THEN 'es'
+      |  WHEN (length(p) - length(replace(p, ' le ', ' '))) / 3
+      |     + (length(p) - length(replace(p, ' et ', ' '))) / 3 >=
+      |       length(p) - length(replace(p, '的', ''))
+      |  THEN 'fr'
+      |  ELSE 'zh'
+      | END AS pred_lang
+      |FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring, engine-neutral SQL: char length, token count,
+    * average word length, stopword ratio, length-band flag, and a
+    * blended quality score.
+    */
+  // NB: exact-decimal literals (1.0) parse as DECIMAL in both Spark SQL
+  // and DuckDB — every ratio below goes through CAST(... AS DOUBLE) so
+  // the output schema is DOUBLE in both engines.
+  private val qualitySql =
+    """SELECT doc_id,
+      | CAST(length(text) AS INT) AS n_char,
+      | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_tok,
+      | round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |       / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS avg_word_len,
+      | round((CAST(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' ')) AS DOUBLE) / 2.0
+      |      + CAST(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' ')) AS DOUBLE) / 4.0)
+      |       / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS stopword_ratio,
+      | CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END AS len_ok,
+      | round(0.5 * CAST(CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END AS DOUBLE)
+      |     + 0.5 * least(CAST(1 AS DOUBLE),
+      |                   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 100.0),
+      |       4) AS quality
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q70_lang_id" -> ((s, d) => {
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(langIdSql)
+    }),
+
+    "q71_text_quality" -> ((s, d) => {
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(qualitySql)
+    }),
+
+    // Token counting: whitespace tokens + regex word-ish tokens (the
+    // BPE-style pre-tokenizer split) + density per 100 chars.
+    "q72_token_count" -> ((s, d) =>
+      T.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tok"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("n_re_tok"),
+          round(size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))) * 100.0 /
+                length(col("text")), 4).as("tok_per_100c"))
+        .orderBy(col("doc_id"))),
+
+    // Content fingerprinting: md5 + sha256 of the normalized text, and a
+    // 16-hex-char short fingerprint for bucketing.
+    "q73_fingerprint" -> ((s, d) =>
+      T.documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("fp_md5"),
+          sha2(col("text"), 256).as("fp_sha256"),
+          substring(md5(lower(trim(col("text")))), 1, 16).as("fp_short"))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q70_lang_id" -> langIdSql,
+    "q71_text_quality" -> qualitySql,
+    "q72_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tok,
+        | CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re_tok,
+        | round(len(regexp_extract_all(text, '[a-z0-9]+')) * 100.0 / length(text), 4) AS tok_per_100c
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q73_fingerprint" ->
+      """SELECT doc_id,
+        | md5(text) AS fp_md5,
+        | sha256(text) AS fp_sha256,
+        | substr(md5(lower(trim(text))), 1, 16) AS fp_short
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
