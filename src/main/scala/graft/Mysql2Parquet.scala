@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's own end-to-end surface, re-expressed Spark-first:
+  * one SQL query against MySQL → one Parquet output
+  * (/root/reference/main.go:57-204), as a configured pipeline instead of
+  * a hand-rolled row loop.
+  *
+  *  reference                               | here
+  *  ----------------------------------------|---------------------------
+  *  CLI flags (main.go:29-40,57-85)         | [[Config]] + [[Config.validate]]
+  *  DSN + Ping + Query (main.go:87-110)     | spark.read jdbc options ([[reader]])
+  *  multiStatements SET prefix (main.go:89) | sessionInitStatement option
+  *  schema inference (main.go:112-163)      | JDBC source ResultSetMetaData (see [[TypeMap]])
+  *  row stringify + NULL→"" (main.go:175-195)| opt-in [[compatProjection]]
+  *  single local parquet file (main.go:165) | [[write]] (coalesce(1) in compat, partitioned otherwise)
+  *
+  * Where the reference reads on ONE connection and one thread
+  * (main.go:106,175), [[reader]] accepts partitionColumn/num-partitions
+  * so the scan fans out across executors — the structural upgrade that
+  * makes the same export viable at 100 TB. No MySQL server exists in the
+  * test sandbox (zero egress), so [[reader]] is exercised config-only in
+  * tests and the parquet-dir source ([[T.load]]) stands in as the scan.
+  */
+object Mysql2Parquet {
+
+  /** Mirror of the reference's 8 CLI flags (main.go:29-40). */
+  final case class Config(
+      user: String = "root",                      // main.go:31 default
+      host: String = "127.0.0.1",                 // main.go:32 default
+      port: Int = 3306,                           // main.go:33 default
+      password: String = "",
+      database: String = "",
+      query: String = "",
+      parquet: String = "",
+      sessionInit: Option[String] = None,         // SET ... prefix, main.go:41-47
+      partitionColumn: Option[String] = None,     // parallel-scan upgrade
+      numPartitions: Int = 1,
+      lowerBound: Long = 0L,
+      upperBound: Long = 0L,
+      compat: Boolean = false,                    // reproduce main.go stringify/NULL→""
+      singleFile: Boolean = false) {
+
+    /** Required-flag validation, same four as main.go:68-85. */
+    def validate: Either[String, Config] = {
+      val missing = Seq(
+        "password" -> password, "database" -> database,
+        "query" -> query, "parquet" -> parquet).collect { case (n, "") => n }
+      if (missing.isEmpty) Right(this)
+      else Left(missing.mkString("missing required flags: ", ", ", ""))
+    }
+
+    def jdbcUrl: String = s"jdbc:mysql://$host:$port/$database"
+  }
+
+  /** JDBC reader with the reference's connection semantics plus the
+    * parallel-scan options the reference lacks.
+    */
+  def reader(spark: SparkSession, c: Config): DataFrameReader = {
+    var r = spark.read.format("jdbc")
+      .option("url", c.jdbcUrl)
+      .option("user", c.user)
+      .option("password", c.password)
+      .option("query", c.query)
+    c.sessionInit.foreach(s => r = r.option("sessionInitStatement", s))
+    c.partitionColumn.foreach { pc =>
+      r = r.option("partitionColumn", pc)
+        .option("numPartitions", c.numPartitions)
+        .option("lowerBound", c.lowerBound)
+        .option("upperBound", c.upperBound)
+    }
+    r
+  }
+
+  /** Opt-in reproduction of the reference's output semantics
+    * (main.go:175-195): every value cast to string and SQL NULL
+    * collapsed to "" — the OPTIONAL/empty-string ambiguity documented in
+    * SURVEY.md §1.3. Never the default: the engine's default output
+    * keeps real types and real nulls.
+    */
+  def compatProjection(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c =>
+      coalesce(col(c).cast("string"), lit("")).as(c)).toIndexedSeq: _*)
+
+  /** Parquet sink. compat/singleFile reproduces the reference's one
+    * local file (main.go:165); otherwise the write stays partitioned —
+    * at scale a single output file is the bottleneck, not a feature.
+    */
+  def write(df: DataFrame, c: Config): Unit = {
+    val out = if (c.singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").parquet(c.parquet)
+  }
+
+  /** Whole pipeline over an already-loaded source frame (used by tests
+    * and by the parquet-backed harness; the JDBC path plugs in the same
+    * way: reader(spark, c).load()).
+    */
+  def run(source: DataFrame, c: Config): Unit = {
+    val projected = if (c.compat) compatProjection(source) else source
+    write(projected, c)
+  }
+}

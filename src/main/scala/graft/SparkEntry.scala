@@ -25,7 +25,8 @@ object SparkEntry {
       (ops.Dedup.queries, ops.Dedup.oracle),
       (ops.TextOps.queries, ops.TextOps.oracle),
       (ops.VectorOps.queries, ops.VectorOps.oracle),
-      (ops.EventOps.queries, ops.EventOps.oracle)
+      (ops.EventOps.queries, ops.EventOps.oracle),
+      (multimodal.Multimodal.queries, multimodal.Multimodal.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

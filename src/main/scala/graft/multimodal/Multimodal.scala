@@ -1,0 +1,119 @@
+package graft.multimodal
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing — north-star extension. Media (image/
+  * audio/video) is carried as an opaque `binary` payload column with a
+  * typed metadata struct beside it; decode / feature-extraction is a
+  * per-partition batch stage.
+  *
+  * No media decode libraries exist in this container, so the DECODE
+  * STEP IS A DETERMINISTIC STUB (clearly marked below): it derives fake
+  * dimensions/frame counts arithmetically from the payload bytes. The
+  * Spark-side plumbing — schema, binary handling, batch-shaped
+  * mapPartitions, frame-index explosion, partition sizing — is real and
+  * tested; swapping the stub for a JNI/JavaCV decode keeps every plan
+  * shape identical.
+  *
+  * Scale posture: payloads ride as parquet binary chunks; metadata
+  * extraction is a projection (no shuffle); feature extraction is
+  * iterator-to-iterator mapPartitions (the JVM analog of mapInPandas
+  * batches) so per-row overhead is amortized and memory stays bounded
+  * by one partition's batch.
+  */
+object Multimodal {
+
+  /** Attach a binary payload column. The documents table stands in for
+    * a media corpus: text bytes ≙ encoded media bytes (the container
+    * ships no images; TESTDATA.md forbids synthesizing new inputs).
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("application/octet-stream").as("media_type"))
+
+  /** ---- STUB DECODE ----
+    * Deterministic fake media metadata from payload bytes. A real
+    * implementation replaces exactly these three expressions with a
+    * header parse; everything downstream is agnostic to that swap.
+    */
+  def decodeMeta(withBytes: DataFrame): DataFrame =
+    withBytes
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("width",  (col("n_bytes") % 640 + 16).cast("int"))
+      .withColumn("height", ((col("n_bytes") * 7) % 480 + 16).cast("int"))
+      .withColumn("n_frames", (col("n_bytes") % 30 + 1).cast("int"))
+
+  /** Frame sampling: one row per sampled frame index, stride chosen to
+    * cap at ~maxFrames samples. Pure sequence+explode — a projection.
+    */
+  def sampleFrames(meta: DataFrame, maxFrames: Int = 8): DataFrame = {
+    val stride = greatest(ceil(col("n_frames").cast("double") / maxFrames).cast("int"), lit(1))
+    meta.select(
+      col("doc_id"), col("n_frames"),
+      explode(sequence(lit(0), col("n_frames") - 1, stride)).as("frame_idx"))
+  }
+
+  /** Batch-shaped feature extraction via mapPartitions: computes a
+    * 4-bin byte histogram per payload (stands in for an embedding /
+    * resize result). Iterator-to-iterator: one output batch per input
+    * partition, no per-row closure dispatch.
+    */
+  def extractFeatures(spark: SparkSession, withBytes: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("hist", ArrayType(LongType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    withBytes.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val hist = new Array[Long](4)
+        var i = 0
+        while (i < bytes.length) { hist(((bytes(i) & 0xFF) >> 6)) += 1; i += 1 }
+        Row(r.getLong(0), hist.toIndexedSeq)
+      }
+    }(enc)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Payload + stub-decoded metadata (deterministic → SQL oracle).
+    "q80_multimodal_meta" -> ((s, d) =>
+      decodeMeta(withPayload(T.documents(s, d)))
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("n_frames"))
+        .orderBy(col("doc_id"))),
+
+    // Sampled frame indices for the first docs (deterministic stride).
+    "q81_frame_sample" -> ((s, d) =>
+      sampleFrames(decodeMeta(withPayload(T.documents(s, d).filter(col("doc_id") < 50))))
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"))
+        .orderBy(col("doc_id"), col("frame_idx")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q80_multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        | CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+        | CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INT) AS height,
+        | CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q81_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id < 50
+        |), s AS (
+        |  SELECT doc_id, n_frames,
+        |         CAST(greatest(CAST(ceil(CAST(n_frames AS DOUBLE) / 8) AS INT), 1) AS INT) AS stride
+        |  FROM m
+        |)
+        |SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, stride)) AS INT) AS frame_idx
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

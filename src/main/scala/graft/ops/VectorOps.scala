@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *    is broadcast, the corpus side streams, so cost is |Q|·n with no
   *    shuffle of the corpus.
   *  - q66 is IVF with *learned* centroids (per-label means) and
-  *    nprobe=2 — the approximate path whose recall is asserted against
+  *    nprobe=4 — the approximate path whose recall is asserted against
   *    q65 in ScalaTest (no SQL oracle: result depends on probe choice).
   */
 object VectorOps {
@@ -68,7 +68,7 @@ object VectorOps {
     }),
 
     // IVF-style approximate top-k: centroids = per-label mean vectors,
-    // probe the nprobe=2 closest centroids per query, exact search
+    // probe the nprobe=4 closest centroids per query, exact search
     // within probed cells only. At 100 TB the corpus is partitioned by
     // cell, so a query touches nprobe partitions instead of all data.
     "q66_ann_topk_ivf" -> ((s, d) => {
@@ -83,12 +83,12 @@ object VectorOps {
         .withColumn("cn", sqrt(expr("aggregate(cv, 0D, (a, x) -> a + x*x)")))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      // nprobe=2 nearest centroids per query
+      // nprobe=4 nearest centroids per query
       val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("c_label"))
       val probes = broadcast(q.crossJoin(broadcast(cent))
         .withColumn("ccos", dot("qv", "cv") / (col("qn") * col("cn")))
         .withColumn("pr", row_number().over(wProbe))
-        .filter(col("pr") <= 2)
+        .filter(col("pr") <= 4)
         .select(col("q_id"), col("qv"), col("qn"), col("c_label")))
       val c = e.select(col("vec_id").as("id2"), col("label"), col("v").as("v2"), col("nrm").as("n2"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id2"))

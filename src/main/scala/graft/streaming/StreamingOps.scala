@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operator surface — absent from the reference
+  * (its row loop terminates at end of result set,
+  * /root/reference/main.go:175-195); this is the SURVEY.md §2.2
+  * streaming extension plan.
+  *
+  * Every transform takes a DataFrame so it runs identically over a
+  * batch frame or a readStream/MemoryStream source; StreamingSpec
+  * drives them with MemoryStream and checks against hand-computed (or
+  * batch-computed) expectations. None of these have SQL oracles —
+  * watermark/state semantics are not expressible in DuckDB — which
+  * SparkEntry's contract permits for non-SQL-expressible ops.
+  *
+  * Scale posture: all state is keyed (user/window/event-id) and bounded
+  * by the watermark — the streaming analog of partitioned shuffles; no
+  * global state, no unbounded buffers.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour windowed counts with a watermark for late data. */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour_bucket"), col("event_type"),
+              col("n"), col("total_value"))
+
+  /** Sliding windows: 1-hour span every 15 minutes. */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Session windows with a 30-minute gap, per user — the streaming
+    * form of EventOps.q74_sessionize.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), col("sw.start").as("s_start"), col("sw.end").as("s_end"),
+              col("n_events"), col("session_value"))
+
+  /** Stateful exact dedup on event_id with watermark-bounded state —
+    * the streaming analog of exact dedup at 100 TB: state size is
+    * O(ids within watermark), not O(stream).
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- custom keyed state via mapGroupsWithState ----
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Running per-user aggregate with explicit keyed state — the
+    * KeyValueGroupedDataset.mapGroupsWithState surface for custom state
+    * machines (SURVEY.md §2.2). Kept deliberately simple: the state is a
+    * running (count, sum) per user, updated per micro-batch.
+    */
+  def runningUserTotals(events: Dataset[Ev]): Dataset[UserRunning] = {
+    implicit val enc = Encoders.product[UserRunning]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          val (n, v) = evs.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserRunning(user, n, math.rint(v * 100) / 100)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming output mode helper used by tests. */
+  def completeToMemory(df: DataFrame, name: String) =
+    df.writeStream.outputMode(OutputMode.Complete).format("memory").queryName(name)
+
+  def appendToMemory(df: DataFrame, name: String) =
+    df.writeStream.outputMode(OutputMode.Append).format("memory").queryName(name)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Pipeline semantics: flag validation (main.go:68-85), compat
+  * projection (NULL→"" collapse, main.go:183-184), JDBC option
+  * construction, and the parquet round-trip.
+  */
+class Mysql2ParquetSpec extends SparkSpec {
+  import Mysql2Parquet._
+
+  test("validate requires the reference's four mandatory flags") {
+    assert(Config().validate.isLeft)
+    val err = Config(password = "x").validate.left.getOrElse("")
+    assert(err.contains("database") && err.contains("query") && err.contains("parquet"))
+    assert(Config(password = "x", database = "d", query = "select 1",
+                  parquet = "/tmp/x.parquet").validate.isRight)
+  }
+
+  test("jdbc url mirrors the reference DSN host/port/db (main.go:89)") {
+    val c = Config(host = "db.example", port = 3307, database = "prod")
+    assert(c.jdbcUrl == "jdbc:mysql://db.example:3307/prod")
+  }
+
+  test("reader carries query, sessionInit and partitioning options without touching the network") {
+    val c = Config(password = "x", database = "d", query = "SELECT 1",
+      parquet = "/tmp/x", sessionInit = Some("SET SQL_BIG_SELECTS=1"),
+      partitionColumn = Some("id"), numPartitions = 8, upperBound = 100)
+    reader(spark, c) // construction must not connect
+    succeed
+  }
+
+  test("compat projection stringifies everything and collapses NULL to empty string") {
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("s", StringType),
+      StructField("d", DoubleType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Integer.valueOf(1), "a", java.lang.Double.valueOf(2.5)),
+        Row(null, null, null),
+        Row(Integer.valueOf(3), "", java.lang.Double.valueOf(0.0))),
+      schema)
+    val out = compatProjection(df)
+    assert(out.schema.fields.forall(_.dataType == StringType))
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows(1) == (("", "", "")))            // NULL → "" (main.go:183-184)
+    assert(rows(2)._2 == "")                     // "" and NULL are indistinguishable
+    assert(rows(0) == (("1", "a", "2.5")))
+  }
+
+  test("run writes parquet; compat+singleFile yields one data file like the reference") {
+    val out = java.nio.file.Files.createTempDirectory("m2p").toString + "/out"
+    val src = T.customer(spark, sf001)
+    Mysql2Parquet.run(src, Config(password = "x", database = "d", query = "q",
+      parquet = out, compat = true, singleFile = true))
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1)
+    val back = spark.read.parquet(out)
+    assert(back.count() == src.count())
+    assert(back.schema.fields.forall(_.dataType == StringType))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics with deterministic MemoryStream input: windowed
+  * aggregation equals the batch formulation; watermark dedup removes
+  * in-watermark duplicates; session windows split on the gap; keyed
+  * state accumulates across micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+    Ev(2, ts("2024-01-01 00:20:00"), 1, "click", 2.0),
+    Ev(3, ts("2024-01-01 01:10:00"), 1, "view", 3.0),   // >30min gap → new session
+    Ev(4, ts("2024-01-01 00:40:00"), 2, "click", 4.0),
+    Ev(5, ts("2024-01-01 02:00:00"), 2, "view", 5.0))
+
+  test("streaming tumbling counts equal the batch formulation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = StreamingOps.completeToMemory(
+      StreamingOps.tumblingCounts(mem.toDF()), "tumbling_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumbling_out")
+      .select("hour_bucket", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = sample.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("dropDuplicatesWithinWatermark removes exact dup event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample ++ Seq(sample.head, sample(1)): _*) // re-deliver two
+    val q = StreamingOps.appendToMemory(
+      StreamingOps.dedupWithinWatermark(mem.toDF()), "dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").count() == sample.size)
+  }
+
+  test("session windows split user 1 into two sessions on the 30-min gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = StreamingOps.completeToMemory(
+      StreamingOps.sessionWindows(mem.toDF()), "session_out").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("session_out")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.count(_._1 == 1L) == 2)       // two sessions for user 1
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1L, 2L))
+    assert(rows.count(_._1 == 2L) == 2)       // 80-min gap splits user 2
+  }
+
+  test("mapGroupsWithState accumulates per-user totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.runningUserTotals(mem.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("state_out").start()
+    mem.addData(sample.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(sample(2))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("state_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.last).toMap
+    assert(last(1L) == ((1L, 3L, 6.0))) // 3 events, value 1+2+3
+  }
+}
