@@ -76,11 +76,31 @@ object Dedup {
       TextSim.verifyJaccard(cand, sh, 0.8)
     }),
 
-    // SimHash(64) + byte-band candidates, exact-verified at 0.8.
+    // SimHash(64) + byte-band candidates, hamming-prefiltered, then
+    // exact-verified at 0.8. The 8-bit bands are recall-safe but
+    // collision-heavy (256 buckets/band → O(n²/256) candidates), so the
+    // cheap bit_count(xor) filter runs BEFORE the shingle-join verify:
+    // random pairs sit at hamming ≈ 32, near-dups ≤ ~4, so ≤ 8 drops
+    // essentially every false candidate for the price of two small
+    // joins against the 8-byte signatures.
     "q63_neardup_simhash" -> ((s, d) => {
       val docs = T.documents(s, d)
-      val cand = TextSim.bandCandidates(TextSim.simhashBands(TextSim.simhash(docs)))
-      TextSim.verifyJaccard(cand, TextSim.shingles(docs, 3), 0.8)
+      val sig = TextSim.simhash(docs)
+      // Carry the 8-byte signature through the band table so the
+      // hamming filter applies inside the band join, BEFORE the
+      // distinct — the collision-heavy 8-bit bands then never
+      // materialize their O(n²/256) false pairs past the join.
+      val bands = TextSim.simhashBands(sig).join(sig, "doc_id")
+      val l = bands.select(col("doc_id").as("id1"), col("band"), col("bh"),
+                           col("simhash").as("sh1"))
+      val r = bands.select(col("doc_id").as("id2"), col("band").as("band2"),
+                           col("bh").as("bh2"), col("simhash").as("sh2"))
+      val near = l.join(r,
+          col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("id1") < col("id2") &&
+          TextSim.hamming(col("sh1"), col("sh2")) <= 8)
+        .select("id1", "id2").distinct()
+      TextSim.verifyJaccard(near, TextSim.shingles(docs, 3), 0.8)
     })
   )
 

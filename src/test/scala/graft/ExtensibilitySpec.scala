@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.Extensibility
+import org.apache.spark.sql.functions._
+
+/** UDF/UDAF surface + approximate-aggregate accuracy guarantees that
+  * the SQL oracle can't express.
+  */
+class ExtensibilitySpec extends SparkSpec {
+
+  test("SignatureMin aggregator folds element-wise minimum over groups") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(5L, 1L, 9L)),
+      ("a", Seq(3L, 4L, 2L)),
+      ("b", Seq(7L, 7L, 7L))).toDF("k", "sig")
+    val out = df.groupBy($"k")
+      .agg(Extensibility.signatureMin(3)($"sig").as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out("a") == Seq(3L, 1L, 2L))
+    assert(out("b") == Seq(7L, 7L, 7L))
+  }
+
+  test("udaf merge is associative across partitions") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => ("g", Seq(i.toLong, (101 - i).toLong)))
+    val one = rows.toDF("k", "sig").repartition(1)
+    val many = rows.toDF("k", "sig").repartition(7)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k").agg(Extensibility.signatureMin(2)($"sig")).collect()(0).getSeq[Long](1)
+    assert(agg(one) == agg(many))
+    assert(agg(one) == Seq(1L, 1L))
+  }
+
+  test("slugify scalar udf registers and runs through Spark SQL") {
+    Extensibility.register(spark)
+    val got = spark.sql("SELECT slugify('  Hello, World! 42 ') AS s").collect()(0).getString(0)
+    assert(got == "hello-world-42")
+    assert(spark.sql("SELECT slugify(NULL) AS s").collect()(0).isNullAt(0))
+  }
+
+  test("approx_count_distinct is within 5% of exact (the 100 TB count-distinct path)") {
+    val li = T.lineitem(spark, sf001)
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).collect()(0)
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05, s"exact=$exact approx=$approx")
+  }
+}
