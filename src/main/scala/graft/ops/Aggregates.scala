@@ -98,7 +98,20 @@ object Aggregates {
           sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
           sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
           round(avg(when(col("o_totalprice") > 100000, col("o_totalprice"))), 2).as("avg_big"))
-        .orderBy(col("o_orderpriority")))
+        .orderBy(col("o_orderpriority"))),
+
+    // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // quantile_cont). At 100 TB prefer approx_percentile (t-digest,
+    // mergeable, single pass); the exact form shown here shuffles the
+    // group's values — used where exactness is the contract.
+    "q29_percentiles" -> ((s, d) =>
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"))
+        .orderBy(col("l_returnflag")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -150,6 +163,13 @@ object Aggregates {
         | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
         | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         | round(avg(CASE WHEN o_totalprice > 100000 THEN o_totalprice END), 2) AS avg_big
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q29_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        | round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

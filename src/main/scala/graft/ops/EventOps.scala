@@ -58,7 +58,31 @@ object EventOps {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0L)
-        .orderBy(col("bucket")))
+        .orderBy(col("bucket"))),
+
+    // As-of join (SURVEY.md §2.2 "range/as-of join"): for each purchase,
+    // the latest click by the same user at-or-before it. Implemented the
+    // 100 TB way: tag + union both sides, ONE shuffle on user_id, then a
+    // running max over event time — never the naive theta join, whose
+    // per-user cross product blows up on heavy users. Click rows sort
+    // before purchases at equal timestamps (kind 0 < 1) so ties are
+    // inclusive, matching ASOF >= semantics.
+    "q77_asof_join" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"), lit(-1L).as("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("last_click_ts", max(when(col("kind") === 0, col("ts"))).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+                col("last_click_ts"))
+        .orderBy(col("event_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -97,6 +121,13 @@ object EventOps {
         | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         | CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         | CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
-        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q77_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS last_click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin
   )
 }

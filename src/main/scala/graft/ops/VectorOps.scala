@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * extensions (SURVEY.md §2.2 "top-k vector similarity"). No analog in
   * the reference.
   *
-  * Cosine is computed with higher-order functions (zip_with + aggregate)
-  * entirely in double precision — codegen'd expressions, no UDF. Norms
-  * are computed once per vector *before* any join so the O(pairs) stage
-  * only multiplies and sums.
+  * Cosine is computed by the native codegen'd DotProduct expression
+  * (graft.functions.VectorKernels) entirely in double precision — the
+  * custom-Expression tier of SURVEY.md §7.4, chosen because the
+  * higher-order aggregate(zip_with(...)) form interprets its lambda and
+  * allocates per pair. Norms are computed once per vector *before* any
+  * join so the O(pairs) stage only multiplies and sums.
   *
   * Scale tiers:
   *  - q64 blocks the pair space by an existing coarse key (label) — the
@@ -27,15 +29,20 @@ import org.apache.spark.sql.functions._
 object VectorOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** embeddings with double-precision vector and precomputed norm. */
-  private def emb(s: SparkSession, d: String): DataFrame =
-    T.embeddings(s, d).select(
-      col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (a, x) -> a + x*x)")))
+  /** embeddings with the raw float vector and a precomputed norm. The
+    * dot-product kernel is the codegen'd DotProduct expression
+    * (graft.functions.VectorKernels) — no per-pair array allocation, no
+    * interpreted lambda; arithmetic is identical to the higher-order
+    * form (double widening, left-to-right accumulation) so oracle
+    * results are unchanged.
+    */
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(s)
+    T.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+  }
 
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x*y), 0D, (acc, x) -> acc + x)")
+  private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
   val queries: Map[String, Q] = Map(
     // Label-blocked near-duplicate pairs by cosine ≥ 0.35.
@@ -80,7 +87,7 @@ object VectorOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("label").as("c_label"),
                 expr("transform(pm, x -> x.m)").as("cv"))
-        .withColumn("cn", sqrt(expr("aggregate(cv, 0D, (a, x) -> a + x*x)")))
+        .withColumn("cn", sqrt(expr("graft_dot(cv, cv)")))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       // nprobe=4 nearest centroids per query

@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.VectorKernels
+import org.apache.spark.sql.functions._
+
+/** The native DotProduct kernel must be arithmetically identical to the
+  * higher-order aggregate(zip_with(...)) formulation (same widening,
+  * same accumulation order) — that identity is what lets the vector ops
+  * keep their DuckDB oracles after swapping in the codegen'd kernel.
+  */
+class VectorKernelsSpec extends SparkSpec {
+
+  test("graft_dot is bit-identical to the higher-order formulation on float arrays") {
+    VectorKernels.ensureRegistered(spark)
+    val e = T.embeddings(spark, sf001).limit(50)
+    val both = e.select(
+      expr("graft_dot(embedding, embedding)").as("native"),
+      expr("aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, x) -> a + x)").as("ho"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_dot handles mixed float/double inputs and nulls") {
+    VectorKernels.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0d, 4.0d)),
+      (Seq(0.5f, 0.5f), Seq(2.0d, 2.0d))).toDF("f", "dd")
+    val got = df.select(expr("graft_dot(f, dd)")).collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(11.0, 2.0))
+    val withNull = df.select(expr("graft_dot(f, CAST(NULL AS ARRAY<DOUBLE>))")).collect()
+    assert(withNull.forall(_.isNullAt(0)))
+  }
+
+  test("graft_dot rejects non-array inputs at analysis time") {
+    VectorKernels.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq((1, 2)).toDF("a", "b")
+    val ex = intercept[Exception](df.select(expr("graft_dot(a, b)")).collect())
+    assert(ex.getMessage.toLowerCase.contains("graft_dot") ||
+           ex.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+}
