@@ -86,20 +86,26 @@ object Dedup {
     "q63_neardup_simhash" -> ((s, d) => {
       val docs = T.documents(s, d)
       val sig = TextSim.simhash(docs)
-      // Carry the 8-byte signature through the band table so the
-      // hamming filter applies inside the band join, BEFORE the
-      // distinct — the collision-heavy 8-bit bands then never
-      // materialize their O(n²/256) false pairs past the join.
+      // Group-then-pair instead of a band self-join: ONE shuffle on
+      // (band, bucket) collects each bucket's (id, simhash) list, and
+      // pairing + the hamming≤8 prefilter run as array expressions
+      // inside the bucket — the collision-heavy 8-bit bands never
+      // materialize their O(n²/256) false pairs into a shuffle. Random
+      // pairs sit at hamming ≈ 32, near-dups ≤ ~4, so the exact
+      // shingle-join verification only sees true-ish candidates.
       val bands = TextSim.simhashBands(sig).join(sig, "doc_id")
-      val l = bands.select(col("doc_id").as("id1"), col("band"), col("bh"),
-                           col("simhash").as("sh1"))
-      val r = bands.select(col("doc_id").as("id2"), col("band").as("band2"),
-                           col("bh").as("bh2"), col("simhash").as("sh2"))
-      val near = l.join(r,
-          col("band") === col("band2") && col("bh") === col("bh2") &&
-          col("id1") < col("id2") &&
-          TextSim.hamming(col("sh1"), col("sh2")) <= 8)
-        .select("id1", "id2").distinct()
+      val near = bands
+        .groupBy(col("band"), col("bh"))
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
+        .filter(size(col("ms")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ms, (x, i) ->
+            |  transform(
+            |    filter(ms, (y, j) -> j > i AND bit_count(x.simhash ^ y.simhash) <= 8),
+            |    y -> struct(least(x.doc_id, y.doc_id) AS id1,
+            |                greatest(x.doc_id, y.doc_id) AS id2))))""".stripMargin)).as("p"))
+        .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+        .distinct()
       TextSim.verifyJaccard(near, TextSim.shingles(docs, 3), 0.8)
     })
   )
