@@ -20,6 +20,24 @@ import org.apache.spark.sql.functions._
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Engine-neutral SQL (identical text runs on Spark SQL and DuckDB).
+    * Correlated scalar subquery — Catalyst decorrelates it into a left
+    * outer aggregate-join (RewriteCorrelatedScalarSubquery), so the
+    * 100 TB plan is one shuffle, not N probes.
+    */
+  private val scalarSubquerySql =
+    """SELECT c_custkey, c_name,
+      | round((SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey), 2) AS max_order
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** IN-subquery — planned as a left semi join. */
+  private val inSubquerySql =
+    """SELECT o_orderkey, o_custkey
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |  AND o_totalprice > 150000
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1-shaped pricing summary: the flagship scan→filter→agg→sort
     // slice (SURVEY.md §7.2). Partial aggregation (map-side combine) is
@@ -81,6 +99,20 @@ object Relational {
         .filter(col("o_orderkey").isNull)
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // Correlated scalar subquery (shared SQL text = its own oracle).
+    "q06_scalar_subquery" -> ((s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(scalarSubquerySql)
+    }),
+
+    // IN (subquery) semi-join form.
+    "q07_in_subquery" -> ((s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(inSubquerySql)
     })
   )
 
@@ -130,6 +162,9 @@ object Relational {
         |LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 150000) b
         |  ON c_custkey = b.o_custkey
         |WHERE b.o_orderkey IS NULL
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_scalar_subquery" -> scalarSubquerySql,
+    "q07_in_subquery" -> inSubquerySql
   )
 }
