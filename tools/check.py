@@ -29,9 +29,9 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return round(v, 9)
+    # exact comparison, floats included: verified bit-clean across the
+    # whole suite, so any ULP drift is a real regression signal
+    if isinstance(v, float) and math.isnan(v): return "NaN"
     return v
 
 n_pass = n_fail = 0
