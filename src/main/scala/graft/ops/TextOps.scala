@@ -137,7 +137,18 @@ object TextOps {
           md5(col("text")).as("fp_md5"),
           sha2(col("text"), 256).as("fp_sha256"),
           substring(md5(lower(trim(col("text")))), 1, 16).as("fp_short"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Corpus token histogram via explode (the UDTF/lateral surface —
+    // SURVEY §2.2: explode/posexplode stand in for generators). The
+    // explode is a projection; the only shuffle is the token groupBy,
+    // whose cardinality is the vocabulary — tiny at any corpus scale.
+    "q78_token_histogram" -> ((s, d) =>
+      T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("w")).as("n_forms"))
+        .orderBy(col("w")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -154,6 +165,11 @@ object TextOps {
         | md5(text) AS fp_md5,
         | sha256(text) AS fp_sha256,
         | substr(md5(lower(trim(text))), 1, 16) AS fp_short
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q78_token_histogram" ->
+      """SELECT w, count(*) AS n, CAST(count(DISTINCT w) AS BIGINT) AS n_forms
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |GROUP BY w ORDER BY w""".stripMargin
   )
 }

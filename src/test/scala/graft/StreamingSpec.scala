@@ -67,6 +67,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count(_._1 == 2L) == 2)       // 80-min gap splits user 2
   }
 
+  test("file-source streaming over the real events table matches the batch aggregation") {
+    import org.apache.spark.sql.functions.expr
+    // readStream needs an explicit schema; ts arrives as long nanos
+    // (nanosAsLong) and is converted exactly as T.events does.
+    // the file streaming source requires a directory: stage the
+    // (unmodified) events file into one
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val stream = spark.readStream.schema(raw.schema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = StreamingOps.completeToMemory(
+      StreamingOps.tumblingCounts(stream), "file_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("file_out").count()
+    val batch = graft.ops.EventOps.queries("q75_time_buckets")(spark, sf001)
+      .select("hour_bucket", "event_type").distinct().count()
+    assert(streamed == batch)
+  }
+
   test("mapGroupsWithState accumulates per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
