@@ -137,7 +137,22 @@ object ScalarFns {
                           (acc, x) => acc + x.cast("double")), 4).as("vec_sum"),
           round(array_max(col("embedding")).cast("double"), 6).as("vmax"),
           size(filter(col("embedding"), x => x > 0)).as("n_pos"))
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // MapType surface: JSON → map<string,int>, element access, key
+    // introspection, transform_values — all higher-order built-ins.
+    // (MySQL has no map type; this is the SURVEY §2.2 array/map
+    // extension row.)
+    "q79_map_fns" -> ((s, d) =>
+      T.events(s, d)
+        .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)))
+        .select(
+          col("event_id"),
+          element_at(col("m"), "k").as("k_int"),
+          size(map_keys(col("m"))).as("n_keys"),
+          element_at(transform_values(col("m"), (_, v) => v * 2), "k").as("k_doubled"))
+        .orderBy(col("event_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -219,6 +234,13 @@ object ScalarFns {
         | round(list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b), 4) AS vec_sum,
         | round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vmax,
         | CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
-        |FROM embeddings ORDER BY vec_id""".stripMargin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q79_map_fns" ->
+      """SELECT event_id,
+        | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k_int,
+        | CAST(1 AS INTEGER) AS n_keys,
+        | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) * 2 AS k_doubled
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
