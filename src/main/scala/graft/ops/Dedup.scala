@@ -80,9 +80,9 @@ object Dedup {
     // exact-verified at 0.8. The 8-bit bands are recall-safe but
     // collision-heavy (256 buckets/band → O(n²/256) candidates), so the
     // cheap bit_count(xor) filter runs BEFORE the shingle-join verify:
-    // random pairs sit at hamming ≈ 32, near-dups ≤ ~4, so ≤ 8 drops
-    // essentially every false candidate for the price of two small
-    // joins against the 8-byte signatures.
+    // random pairs sit at hamming ≈ 32±4, measured true near-dups reach
+    // hamming 9 on short docs, so ≤ 12 keeps full recall with a false-
+    // accept probability ≈ P(Binom(64,½) ≤ 12) ≈ 5e-7 per candidate.
     "q63_neardup_simhash" -> ((s, d) => {
       val docs = T.documents(s, d)
       val sig = TextSim.simhash(docs)
@@ -101,7 +101,7 @@ object Dedup {
         .select(explode(expr(
           """flatten(transform(ms, (x, i) ->
             |  transform(
-            |    filter(ms, (y, j) -> j > i AND bit_count(x.simhash ^ y.simhash) <= 8),
+            |    filter(ms, (y, j) -> j > i AND bit_count(x.simhash ^ y.simhash) <= 12),
             |    y -> struct(least(x.doc_id, y.doc_id) AS id1,
             |                greatest(x.doc_id, y.doc_id) AS id2))))""".stripMargin)).as("p"))
         .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
