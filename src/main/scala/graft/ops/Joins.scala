@@ -125,6 +125,24 @@ object Joins {
         .orderBy(col("r_name"))
     }),
 
+    // Banded interval (range) join: shipments falling inside a 30-day
+    // window after each order's date. The banded equi-join replaces the
+    // broadcast-nested-loop a raw theta join would plan — see
+    // graft.functions.RangeJoin for the cost model.
+    "q43_range_join_banded" -> ((s, d) => {
+      val o = T.orders(s, d).filter(col("o_custkey") <= 20)
+        .select(col("o_orderkey"), col("o_orderdate"),
+                (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("o_end"))
+      val l = T.lineitem(s, d).filter(col("l_suppkey") <= 3)
+        .select(col("l_shipdate"))
+      graft.functions.RangeJoin
+        .bandedIntervalJoin(l, "l_shipdate", o, "o_orderdate", "o_end",
+                            bandSeconds = 30L * 24 * 3600)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_shipments"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Self join via aliasing: unordered order pairs per customer.
     "q19_join_self" -> ((s, d) => {
       val a = T.orders(s, d).select(col("o_custkey").as("custkey"), col("o_orderkey").as("k1"))
@@ -202,6 +220,14 @@ object Joins {
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name
         |ORDER BY r_name""".stripMargin,
+
+    "q43_range_join_banded" ->
+      """SELECT o_orderkey, count(*) AS n_shipments
+        |FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_custkey <= 20) o
+        |JOIN (SELECT l_shipdate FROM lineitem WHERE l_suppkey <= 3) l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "q19_join_self" ->
       """SELECT a.o_custkey AS custkey, count(*) AS n_pairs
