@@ -1,0 +1,20 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object One {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.entry(spark).count()
+    for (q <- args; i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.1").count()
+      println(s"TIMING $q run$i ${(System.nanoTime()-t0)/1e9}")
+    }
+    spark.stop()
+  }
+}

@@ -122,33 +122,45 @@ object TextSim {
 
   // ---------------- SimHash ----------------
 
-  /** 64-bit SimHash over term-frequency-weighted token hashes
-    * (xxhash64). Returns (doc_id, simhash). Single aggregation pass:
-    * 64 signed bit-sums then bit assembly.
+  /** 64-bit SimHash over a (doc_id, g) feature relation — callers pass
+    * the n-gram shingles, NOT raw tokens. Feature choice is what makes
+    * simhash discriminate: over raw unigrams of a small shared
+    * vocabulary, every doc pair has correlated signatures (measured:
+    * candidate hamming centered ~15 on this corpus, drowning true dups);
+    * over 3-gram shingles the feature space is |vocab|³-sized, so
+    * random pairs sit at hamming ~32 and true near-dups at ≤~6 —
+    * a clean margin. One aggregation pass: 64 signed bit-sums then bit
+    * assembly; partial aggregation runs before the doc-keyed shuffle.
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-      .withColumn("th", xxhash64(col("w")))
+  def simhash(sh: DataFrame): DataFrame = {
+    val f = sh.withColumn("th", xxhash64(col("g")))
     val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("th"), i).bitwiseAND(lit(1L)) === 1L, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"s$i")
+      sum(when(shiftright(col("th"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$i")
     }
-    val sig = tf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = f.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val assembled = (0 until 64)
       .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)): Column)
       .reduce(_ + _)
     sig.select(col("doc_id"), assembled.as("simhash"))
   }
 
-  /** Byte-banding of a 64-bit simhash: 8 bands of 8 bits. Same candidate
-    * join shape as MinHash LSH.
+  /** Disjoint banding of a 64-bit simhash into `bands` equal bit
+    * slices. Pigeonhole guarantee: a pair within hamming distance
+    * (bands - 1) flips at most (bands - 1) bands, so at least one band
+    * is untouched and the pair IS a candidate — recall is deterministic
+    * up to that distance, not probabilistic. Narrower bands trade
+    * candidate volume (collisions ~ n²/2^width per band) for a larger
+    * guaranteed-recall radius; pick bands > the verification hamming
+    * threshold.
     */
-  def simhashBands(sig: DataFrame): DataFrame = {
-    val bandCols = (0 until 8).map { j =>
+  def simhashBands(sig: DataFrame, bands: Int = 16): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"),
-        shiftright(col("simhash"), 8 * j).bitwiseAND(lit(0xFFL)).as("bh"))
+        shiftright(col("simhash"), width * j).bitwiseAND(lit(mask)).as("bh"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))

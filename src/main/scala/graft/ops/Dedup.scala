@@ -85,7 +85,9 @@ object Dedup {
     // accept probability ≈ P(Binom(64,½) ≤ 12) ≈ 5e-7 per candidate.
     "q63_neardup_simhash" -> ((s, d) => {
       val docs = T.documents(s, d)
-      val sig = TextSim.simhash(docs)
+      // simhash over the SAME 3-gram shingles the verification uses —
+      // feature choice is the separation (see TextSim.simhash).
+      val sig = TextSim.simhash(TextSim.shingles(docs, 3))
       // Group-then-pair instead of a band self-join: ONE shuffle on
       // (band, bucket) collects each bucket's (id, simhash) list, and
       // pairing + the hamming≤8 prefilter run as array expressions

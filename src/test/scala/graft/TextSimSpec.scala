@@ -27,7 +27,7 @@ class TextSimSpec extends SparkSpec {
   }
 
   test("simhash byte-band candidates have full recall on planted pairs") {
-    val cand = TextSim.bandCandidates(TextSim.simhashBands(TextSim.simhash(docs)))
+    val cand = TextSim.bandCandidates(TextSim.simhashBands(TextSim.simhash(sh)))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val missed = exact08 -- cand
     assert(missed.isEmpty, s"simhash banding missed planted pairs: $missed")
@@ -57,7 +57,7 @@ class TextSimSpec extends SparkSpec {
   test("simhash of identical texts is identical, hamming 0") {
     val two = docs.limit(1).select(lit(1L).as("doc_id"), col("text"))
       .union(docs.limit(1).select(lit(2L).as("doc_id"), col("text")))
-    val sigs = TextSim.simhash(two).collect().map(_.getLong(1))
+    val sigs = TextSim.simhash(TextSim.shingles(two, 3)).collect().map(_.getLong(1))
     assert(sigs(0) == sigs(1))
   }
 }
