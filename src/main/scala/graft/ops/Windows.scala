@@ -98,6 +98,21 @@ object Windows {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Time-based RANGE frame: events in the trailing hour per user —
+    // the analytic twin of a sliding window aggregation, expressed as a
+    // numeric range over epoch seconds (one shuffle on user_id).
+    "q36_time_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ep"))
+        .rangeBetween(-3599, Window.currentRow)
+      graft.T.events(s, d)
+        .withColumn("ep", unix_timestamp(col("ts")))
+        .select(
+          col("user_id"), col("event_id"), col("ep"),
+          count(lit(1)).over(w).as("n_trailing_1h"),
+          round(sum(col("value")).over(w), 2).as("v_trailing_1h"))
+        .orderBy(col("user_id"), col("ep"), col("event_id"))
+    }),
+
     // Distribution functions.
     "q35_distribution" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderstatus"))
@@ -161,6 +176,16 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q36_time_range_frame" ->
+      """SELECT user_id, event_id, ep,
+        | count(*) OVER w AS n_trailing_1h,
+        | round(sum(value) OVER w, 2) AS v_trailing_1h
+        |FROM (SELECT user_id, event_id, value,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events) e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ep
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ep, event_id""".stripMargin,
 
     "q35_distribution" ->
       """SELECT o_orderstatus, o_orderkey,
