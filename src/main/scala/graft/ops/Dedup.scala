@@ -109,6 +109,19 @@ object Dedup {
         .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
         .distinct()
       TextSim.verifyJaccard(near, TextSim.shingles(docs, 3), 0.8)
+    }),
+
+    // Canonicalization: connected components over the near-dup pair
+    // graph → every clustered doc mapped to its cluster's min id (the
+    // doc a pipeline keeps). Exact pairs feed the components so the
+    // result is deterministic; in production the LSH pairs (q62) feed
+    // the same Components.connectedComponents.
+    "q67_neardup_components" -> ((s, d) => {
+      val pairs = TextSim
+        .jaccardPairs(TextSim.shingles(T.documents(s, d), 3), 0.8)
+        .select(col("id1"), col("id2"))
+      graft.functions.Components.connectedComponents(pairs)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -118,6 +131,21 @@ object Dedup {
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q61_neardup_jaccard" -> jaccardOracle("0.6"),
     "q62_neardup_minhash_lsh" -> jaccardOracle("0.8"),
-    "q63_neardup_simhash" -> jaccardOracle("0.8")
+    "q63_neardup_simhash" -> jaccardOracle("0.8"),
+
+    // Transitive closure over the exact pair graph via recursive CTE;
+    // canonical = min over self ∪ reachable.
+    "q67_neardup_components" ->
+      s"""WITH RECURSIVE pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |), e(a, b) AS (
+         |  SELECT id1, id2 FROM pr UNION SELECT id2, id1 FROM pr
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+         |)
+         |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS canonical_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
   )
 }
