@@ -122,6 +122,26 @@ object Dedup {
         .select(col("id1"), col("id2"))
       graft.functions.Components.connectedComponents(pairs)
         .orderBy(col("doc_id"))
+    }),
+
+    // The capstone pipeline: corpus cleaning = quality gate + near-dup
+    // removal, composed from the operators above. Keeps docs in the
+    // length band whose doc is its own cluster canonical (or
+    // unclustered). One anti-join against the (tiny) non-canonical set
+    // — the fact-sized docs table never joins the pair graph itself.
+    "q68_corpus_clean" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val pairs = TextSim
+        .jaccardPairs(TextSim.shingles(docs, 3), 0.8)
+        .select(col("id1"), col("id2"))
+      val dropped = graft.functions.Components.connectedComponents(pairs)
+        .filter(col("doc_id") =!= col("canonical_id"))
+        .select(col("doc_id"))
+      docs
+        .filter(length(col("text")).between(100, 2000))
+        .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -146,6 +166,23 @@ object Dedup {
          |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
          |)
          |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS canonical_id
-         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "q68_corpus_clean" ->
+      s"""WITH RECURSIVE pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |), e(a, b) AS (
+         |  SELECT id1, id2 FROM pr UNION SELECT id2, id1 FROM pr
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+         |), dropped AS (
+         |  SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, min(b)) <> a
+         |)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE length(text) BETWEEN 100 AND 2000
+         |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -82,6 +82,30 @@ object EventOps {
         .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
                 col("last_click_ts"))
         .orderBy(col("event_id"))
+    }),
+
+    // Ordered funnel: per user, earliest signup → first click after it
+    // → first purchase after that. One aggregation keyed by user (min
+    // timestamps per stage computed conditionally), then the ordering
+    // predicate — no joins, no reshuffling per stage.
+    "q85_event_funnel" -> ((s, d) => {
+      val stages = T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      stages.select(
+          col("user_id"),
+          col("t_signup").isNotNull.as("reached_signup"),
+          (col("t_signup").isNotNull && col("t_click") > col("t_signup")).as("reached_click"),
+          (col("t_signup").isNotNull && col("t_click") > col("t_signup") &&
+           col("t_purchase") > col("t_click")).as("reached_purchase"))
+        .groupBy()
+        .agg(
+          sum(when(col("reached_signup"), 1).otherwise(0)).as("n_signup"),
+          sum(when(col("reached_click"), 1).otherwise(0)).as("n_signup_click"),
+          sum(when(col("reached_purchase"), 1).otherwise(0)).as("n_full_funnel"))
     })
   )
 
@@ -128,6 +152,23 @@ object EventOps {
         |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
         |SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS last_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q85_event_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+        |    min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT
+        |  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+        |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+        |                AND t_purchase > t_click
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM s""".stripMargin
   )
 }
