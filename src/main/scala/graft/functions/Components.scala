@@ -23,23 +23,30 @@ object Components {
     * for every doc appearing in at least one pair.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // One eager checkpoint materializes the (possibly expensive) pair
+    // pipeline; everything downstream reuses those blocks.
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    // Init = first superstep folded in: label every node with
+    // min(self, direct neighbors). Saves one loop round.
+    var labels = edges
+      .groupBy(col("a")).agg(min(col("b")).as("mb"))
+      .select(col("a").as("id"), least(col("a"), col("mb")).as("comp"))
+      .localCheckpoint(false)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val neighborMin = edges
         .join(labels, edges("b") === labels("id"))
         .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
+      // lazy checkpoint: the convergence count below is the single
+      // action that both materializes `next` and measures progress.
       val next = labels
         .join(neighborMin, labels("id") === neighborMin("a"), "left_outer")
         .select(col("id"),
                 least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.comp") =!= col("o.comp"))
