@@ -25,4 +25,22 @@ class RangeJoinSpec extends SparkSpec {
       assert(banded.exceptAll(theta).count() == 0, s"extra rows at band=$band")
     }
   }
+
+  test("property: banded ≡ theta on generated intervals (100 random cases folded into one frame)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val points = (1 to 300).map(i => (i.toLong, ts(rnd.nextInt(100000)))).toDF("p_id", "pt")
+    val intervals = (1 to 100).map { i =>
+      val st = rnd.nextInt(100000); (i.toLong, ts(st), ts(st + rnd.nextInt(20000)))
+    }.toDF("i_id", "st", "en")
+    val theta = points.join(intervals, col("pt") >= col("st") && col("pt") <= col("en"))
+      .select("p_id", "i_id")
+    val banded = graft.functions.RangeJoin
+      .bandedIntervalJoin(points, "pt", intervals, "st", "en", bandSeconds = 5000)
+      .select("p_id", "i_id")
+    assert(theta.count() == banded.count())
+    assert(theta.exceptAll(banded).count() == 0)
+    assert(banded.exceptAll(theta).count() == 0)
+  }
 }

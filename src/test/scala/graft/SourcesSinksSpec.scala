@@ -41,6 +41,33 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.count() == src.count())
   }
 
+  test("foreachBatch sink runs arbitrary batch logic per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps.Ev
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = tmp("febatch")
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // arbitrary per-batch logic: aggregate then append — the escape
+        // hatch for sinks Structured Streaming lacks natively
+        batch.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", tmp("febatch_ckpt"))
+      .start()
+    mem.addData(Ev(1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1, "click", 1.0),
+                Ev(2, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1, "view", 2.0))
+    q.processAllAvailable()
+    mem.addData(Ev(3, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 2, "click", 3.0))
+    q.processAllAvailable(); q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.agg(sum("n")).collect()(0).getLong(0) == 3)
+    assert(back.select("batch_id").distinct().count() == 2)
+  }
+
   test("streaming parquet sink with checkpoint writes the full input") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps.Ev
