@@ -60,6 +60,26 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: purchases joined to the clicks that
+    * preceded them by at most one hour, per user. Both sides carry
+    * watermarks and the join condition is time-bounded, so each side's
+    * buffered state is evictable — the requirement for an unbounded
+    * stream-stream join to run with bounded memory.
+    */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+                          col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+                             col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    p.join(c, expr(
+      """p_user = c_user AND
+        |c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR""".stripMargin))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+              col("c_ts"), col("p_ts"), col("value"))
+  }
+
   // ---- custom keyed state via mapGroupsWithState ----
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -90,6 +90,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream join pairs purchases with in-window clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    clicks.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0),
+      Ev(2, ts("2024-01-01 10:30:00"), 1, "click", 0),
+      Ev(3, ts("2024-01-01 08:00:00"), 2, "click", 0))   // too early for any purchase
+    purchases.addData(
+      Ev(10, ts("2024-01-01 10:45:00"), 1, "purchase", 9.99),
+      Ev(11, ts("2024-01-01 12:00:00"), 2, "purchase", 5.0))
+    val q = StreamingOps.appendToMemory(
+      StreamingOps.clickToPurchaseJoin(clicks.toDF(), purchases.toDF()), "ssjoin_out").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssjoin_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // purchase 10 (user 1, 10:45) joins clicks 1 and 2 (both within 1h);
+    // purchase 11 (user 2, 12:00) has no click within the window
+    assert(rows == Set((10L, 1L), (10L, 2L)))
+  }
+
   test("mapGroupsWithState accumulates per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
