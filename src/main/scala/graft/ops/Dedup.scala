@@ -127,8 +127,11 @@ object Dedup {
     // The capstone pipeline: corpus cleaning = quality gate + near-dup
     // removal, composed from the operators above. Keeps docs in the
     // length band whose doc is its own cluster canonical (or
-    // unclustered). One anti-join against the (tiny) non-canonical set
-    // — the fact-sized docs table never joins the pair graph itself.
+    // unclustered). One shuffled anti-join against the non-canonical
+    // set — in a real training corpus that set is 10-30% of all docs,
+    // so it must NOT be broadcast; AQE still downgrades to broadcast
+    // at runtime when it actually fits. The fact-sized docs table
+    // never joins the pair graph itself.
     "q68_corpus_clean" -> ((s, d) => {
       val docs = T.documents(s, d)
       val pairs = TextSim
@@ -139,7 +142,7 @@ object Dedup {
         .select(col("doc_id"))
       docs
         .filter(length(col("text")).between(100, 2000))
-        .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        .join(dropped, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     })

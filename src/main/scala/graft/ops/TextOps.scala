@@ -143,11 +143,13 @@ object TextOps {
     // SURVEY §2.2: explode/posexplode stand in for generators). The
     // explode is a projection; the only shuffle is the token groupBy,
     // whose cardinality is the vocabulary — tiny at any corpus scale.
+    // n = term frequency, doc_freq = document frequency (the IDF
+    // denominator a training pipeline actually wants).
     "q78_token_histogram" -> ((s, d) =>
       T.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy(col("w"))
-        .agg(count(lit(1)).as("n"), countDistinct(col("w")).as("n_forms"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("doc_freq"))
         .orderBy(col("w")))
   )
 
@@ -168,8 +170,8 @@ object TextOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q78_token_histogram" ->
-      """SELECT w, count(*) AS n, CAST(count(DISTINCT w) AS BIGINT) AS n_forms
-        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      """SELECT w, count(*) AS n, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
         |GROUP BY w ORDER BY w""".stripMargin
   )
 }
