@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *  3. minhash-lsh  — 128-hash signatures, 32 bands × 4 rows; candidate
   *     pairs come from a band-equality shuffle, then exact verification.
   *     The standard web-scale near-dup pipeline.
-  *  4. simhash      — 64-bit TF-weighted fingerprint, byte-banded; the
-  *     cheap end of the sketch spectrum (8 bytes/doc of state).
+  *  4. simhash      — 64-bit fingerprint, combination-banded (r-of-16
+  *     block keys); the cheap end of the sketch spectrum (8 bytes/doc
+  *     of state) with a deterministic hamming recall radius.
   *
   * Tiers 3 and 4 produce the same final relation as tier 2 at their
   * threshold (candidates are exact-verified), so they share tier 2's SQL
@@ -76,38 +77,25 @@ object Dedup {
       TextSim.verifyJaccard(cand, sh, 0.8)
     }),
 
-    // SimHash(64) + byte-band candidates, hamming-prefiltered, then
-    // exact-verified at 0.8. The 8-bit bands are recall-safe but
-    // collision-heavy (256 buckets/band → O(n²/256) candidates), so the
-    // cheap bit_count(xor) filter runs BEFORE the shingle-join verify:
-    // random pairs sit at hamming ≈ 32±4, measured true near-dups reach
-    // hamming 9 on short docs, so ≤ 12 keeps full recall with a false-
-    // accept probability ≈ P(Binom(64,½) ≤ 12) ≈ 5e-7 per candidate.
+    // SimHash(64) + combination-band candidates, hamming-prefiltered,
+    // then exact-verified at 0.8. Bands are C(16,3)=560 3-block combos
+    // of the 16 4-bit slices, keyed by the 12-bit concatenation (4096
+    // buckets/band) — pigeonhole guarantees every pair at hamming ≤ 13
+    // collides in some band, and the prefilter below uses the SAME ≤ 13
+    // cut, so the deterministic recall radius and the prefilter agree
+    // (round-1 advice: a mismatched tighter prefilter silently voided
+    // the band guarantee). Random pairs sit at hamming ≈ 32±4, measured
+    // true near-dups reach hamming 9 on short docs — 4 bits of margin.
     "q63_neardup_simhash" -> ((s, d) => {
       val docs = T.documents(s, d)
       // simhash over the SAME 3-gram shingles the verification uses —
-      // feature choice is the separation (see TextSim.simhash).
+      // feature choice is the separation (see TextSim.simhash). With
+      // 12-bit combo keys the in-bucket pairing work is ~0.068·n²
+      // spread over ~2.3M shuffle keys — vs n²/2 over 256 keys for the
+      // old 4-bit single-block bands (the round-1 scale-killer). Only
+      // hamming-plausible pairs reach the exact shingle-join verify.
       val sig = TextSim.simhash(TextSim.shingles(docs, 3))
-      // Group-then-pair instead of a band self-join: ONE shuffle on
-      // (band, bucket) collects each bucket's (id, simhash) list, and
-      // pairing + the hamming≤8 prefilter run as array expressions
-      // inside the bucket — the collision-heavy 8-bit bands never
-      // materialize their O(n²/256) false pairs into a shuffle. Random
-      // pairs sit at hamming ≈ 32, near-dups ≤ ~4, so the exact
-      // shingle-join verification only sees true-ish candidates.
-      val bands = TextSim.simhashBands(sig).join(sig, "doc_id")
-      val near = bands
-        .groupBy(col("band"), col("bh"))
-        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
-        .filter(size(col("ms")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ms, (x, i) ->
-            |  transform(
-            |    filter(ms, (y, j) -> j > i AND bit_count(x.simhash ^ y.simhash) <= 12),
-            |    y -> struct(least(x.doc_id, y.doc_id) AS id1,
-            |                greatest(x.doc_id, y.doc_id) AS id2))))""".stripMargin)).as("p"))
-        .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
-        .distinct()
+      val near = TextSim.simhashCandidates(sig, blocks = 16, r = 3)
       TextSim.verifyJaccard(near, TextSim.shingles(docs, 3), 0.8)
     }),
 

@@ -26,11 +26,54 @@ class TextSimSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed planted pairs: $missed")
   }
 
-  test("simhash byte-band candidates have full recall on planted pairs") {
+  test("simhash single-block-band candidates have full recall on planted pairs") {
     val cand = TextSim.bandCandidates(TextSim.simhashBands(TextSim.simhash(sh)))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val missed = exact08 -- cand
     assert(missed.isEmpty, s"simhash banding missed planted pairs: $missed")
+  }
+
+  test("simhash combo-band candidates have full recall on planted pairs") {
+    val cand = TextSim.bandCandidates(
+      TextSim.simhashComboBands(TextSim.simhash(sh)).drop("simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact08 -- cand
+    assert(missed.isEmpty, s"combo banding missed planted pairs: $missed")
+  }
+
+  test("combo bands cover every hamming <= 13 pair (pigeonhole radius)") {
+    // All-pairs hamming vs band candidacy on the real corpus: every
+    // pair within the guaranteed radius must be a candidate, so the
+    // prefilter in q63 (<= 13) never drops a band-guaranteed pair.
+    val sig = TextSim.simhash(sh).cache()
+    val within = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(TextSim.hamming(col("a.simhash"), col("b.simhash")) <= 13)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = TextSim.bandCandidates(
+      TextSim.simhashComboBands(sig).drop("simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = within -- cand
+    assert(missed.isEmpty, s"pairs within radius missed by combo bands: $missed")
+    sig.unpersist()
+  }
+
+  test("simhash candidate volume scales subquadratically with corpus size") {
+    // The round-1 single-block banding made O(n²/16) pairs reach the
+    // verify join. The combo path's post-prefilter candidates must
+    // track the true near-dup count, not n²: a random pair passes
+    // hamming <= 13 with P ~ 3e-6, so candidates stay below n (a
+    // linear bound) at both scales — quadratic leakage at sf0.01
+    // (125k doc pairs) would blow far past it.
+    def candidates(dir: String): Long =
+      TextSim.simhashCandidates(
+        TextSim.simhash(TextSim.shingles(T.documents(spark, dir), 3))).count()
+    val n001 = T.documents(spark, sf001).count()
+    val n01 = T.documents(spark, "/root/testdata/sf0.01").count()
+    val c001 = candidates(sf001)
+    val c01 = candidates("/root/testdata/sf0.01")
+    assert(c001 <= n001, s"sf0.001 candidates $c001 exceed linear bound $n001")
+    assert(c01 <= n01, s"sf0.01 candidates $c01 exceed linear bound $n01")
   }
 
   test("verified sketch output equals exact output at the same threshold") {
