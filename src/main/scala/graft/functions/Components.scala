@@ -14,26 +14,40 @@ import org.apache.spark.sql.functions._
   * converging in O(diameter) ≤ O(log n) supersteps for near-dup
   * clusters (which are tiny and dense in practice). The driver loop
   * only orchestrates supersteps and checks the convergence count; no
-  * row data ever reaches the driver. localCheckpoint truncates the
-  * iterative lineage so plans stay constant-size.
+  * row data ever reaches the driver. Checkpointing (local by default,
+  * reliable on request) truncates the iterative lineage so plans stay
+  * constant-size.
   */
 object Components {
 
   /** pairs: (id1, id2) with id1 < id2. Returns (doc_id, canonical_id)
     * for every doc appearing in at least one pair.
+    *
+    * Checkpoint mode: localCheckpoint (default) keeps superstep state
+    * in executor block storage — fastest, but blocks die with their
+    * executor, so on a real cluster pass reliable = true (and set
+    * sparkContext.setCheckpointDir to durable storage first) so a lost
+    * executor mid-loop recomputes from the checkpoint files instead of
+    * failing the job. Throws IllegalArgumentException if the graph has
+    * not converged within maxIter supersteps — silently returning
+    * partial labels would hand the dedup pipeline wrong clusters.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          reliable: Boolean = false): DataFrame = {
+    def ck(df: DataFrame, eager: Boolean): DataFrame =
+      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
     // One eager checkpoint materializes the (possibly expensive) pair
     // pipeline; everything downstream reuses those blocks.
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .localCheckpoint(true)
+    val edges = ck(
+      pairs.select(col("id1").as("a"), col("id2").as("b"))
+        .union(pairs.select(col("id2").as("a"), col("id1").as("b"))),
+      eager = true)
     // Init = first superstep folded in: label every node with
     // min(self, direct neighbors). Saves one loop round.
-    var labels = edges
+    var labels = ck(edges
       .groupBy(col("a")).agg(min(col("b")).as("mb"))
-      .select(col("a").as("id"), least(col("a"), col("mb")).as("comp"))
-      .localCheckpoint(false)
+      .select(col("a").as("id"), least(col("a"), col("mb")).as("comp")),
+      eager = false)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -42,11 +56,11 @@ object Components {
         .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
       // lazy checkpoint: the convergence count below is the single
       // action that both materializes `next` and measures progress.
-      val next = labels
+      val next = ck(labels
         .join(neighborMin, labels("id") === neighborMin("a"), "left_outer")
         .select(col("id"),
-                least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint(false)
+                least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")),
+        eager = false)
       changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.comp") =!= col("o.comp"))
@@ -54,6 +68,10 @@ object Components {
       labels = next
       iter += 1
     }
+    require(changed == 0,
+      s"connected components did not converge in $maxIter supersteps " +
+        s"($changed labels still changing) — raise maxIter; returning " +
+        "partial labels would mislabel clusters")
     labels.select(col("id").as("doc_id"), col("comp").as("canonical_id"))
   }
 }

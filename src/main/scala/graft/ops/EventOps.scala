@@ -84,30 +84,49 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
-    // Ordered funnel: per user, earliest signup → first click after it
-    // → first purchase after that. One aggregation keyed by user (min
-    // timestamps per stage computed conditionally), then the ordering
-    // predicate — no joins, no reshuffling per stage.
-    "q85_event_funnel" -> ((s, d) => {
-      val stages = T.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(
-          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
-          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
-          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
-      stages.select(
-          col("user_id"),
-          col("t_signup").isNotNull.as("reached_signup"),
-          (col("t_signup").isNotNull && col("t_click") > col("t_signup")).as("reached_click"),
-          (col("t_signup").isNotNull && col("t_click") > col("t_signup") &&
-           col("t_purchase") > col("t_click")).as("reached_purchase"))
-        .groupBy()
-        .agg(
-          sum(when(col("reached_signup"), 1).otherwise(0)).as("n_signup"),
-          sum(when(col("reached_click"), 1).otherwise(0)).as("n_signup_click"),
-          sum(when(col("reached_purchase"), 1).otherwise(0)).as("n_full_funnel"))
-    })
+    // Ordered funnel: per user, earliest signup → first click strictly
+    // after it → first purchase strictly after that. Each stage's time
+    // is conditional on the PREVIOUS stage's time (a user's clicks
+    // before signup don't count — round-1 advice caught the global-min
+    // formulation missing this). Three chained whole-partition window
+    // mins over the same user partitioning = ONE shuffle of events, no
+    // per-stage joins; the per-user collapse reuses the partitioning
+    // and the final funnel count is a tiny global agg.
+    "q85_event_funnel" -> ((s, d) => orderedFunnel(T.events(s, d)))
   )
+
+  /** Ordered signup → click → purchase funnel over an events relation
+    * with (user_id, event_type, ts). Stage times are conditional on the
+    * previous stage: t_click is the first click STRICTLY AFTER the
+    * earliest signup, t_purchase the first purchase strictly after that
+    * click — a click before signup never counts (EventOpsSpec pins
+    * this; the round-1 global-min formulation got it wrong). Three
+    * chained whole-partition window mins over the same user
+    * partitioning = ONE shuffle of events, no per-stage joins; the
+    * per-user collapse reuses the partitioning and the funnel count is
+    * a tiny global agg.
+    */
+  def orderedFunnel(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    ev
+      .withColumn("t_signup",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_signup"),
+          col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t_signup")).as("t_signup"),
+           max(col("t_click")).as("t_click"),
+           max(col("t_purchase")).as("t_purchase"))
+      .groupBy()
+      .agg(
+        sum(when(col("t_signup").isNotNull, 1).otherwise(0)).as("n_signup"),
+        sum(when(col("t_click").isNotNull, 1).otherwise(0)).as("n_signup_click"),
+        sum(when(col("t_purchase").isNotNull, 1).otherwise(0)).as("n_full_funnel"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q74_sessionize" ->
@@ -155,20 +174,28 @@ object EventOps {
         |ORDER BY p.event_id""".stripMargin,
 
     "q85_event_funnel" ->
-      """WITH s AS (
-        |  SELECT user_id,
-        |    min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
-        |    min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
-        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-        |  FROM events GROUP BY user_id
+      """WITH w1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_signup
+        |  FROM events
+        |), w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_signup THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_click
+        |  FROM w1
+        |), w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_purchase
+        |  FROM w2
+        |), u AS (
+        |  SELECT user_id, max(t_signup) AS t_signup, max(t_click) AS t_click,
+        |         max(t_purchase) AS t_purchase
+        |  FROM w3 GROUP BY user_id
         |)
         |SELECT
-        |  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
-        |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
-        |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
-        |                AND t_purchase > t_click
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
-        |FROM s""".stripMargin
+        |  CAST(sum(CASE WHEN t_signup   IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN t_click    IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+        |  CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM u""".stripMargin
   )
 }

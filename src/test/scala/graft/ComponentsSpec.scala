@@ -29,4 +29,26 @@ class ComponentsSpec extends SparkSpec {
     val got = cc(Seq((1L, 5L), (1L, 6L), (1L, 7L)))
     assert(got.values.toSet == Set(1L))
   }
+
+  test("reliable-checkpoint mode converges to the same labels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 20L))
+    val got = Components.connectedComponents(
+      pairs.toDF("id1", "id2"), reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                      10L -> 10L, 20L -> 10L))
+  }
+
+  test("non-convergence within maxIter raises instead of returning partial labels") {
+    import spark.implicits._
+    // An 8-node chain cannot finish min-propagation in one superstep.
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val e = intercept[IllegalArgumentException] {
+      Components.connectedComponents(chain, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

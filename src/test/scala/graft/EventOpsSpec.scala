@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.EventOps
+import java.sql.Timestamp
+
+/** Ordered-funnel semantics the SQL oracle can't distinguish from the
+  * naive global-min formulation on arbitrary data: stage times must be
+  * conditional on the previous stage, so out-of-order events never
+  * advance the funnel.
+  */
+class EventOpsSpec extends SparkSpec {
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private def funnel(rows: (Long, String, Timestamp)*): (Long, Long, Long) = {
+    import spark.implicits._
+    val r = EventOps.orderedFunnel(rows.toDF("user_id", "event_type", "ts"))
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("click strictly after signup advances the funnel") {
+    assert(funnel(
+      (1L, "signup", ts(0)), (1L, "click", ts(5)), (1L, "purchase", ts(10))
+    ) === ((1L, 1L, 1L)))
+  }
+
+  test("click before signup does not advance the funnel") {
+    // A user whose only click precedes signup never reaches the click
+    // stage, regardless of later purchases.
+    assert(funnel(
+      (1L, "click", ts(0)), (1L, "signup", ts(5)), (1L, "purchase", ts(10))
+    ) === ((1L, 0L, 0L)))
+  }
+
+  test("pre-signup click plus post-signup click counts via the later click") {
+    // Global-min-click would pick ts(0) <= t_signup and drop the user.
+    assert(funnel(
+      (1L, "click", ts(0)), (1L, "signup", ts(2)),
+      (1L, "click", ts(6)), (1L, "purchase", ts(9))
+    ) === ((1L, 1L, 1L)))
+  }
+
+  test("purchase between signup and click does not complete the funnel") {
+    assert(funnel(
+      (1L, "signup", ts(0)), (1L, "purchase", ts(3)), (1L, "click", ts(6))
+    ) === ((1L, 1L, 0L)))
+  }
+
+  test("simultaneous click and signup is not 'after' (strict ordering)") {
+    assert(funnel(
+      (1L, "signup", ts(0)), (1L, "click", ts(0)), (1L, "purchase", ts(5))
+    ) === ((1L, 0L, 0L)))
+  }
+
+  test("users aggregate independently") {
+    assert(funnel(
+      (1L, "signup", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+      (2L, "signup", ts(0)), (2L, "click", ts(1)),
+      (3L, "view", ts(0))
+    ) === ((2L, 2L, 1L)))
+  }
+}
