@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * (main.go:106,175), [[reader]] accepts partitionColumn/num-partitions
   * so the scan fans out across executors — the structural upgrade that
   * makes the same export viable at 100 TB. No MySQL server exists in the
-  * test sandbox (zero egress), so [[reader]] is exercised config-only in
-  * tests and the parquet-dir source ([[T.load]]) stands in as the scan.
+  * test sandbox (zero egress), so the live path is exercised end-to-end
+  * against embedded Derby (JdbcDerbySpec: real connections, schema from
+  * ResultSetMetaData, sessionInitStatement, partitioned scans, NULLs),
+  * with the MySQL DSN as the default URL construction.
   */
 object Mysql2Parquet {
 
@@ -41,7 +43,9 @@ object Mysql2Parquet {
       lowerBound: Long = 0L,
       upperBound: Long = 0L,
       compat: Boolean = false,                    // reproduce main.go stringify/NULL→""
-      singleFile: Boolean = false) {
+      singleFile: Boolean = false,
+      url: Option[String] = None,                 // non-MySQL JDBC endpoint (engine upgrade)
+      driver: Option[String] = None) {            // explicit JDBC driver class
 
     /** Required-flag validation, same four as main.go:68-85. */
     def validate: Either[String, Config] = {
@@ -52,24 +56,38 @@ object Mysql2Parquet {
       else Left(missing.mkString("missing required flags: ", ", ", ""))
     }
 
-    def jdbcUrl: String = s"jdbc:mysql://$host:$port/$database"
+    /** MySQL DSN by default (the reference's only dialect,
+      * main.go:87-89); `url` overrides for any other JDBC endpoint —
+      * the engine itself is dialect-agnostic (Spark ships the
+      * dialects), and tests exercise the live path on embedded Derby.
+      */
+    def jdbcUrl: String = url.getOrElse(s"jdbc:mysql://$host:$port/$database")
   }
 
   /** JDBC reader with the reference's connection semantics plus the
     * parallel-scan options the reference lacks.
+    *
+    * Partitioned scans wrap the query as a dbtable subquery: Spark
+    * rejects `query` and `partitionColumn` together (the partition
+    * predicates must be injectable into the relation's WHERE clause),
+    * a constraint the live Derby spec exercises end-to-end.
     */
   def reader(spark: SparkSession, c: Config): DataFrameReader = {
     var r = spark.read.format("jdbc")
       .option("url", c.jdbcUrl)
       .option("user", c.user)
       .option("password", c.password)
-      .option("query", c.query)
+    c.driver.foreach(d => r = r.option("driver", d))
     c.sessionInit.foreach(s => r = r.option("sessionInitStatement", s))
-    c.partitionColumn.foreach { pc =>
-      r = r.option("partitionColumn", pc)
-        .option("numPartitions", c.numPartitions)
-        .option("lowerBound", c.lowerBound)
-        .option("upperBound", c.upperBound)
+    c.partitionColumn match {
+      case Some(pc) =>
+        r = r.option("dbtable", s"(${c.query}) graft_subq")
+          .option("partitionColumn", pc)
+          .option("numPartitions", c.numPartitions)
+          .option("lowerBound", c.lowerBound)
+          .option("upperBound", c.upperBound)
+      case None =>
+        r = r.option("query", c.query)
     }
     r
   }

@@ -1,0 +1,81 @@
+package graft
+
+/** CLI surface parity with the reference binary (main.go:52-85): flag
+  * parsing, --help/--version short-circuits, required-flag validation
+  * with help text and exit code 1, and the parsed config driving the
+  * real pipeline end to end against embedded Derby.
+  */
+class CliSpec extends SparkSpec {
+
+  private val required = Array(
+    "--password=pw", "--database=db", "--query=SELECT 1", "--parquet=/tmp/x")
+
+  test("--version prints the version with exit code 0") {
+    assert(Mysql2ParquetMain.parse(Array("--version")) ===
+      Left((Mysql2ParquetMain.Version, 0)))
+  }
+
+  test("--help prints usage with exit code 0") {
+    val Left((text, rc)) = Mysql2ParquetMain.parse(Array("--help")): @unchecked
+    assert(rc === 0)
+    assert(text.contains("Usage:") && text.contains("--parquet"))
+  }
+
+  test("missing required flags produce help text and exit code 1") {
+    val Left((text, rc)) = Mysql2ParquetMain.parse(Array("--password=pw")): @unchecked
+    assert(rc === 1)
+    assert(text.contains("missing required flags: database, query, parquet"))
+    assert(text.contains("Usage:"))
+  }
+
+  test("no arguments at all is a usage error, like the reference") {
+    val Left((_, rc)) = Mysql2ParquetMain.parse(Array.empty[String]): @unchecked
+    assert(rc === 1)
+  }
+
+  test("unknown flags and malformed ints are usage errors") {
+    val Left((t1, rc1)) = Mysql2ParquetMain.parse(Array("--frobnicate=1")): @unchecked
+    assert(rc1 === 1 && t1.contains("unknown flag: --frobnicate"))
+    val Left((t2, rc2)) =
+      Mysql2ParquetMain.parse(required :+ "--port=abc"): @unchecked
+    assert(rc2 === 1 && t2.contains("not an integer"))
+  }
+
+  test("defaults match the reference (user=root, host=127.0.0.1, port=3306)") {
+    val Right(c) = Mysql2ParquetMain.parse(required): @unchecked
+    assert(c.user === "root" && c.host === "127.0.0.1" && c.port === 3306)
+    assert(c.jdbcUrl === "jdbc:mysql://127.0.0.1:3306/db")
+  }
+
+  test("--flag value and --flag=value forms both parse") {
+    val Right(c) = Mysql2ParquetMain.parse(Array(
+      "--password", "pw", "--database=db", "--query", "SELECT 1",
+      "--parquet=/tmp/x", "--port", "3307", "--compat")): @unchecked
+    assert(c.port === 3307 && c.compat)
+  }
+
+  test("parsed argv drives the real export pipeline end to end") {
+    // Same embedded Derby database the JdbcDerbySpec seeds.
+    val url = "jdbc:derby:memory:graftcli"
+    val conn = java.sql.DriverManager.getConnection(url + ";create=true;user=root")
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE t (id INT, name VARCHAR(10))")
+    st.execute("INSERT INTO t VALUES (1, 'a'), (2, NULL)")
+    st.close(); conn.close()
+
+    val out = "/tmp/graft-cli-out"
+    val Right(c) = Mysql2ParquetMain.parse(Array(
+      s"--url=$url", "--password=pw", "--database=memory:graftcli",
+      "--query=SELECT id, name FROM t", s"--parquet=$out",
+      "--compat", "--single-file")): @unchecked
+    Mysql2ParquetMain.execute(spark, c)
+
+    val back = spark.read.parquet(out)
+    assert(back.collect().map(r => (r.getString(0), r.getString(1))).sorted ===
+      Array(("1", "a"), ("2", "")))
+    // --single-file: exactly one part file, like the reference's one
+    // local parquet output (main.go:165).
+    val parts = new java.io.File(out).listFiles.count(_.getName.startsWith("part-"))
+    assert(parts === 1)
+  }
+}
