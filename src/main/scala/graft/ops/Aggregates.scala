@@ -39,6 +39,19 @@ object Aggregates {
         .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
         .orderBy(col("n_regionkey"))),
 
+    // GROUP_CONCAT fidelity extras (MySQL surface the reference
+    // delegates): custom SEPARATOR and a descending inner ORDER BY —
+    // sort_array(…, asc=false) + array_join with the separator.
+    "q22b_group_concat_variants" -> ((s, d) =>
+      T.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(
+          array_join(sort_array(collect_list(col("n_name")), asc = false), " | ")
+            .as("nations_desc"),
+          array_join(sort_array(collect_list(col("n_nationkey").cast("string"))), "")
+            .as("keys_concat"))
+        .orderBy(col("n_regionkey"))),
+
     // HAVING = filter over the aggregated frame.
     "q23_having" -> ((s, d) =>
       T.lineitem(s, d)
@@ -124,6 +137,13 @@ object Aggregates {
 
     "q22_group_concat" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q22b_group_concat_variants" ->
+      """SELECT n_regionkey,
+        | string_agg(n_name, ' | ' ORDER BY n_name DESC) AS nations_desc,
+        | string_agg(CAST(n_nationkey AS VARCHAR), ''
+        |            ORDER BY CAST(n_nationkey AS VARCHAR)) AS keys_concat
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "q23_having" ->

@@ -75,6 +75,15 @@ object SortSetOps {
       val b = T.orders(s, d).filter(col("o_orderstatus") === "F")
         .select(col("o_custkey").as("ck"))
       a.exceptAll(b).orderBy(col("ck"))
+    }),
+
+    // INTERSECT ALL: each ck kept min(count_a, count_b) times.
+    "q44_intersect_all" -> ((s, d) => {
+      val a = T.orders(s, d).filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("ck"))
+      val b = T.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("ck"))
+      a.intersectAll(b).orderBy(col("ck"))
     })
   )
 
@@ -119,6 +128,12 @@ object SortSetOps {
     "q49_except_all" ->
       """SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 100000
         |EXCEPT ALL
+        |SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY ck""".stripMargin,
+
+    "q44_intersect_all" ->
+      """SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 100000
+        |INTERSECT ALL
         |SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY ck""".stripMargin
   )
