@@ -36,17 +36,48 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       lit("application/octet-stream").as("media_type"))
 
-  /** ---- STUB DECODE ----
-    * Deterministic fake media metadata from payload bytes. A real
-    * implementation replaces exactly these three expressions with a
-    * header parse; everything downstream is agnostic to that swap.
+  /** Decoded media metadata: what a container/header parse yields. */
+  final case class MediaMeta(width: Int, height: Int, n_frames: Int)
+
+  /** Pluggable decode contract. A decoder sees one payload's bytes and
+    * returns its metadata — inherently opaque to Catalyst (real codecs
+    * are byte parsers), so it runs as a serializable function shipped
+    * to executors; the surrounding plan (schema, partitioning, column
+    * layout) is identical for every implementation, which is what the
+    * MultimodalSpec pins. Swapping the stub for a JNI/JavaCV decoder
+    * is one argument at the [[decodeMeta]] call site.
     */
-  def decodeMeta(withBytes: DataFrame): DataFrame =
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte]): MediaMeta
+  }
+
+  /** ---- STUB DECODE ----
+    * Deterministic fake metadata derived arithmetically from payload
+    * length (no codec libraries exist in this container). Int
+    * arithmetic mirrors the SQL oracle exactly.
+    */
+  object StubMediaDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): MediaMeta = {
+      val n = payload.length
+      MediaMeta(n % 640 + 16, (n * 7) % 480 + 16, n % 30 + 1)
+    }
+  }
+
+  /** Metadata extraction: n_bytes is a native expression; width/height/
+    * n_frames come from the pluggable decoder (stub by default). One
+    * projection, no shuffle, whatever the decoder.
+    */
+  def decodeMeta(withBytes: DataFrame,
+                 decoder: MediaDecoder = StubMediaDecoder): DataFrame = {
+    val dec = udf((p: Array[Byte]) => decoder.decode(p))
     withBytes
       .withColumn("n_bytes", length(col("payload")))
-      .withColumn("width",  (col("n_bytes") % 640 + 16).cast("int"))
-      .withColumn("height", ((col("n_bytes") * 7) % 480 + 16).cast("int"))
-      .withColumn("n_frames", (col("n_bytes") % 30 + 1).cast("int"))
+      .withColumn("m", dec(col("payload")))
+      .withColumn("width", col("m.width"))
+      .withColumn("height", col("m.height"))
+      .withColumn("n_frames", col("m.n_frames"))
+      .drop("m")
+  }
 
   /** Frame sampling: one row per sampled frame index, stride chosen to
     * cap at ~maxFrames samples. Pure sequence+explode — a projection.

@@ -42,6 +42,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("an alternate decoder flows through the identical plan and schema") {
+    // A fake "header parser": reads the first payload byte as width,
+    // second as height, and a fixed frame count — structurally what a
+    // real codec swap looks like (one argument at the call site).
+    object HeaderDecoder extends Multimodal.MediaDecoder {
+      def decode(p: Array[Byte]): Multimodal.MediaMeta =
+        Multimodal.MediaMeta(p(0) & 0xFF, p(1) & 0xFF, 5)
+    }
+    val alt = Multimodal.decodeMeta(Multimodal.withPayload(docs), HeaderDecoder)
+    // Same schema, same (shuffle-free projection) plan shape...
+    assert(alt.schema == meta.schema)
+    assert(alt.queryExecution.executedPlan.toString.linesIterator
+      .count(_.contains("Exchange")) == 0)
+    // ...different decode results, per the implementation.
+    val r = alt.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select("width", "height", "n_frames", "text").limit(10).collect()
+    r.foreach { row =>
+      val bytes = row.getString(3).getBytes("UTF-8")
+      assert(row.getInt(0) == (bytes(0) & 0xFF))
+      assert(row.getInt(1) == (bytes(1) & 0xFF))
+      assert(row.getInt(2) == 5)
+    }
+    // Downstream stages are decoder-agnostic: frame sampling runs
+    // unchanged on the alternate decoder's output.
+    assert(Multimodal.sampleFrames(alt).count() > 0)
+  }
+
   test("mapPartitions feature extraction: histogram sums to payload length") {
     val feats = Multimodal.extractFeatures(spark, Multimodal.withPayload(docs))
     val joined = feats.join(meta.select("doc_id", "n_bytes"), "doc_id")
