@@ -24,6 +24,7 @@ object SparkEntry {
       (ops.ScalarFns.queries, ops.ScalarFns.oracle),
       (ops.Dedup.queries, ops.Dedup.oracle),
       (ops.TextOps.queries, ops.TextOps.oracle),
+      (ops.CorpusOps.queries, ops.CorpusOps.oracle),
       (ops.VectorOps.queries, ops.VectorOps.oracle),
       (ops.EventOps.queries, ops.EventOps.oracle),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracle)

@@ -1,0 +1,213 @@
+package graft.ops
+
+import graft.T
+import graft.functions.TextSim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a training-data pipeline runs between
+  * raw text and the tokenizer — north-star extensions (no reference
+  * analog; the reference's only text handling is stringification,
+  * /root/reference/main.go:175-195).
+  *
+  * Engine-neutral hashing: every hashed value is
+  * conv(substr(md5(x),1,8),16,10) — md5 is bit-identical in Spark and
+  * DuckDB, so the oracle checks the REAL hash math, not a lookalike.
+  *
+  * Scale posture per operator:
+  *  - q82 winnowing: projection + one doc-keyed window — shingling and
+  *    window-min pipeline inside the scan partition, no global state.
+  *  - q83 token classes: pure projection.
+  *  - q84 TF-IDF: two vocabulary-keyed shuffles (tf, df) + one doc-keyed
+  *    top-k window; df is vocabulary-sized, tiny at any corpus scale.
+  *  - q86 split: pure projection + final tiny agg; the split is a
+  *    deterministic hash of the stable doc id, so it is reproducible
+  *    across runs/clusters and rows never move between splits when the
+  *    corpus grows (the property training pipelines need).
+  *  - q87 decontamination: benchmark side is an eval set (thousands of
+  *    docs at most) — its shingle set BROADCASTS; the corpus side
+  *    streams through a map-side hash join with no shuffle of the
+  *    100 TB side. This is the shape GPT-3-style 13-gram decontam runs.
+  */
+object CorpusOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Engine-neutral 32-bit hash of a string column (md5 prefix). */
+  private def h32(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // Winnowing fingerprints (MOSS-style): positional 3-word grams,
+    // engine-neutral hash, min over each sliding window of 4 grams,
+    // distinct selected hashes per doc. Guarantees any shared run of
+    // >= 6 words between two docs shares a fingerprint, with ~1/4 the
+    // storage of full shingling.
+    "q82_winnow_fingerprint" -> ((s, d) => {
+      val k = 3; val w = 4
+      val grams = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          s"""CASE WHEN size(ws) < $k THEN array()
+             |ELSE transform(sequence(0, size(ws)-$k), i -> concat_ws(' ', slice(ws, i+1, $k)))
+             |END""".stripMargin)).as(Seq("pos", "g")))
+        .withColumn("h", h32(col("g")))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val win = byDoc.orderBy(col("pos")).rowsBetween(0, w - 1)
+      grams
+        .withColumn("ng", count(lit(1)).over(byDoc))
+        .withColumn("wmin", min(col("h")).over(win))
+        .filter(col("pos") <= col("ng") - w) // full windows only
+        .select(col("doc_id"), col("wmin").as("fp")).distinct()
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
+    // Token-class stats (the BPE-ish pre-tokenizer view): counts per
+    // regex class and a truncated alpha share (trunc, not round —
+    // dyadic ratios land on .xxxx5 where engines' rounding disagrees).
+    "q83_token_classes" -> ((s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("n_alpha"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"),
+          size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))).as("n_other"))
+        .withColumn("alpha_permille",
+          floor(lit(1000.0) * col("n_alpha")
+            / greatest(col("n_alpha") + col("n_num") + col("n_other"), lit(1)))
+            .cast("int"))
+        .orderBy(col("doc_id"))),
+
+    // TF-IDF top-3 terms per doc: tf and df are two vocabulary-keyed
+    // aggregations; idf = ln((N+1)/(df+1)); per-doc top-k by a window
+    // with a total tiebreaker.
+    "q84_tfidf_topk" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = tok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.select(count(lit(1)).as("n_docs"))
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("w"))
+      tf.join(dfreq, "w").crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+        .withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("w"), round(col("score"), 4).as("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // Deterministic hash-stratified split: bucket = md5(doc_id) % 100
+    // -> 80/10/10 train/val/test. Reproducible anywhere, stable under
+    // corpus growth; per-language counts audit the stratification.
+    "q86_hash_split" -> ((s, d) =>
+      T.documents(s, d)
+        .withColumn("b", h32(col("doc_id").cast("string")) % 100)
+        .withColumn("split",
+          when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"), col("split"))),
+
+    // Benchmark decontamination: docs sharing any 5-gram with the eval
+    // set (doc_id < 20 stands in). Benchmark shingles broadcast — the
+    // corpus side never shuffles.
+    "q87_decontaminate" -> ((s, d) => {
+      val sh = TextSim.shingles(T.documents(s, d), 5)
+      val bench = sh.filter(col("doc_id") < 20)
+        .select(col("g"), col("doc_id").as("bench_id"))
+      sh.filter(col("doc_id") >= 20)
+        .join(broadcast(bench), "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_hit_shingles"),
+             countDistinct(col("bench_id")).as("n_bench_docs"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** DuckDB 5-gram shingle CTE (distinct per doc), mirroring
+    * TextSim.shingles(_, 5).
+    */
+  private val sh5 =
+    """sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+      |  FROM (SELECT doc_id, string_split(text,' ') AS ws,
+      |               unnest(generate_series(1, greatest(len(string_split(text,' ')) - 4, 0))) AS i
+      |        FROM documents)
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q82_winnow_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM (SELECT doc_id, string_split(text,' ') AS ws,
+        |               unnest(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0))) AS i
+        |        FROM documents)
+        |), h AS (
+        |  SELECT doc_id, pos, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h FROM g
+        |), m AS (
+        |  SELECT doc_id, pos,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |         count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM h
+        |)
+        |SELECT DISTINCT doc_id, wmin AS fp FROM m WHERE pos <= ng - 4
+        |ORDER BY doc_id, fp""".stripMargin,
+
+    "q83_token_classes" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_alpha,
+        | CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num,
+        | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS INT) AS n_other,
+        | CAST(floor(1000.0 * len(regexp_extract_all(text, '[A-Za-z]+'))
+        |      / greatest(len(regexp_extract_all(text, '[A-Za-z]+'))
+        |               + len(regexp_extract_all(text, '[0-9]+'))
+        |               + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')), 1)) AS INT)
+        |   AS alpha_permille
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q84_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents
+        |), tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), df AS (
+        |  SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.w,
+        |         tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS score
+        |  FROM tf JOIN df USING (w) CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id, w, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+        |  FROM s
+        |)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, w, round(score, 4) AS tfidf
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q86_hash_split" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "q87_decontaminate" ->
+      s"""WITH $sh5
+         |SELECT c.doc_id,
+         |       count(DISTINCT c.g) AS n_hit_shingles,
+         |       count(DISTINCT b.doc_id) AS n_bench_docs
+         |FROM sh c JOIN sh b ON c.g = b.g AND b.doc_id < 20 AND c.doc_id >= 20
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+  )
+}
