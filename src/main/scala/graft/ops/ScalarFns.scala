@@ -152,7 +152,22 @@ object ScalarFns {
           element_at(col("m"), "k").as("k_int"),
           size(map_keys(col("m"))).as("n_keys"),
           element_at(transform_values(col("m"), (_, v) => v * 2), "k").as("k_doubled"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // Bit functions (MySQL & | ^ << >> BIT_COUNT HEX surface). DuckDB
+    // traps: '^' is POWER there (xor() is the function); bit_count
+    // returns TINYINT (cast).
+    "q58_bit_fns" -> ((s, d) =>
+      T.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+          col("o_orderkey").bitwiseOR(lit(16L)).as("bor"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("bxor"),
+          shiftleft(col("o_orderkey") % 1024, 2).as("shl"),
+          shiftright(col("o_orderkey"), 3).as("shr"),
+          bit_count(col("o_orderkey")).as("nbits"),
+          hex(col("o_orderkey")).as("okey_hex"))
+        .orderBy(col("o_orderkey")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -241,6 +256,17 @@ object ScalarFns {
         | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k_int,
         | CAST(1 AS INTEGER) AS n_keys,
         | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) * 2 AS k_doubled
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q58_bit_fns" ->
+      """SELECT o_orderkey,
+        | o_orderkey & 255 AS band,
+        | o_orderkey | 16 AS bor,
+        | xor(o_orderkey, o_custkey) AS bxor,
+        | (o_orderkey % 1024) << 2 AS shl,
+        | o_orderkey >> 3 AS shr,
+        | CAST(bit_count(o_orderkey) AS INTEGER) AS nbits,
+        | to_hex(o_orderkey) AS okey_hex
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -80,6 +80,16 @@ object StreamingOps {
               col("c_ts"), col("p_ts"), col("value"))
   }
 
+  /** Stream-static enrichment join: each streaming event joined to a
+    * static dimension. The static side is broadcast to every task, so
+    * the stream side never shuffles and the join keeps NO streaming
+    * state (unlike stream-stream joins) — the standard
+    * dimension-enrichment shape, identical cost at any stream rate.
+    * Left join so unmatched events survive (dims lag reality).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   // ---- custom keyed state via mapGroupsWithState ----
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -51,6 +51,24 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == sample.size)
   }
 
+  test("stream-static broadcast join enriches events without streaming state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (3L, "silver")).toDF("user_id", "segment")
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = StreamingOps.appendToMemory(
+      StreamingOps.enrichWithDim(mem.toDF(), dim), "enrich_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enrich_out")
+      .select("event_id", "segment").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    // user 1 events enriched, user 2 events survive the left join
+    assert(got(1L) === Some("gold") && got(2L) === Some("gold"))
+    assert(got(4L) === None && got(5L) === None)
+    assert(got.size === sample.size)
+  }
+
   test("session windows split user 1 into two sessions on the 30-min gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
