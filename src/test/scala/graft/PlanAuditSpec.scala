@@ -1,0 +1,53 @@
+package graft
+
+/** Machine-checked scale posture: the physical-plan properties DESIGN.md
+  * claims, asserted so regressions surface as test failures instead of
+  * silent plan drift. Plans are built (not executed) at sf0.001.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scan and columns are pruned (q02)") {
+    val p = plan("q02_filter_predicates")
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(!p.contains("PushedFilters: []"), "filter pushdown list is empty")
+  }
+
+  test("ORDER BY + LIMIT plans as TakeOrderedAndProject, not a global sort (q40/q41)") {
+    assert(plan("q40_order_limit").contains("TakeOrderedAndProject"))
+    assert(plan("q41_offset").contains("TakeOrderedAndProject"))
+  }
+
+  test("star join broadcasts every dimension (q18)") {
+    val p = plan("q18_join_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "expected >= 3 broadcast dimension joins")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("as-of join is window-based — no join operator at all (q77)") {
+    val p = plan("q77_asof_join")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "as-of must not plan a per-row probe join")
+  }
+
+  test("decontamination broadcasts the benchmark side (q87)") {
+    assert(plan("q87_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("simhash candidate pairing is a shuffled hash join (q63)") {
+    assert(plan("q63_neardup_simhash").contains("ShuffledHashJoin"))
+  }
+
+  test("no query plans a CartesianProduct") {
+    // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
+    // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would
+    // mean both sides shuffle-materialize — never acceptable.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
+      plan(q).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+}
