@@ -13,7 +13,9 @@ object One {
     SparkEntry.entry(spark).count()
     for (q <- args; i <- 1 to 2) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, "/root/testdata/sf0.1").count()
+      // noop write = full-column computation, same as Bench
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
+        .write.format("noop").mode("overwrite").save()
       println(s"TIMING $q run$i ${(System.nanoTime()-t0)/1e9}")
     }
     spark.stop()

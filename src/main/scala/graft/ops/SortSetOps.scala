@@ -77,6 +77,18 @@ object SortSetOps {
       a.exceptAll(b).orderBy(col("ck"))
     }),
 
+    // UNPIVOT (melt): wide numeric columns to (attr, val) rows — the
+    // inverse of pivot, a pure projection+generate (no shuffle beyond
+    // the presentation sort). Spark's Dataset.unpivot; the oracle uses
+    // the engine-neutral UNION ALL expansion.
+    "q38_unpivot" -> ((s, d) =>
+      T.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+                round(col("p_retailprice"), 2).as("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+                 Array(col("p_size"), col("p_retailprice")), "attr", "val")
+        .orderBy(col("p_partkey"), col("attr"))),
+
     // INTERSECT ALL: each ck kept min(count_a, count_b) times.
     "q44_intersect_all" -> ((s, d) => {
       val a = T.orders(s, d).filter(col("o_totalprice") > 100000)
@@ -135,6 +147,12 @@ object SortSetOps {
       """SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 100000
         |INTERSECT ALL
         |SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
-        |ORDER BY ck""".stripMargin
+        |ORDER BY ck""".stripMargin,
+
+    "q38_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS attr, round(p_retailprice, 2) AS val FROM part
+        |ORDER BY p_partkey, attr""".stripMargin
   )
 }
