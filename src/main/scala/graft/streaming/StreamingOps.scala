@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming operator surface — absent from the reference
   * (its row loop terminates at end of result set,
@@ -115,6 +116,58 @@ object StreamingOps {
           state.update(next)
           next
       }
+  }
+
+  // ---- arbitrary state via transformWithState (Spark 4 API) ----
+
+  final case class FunnelState(stage: Int, since: java.sql.Timestamp)
+  final case class UserStage(user_id: Long, stage: Int)
+
+  /** Streaming ordered funnel on the Spark 4 transformWithState API
+    * (typed ValueState in the RocksDB state store) — the streaming twin
+    * of EventOps.orderedFunnel with the same stage-conditional
+    * semantics: signup, then the first click STRICTLY AFTER it, then
+    * the first purchase strictly after that. Events are ordered within
+    * each micro-batch; cross-batch late data is out of scope here (the
+    * watermarked operators above handle lateness — this surface is
+    * about typed keyed state).
+    */
+  class OrderedFunnelProcessor extends StatefulProcessor[Long, Ev, UserStage] {
+    @transient private var st: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState](
+        "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[UserStage] = {
+      var s =
+        if (st.exists()) st.get()
+        else FunnelState(0, new java.sql.Timestamp(Long.MinValue))
+      for (e <- rows.toSeq.sortBy(_.ts.getTime)) {
+        val wanted = s.stage match {
+          case 0 => "signup"
+          case 1 => "click"
+          case 2 => "purchase"
+          case _ => ""
+        }
+        // stage 0 accepts the earliest signup unconditionally; later
+        // stages require strictly-after ordering vs the prior stage.
+        if (e.event_type == wanted && (s.stage == 0 || e.ts.getTime > s.since.getTime))
+          s = FunnelState(s.stage + 1, e.ts)
+      }
+      st.update(s)
+      Iterator.single(UserStage(user, s.stage))
+    }
+  }
+
+  /** Per-user funnel stage as an Update-mode stream. */
+  def streamingFunnel(events: Dataset[Ev]): Dataset[UserStage] = {
+    implicit val enc: org.apache.spark.sql.Encoder[UserStage] = Encoders.product[UserStage]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new OrderedFunnelProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming output mode helper used by tests. */

@@ -69,6 +69,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.size === sample.size)
   }
 
+  test("transformWithState funnel advances stages in order across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = StreamingOps.appendToMemory(
+        StreamingOps.streamingFunnel(mem.toDS()).toDF(), "funnel_out")
+        .outputMode("update").start()
+      // batch 1: user 1 has click BEFORE signup (must not count), then
+      // signup; user 2 completes signup+click out of arrival order.
+      mem.addData(
+        Ev(1, ts("2024-01-01 00:01:00"), 1, "click", 0),
+        Ev(2, ts("2024-01-01 00:10:00"), 1, "signup", 0),
+        Ev(3, ts("2024-01-01 00:30:00"), 2, "click", 0),
+        Ev(4, ts("2024-01-01 00:20:00"), 2, "signup", 0))
+      q.processAllAvailable()
+      val s1 = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(s1(1L) === 1, "pre-signup click must not advance user 1")
+      assert(s1(2L) === 2, "in-batch events must apply in event-time order")
+      // batch 2: user 1 clicks after signup; user 2 purchases after click
+      // — state carries the stage across batches.
+      mem.addData(
+        Ev(5, ts("2024-01-01 00:40:00"), 1, "click", 0),
+        Ev(6, ts("2024-01-01 00:50:00"), 2, "purchase", 0))
+      q.processAllAvailable(); q.stop()
+      val s2 = spark.table("funnel_out").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).max).toMap
+      assert(s2(1L) === 2 && s2(2L) === 3)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("session windows split user 1 into two sessions on the 30-min gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
