@@ -41,6 +41,25 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.count() == src.count())
   }
 
+  test("partitionBy write creates hive-style dirs and reads prune partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("part-prune").toString
+    T.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    // hive-style layout on disk
+    val subdirs = new java.io.File(dir).listFiles.filter(_.isDirectory).map(_.getName)
+    assert(subdirs.exists(_.startsWith("event_type=")), s"no partition dirs: ${subdirs.toSeq}")
+    // a filter on the partition column must prune at planning time:
+    // the scan shows it under PartitionFilters, NOT as a data filter,
+    // and only the matching directory's files are read.
+    val read = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") && scan.contains("event_type"),
+      "partition filter did not reach the scan as a partition filter")
+    val expected = T.events(spark, sf001).filter(col("event_type") === "click").count()
+    assert(read.count() === expected)
+  }
+
   test("foreachBatch sink runs arbitrary batch logic per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps.Ev
