@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** Session-extension entry point (SURVEY.md §7.4's extension ladder):
+  * lets any session pick up the engine's native functions at build
+  * time —
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)` —
+  * instead of calling VectorKernels.ensureRegistered per session. The
+  * catalog-level injection makes `graft_dot` visible to plain SQL,
+  * views, and thrift clients, not just code paths that remembered to
+  * register it. No custom planner rules or strategies are injected:
+  * nothing in the operator inventory needs semantics Catalyst can't
+  * already express (DESIGN.md "what we deliberately did NOT build").
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}
