@@ -47,13 +47,23 @@ object Mysql2Parquet {
       url: Option[String] = None,                 // non-MySQL JDBC endpoint (engine upgrade)
       driver: Option[String] = None) {            // explicit JDBC driver class
 
-    /** Required-flag validation, same four as main.go:68-85. */
+    /** Required-flag validation, same four as main.go:68-85, plus the
+      * partitioned-scan flag group: a partition column with the default
+      * numPartitions=1 or empty bounds would silently run the very
+      * single-connection scan the flag exists to avoid.
+      */
     def validate: Either[String, Config] = {
       val missing = Seq(
         "password" -> password, "database" -> database,
         "query" -> query, "parquet" -> parquet).collect { case (n, "") => n }
-      if (missing.isEmpty) Right(this)
-      else Left(missing.mkString("missing required flags: ", ", ", ""))
+      if (missing.nonEmpty)
+        Left(missing.mkString("missing required flags: ", ", ", ""))
+      else if (partitionColumn.isDefined && numPartitions < 2)
+        Left("partition-column requires num-partitions >= 2 " +
+          "(a 1-partition 'parallel' scan is a single connection)")
+      else if (partitionColumn.isDefined && upperBound <= lowerBound)
+        Left("partition-column requires lower-bound < upper-bound")
+      else Right(this)
     }
 
     /** MySQL DSN by default (the reference's only dialect,

@@ -87,8 +87,16 @@ object Mysql2ParquetMain {
         case "num-partitions"   => intValue() match { case Right(v) => c = c.copy(numPartitions = v); case Left(e) => return Left(e) }
         case "lower-bound"      => longValue() match { case Right(v) => c = c.copy(lowerBound = v); case Left(e) => return Left(e) }
         case "upper-bound"      => longValue() match { case Right(v) => c = c.copy(upperBound = v); case Left(e) => return Left(e) }
-        case "compat"      => c = c.copy(compat = true)
-        case "single-file" => c = c.copy(singleFile = true)
+        case "compat" => inline match {
+          case None | Some("true")  => c = c.copy(compat = true)
+          case Some("false")        => c = c.copy(compat = false)
+          case Some(v) => return fail(s"flag --compat: '$v' is not a boolean")
+        }
+        case "single-file" => inline match {
+          case None | Some("true")  => c = c.copy(singleFile = true)
+          case Some("false")        => c = c.copy(singleFile = false)
+          case Some(v) => return fail(s"flag --single-file: '$v' is not a boolean")
+        }
         case "url"    => value() match { case Right(v) => c = c.copy(url = Some(v));    case Left(e) => return Left(e) }
         case "driver" => value() match { case Right(v) => c = c.copy(driver = Some(v)); case Left(e) => return Left(e) }
         case other => return fail(s"unknown flag: --$other")

@@ -69,7 +69,10 @@ object Multimodal {
     */
   def decodeMeta(withBytes: DataFrame,
                  decoder: MediaDecoder = StubMediaDecoder): DataFrame = {
-    val dec = udf((p: Array[Byte]) => decoder.decode(p))
+    // Option-wrapped so a NULL payload (missing blob in a real media
+    // table) yields NULL metadata like the native expressions would,
+    // instead of an NPE inside the decoder.
+    val dec = udf((p: Array[Byte]) => Option(p).map(decoder.decode))
     withBytes
       .withColumn("n_bytes", length(col("payload")))
       .withColumn("m", dec(col("payload")))

@@ -47,6 +47,26 @@ class CliSpec extends SparkSpec {
     assert(c.jdbcUrl === "jdbc:mysql://127.0.0.1:3306/db")
   }
 
+  test("boolean flags honor inline values and reject non-booleans") {
+    val Right(c) = Mysql2ParquetMain.parse(required :+ "--compat=false"): @unchecked
+    assert(!c.compat, "--compat=false must not enable compat mode")
+    val Right(c2) = Mysql2ParquetMain.parse(
+      required ++ Seq("--compat=true", "--single-file=false")): @unchecked
+    assert(c2.compat && !c2.singleFile)
+    val Left((t, rc)) = Mysql2ParquetMain.parse(required :+ "--compat=maybe"): @unchecked
+    assert(rc === 1 && t.contains("not a boolean"))
+  }
+
+  test("partition-column without a real partition count is a usage error") {
+    val Left((t1, rc1)) = Mysql2ParquetMain.parse(
+      required ++ Seq("--partition-column=id", "--lower-bound=0",
+        "--upper-bound=100")): @unchecked
+    assert(rc1 === 1 && t1.contains("num-partitions"))
+    val Left((t2, rc2)) = Mysql2ParquetMain.parse(
+      required ++ Seq("--partition-column=id", "--num-partitions=8")): @unchecked
+    assert(rc2 === 1 && t2.contains("lower-bound < upper-bound"))
+  }
+
   test("--flag value and --flag=value forms both parse") {
     val Right(c) = Mysql2ParquetMain.parse(Array(
       "--password", "pw", "--database=db", "--query", "SELECT 1",

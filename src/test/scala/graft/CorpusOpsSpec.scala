@@ -21,9 +21,7 @@ class CorpusOpsSpec extends SparkSpec {
       (2L, s"$shared totally different tail of text goes on and on")
     ).toDF("doc_id", "text")
     val fp = CorpusOps.queries("q82_winnow_fingerprint")
-    // queries take (session, dir); call the underlying logic via a temp
-    // view? The operator reads parquet — instead replicate through the
-    // same code path by writing a tiny parquet dir.
+    // the operator reads a parquet dir, so stage the two docs as one
     val dir = java.nio.file.Files.createTempDirectory("winnow").toString
     docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")

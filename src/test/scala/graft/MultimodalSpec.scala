@@ -42,6 +42,17 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("a NULL payload yields NULL metadata instead of a decoder crash") {
+    import spark.implicits._
+    val rows = Multimodal.decodeMeta(
+      Seq((1L, Some(Array[Byte](1, 2, 3))), (2L, Option.empty[Array[Byte]]))
+        .toDF("doc_id", "payload"))
+      .select("doc_id", "n_bytes", "width", "height", "n_frames")
+      .collect().sortBy(_.getLong(0))
+    assert(!rows(0).isNullAt(2) && rows(0).getInt(1) === 3)
+    (1 to 4).foreach(i => assert(rows(1).isNullAt(i), s"col $i not null for null payload"))
+  }
+
   test("an alternate decoder flows through the identical plan and schema") {
     // A fake "header parser": reads the first payload byte as width,
     // second as height, and a fixed frame count — structurally what a
