@@ -110,6 +110,39 @@ object CorpusOps {
              min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("lang"), col("split"))),
 
+    // Gopher-style repetition quality filter: duplicate-word fraction
+    // and most-frequent-bigram share per doc (permille, floored), plus
+    // the keep decision at the standard-ish cuts (dup < 900‰,
+    // top bigram < 180‰). Two doc-keyed aggregations — repetitive docs
+    // are the classic low-quality signal a training pipeline drops.
+    "q88_repetition_filter" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val wstats = words.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), countDistinct(col("w")).as("n_distinct"))
+      val bigrams = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(ws) < 2 THEN array()
+            |ELSE transform(sequence(0, size(ws)-2), i -> concat_ws(' ', slice(ws, i+1, 2)))
+            |END""".stripMargin)).as("bg"))
+      val bstats = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_bg"), sum(col("c")).as("n_bg"))
+      wstats.join(bstats, Seq("doc_id"), "left")
+        .withColumn("dup_word_permille",
+          floor(lit(1000.0) * (col("n_words") - col("n_distinct")) / col("n_words"))
+            .cast("int"))
+        .withColumn("top_bigram_permille",
+          coalesce(floor(lit(1000.0) * col("max_bg") / col("n_bg")), lit(0))
+            .cast("int"))
+        .withColumn("keep",
+          when(col("dup_word_permille") < 900 && col("top_bigram_permille") < 180, 1)
+            .otherwise(0))
+        .select(col("doc_id"), col("n_words"), col("dup_word_permille"),
+                col("top_bigram_permille"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: docs sharing any 5-gram with the eval
     // set (doc_id < 20 stands in). Benchmark shingles broadcast — the
     // corpus side never shuffles.
@@ -201,6 +234,33 @@ object CorpusOps {
         |  count(*) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "q88_repetition_filter" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents
+        |), ws AS (
+        |  SELECT doc_id, count(*) AS n_words, count(DISTINCT w) AS n_distinct
+        |  FROM w GROUP BY 1
+        |), bg AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+        |  FROM (SELECT doc_id, string_split(text,' ') AS ws,
+        |               unnest(generate_series(1, greatest(len(string_split(text,' ')) - 1, 0))) AS i
+        |        FROM documents)
+        |), bc AS (
+        |  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2
+        |), bs AS (
+        |  SELECT doc_id, max(c) AS max_bg, sum(c) AS n_bg FROM bc GROUP BY 1
+        |)
+        |SELECT ws.doc_id, CAST(ws.n_words AS BIGINT) AS n_words,
+        |  CAST(floor(1000.0 * (ws.n_words - ws.n_distinct) / ws.n_words) AS INT)
+        |    AS dup_word_permille,
+        |  CAST(coalesce(floor(1000.0 * bs.max_bg / bs.n_bg), 0) AS INT)
+        |    AS top_bigram_permille,
+        |  CAST(CASE WHEN floor(1000.0 * (ws.n_words - ws.n_distinct) / ws.n_words) < 900
+        |             AND coalesce(floor(1000.0 * bs.max_bg / bs.n_bg), 0) < 180
+        |       THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        |ORDER BY ws.doc_id""".stripMargin,
 
     "q87_decontaminate" ->
       s"""WITH $sh5
