@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.DriverManager
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Live JDBC export path against embedded Derby (the sandbox has no
@@ -99,6 +100,22 @@ class JdbcDerbySpec extends SparkSpec {
     val df = Mysql2Parquet.reader(spark, cfg).load()
     assert(df.rdd.getNumPartitions === 3)
     assert(df.select("id").collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L))
+  }
+
+  test("JDBC write-back: a DataFrame lands in a live table and reads back") {
+    seeded
+    val out = T.nation(spark, sf001).select(
+      col("n_nationkey").as("id"), col("n_name").as("name"))
+    out.write.mode("overwrite")
+      .option("url", dbUrl + ";user=root").option("dbtable", "nations_out")
+      .format("jdbc").save()
+    // Spark's JDBC writer quotes identifiers, making them
+    // case-sensitive in Derby — quote them back when reading.
+    val back = Mysql2Parquet.reader(spark,
+      conf("""SELECT "id", "name" FROM nations_out""")).load()
+    assert(back.count() === out.count())
+    assert(back.select("name").collect().map(_.getString(0)).sorted ===
+      out.select("name").collect().map(_.getString(0)).sorted)
   }
 
   test("live read -> compat projection -> parquet write round-trips") {

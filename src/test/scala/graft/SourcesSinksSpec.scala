@@ -60,6 +60,29 @@ class SourcesSinksSpec extends SparkSpec {
     assert(read.count() === expected)
   }
 
+  test("parquet writes honor an explicit compression codec") {
+    val dir = java.nio.file.Files.createTempDirectory("codec").toString
+    T.nation(spark, sf001).write.mode("overwrite")
+      .option("compression", "zstd").parquet(dir)
+    val files = new java.io.File(dir).listFiles.map(_.getName)
+    assert(files.exists(_.endsWith(".zstd.parquet")), s"no zstd files: ${files.toSeq}")
+    assert(spark.read.parquet(dir).count() === T.nation(spark, sf001).count())
+  }
+
+  test("mergeSchema read unifies evolved parquet schemas") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    val v1 = T.nation(spark, sf001).select(col("n_nationkey"), col("n_name"))
+    val v2 = T.nation(spark, sf001)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    v1.write.parquet(s"$dir/p=1")
+    v2.write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("n_nationkey", "n_name", "n_regionkey", "p"))
+    // rows written before the column existed surface it as NULL
+    val olds = merged.filter(col("p") === 1)
+    assert(olds.filter(col("n_regionkey").isNull).count() === olds.count())
+  }
+
   test("foreachBatch sink runs arbitrary batch logic per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps.Ev
