@@ -4,8 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = math.max(1,
-      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(2))
+    // fail loudly on a malformed value — a silent fallback would record
+    // min-of-2 numbers as if they were the requested repeat count
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .map(v => v.toIntOption.filter(_ >= 1).getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_RUNS must be a positive integer, got '$v'")))
+      .getOrElse(2)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

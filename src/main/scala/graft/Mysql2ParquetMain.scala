@@ -48,6 +48,18 @@ object Mysql2ParquetMain {
        |  Pass them via --session-init so every scan connection gets them.
        |""".stripMargin
 
+  /** Go strconv.ParseBool values (the reference's flag package), bare
+    * flag = true.
+    */
+  private def parseBool(inline: Option[String]): Option[Boolean] = inline match {
+    case None => Some(true)
+    case Some(v) => v match {
+      case "1" | "t" | "T" | "true" | "TRUE" | "True"      => Some(true)
+      case "0" | "f" | "F" | "false" | "FALSE" | "False"   => Some(false)
+      case _                                               => None
+    }
+  }
+
   /** Pure argv parser: Left((text, exitCode)) for help/version/errors,
     * Right(config) when the pipeline should run. Accepts --flag=value
     * and --flag value forms like the reference's Go flag package.
@@ -87,15 +99,13 @@ object Mysql2ParquetMain {
         case "num-partitions"   => intValue() match { case Right(v) => c = c.copy(numPartitions = v); case Left(e) => return Left(e) }
         case "lower-bound"      => longValue() match { case Right(v) => c = c.copy(lowerBound = v); case Left(e) => return Left(e) }
         case "upper-bound"      => longValue() match { case Right(v) => c = c.copy(upperBound = v); case Left(e) => return Left(e) }
-        case "compat" => inline match {
-          case None | Some("true")  => c = c.copy(compat = true)
-          case Some("false")        => c = c.copy(compat = false)
-          case Some(v) => return fail(s"flag --compat: '$v' is not a boolean")
+        case "compat" => parseBool(inline) match {
+          case Some(b) => c = c.copy(compat = b)
+          case None => return fail(s"flag --compat: '${inline.get}' is not a boolean")
         }
-        case "single-file" => inline match {
-          case None | Some("true")  => c = c.copy(singleFile = true)
-          case Some("false")        => c = c.copy(singleFile = false)
-          case Some(v) => return fail(s"flag --single-file: '$v' is not a boolean")
+        case "single-file" => parseBool(inline) match {
+          case Some(b) => c = c.copy(singleFile = b)
+          case None => return fail(s"flag --single-file: '${inline.get}' is not a boolean")
         }
         case "url"    => value() match { case Right(v) => c = c.copy(url = Some(v));    case Left(e) => return Left(e) }
         case "driver" => value() match { case Right(v) => c = c.copy(driver = Some(v)); case Left(e) => return Left(e) }

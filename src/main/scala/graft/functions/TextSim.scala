@@ -18,14 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object TextSim {
 
+  /** SQL expression producing the array of word n-grams over a token
+    * array column `ws` (empty array when the doc is shorter than n) —
+    * the single source of gram semantics shared by [[shingles]] and
+    * the positional/bag variants in CorpusOps.
+    */
+  def gramArrayExpr(n: Int, wsCol: String = "ws"): String =
+    s"""CASE WHEN size($wsCol) < $n THEN array()
+       |ELSE transform(sequence(0, size($wsCol)-$n), i -> concat_ws(' ', slice($wsCol, i+1, $n)))
+       |END""".stripMargin
+
   /** Word n-gram shingles, one row per distinct (doc_id, shingle). */
   def shingles(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"""CASE WHEN size(ws) < $n THEN array()
-           |ELSE transform(sequence(0, size(ws)-$n), i -> concat_ws(' ', slice(ws, i+1, $n)))
-           |END""".stripMargin))).as("g"))
+      .select(col("doc_id"), explode(array_distinct(expr(gramArrayExpr(n)))).as("g"))
 
   /** All-pairs n-gram Jaccard via shingle-equality join (exact).
     * Output: id1 < id2, jaccard rounded to 4.

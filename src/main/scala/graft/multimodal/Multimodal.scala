@@ -100,15 +100,18 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, withBytes: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
-      StructField("hist", ArrayType(LongType, containsNull = false), nullable = false)))
+      StructField("hist", ArrayType(LongType, containsNull = false), nullable = true)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     withBytes.select(col("doc_id"), col("payload")).mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("payload")
-        val hist = new Array[Long](4)
-        var i = 0
-        while (i < bytes.length) { hist(((bytes(i) & 0xFF) >> 6)) += 1; i += 1 }
-        Row(r.getLong(0), hist.toIndexedSeq)
+        if (bytes == null) Row(r.getLong(0), null) // missing blob → NULL features
+        else {
+          val hist = new Array[Long](4)
+          var i = 0
+          while (i < bytes.length) { hist(((bytes(i) & 0xFF) >> 6)) += 1; i += 1 }
+          Row(r.getLong(0), hist.toIndexedSeq)
+        }
       }
     }(enc)
   }

@@ -47,10 +47,8 @@ object CorpusOps {
       val k = 3; val w = 4
       val grams = T.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), posexplode(expr(
-          s"""CASE WHEN size(ws) < $k THEN array()
-             |ELSE transform(sequence(0, size(ws)-$k), i -> concat_ws(' ', slice(ws, i+1, $k)))
-             |END""".stripMargin)).as(Seq("pos", "g")))
+        .select(col("doc_id"),
+          posexplode(expr(TextSim.gramArrayExpr(k))).as(Seq("pos", "g")))
         .withColumn("h", h32(col("g")))
       val byDoc = Window.partitionBy(col("doc_id"))
       val win = byDoc.orderBy(col("pos")).rowsBetween(0, w - 1)
@@ -121,10 +119,7 @@ object CorpusOps {
       val wstats = words.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"), countDistinct(col("w")).as("n_distinct"))
       val bigrams = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), explode(expr(
-          """CASE WHEN size(ws) < 2 THEN array()
-            |ELSE transform(sequence(0, size(ws)-2), i -> concat_ws(' ', slice(ws, i+1, 2)))
-            |END""".stripMargin)).as("bg"))
+        .select(col("doc_id"), explode(expr(TextSim.gramArrayExpr(2))).as("bg"))
       val bstats = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(max(col("c")).as("max_bg"), sum(col("c")).as("n_bg"))

@@ -55,6 +55,10 @@ class CliSpec extends SparkSpec {
     assert(c2.compat && !c2.singleFile)
     val Left((t, rc)) = Mysql2ParquetMain.parse(required :+ "--compat=maybe"): @unchecked
     assert(rc === 1 && t.contains("not a boolean"))
+    // Go strconv.ParseBool forms
+    val Right(c3) = Mysql2ParquetMain.parse(
+      required ++ Seq("--compat=1", "--single-file=F")): @unchecked
+    assert(c3.compat && !c3.singleFile)
   }
 
   test("partition-column without a real partition count is a usage error") {

@@ -80,6 +80,16 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(alt).count() > 0)
   }
 
+  test("feature extraction yields NULL features for a NULL payload") {
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(spark,
+      Seq((1L, Some(Array[Byte](0, 64, -128))), (2L, Option.empty[Array[Byte]]))
+        .toDF("doc_id", "payload"))
+      .collect().sortBy(_.getLong(0))
+    assert(!feats(0).isNullAt(1))
+    assert(feats(1).isNullAt(1), "missing blob must yield NULL features, not crash")
+  }
+
   test("mapPartitions feature extraction: histogram sums to payload length") {
     val feats = Multimodal.extractFeatures(spark, Multimodal.withPayload(docs))
     val joined = feats.join(meta.select("doc_id", "n_bytes"), "doc_id")
