@@ -108,6 +108,35 @@ object CorpusOps {
              min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("lang"), col("split"))),
 
+    // Full-text relevance (MySQL MATCH...AGAINST analog, and the
+    // retrieval scorer an LLM data pipeline ranks with): BM25 with the
+    // Lucene idf form ln(1 + (N-df+0.5)/(df+0.5)) — always positive,
+    // required here because the synthetic vocabulary is dense (df >
+    // N/2 would make classic idf negative). k1=1.2, b=0.75. Costs: one
+    // token shuffle for tf, a term-keyed df agg (vocabulary-sized), a
+    // broadcast scalar (N, avgdl), and a top-k sort.
+    "q59_fulltext_bm25" -> ((s, d) => {
+      val terms = Seq("hash", "join", "merge")
+      val tok = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val tf = tok.filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "w").join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+        .withColumn("contrib",
+          col("idf") * col("tf") * 2.2 /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("contrib")), 4).as("bm25"),
+             count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Gopher-style repetition quality filter: duplicate-word fraction
     // and most-frequent-bigram share per doc (permille, floored), plus
     // the keep decision at the standard-ish cuts (dup < 900‰,
@@ -229,6 +258,31 @@ object CorpusOps {
         |  count(*) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "q59_fulltext_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+        |), st AS (
+        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM tok
+        |  WHERE w IN ('hash', 'join', 'merge') GROUP BY 1, 2
+        |), df AS (
+        |  SELECT w, count(*) AS df FROM tf GROUP BY 1
+        |)
+        |SELECT tf.doc_id,
+        |  round(sum(ln(1.0 + CAST(st.n_docs - df.df + 0.5 AS DOUBLE)
+        |                    / CAST(df.df + 0.5 AS DOUBLE))
+        |            * tf.tf * CAST(2.2 AS DOUBLE)
+        |            / (tf.tf + CAST(1.2 AS DOUBLE)
+        |               * (CAST(0.25 AS DOUBLE)
+        |                  + CAST(0.75 AS DOUBLE) * dl.dl / st.avgdl))), 4) AS bm25,
+        |  count(*) AS n_terms_hit
+        |FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25 DESC, tf.doc_id LIMIT 20""".stripMargin,
 
     "q88_repetition_filter" ->
       """WITH w AS (
