@@ -118,12 +118,20 @@ object Aggregates {
     // mergeable, single pass); the exact form shown here shuffles the
     // group's values — used where exactness is the contract.
     "q29_percentiles" -> ((s, d) =>
+      // both l_quantity percentiles come from ONE percentile buffer
+      // (array form) instead of two copies of the same value-count map
+      // — same wall-time at sf0.1 (measured), half the aggregation
+      // state, which is what matters when the buffer is per-group maps
+      // over 100 TB of lineitems
       T.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          expr("percentile(l_quantity, array(0.5D, 0.9D))").as("pq"),
           round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pq"), 1), 4).as("p50_qty"),
+          round(element_at(col("pq"), 2), 4).as("p90_qty"),
+          col("p25_price"))
         .orderBy(col("l_returnflag")))
   )
 
