@@ -167,6 +167,23 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic stratified sampling: a fixed-size uniform sample
+    // per stratum, chosen by hash order (not data order, not RNG
+    // state) — reproducible across engines, runs, and cluster sizes;
+    // the standard way to carve an eval subset per language. One
+    // stratum-keyed window; the hash salt includes the stratum so
+    // samples across strata are independent.
+    "q89_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+      T.documents(s, d)
+        .withColumn("hk",
+          h32(concat(col("lang"), lit(":"), col("doc_id").cast("string"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     // Benchmark decontamination: docs sharing any 5-gram with the eval
     // set (doc_id < 20 stands in). Benchmark shingles broadcast — the
     // corpus side never shuffles.
@@ -283,6 +300,19 @@ object CorpusOps {
         |FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st
         |GROUP BY tf.doc_id
         |ORDER BY bm25 DESC, tf.doc_id LIMIT 20""".stripMargin,
+
+    "q89_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hk
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |  FROM h
+        |)
+        |SELECT lang, rn, doc_id FROM r WHERE rn <= 10
+        |ORDER BY lang, rn""".stripMargin,
 
     "q88_repetition_filter" ->
       """WITH w AS (
