@@ -48,6 +48,52 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("combo-band pigeonhole: any pair within hamming 13 shares a 3-block key") {
+    // Bit-level replication of TextSim.simhashComboBands' key
+    // arithmetic (acc*16 + 4-bit block, over all C(16,3) selections):
+    // the deterministic-recall theorem q63 relies on, checked on
+    // random signatures with up to 13 random bit flips.
+    val combos = (0 until 16).combinations(3).map(_.toArray).toArray
+    def keys(sig: Long): Array[Long] =
+      combos.map(_.foldLeft(0L)((acc, i) => acc * 16 + ((sig >>> (i * 4)) & 15L)))
+    val gen = for {
+      sig <- Gen.choose(Long.MinValue, Long.MaxValue)
+      k <- Gen.choose(0, 13)
+      flips <- Gen.listOfN(k, Gen.choose(0, 63))
+    } yield (sig, flips.foldLeft(sig)((s, b) => s ^ (1L << b)))
+    check(Prop.forAll(gen) { case (a, b) =>
+      keys(a).zip(keys(b)).exists { case (x, y) => x == y }
+    })
+  }
+
+  test("CLI parse round-trips flag values in both --k=v and --k v forms") {
+    val v = Gen.alphaNumStr.suchThat(_.nonEmpty)
+    check(Prop.forAll(v, v, v, v) { (pw, db, q, out) =>
+      val eq = Mysql2ParquetMain.parse(Array(
+        s"--password=$pw", s"--database=$db", s"--query=$q", s"--parquet=$out"))
+      val sp = Mysql2ParquetMain.parse(Array(
+        "--password", pw, "--database", db, "--query", q, "--parquet", out))
+      eq == sp && (eq match {
+        case Right(c) =>
+          c.password == pw && c.database == db && c.query == q && c.parquet == out
+        case Left(_) => false
+      })
+    })
+  }
+
+  test("unknown boolean flag values are always usage errors, never silently true") {
+    val bad = Gen.alphaNumStr.suchThat(s =>
+      !Set("1", "t", "T", "true", "TRUE", "True",
+           "0", "f", "F", "false", "FALSE", "False").contains(s))
+    check(Prop.forAll(bad) { v =>
+      Mysql2ParquetMain.parse(Array("--password=p", "--database=d",
+        "--query=q", "--parquet=o", s"--compat=$v")) match {
+        case Left((text, 1)) => text.contains("not a boolean")
+        case _ => false
+      }
+    })
+  }
+
   test("Config validation accepts exactly the complete flag sets") {
     check(Prop.forAll(Gen.alphaNumStr, Gen.alphaNumStr, Gen.alphaNumStr, Gen.alphaNumStr) {
       (pw, db, q, out) =>
