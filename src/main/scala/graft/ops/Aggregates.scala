@@ -61,6 +61,17 @@ object Aggregates {
         .filter(col("total_qty") > 15000)
         .orderBy(col("l_suppkey"))),
 
+    // GROUPING() introspection (MySQL 8 surface): distinguishes a
+    // rollup subtotal row from a genuine NULL grouping key.
+    "q24b_rollup_grouping" -> ((s, d) =>
+      T.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             grouping(col("l_returnflag")).cast("int").as("g_flag"),
+             grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
     // WITH ROLLUP (MySQL surface) — hierarchical subtotals.
     "q24_rollup" -> ((s, d) =>
       T.lineitem(s, d)
@@ -162,6 +173,20 @@ object Aggregates {
 
     "q24_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q24b_rollup_grouping" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        | CAST(grouping(l_linestatus) AS INT) AS g_status
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q24b_rollup_grouping" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        | CAST(grouping(l_linestatus) AS INT) AS g_status
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
