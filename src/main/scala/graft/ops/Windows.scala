@@ -19,7 +19,25 @@ import org.apache.spark.sql.functions._
 object Windows {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Named WINDOW clause (MySQL 8 syntax): one window definition
+    * shared by rank and a running sum — engine-neutral shared SQL; the
+    * unique (date, orderkey) ordering makes the default RANGE frame
+    * row-deterministic in both engines.
+    */
+  private val namedWindowSql =
+    """SELECT o_custkey, o_orderkey,
+      | CAST(rank() OVER w AS BIGINT) AS rk,
+      | round(sum(o_totalprice) OVER w, 2) AS running_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q39_named_window" -> ((s, d) => {
+      T.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(namedWindowSql)
+    }),
+
     // Top-k per group: the classic export query (SURVEY.md §2.2).
     // row_number + filter prunes to k rows per key *before* anything
     // downstream — at scale this is the shuffle-once alternative to a
@@ -127,6 +145,8 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q39_named_window" -> namedWindowSql,
+
     "q30_topk_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         | SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS o_totalprice,
