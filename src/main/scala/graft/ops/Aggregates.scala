@@ -183,13 +183,6 @@ object Aggregates {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
-    "q24b_rollup_grouping" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        | CAST(grouping(l_returnflag) AS INT) AS g_flag,
-        | CAST(grouping(l_linestatus) AS INT) AS g_status
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-
     "q25_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)

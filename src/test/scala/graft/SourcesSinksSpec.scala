@@ -85,14 +85,18 @@ class SourcesSinksSpec extends SparkSpec {
 
   test("catalog managed table: saveAsTable + insertInto + spark.table round-trip") {
     val base = T.nation(spark, sf001).select("n_nationkey", "n_name")
-    spark.sql("DROP TABLE IF EXISTS graft_cat_nation")
-    base.write.saveAsTable("graft_cat_nation")
-    assert(spark.table("graft_cat_nation").count() === base.count())
-    // append through the catalog, not a path
-    base.limit(3).write.insertInto("graft_cat_nation")
-    assert(spark.table("graft_cat_nation").count() === base.count() + 3)
-    assert(spark.catalog.tableExists("graft_cat_nation"))
-    spark.sql("DROP TABLE graft_cat_nation")
+    // overwrite + finally-drop so a crashed earlier run's stale
+    // warehouse dir can't poison this one
+    try {
+      base.write.mode("overwrite").saveAsTable("graft_cat_nation")
+      assert(spark.table("graft_cat_nation").count() === base.count())
+      // append through the catalog, not a path
+      base.limit(3).write.insertInto("graft_cat_nation")
+      assert(spark.table("graft_cat_nation").count() === base.count() + 3)
+      assert(spark.catalog.tableExists("graft_cat_nation"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_cat_nation")
+    }
     assert(!spark.catalog.tableExists("graft_cat_nation"))
   }
 
