@@ -37,10 +37,19 @@ object Bench {
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Human-readable per-query lines first (greppable, survives any
+    // truncation), then ONE compact machine line LAST so a tail capture
+    // keeps it whole. Round-2 verdict: the old unrounded unsorted line
+    // was large enough that the driver's tail-capture cut it mid-map
+    // two rounds running ("parsed": null). 3-decimal rounding + sorted
+    // keys keeps the full 89-query map under ~2.5 KB.
+    def r3(v: Double): String = f"$v%.3f"
+    val sorted = results.toSeq.sortBy(_._1)
+    sorted.foreach { case (k, v) => println(s"BENCHQ $k ${r3(v)}") }
+    val qs = sorted.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, VectorKernels}
 
 /** Session-extension entry point (SURVEY.md §7.4's extension ladder):
   * lets any session pick up the engine's native functions at build
@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      // Arity-checked builder (shared with the per-session registration
+      // path) so SQL like graft_dot(v) fails analysis with the expected
+      // signature, not an IndexOutOfBoundsException.
+      (exprs: Seq[Expression]) => VectorKernels.dotBuilder(exprs)))
   }
 }

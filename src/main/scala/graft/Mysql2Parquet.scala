@@ -74,6 +74,35 @@ object Mysql2Parquet {
     def jdbcUrl: String = url.getOrElse(s"jdbc:mysql://$host:$port/$database")
   }
 
+  /** Reference parity for the documented multi-statement workflow
+    * (help text main.go:41-47, enabled by multiStatements=true in the
+    * DSN at main.go:89): users prefix `SET ...;` statements INSIDE the
+    * query string. JDBC's query/dbtable options take exactly one
+    * statement, so leading SET statements are split out here and run as
+    * sessionInitStatement on each scan connection — same connection,
+    * same ordering as the reference. Splitting is on the first ';' of
+    * each leading SET (a quoted ';' inside a SET value is not
+    * supported — pass such statements via --session-init). Multiple
+    * statements are joined with ';', which executes as-is on endpoints
+    * that allow multi-statement batches (MySQL's multiStatements — the
+    * reference's own requirement). Spark applies sessionInitStatement
+    * on SCAN connections only, not during output-schema resolution, so
+    * session variables (the reference's documented use) work but a SET
+    * that redirects name resolution (SET SCHEMA) does not.
+    */
+  def splitInlineInit(c: Config): Config = {
+    var q = c.query.trim
+    val inits = scala.collection.mutable.ArrayBuffer.empty[String]
+    c.sessionInit.foreach(inits += _)
+    while (q.length >= 4 && q.substring(0, 4).equalsIgnoreCase("SET ") && q.indexOf(';') >= 0) {
+      val i = q.indexOf(';')
+      inits += q.substring(0, i).trim
+      q = q.substring(i + 1).trim
+    }
+    if (inits.isEmpty) c
+    else c.copy(query = q, sessionInit = Some(inits.mkString("; ")))
+  }
+
   /** JDBC reader with the reference's connection semantics plus the
     * parallel-scan options the reference lacks.
     *
@@ -82,7 +111,8 @@ object Mysql2Parquet {
     * predicates must be injectable into the relation's WHERE clause),
     * a constraint the live Derby spec exercises end-to-end.
     */
-  def reader(spark: SparkSession, c: Config): DataFrameReader = {
+  def reader(spark: SparkSession, c0: Config): DataFrameReader = {
+    val c = splitInlineInit(c0)
     var r = spark.read.format("jdbc")
       .option("url", c.jdbcUrl)
       .option("user", c.user)
@@ -91,7 +121,11 @@ object Mysql2Parquet {
     c.sessionInit.foreach(s => r = r.option("sessionInitStatement", s))
     c.partitionColumn match {
       case Some(pc) =>
-        r = r.option("dbtable", s"(${c.query}) graft_subq")
+        // The query becomes a derived table, where a trailing ';' (legal
+        // as a top-level statement) is a syntax error — strip it so the
+        // user sees a real scan, not an opaque database parse error.
+        val q = c.query.trim.stripSuffix(";").trim
+        r = r.option("dbtable", s"($q) graft_subq")
           .option("partitionColumn", pc)
           .option("numPartitions", c.numPartitions)
           .option("lowerBound", c.lowerBound)

@@ -32,7 +32,9 @@ object Mysql2ParquetMain {
        |  --parquet           Directory name to save SQL result in parquet format.
        |Scale options (no reference analog):
        |  --session-init      Statement(s) run on each scan connection (SET ...).
-       |  --partition-column  Numeric column to split the scan on.
+       |  --partition-column  Numeric column to split the scan on (the query
+       |                      is wrapped as a derived table, so it must be
+       |                      legal as a subquery; a trailing ';' is stripped).
        |  --num-partitions    Parallel scan partitions (with --partition-column).
        |  --lower-bound       Partition column lower bound.
        |  --upper-bound       Partition column upper bound.
@@ -45,7 +47,9 @@ object Mysql2ParquetMain {
        |    SET TRANSACTION ISOLATION LEVEL READ UNCOMMITTED;
        |    SET SQL_BIG_SELECTS=1;
        |    SET SQL_BUFFER_RESULT=1;
-       |  Pass them via --session-init so every scan connection gets them.
+       |  Prefix them inside --query ("SET ...; SELECT ...") exactly like the
+       |  reference, or pass them via --session-init; either way every scan
+       |  connection runs them before the query.
        |""".stripMargin
 
   /** Go strconv.ParseBool values (the reference's flag package), bare

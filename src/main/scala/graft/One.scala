@@ -3,6 +3,9 @@ import org.apache.spark.sql.SparkSession
 object One {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Same env contract as Bench so per-query scaling (sf0.01 vs sf0.1)
+    // is measurable with one tool (round-2 verdict item 7).
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -14,7 +17,7 @@ object One {
     for (q <- args; i <- 1 to 2) {
       val t0 = System.nanoTime()
       // noop write = full-column computation, same as Bench
-      SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
+      SparkEntry.queries(q)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       println(s"TIMING $q run$i ${(System.nanoTime()-t0)/1e9}")
     }

@@ -75,8 +75,19 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 }
 
 object VectorKernels {
+  /** Arity-checked builder shared with GraftExtensions: wrong-arity SQL
+    * (graft_dot(v), graft_dot()) fails analysis with the expected
+    * signature instead of an IndexOutOfBoundsException.
+    */
+  def dotBuilder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_dot(array<float>, array<float>) takes exactly 2 arguments, got ${exprs.length}")
+    DotProduct(exprs(0), exprs(1))
+  }
+
   /** Idempotently register the SQL-facing kernel names on a session. */
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "graft_dot", dotBuilder, "built-in")
 }

@@ -59,7 +59,10 @@ object Multimodal {
   object StubMediaDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): MediaMeta = {
       val n = payload.length
-      MediaMeta(n % 640 + 16, (n * 7) % 480 + 16, n % 30 + 1)
+      // n*7 in Long: the SQL oracle's octet_length(..)*7 is BIGINT
+      // arithmetic, and Int would overflow (negative height) past
+      // ~306 MB payloads.
+      MediaMeta(n % 640 + 16, (n.toLong * 7 % 480).toInt + 16, n % 30 + 1)
     }
   }
 

@@ -1,8 +1,9 @@
 package graft.ops
 
 import graft.T
-import graft.functions.TextSim
+import graft.functions.{Components, TextSim}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operator family — north-star extensions for
@@ -56,6 +57,65 @@ object Dedup {
        |WHERE CAST(p.inter AS DOUBLE)/(s1.n + s2.n - p.inter) >= $thr
        |ORDER BY id1, id2""".stripMargin
 
+  /** Exact-duplicate collapse ahead of the sketch tiers (the
+    * mass-duplicate guard): one representative per distinct text, so a
+    * k-deep identical-doc cluster — routine in web corpora — feeds ONE
+    * signature into LSH instead of k identical signatures sharing every
+    * band bucket (k²/2 candidate pairs). Group key is md5(text)
+    * (128-bit; collision odds ~n²/2^129 are below any corpus size).
+    * Docs shorter than the 3-gram shingle width have an empty shingle
+    * set and can never pair, so they stay their own representative —
+    * keeping the output identical to the exact all-pairs relation.
+    *
+    * Output: (doc_id, text, rep_id, grp_n) — one window shuffle on the
+    * text hash.
+    */
+  def exactReps(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("th"))
+    docs
+      .select(col("doc_id"), col("text"),
+        when(size(split(col("text"), " ")) >= 3, md5(col("text")))
+          .otherwise(concat(lit("uniq-"), col("doc_id"))).as("th"))
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .drop("th")
+  }
+
+  /** The production canonicalization composition (round-2 verdict item
+    * 1): exact-dup collapse → MinHash(128)+LSH(32×4) candidates over
+    * representatives only → exact verify at 0.8 → distributed connected
+    * components → labels fanned back out to all member docs.
+    *
+    * Produces the same (doc_id, canonical_id) relation as the
+    * exact-all-pairs feed (q67) — identical texts are Jaccard-1.0 pairs,
+    * so members of an exact group always land in their representative's
+    * cluster, and the cluster minimum over representatives IS the global
+    * cluster minimum (each rep is its group's min id). LSH misses at the
+    * planted-dup similarity are ≪ 1e-6 (same argument that lets q62
+    * share q61's oracle), so this reuses q67's recursive-CTE oracle
+    * verbatim. Every stage is a keyed shuffle or a broadcast — nothing
+    * quadratic remains on this path at 100 TB.
+    */
+  def canonicalizeLsh(docs: DataFrame): DataFrame = {
+    val withRep = exactReps(docs)
+    val reps = withRep.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    val sh = TextSim.shingles(reps, 3)
+    val cand = TextSim.bandCandidates(
+      TextSim.lshBands(TextSim.minhashSignature(sh, 128), 32, 4))
+    val repPairs = TextSim.verifyJaccard(cand, sh, 0.8)
+      .select(col("id1"), col("id2"))
+    val repLabels = Components.connectedComponents(repPairs)
+      .select(col("doc_id").as("rep_key"), col("canonical_id").as("rep_canon"))
+    // A doc is clustered iff its text has exact twins (grp_n > 1,
+    // Jaccard-1.0 pairs) or its representative paired in the sketch.
+    withRep
+      .join(repLabels, col("rep_id") === col("rep_key"), "left_outer")
+      .filter(col("grp_n") > 1 || col("rep_canon").isNotNull)
+      .select(col("doc_id"),
+        coalesce(col("rep_canon"), col("rep_id")).as("canonical_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on the key, keep the smallest id as the
     // canonical representative. One shuffle on the key at any scale.
@@ -99,22 +159,34 @@ object Dedup {
       TextSim.verifyJaccard(near, TextSim.shingles(docs, 3), 0.8)
     }),
 
-    // Canonicalization: connected components over the near-dup pair
-    // graph → every clustered doc mapped to its cluster's min id (the
-    // doc a pipeline keeps). Exact pairs feed the components so the
-    // result is deterministic; in production the LSH pairs (q62) feed
-    // the same Components.connectedComponents.
+    // Canonicalization, oracle tier: connected components over the
+    // EXACT near-dup pair graph — the deterministic twin that q69's
+    // production composition is verified against (same relation, same
+    // recursive-CTE oracle). Kept as the documented exact tier; the
+    // 100 TB path is q69.
     "q67_neardup_components" -> ((s, d) => {
       val pairs = TextSim
         .jaccardPairs(TextSim.shingles(T.documents(s, d), 3), 0.8)
         .select(col("id1"), col("id2"))
-      graft.functions.Components.connectedComponents(pairs)
+      Components.connectedComponents(pairs)
         .orderBy(col("doc_id"))
     }),
 
+    // Canonicalization, production tier (round-2 verdict item 1):
+    // exact-dup collapse → LSH candidates over representatives → exact
+    // verify → components → fan back out. Same relation as q67 (see
+    // canonicalizeLsh), so it reuses q67's oracle verbatim — and it is
+    // the composition a 100 TB pipeline actually runs: no all-pairs
+    // subtree anywhere, mass-duplicate clusters collapsed before
+    // sketching.
+    "q69_neardup_canonical_lsh" -> ((s, d) =>
+      canonicalizeLsh(T.documents(s, d)).orderBy(col("doc_id"))),
+
     // The capstone pipeline: corpus cleaning = quality gate + near-dup
-    // removal, composed from the operators above. Keeps docs in the
-    // length band whose doc is its own cluster canonical (or
+    // removal. Now composed on the PRODUCTION canonicalization
+    // (canonicalizeLsh — exact-first + LSH-fed components), not the
+    // exact all-pairs subtree (round-2 verdict items 1-2). Keeps docs
+    // in the length band whose doc is its own cluster canonical (or
     // unclustered). One shuffled anti-join against the non-canonical
     // set — in a real training corpus that set is 10-30% of all docs,
     // so it must NOT be broadcast; AQE still downgrades to broadcast
@@ -122,10 +194,7 @@ object Dedup {
     // never joins the pair graph itself.
     "q68_corpus_clean" -> ((s, d) => {
       val docs = T.documents(s, d)
-      val pairs = TextSim
-        .jaccardPairs(TextSim.shingles(docs, 3), 0.8)
-        .select(col("id1"), col("id2"))
-      val dropped = graft.functions.Components.connectedComponents(pairs)
+      val dropped = canonicalizeLsh(docs)
         .filter(col("doc_id") =!= col("canonical_id"))
         .select(col("doc_id"))
       docs
@@ -145,7 +214,23 @@ object Dedup {
     "q63_neardup_simhash" -> jaccardOracle("0.8"),
 
     // Transitive closure over the exact pair graph via recursive CTE;
-    // canonical = min over self ∪ reachable.
+    // canonical = min over self ∪ reachable. q69 (the LSH-fed
+    // production composition) produces the identical relation — exact
+    // twins are Jaccard-1.0 pairs and LSH misses at the 0.8 threshold
+    // are ≪ 1e-6 — so it shares this oracle verbatim.
+    "q69_neardup_canonical_lsh" ->
+      s"""WITH RECURSIVE pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |), e(a, b) AS (
+         |  SELECT id1, id2 FROM pr UNION SELECT id2, id1 FROM pr
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+         |)
+         |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS canonical_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
     "q67_neardup_components" ->
       s"""WITH RECURSIVE pr AS (
          |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}

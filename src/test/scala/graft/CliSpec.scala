@@ -78,6 +78,32 @@ class CliSpec extends SparkSpec {
     assert(c.port === 3307 && c.compat)
   }
 
+  test("leading SET statements split out of --query into session init") {
+    val c = Mysql2Parquet.Config(query =
+      "SET SQL_BIG_SELECTS=1; SET SQL_BUFFER_RESULT=1; SELECT * FROM users")
+    val split = Mysql2Parquet.splitInlineInit(c)
+    assert(split.query === "SELECT * FROM users")
+    assert(split.sessionInit === Some("SET SQL_BIG_SELECTS=1; SET SQL_BUFFER_RESULT=1"))
+  }
+
+  test("inline SETs append after an explicit --session-init, order preserved") {
+    val c = Mysql2Parquet.Config(
+      sessionInit = Some("SET TRANSACTION ISOLATION LEVEL READ UNCOMMITTED"),
+      query = "set sql_big_selects=1; SELECT 1")
+    val split = Mysql2Parquet.splitInlineInit(c)
+    assert(split.query === "SELECT 1")
+    assert(split.sessionInit === Some(
+      "SET TRANSACTION ISOLATION LEVEL READ UNCOMMITTED; set sql_big_selects=1"))
+  }
+
+  test("queries without a SET prefix pass through untouched") {
+    val c = Mysql2Parquet.Config(query = "SELECT offset_date FROM t WHERE note = 'SET x; y'")
+    assert(Mysql2Parquet.splitInlineInit(c) === c)
+    // SETTINGS is not SET — prefix match is on the word, not the letters
+    val c2 = Mysql2Parquet.Config(query = "SETTINGS_DUMP; SELECT 1")
+    assert(Mysql2Parquet.splitInlineInit(c2) === c2)
+  }
+
   test("parsed argv drives the real export pipeline end to end") {
     // Same embedded Derby database the JdbcDerbySpec seeds.
     val url = "jdbc:derby:memory:graftcli"
@@ -87,7 +113,10 @@ class CliSpec extends SparkSpec {
     st.execute("INSERT INTO t VALUES (1, 'a'), (2, NULL)")
     st.close(); conn.close()
 
-    val out = "/tmp/graft-cli-out"
+    // Per-run temp dir — a fixed /tmp path survives aborted runs and can
+    // hand a stale schema to a later debugging session.
+    val out = java.nio.file.Files.createTempDirectory("graft-cli-out")
+      .resolve("t").toString
     val Right(c) = Mysql2ParquetMain.parse(Array(
       s"--url=$url", "--password=pw", "--database=memory:graftcli",
       "--query=SELECT id, name FROM t", s"--parquet=$out",

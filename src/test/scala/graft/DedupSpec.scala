@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.TextSim
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Production dedup composition (round-2 verdict items 1-2): the
+  * LSH-fed canonicalization must produce the exact-fed relation, and
+  * the exact-dup collapse ahead of the sketch tiers must keep candidate
+  * volume linear when a corpus contains a mass-duplicate cluster.
+  */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("LSH-fed canonicalization equals exact-fed labels (q69 == q67)") {
+    val exact = SparkEntry.queries("q67_neardup_components")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q69_neardup_canonical_lsh")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "sf0.001 must contain planted near-dup clusters")
+    assert(lsh === exact)
+  }
+
+  test("exact-dup collapse keeps a 1000-deep identical cluster linear") {
+    // Web corpora routinely contain thousands-deep exact-dup clusters;
+    // without the collapse each of the k identical docs carries the
+    // same signature into every LSH band, producing k²/2 ≈ 500k
+    // candidate pairs from this one cluster alone. With it, the cluster
+    // contributes ONE representative and zero sketch candidates.
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    // Unique docs share NO shingles (every token is doc-specific), so
+    // any candidate volume beyond hash flukes comes from the planted
+    // cluster — the quantity under test.
+    val planted = (1L to 1000L).map(i => (i, dupText)) ++
+      (2000L until 2200L).map(i => (i, (0 until 12).map(j => s"w${i}x$j").mkString(" ")))
+    val docs = planted.toDF("doc_id", "text")
+
+    val withRep = Dedup.exactReps(docs).cache()
+    val reps = withRep.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    assert(reps.count() === 201, "1000 identical texts must collapse to one representative")
+
+    val sh = TextSim.shingles(reps, 3)
+    val cand = TextSim.bandCandidates(
+      TextSim.lshBands(TextSim.minhashSignature(sh, 128), 32, 4))
+    val nCand = cand.count()
+    assert(nCand <= reps.count(),
+      s"post-collapse candidate volume $nCand must stay linear in the rep count")
+
+    // Labels still correct: every member of the cluster maps to the
+    // cluster minimum, unique docs stay unlabeled (no pairs).
+    val labels = Dedup.canonicalizeLsh(docs).cache()
+    val cluster = labels.filter(col("doc_id") <= 1000)
+    assert(cluster.count() === 1000)
+    assert(cluster.filter(col("canonical_id") =!= 1L).count() === 0)
+    assert(labels.filter(col("doc_id") >= 2000).count() === 0,
+      "unique docs must not appear in the canonicalization relation")
+    labels.unpersist(); withRep.unpersist()
+  }
+
+  test("without the collapse the same cluster is quadratic (k=60 demo)") {
+    // Small-k demonstration of the guarded invariant's counterfactual:
+    // feeding identical docs straight into LSH yields every one of the
+    // C(k,2) pairs as candidates.
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (1L to 60L).map(i => (i, dupText)).toDF("doc_id", "text")
+    val sh = TextSim.shingles(docs, 3)
+    val unguarded = TextSim.bandCandidates(
+      TextSim.lshBands(TextSim.minhashSignature(sh, 128), 32, 4)).count()
+    assert(unguarded === 60L * 59 / 2)
+  }
+
+  test("docs shorter than the shingle width stay their own representative") {
+    // Two identical 2-word docs have empty shingle sets: the exact
+    // all-pairs relation never pairs them, so the production path must
+    // not collapse them either — bit-for-bit parity with q67's oracle.
+    val docs = Seq((1L, "hello world"), (2L, "hello world"),
+      (3L, "one two three four five")).toDF("doc_id", "text")
+    val withRep = Dedup.exactReps(docs)
+    assert(withRep.filter(col("doc_id") === col("rep_id")).count() === 3)
+    assert(Dedup.canonicalizeLsh(docs).count() === 0)
+  }
+}

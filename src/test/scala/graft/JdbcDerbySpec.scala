@@ -19,9 +19,14 @@ class JdbcDerbySpec extends SparkSpec {
   // as the reference's default user (root).
   private val dbUrl = "jdbc:derby:memory:graftjdbc"
 
+  // Per-run temp output dir (not a fixed /tmp path): aborted or
+  // concurrent runs can't leave a stale-schema parquet behind.
+  private lazy val outDir = java.nio.file.Files
+    .createTempDirectory("graft-jdbc-out").resolve("t").toString
+
   private def conf(query: String) = Mysql2Parquet.Config(
     password = "pw", database = "memory:graftjdbc", query = query,
-    parquet = "/tmp/graft-jdbc-out", url = Some(dbUrl))
+    parquet = outDir, url = Some(dbUrl))
 
   private lazy val seeded: Unit = {
     val c = DriverManager.getConnection(dbUrl + ";create=true;user=root")
@@ -100,6 +105,19 @@ class JdbcDerbySpec extends SparkSpec {
     val df = Mysql2Parquet.reader(spark, cfg).load()
     assert(df.rdd.getNumPartitions === 3)
     assert(df.select("id").collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L))
+  }
+
+  test("inline SET prefix in --query runs live, like the reference's multiStatements") {
+    seeded
+    // The reference's documented workflow is SET statements INSIDE the
+    // query string (help text main.go:41-47). Derby's SET ISOLATION is
+    // the local analog of the reference's SET TRANSACTION ISOLATION
+    // example; if the splitter were absent this whole string would be
+    // submitted as one JDBC query and fail to parse.
+    val rows = Mysql2Parquet.reader(spark,
+      conf("SET ISOLATION READ UNCOMMITTED; SELECT id, name FROM people"))
+      .load().collect()
+    assert(rows.length === 4)
   }
 
   test("JDBC write-back: a DataFrame lands in a live table and reads back") {
