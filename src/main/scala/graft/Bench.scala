@@ -37,19 +37,38 @@ object Bench {
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
-    // Human-readable per-query lines first (greppable, survives any
-    // truncation), then ONE compact machine line LAST so a tail capture
-    // keeps it whole. Round-2 verdict: the old unrounded unsorted line
-    // was large enough that the driver's tail-capture cut it mid-map
-    // two rounds running ("parsed": null). 3-decimal rounding + sorted
-    // keys keeps the full 89-query map under ~2.5 KB.
-    def r3(v: Double): String = f"$v%.3f"
+    // Truncation-proof artifact (round-3 verdict item 4): the driver
+    // captures a TAIL of stdout whose size we don't control — two
+    // rounds running, one big machine line got cut mid-map ("parsed":
+    // null). Three redundant layers, cheapest-to-parse last:
+    //   1. BENCHQ lines, one query each (greppable, any prefix loss
+    //      only drops individual queries);
+    //   2. the per-query map split into independently-parseable ≤1 KB
+    //      {"metric":"queries_part",...} lines — any chunk that
+    //      survives the tail cut parses on its own;
+    //   3. the FULL JSON written to BENCH_FULL.json next to the repo,
+    //      and a tiny totals-only JSON as the very last line (< 200 B,
+    //      whole under any plausible tail window) pointing at it.
+    // Locale.ROOT: an f-interpolator uses the JVM default locale, so a
+    // comma-decimal locale (de_DE) would emit "1,234" and corrupt every
+    // machine-parsed number here.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val sorted = results.toSeq.sortBy(_._1)
     sorted.foreach { case (k, v) => println(s"BENCHQ $k ${r3(v)}") }
-    val qs = sorted.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    val entries = sorted.map { case (k, v) => "\"" + k + "\":" + r3(v) }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    val outFile = new java.io.File("BENCH_FULL.json").getAbsoluteFile
+    java.nio.file.Files.write(outFile.toPath,
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ≤1 KB chunks: ~25 entries of ≤40 B each per line.
+    val chunks = entries.grouped(25).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${sorted.size},"queries_file":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,8 +70,16 @@ object Mysql2Parquet {
       * main.go:87-89); `url` overrides for any other JDBC endpoint —
       * the engine itself is dialect-agnostic (Spark ships the
       * dialects), and tests exercise the live path on embedded Derby.
+      * The query params are the Connector/J spelling of the reference
+      * DSN's `charset=utf8&multiStatements=true` (main.go:89) — without
+      * allowMultiQueries the reference's own documented three-SET
+      * inline-init workflow would fail at scan time, because
+      * [[splitInlineInit]] joins multiple SETs into one batched
+      * sessionInitStatement.
       */
-    def jdbcUrl: String = url.getOrElse(s"jdbc:mysql://$host:$port/$database")
+    def jdbcUrl: String = url.getOrElse(
+      s"jdbc:mysql://$host:$port/$database" +
+        "?characterEncoding=utf8&allowMultiQueries=true")
   }
 
   /** Reference parity for the documented multi-statement workflow
@@ -131,7 +139,13 @@ object Mysql2Parquet {
           .option("lowerBound", c.lowerBound)
           .option("upperBound", c.upperBound)
       case None =>
-        r = r.option("query", c.query)
+        // Same trailing-';' hazard as the partitioned branch: Spark
+        // wraps the `query` option as a derived table too
+        // (SELECT * FROM (q) SPARK_GEN_SUBQ), so the reference's
+        // documented 'SET ...; SELECT * FROM users;' example would die
+        // with a database parse error after splitInlineInit strips the
+        // SETs and leaves the final ';' behind.
+        r = r.option("query", c.query.trim.stripSuffix(";").trim)
     }
     r
   }

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase distributed ranking for LOW-CARDINALITY window partition
+  * keys (round-3 verdict item 1).
+  *
+  * `Window.partitionBy(k)` hash-partitions on k: with |k| ≈ 5 distinct
+  * values, 100 TB funnels onto 5 tasks, each sorting n/5 rows — the
+  * classic window scale-killer. The reference can't hit this (MySQL
+  * windows are single-node anyway, /root/reference/main.go:106), but a
+  * Spark re-expression must not inherit the shape.
+  *
+  * Scheme (the standard two-phase/global-ranking decomposition):
+  *   1. `repartitionByRange(P, key ++ order)` — rows land in P range
+  *      partitions that respect the GLOBAL (key, order) sort order, so
+  *      one key's rows span many partitions, each bounded by n/P.
+  *   2. Local ranks per (partition, key) via an ordinary window — its
+  *      hash exchange distributes over P×|k| keys, every group bounded
+  *      by the range-partition size (never by n/|k|).
+  *   3. Per-(partition, key) row/distinct counts — a TINY relation
+  *      (≤ P×|k| rows) — prefix-summed per key in pid order and
+  *      broadcast back as offsets. Global rank = offset + local rank.
+  *
+  * Why the per-rank algebra is exact:
+  *   - equal (key, order) tuples hash to the SAME range partition
+  *     (RangePartitioner assigns by the full tuple), so ties never
+  *     straddle a partition boundary;
+  *   - therefore every row in an earlier partition of the same key is
+  *     STRICTLY smaller: row_number/rank add the plain row-count
+  *     offset, dense_rank adds the distinct-tuple-count offset
+  *     (= max local dense_rank), and the cumulative count (for
+  *     cume_dist) adds the row-count offset to the last local row
+  *     number within the tie group.
+  *
+  * ntile / percent_rank / cume_dist derive from (rn, rnk, cume, ntot)
+  * with closed-form expressions — see [[ntileFrom]].
+  */
+object ScalableRank {
+
+  /** Appends global per-key ranking columns to `df`:
+    *   rn    — row_number over (keys; order)        (long)
+    *   rnk   — rank                                  (long)
+    *   drnk  — dense_rank                            (long)
+    *   cume  — #rows with order-tuple ≤ current      (long, for cume_dist)
+    *   ntot  — total rows for this key               (long)
+    *
+    * @param keys  window partition key column NAMES (low-cardinality —
+    *              that's the case this exists for)
+    * @param order ordering columns, direction included (e.g.
+    *              col("x").desc) — must match the ranking semantics
+    * @param tie   the same ordering columns WITHOUT direction: rows
+    *              equal on all of them are rank ties (direction is
+    *              irrelevant to equality)
+    * @param numPartitions range-partition count — the parallelism the
+    *              single-key sort is spread across
+    */
+  def withRanks(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                tie: Seq[Column], numPartitions: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    // Phase 1: order-respecting partition ids. __pid is the physical
+    // range-partition index: deterministic (RangePartitioner bounds are
+    // sampled with a fixed per-rdd seed) and monotone in (keys, order).
+    val parted = df
+      .repartitionByRange(numPartitions, (keyCols ++ order): _*)
+      .withColumn("__pid", spark_partition_id())
+    // Phase 2: local ranks. The window's exchange hashes on
+    // (__pid, keys) — P×|k| groups, each bounded by a range-partition.
+    val wLoc = Window.partitionBy(col("__pid") +: keyCols: _*).orderBy(order: _*)
+    val wTie = Window.partitionBy((col("__pid") +: keyCols) ++ tie: _*)
+    val local = parted
+      .withColumn("__ln", row_number().over(wLoc).cast("long"))
+      .withColumn("__lrk", rank().over(wLoc).cast("long"))
+      .withColumn("__ldr", dense_rank().over(wLoc).cast("long"))
+      .withColumn("__lcume", max(col("__ln")).over(wTie))
+    // Phase 3: offsets. ≤ P×|k| rows — the window below and the
+    // broadcast are on a relation the driver could print.
+    val wOff = Window.partitionBy(keyCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wKey = Window.partitionBy(keyCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = local
+      .groupBy(col("__pid") +: keyCols: _*)
+      .agg(count(lit(1)).as("__n"), max(col("__ldr")).as("__nd"))
+      // ≤ P×|k| rows: collapse to one partition BEFORE the prefix-sum
+      // windows. SinglePartition satisfies their ClusteredDistribution,
+      // so no exchange ever hash-partitions on the low-cardinality key
+      // alone — the property PlanAuditSpec pins down.
+      .coalesce(1)
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .withColumn("__doff", coalesce(sum(col("__nd")).over(wOff), lit(0L)))
+      .withColumn("ntot", sum(col("__n")).over(wKey))
+      .select((col("__pid") +: keyCols) ++ Seq(col("__off"), col("__doff"), col("ntot")): _*)
+    local
+      .join(broadcast(offsets), "__pid" +: keys)
+      .withColumn("rn", col("__off") + col("__ln"))
+      .withColumn("rnk", col("__off") + col("__lrk"))
+      .withColumn("drnk", col("__doff") + col("__ldr"))
+      .withColumn("cume", col("__off") + col("__lcume"))
+      .drop("__pid", "__ln", "__lrk", "__ldr", "__lcume", "__off", "__doff")
+  }
+
+  /** Column `/` is double division in Spark — ranking arithmetic needs
+    * floor division. floor over doubles is exact below 2^53, far above
+    * any real row count (2^53 rows ≈ 9e15).
+    */
+  private def idiv(a: Column, b: Column): Column =
+    floor(a.cast("double") / b.cast("double")).cast("long")
+
+  /** SQL-standard NTILE(t) from a global row_number and the key total:
+    * the first (ntot % t) buckets get ceil(ntot/t) rows, the rest get
+    * floor(ntot/t) — exactly Spark's and DuckDB's assignment, derived
+    * arithmetically instead of through a single-task window. When
+    * ntot < t, base = 0, but every row then satisfies rn <= cut, and
+    * CaseWhen evaluates branches lazily per row — the zero divisor is
+    * never touched.
+    */
+  def ntileFrom(rn: Column, ntot: Column, t: Int): Column = {
+    val base = idiv(ntot, lit(t))
+    val rem = ntot.cast("long") % t
+    val cut = rem * (base + 1) // rows covered by the big buckets
+    when(rn <= cut, idiv(rn - 1, base + 1) + 1)
+      .otherwise(rem + idiv(rn - cut - 1, base) + 1)
+  }
+
+  /** percent_rank = (rank - 1) / (ntot - 1), 0 for a single-row key. */
+  def percentRankFrom(rnk: Column, ntot: Column): Column =
+    when(ntot > 1, (rnk - 1).cast("double") / (ntot - 1).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** cume_dist = (#rows ≤ current) / ntot. */
+  def cumeDistFrom(cume: Column, ntot: Column): Column =
+    cume.cast("double") / ntot.cast("double")
+}

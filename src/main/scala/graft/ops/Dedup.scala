@@ -63,18 +63,22 @@ object Dedup {
     * signature into LSH instead of k identical signatures sharing every
     * band bucket (k²/2 candidate pairs). Group key is md5(text)
     * (128-bit; collision odds ~n²/2^129 are below any corpus size).
-    * Docs shorter than the 3-gram shingle width have an empty shingle
-    * set and can never pair, so they stay their own representative —
-    * keeping the output identical to the exact all-pairs relation.
+    * Docs shorter than the shingle width have an empty shingle set and
+    * can never pair, so they stay their own representative — keeping
+    * the output identical to the exact all-pairs relation. The width is
+    * a PARAMETER shared with the downstream TextSim.shingles call (not
+    * a second hardcoded constant): if the two ever diverged,
+    * sub-shingle-width exact twins would get collapsed while the oracle
+    * still treats them as unpaired, silently breaking q69.
     *
     * Output: (doc_id, text, rep_id, grp_n) — one window shuffle on the
     * text hash.
     */
-  def exactReps(docs: DataFrame): DataFrame = {
+  def exactReps(docs: DataFrame, shingleWidth: Int): DataFrame = {
     val w = Window.partitionBy(col("th"))
     docs
       .select(col("doc_id"), col("text"),
-        when(size(split(col("text"), " ")) >= 3, md5(col("text")))
+        when(size(split(col("text"), " ")) >= shingleWidth, md5(col("text")))
           .otherwise(concat(lit("uniq-"), col("doc_id"))).as("th"))
       .withColumn("rep_id", min(col("doc_id")).over(w))
       .withColumn("grp_n", count(lit(1)).over(w))
@@ -97,10 +101,11 @@ object Dedup {
     * quadratic remains on this path at 100 TB.
     */
   def canonicalizeLsh(docs: DataFrame): DataFrame = {
-    val withRep = exactReps(docs)
+    val shingleWidth = 3
+    val withRep = exactReps(docs, shingleWidth)
     val reps = withRep.filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("text"))
-    val sh = TextSim.shingles(reps, 3)
+    val sh = TextSim.shingles(reps, shingleWidth)
     val cand = TextSim.bandCandidates(
       TextSim.lshBands(TextSim.minhashSignature(sh, 128), 32, 4))
     val repPairs = TextSim.verifyJaccard(cand, sh, 0.8)

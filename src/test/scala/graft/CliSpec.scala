@@ -44,7 +44,7 @@ class CliSpec extends SparkSpec {
   test("defaults match the reference (user=root, host=127.0.0.1, port=3306)") {
     val Right(c) = Mysql2ParquetMain.parse(required): @unchecked
     assert(c.user === "root" && c.host === "127.0.0.1" && c.port === 3306)
-    assert(c.jdbcUrl === "jdbc:mysql://127.0.0.1:3306/db")
+    assert(c.jdbcUrl === "jdbc:mysql://127.0.0.1:3306/db?characterEncoding=utf8&allowMultiQueries=true")
   }
 
   test("boolean flags honor inline values and reject non-booleans") {

@@ -36,7 +36,7 @@ class DedupSpec extends SparkSpec {
       (2000L until 2200L).map(i => (i, (0 until 12).map(j => s"w${i}x$j").mkString(" ")))
     val docs = planted.toDF("doc_id", "text")
 
-    val withRep = Dedup.exactReps(docs).cache()
+    val withRep = Dedup.exactReps(docs, 3).cache()
     val reps = withRep.filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("text"))
     assert(reps.count() === 201, "1000 identical texts must collapse to one representative")
@@ -77,7 +77,7 @@ class DedupSpec extends SparkSpec {
     // not collapse them either — bit-for-bit parity with q67's oracle.
     val docs = Seq((1L, "hello world"), (2L, "hello world"),
       (3L, "one two three four five")).toDF("doc_id", "text")
-    val withRep = Dedup.exactReps(docs)
+    val withRep = Dedup.exactReps(docs, 3)
     assert(withRep.filter(col("doc_id") === col("rep_id")).count() === 3)
     assert(Dedup.canonicalizeLsh(docs).count() === 0)
   }

@@ -20,7 +20,7 @@ class Mysql2ParquetSpec extends SparkSpec {
 
   test("jdbc url mirrors the reference DSN host/port/db (main.go:89)") {
     val c = Config(host = "db.example", port = 3307, database = "prod")
-    assert(c.jdbcUrl == "jdbc:mysql://db.example:3307/prod")
+    assert(c.jdbcUrl == "jdbc:mysql://db.example:3307/prod?characterEncoding=utf8&allowMultiQueries=true")
   }
 
   test("reader carries query, sessionInit and partitioning options without touching the network") {

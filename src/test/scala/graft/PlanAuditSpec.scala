@@ -41,6 +41,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q63_neardup_simhash").contains("ShuffledHashJoin"))
   }
 
+  test("low-cardinality ranking range-partitions — never hashes on the 5-value key (q31/q35)") {
+    // The scale contract of ScalableRank (round-3 verdict item 1): the
+    // bulk data exchange must be rangepartitioning over (key, order),
+    // and NO exchange may hash-partition on the low-cardinality key
+    // alone (that is the n/5-rows-in-one-task shape). The local-rank
+    // window hashes on (__pid, key) — P×|k| groups — which is the
+    // allowed composite form.
+    for ((q, key) <- Seq("q31_ranking" -> "o_orderpriority",
+                         "q35_distribution" -> "o_orderstatus")) {
+      val p = plan(q)
+      assert(p.contains("rangepartitioning("),
+        s"$q: expected a range-partitioned exchange")
+      assert(!s"hashpartitioning\\($key#".r.unanchored.matches(p),
+        s"$q: an exchange hash-partitions on the low-cardinality key $key")
+    }
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would
