@@ -54,18 +54,26 @@ object Components {
       val neighborMin = edges
         .join(labels, edges("b") === labels("id"))
         .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
-      // lazy checkpoint: the convergence count below is the single
-      // action that both materializes `next` and measures progress.
+      // The convergence signal rides the SAME action that materializes
+      // the superstep: a changed flag is computed in the label-update
+      // projection and summed via Dataset.observe, delivered when the
+      // eager checkpoint's job completes. One action, one pass per
+      // superstep — the previous shape (lazy checkpoint + a separate
+      // next⋈labels count) re-joined and re-shuffled 2× the label
+      // relation every superstep just to count changes, a full extra
+      // pass over labels at 100 TB (round-3 verdict item 7; asserted
+      // by the job-count guard in ComponentsSpec).
+      val obs = org.apache.spark.sql.Observation(s"graft-cc-$iter")
       val next = ck(labels
         .join(neighborMin, labels("id") === neighborMin("a"), "left_outer")
         .select(col("id"),
-                least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")),
-        eager = false)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
-      labels = next
+                least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+                (coalesce(col("ncomp"), col("comp")) < col("comp"))
+                  .cast("long").as("__chg"))
+        .observe(obs, sum(col("__chg")).as("nchg")),
+        eager = true)
+      changed = Option(obs.get("nchg")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      labels = next.drop("__chg")
       iter += 1
     }
     require(changed == 0,
