@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.T
+import graft.functions.ScalableRank
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -17,14 +18,17 @@ import org.apache.spark.sql.functions._
   * join so the O(pairs) stage only multiplies and sums.
   *
   * Scale tiers:
-  *  - q64 blocks the pair space by an existing coarse key (label) — the
-  *    IVF idea with a given quantizer; pairs never cross blocks.
+  *  - q64 blocks the pair space by an existing coarse key (label), with
+  *    the in-block pair enumeration CHUNKED so one dominant label can
+  *    never concentrate its quadratic pair set in one task (see
+  *    [[chunkedPairs]]).
   *  - q65 is brute-force top-k for a bounded query set: the query side
   *    is broadcast, the corpus side streams, so cost is |Q|·n with no
   *    shuffle of the corpus.
-  *  - q66 is IVF with *learned* centroids (per-label means) and
-  *    nprobe=4 — the approximate path whose recall is asserted against
-  *    q65 in ScalaTest (no SQL oracle: result depends on probe choice).
+  *  - q66 is IVF with centroids LEARNED by label-free deterministic
+  *    Lloyd kmeans ([[kmeansCentroids]]) and nprobe=4 — the approximate
+  *    path whose recall is asserted against q65 in ScalaTest (no SQL
+  *    oracle: result depends on probe choice).
   */
 object VectorOps {
   type Q = (SparkSession, String) => DataFrame
@@ -44,14 +48,121 @@ object VectorOps {
 
   private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
+  /** All within-label pairs (id1 < id2) with cosine, via the blocked
+    * triangle join (round-3 verdict item 3).
+    *
+    * A plain label-equality self-join bounds the pair space only by
+    * label cardinality: one dominant label — routine in real corpora —
+    * lands its entire quadratic pair set on the single task that owns
+    * that join key. Here each label's rows are split into rank-ordered
+    * chunks of `chunkSize` (the rank itself computed scalably —
+    * ScalableRank, because a label is exactly a low-cardinality key),
+    * and the pair space is enumerated per chunk-cell: side A replicates
+    * a chunk-i row to every target cell (i, j≥i), side B replicates a
+    * chunk-j row to every cell (i≤j, j), and the join key is
+    * (label, i, j). Every unordered pair lands in exactly one cell
+    * (chunks are id-ordered, so cross-chunk pairs are already
+    * id1 < id2), and every cell holds ≤ chunkSize² candidate pairs NO
+    * MATTER how large the label — the skew guard VectorOpsSpec asserts.
+    * The replication factor is ~(blockRows/chunkSize)/2 per side —
+    * the standard square-block decomposition trade of replication for
+    * bounded per-task work.
+    *
+    * Returns id1, id2, cos plus the (__lbl, __ci, __cj) cell the pair
+    * was enumerated in (for the spec's skew audit; queries project it
+    * away).
+    */
+  def chunkedPairs(e: DataFrame, chunkSize: Int): DataFrame = {
+    val p = e.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranked = ScalableRank.withRanks(
+      e.select(col("vec_id"), col("label"), col("v"), col("nrm")),
+      keys = Seq("label"), order = Seq(col("vec_id")), tie = Seq(col("vec_id")),
+      numPartitions = p)
+      .withColumn("__chunk", floor((col("rn") - 1) / chunkSize).cast("long"))
+      .withColumn("__nchunks", floor((col("ntot") - 1) / chunkSize).cast("long") + 1)
+    val a = ranked.select(
+      col("vec_id").as("id1"), col("label").as("__lbl"),
+      col("v").as("v1"), col("nrm").as("n1"), col("__chunk").as("__ci"),
+      explode(sequence(col("__chunk"), col("__nchunks") - 1)).as("__cj"))
+    val b = ranked.select(
+      col("vec_id").as("id2"), col("label").as("__lbl2"),
+      col("v").as("v2"), col("nrm").as("n2"), col("__chunk").as("__cjb"),
+      explode(sequence(lit(0L), col("__chunk"))).as("__cib"))
+    a.join(b,
+        col("__lbl") === col("__lbl2") && col("__ci") === col("__cib") &&
+          col("__cj") === col("__cjb") && col("id1") < col("id2"))
+      .withColumn("cos", dot("v1", "v2") / (col("n1") * col("n2")))
+      .select(col("id1"), col("id2"), col("cos"),
+              col("__lbl"), col("__ci"), col("__cj"))
+  }
+
+  /** Deterministic label-free Lloyd kmeans over the embedding column,
+    * entirely as DataFrame aggregations (round-3 verdict item 2 — real
+    * IVF must not depend on a label column a real corpus doesn't
+    * have).
+    *
+    *  - init: the k vectors that sort first by md5(vec_id) — a fixed
+    *    pseudo-random draw, no RNG state;
+    *  - assign: argmin over squared distance via min(struct(dist,
+    *    cell)) — a partial-aggregable groupBy, NOT a window, so the
+    *    map side combines n·k rows down to n before any shuffle;
+    *  - update: per-(cell, position) avg — k·dim groups whose shuffle
+    *    carries only map-side partials, safe at any corpus size;
+    *  - empty cells keep their previous centroid (deterministic);
+    *  - fixed iteration count; each iteration's centroid relation
+    *    (k rows) is eagerly localCheckpoint'ed to truncate the
+    *    iterative lineage.
+    *
+    * Returns (cell, cv, cn): cell id, centroid vector, centroid norm.
+    */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val wInit = Window.orderBy(col("__h"), col("vec_id"))
+    var cent = e
+      .select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(k)
+      // k rows: the init window runs on a single task by construction
+      .select(row_number().over(wInit).as("cell"), col("v").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(e, cent)
+      val updated = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), expr("transform(pm, x -> x.m)").as("cvnew"))
+      cent = cent
+        .join(updated, Seq("cell"), "left_outer")
+        .select(col("cell"), coalesce(col("cvnew"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cent.withColumn("cn", sqrt(expr("graft_dot(cv, cv)")))
+  }
+
+  /** Nearest-centroid assignment: broadcast the k centroids, compute
+    * squared distance per (vector, cell), and take the argmin with a
+    * partial-aggregable min(struct(dist, cell)) groupBy — one keyed
+    * shuffle of n rows (post-combine), never a low-cardinality window.
+    * Ties break to the lowest cell id (struct ordering), so the
+    * assignment is deterministic.
+    */
+  def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent.select(col("cell"), col("cv"))))
+      .withColumn("__d2",
+        dot("v", "v") - lit(2.0) * dot("v", "cv") + dot("cv", "cv"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+           min(struct(col("__d2"), col("cell"))).as("__mc"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("__mc.cell").as("cell"))
+
   val queries: Map[String, Q] = Map(
-    // Label-blocked near-duplicate pairs by cosine ≥ 0.35.
+    // Label-blocked near-duplicate pairs by cosine ≥ 0.35 — enumerated
+    // through the chunked triangle join so a dominant label stays
+    // distributed (chunkSize 64 exercises the multi-chunk path on the
+    // test corpus; at 100 TB pick chunkSize ≈ sqrt of the per-task
+    // pair budget).
     "q64_embedding_neardup" -> ((s, d) => {
-      val e = emb(s, d)
-      val a = e.select(col("vec_id").as("id1"), col("label"), col("v").as("v1"), col("nrm").as("n1"))
-      val b = e.select(col("vec_id").as("id2"), col("label").as("label2"), col("v").as("v2"), col("nrm").as("n2"))
-      a.join(b, col("label") === col("label2") && col("id1") < col("id2"))
-        .withColumn("cos", dot("v1", "v2") / (col("n1") * col("n2")))
+      chunkedPairs(emb(s, d), chunkSize = 64)
         .filter(col("cos") >= 0.35)
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos_sim"))
         .orderBy(col("id1"), col("id2"))
@@ -74,32 +185,29 @@ object VectorOps {
         .orderBy(col("q_id"), col("rn"))
     }),
 
-    // IVF-style approximate top-k: centroids = per-label mean vectors,
-    // probe the nprobe=4 closest centroids per query, exact search
-    // within probed cells only. At 100 TB the corpus is partitioned by
-    // cell, so a query touches nprobe partitions instead of all data.
+    // IVF approximate top-k: k=10 centroids learned by label-free
+    // deterministic kmeans, corpus indexed by nearest centroid, each
+    // query probes its nprobe=4 closest cells and searches exactly
+    // within them. At 100 TB the corpus is partitioned by cell, so a
+    // query touches nprobe partitions instead of all data — and the
+    // index build (assignCells) is a broadcast + one keyed shuffle.
     "q66_ann_topk_ivf" -> ((s, d) => {
       val e = emb(s, d)
-      // centroids: elementwise mean per label, reassembled in position order
-      val cent = e.select(col("label"), posexplode(col("v")))
-        .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("m"))
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("label").as("c_label"),
-                expr("transform(pm, x -> x.m)").as("cv"))
-        .withColumn("cn", sqrt(expr("graft_dot(cv, cv)")))
-      val q = e.filter(col("vec_id") < 5)
+      val cent = kmeansCentroids(e, k = 10, iters = 4)
+      val corpus = assignCells(e, cent)
+      val q = corpus.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      // nprobe=4 nearest centroids per query
-      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("c_label"))
+      // nprobe=4 nearest centroids per query (|Q|·k rows, both bounded)
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
       val probes = broadcast(q.crossJoin(broadcast(cent))
         .withColumn("ccos", dot("qv", "cv") / (col("qn") * col("cn")))
         .withColumn("pr", row_number().over(wProbe))
         .filter(col("pr") <= 4)
-        .select(col("q_id"), col("qv"), col("qn"), col("c_label")))
-      val c = e.select(col("vec_id").as("id2"), col("label"), col("v").as("v2"), col("nrm").as("n2"))
+        .select(col("q_id"), col("qv"), col("qn"), col("cell")))
+      val c = corpus.select(col("vec_id").as("id2"), col("cell").as("cell2"),
+                            col("v").as("v2"), col("nrm").as("n2"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id2"))
-      probes.join(c, col("c_label") === col("label") && col("q_id") =!= col("id2"))
+      probes.join(c, col("cell") === col("cell2") && col("q_id") =!= col("id2"))
         .withColumn("cos", dot("qv", "v2") / (col("qn") * col("n2")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
