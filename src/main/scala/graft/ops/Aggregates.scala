@@ -125,9 +125,12 @@ object Aggregates {
         .orderBy(col("o_orderpriority"))),
 
     // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    // quantile_cont). At 100 TB prefer approx_percentile (t-digest,
-    // mergeable, single pass); the exact form shown here shuffles the
-    // group's values — used where exactness is the contract.
+    // quantile_cont). At 100 TB prefer approx_percentile (mergeable
+    // single-pass sketch) — its rank-accuracy contract is TESTED in
+    // ExtensibilitySpec ("approx_percentile lands within rank
+    // tolerance"), mirroring the q21 HLL precedent. The exact form
+    // shown here shuffles the group's values — used where exactness is
+    // the contract.
     "q29_percentiles" -> ((s, d) =>
       // both l_quantity percentiles come from ONE percentile buffer
       // (array form) instead of two copies of the same value-count map

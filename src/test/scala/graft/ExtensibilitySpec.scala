@@ -48,4 +48,31 @@ class ExtensibilitySpec extends SparkSpec {
     val approx = r.getLong(1).toDouble
     assert(math.abs(approx - exact) / exact <= 0.05, s"exact=$exact approx=$approx")
   }
+
+  test("approx_percentile lands within rank tolerance of exact (the 100 TB percentile path)") {
+    // The scale twin of q29's exact percentile (Aggregates.scala):
+    // approx_percentile's sketch is single-pass and mergeable, so it is
+    // the form a 100 TB aggregation must use. Its contract is RANK
+    // accuracy: with accuracy parameter B, the returned value's rank is
+    // within n/B of the target rank — assert exactly that (not value
+    // closeness, which the contract doesn't promise on skewed data).
+    val accuracy = 1000
+    val li = T.lineitem(spark, sf001).select(col("l_returnflag"), col("l_extendedprice"))
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(expr(s"approx_percentile(l_extendedprice, array(0.5D, 0.9D), $accuracy)").as("ap"),
+           count(lit(1)).as("n"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows; (p, i) <- Seq(0.5, 0.9).zipWithIndex) {
+      val flag = r.getString(0)
+      val v = r.getSeq[Double](1)(i)
+      val n = r.getLong(2).toDouble
+      // measured rank of the returned value within its group
+      val below = li.filter(col("l_returnflag") === flag)
+        .filter(col("l_extendedprice") <= v).count().toDouble
+      val rankErr = math.abs(below / n - p)
+      assert(rankErr <= 1.0 / accuracy * 10 + 1.0 / n,
+        s"group $flag p$p: rank error $rankErr exceeds tolerance (n=$n, v=$v)")
+    }
+  }
 }

@@ -145,6 +145,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("checkpoint recovery: a restarted query resumes exactly-once, state intact") {
+    import spark.implicits._
+    // The operational property a 100 TB stream actually needs (round-3
+    // verdict item 6): kill a query, restart from the SAME checkpoint,
+    // and the resumed run must (a) not re-emit data the first run
+    // already committed (file-sink exactly-once), and (b) remember the
+    // first run's dedup STATE — a re-delivered event from before the
+    // restart must still be dropped by the recovered state store.
+    val in = java.nio.file.Files.createTempDirectory("ckpt_in").toString
+    val out = java.nio.file.Files.createTempDirectory("ckpt_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("ckpt_ck").toString
+    val batch1 = Seq(Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+                     Ev(2, ts("2024-01-01 00:06:00"), 1, "view", 2.0),
+                     Ev(3, ts("2024-01-01 00:07:00"), 2, "click", 3.0))
+    // batch2 re-delivers event 2 (must be dropped by RECOVERED state)
+    // and adds two new events
+    val batch2 = Seq(Ev(2, ts("2024-01-01 00:06:00"), 1, "view", 2.0),
+                     Ev(4, ts("2024-01-01 00:08:00"), 2, "view", 4.0),
+                     Ev(5, ts("2024-01-01 00:09:00"), 3, "click", 5.0))
+    val schema = batch1.toDF().schema
+    // the file source lists leaf files; each delivery is its own file
+    // set inside the watched directory
+    def start() = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(in)
+      .dropDuplicates("event_id")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .start()
+
+    batch1.toDF().write.mode("append").parquet(s"$in/b1")
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop() // kill after the first delivery
+
+    batch2.toDF().write.mode("append").parquet(s"$in/b2")
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(out).select("event_id").collect()
+      .map(_.getLong(0)).toSeq
+    // exactly-once across the restart: every id exactly once, and the
+    // re-delivered id 2 appears once despite arriving in both runs
+    assert(got.sorted == Seq(1L, 2L, 3L, 4L, 5L),
+      s"resumed output must equal the uninterrupted union exactly once, got $got")
+  }
+
   test("stream-stream join pairs purchases with in-window clicks only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
