@@ -41,39 +41,56 @@ import org.apache.spark.sql.functions._
 object ScalableRank {
 
   /** Appends global per-key ranking columns to `df`:
-    *   rn    — row_number over (keys; order)        (long)
-    *   rnk   — rank                                  (long)
-    *   drnk  — dense_rank                            (long)
-    *   cume  — #rows with order-tuple ≤ current      (long, for cume_dist)
-    *   ntot  — total rows for this key               (long)
+    *   rn    — row_number over (keys; order ++ suffix)  (long)
+    *   rnk   — rank over (keys; order)                   (long)
+    *   drnk  — dense_rank over (keys; order)             (long)
+    *   cume  — #rows with order-tuple ≤ current          (long, for cume_dist)
+    *   ntot  — total rows for this key                   (long)
     *
-    * @param keys  window partition key column NAMES (low-cardinality —
-    *              that's the case this exists for)
-    * @param order ordering columns, direction included (e.g.
-    *              col("x").desc) — must match the ranking semantics
-    * @param tie   the same ordering columns WITHOUT direction: rows
-    *              equal on all of them are rank ties (direction is
-    *              irrelevant to equality)
+    * @param keys   window partition key column NAMES (low-cardinality —
+    *               that's the case this exists for)
+    * @param order  the rank-DEFINING ordering columns, direction
+    *               included (e.g. col("x").desc): rows equal on all of
+    *               them are rank ties. The range partitioning uses
+    *               exactly these, so a tie group never straddles a
+    *               partition — the invariant the offset algebra needs.
+    *               (Consequence: one tie group is one partition's work;
+    *               a rank tie IS a single rank, that's inherent.)
+    * @param suffix extra directed columns completing a UNIQUE total
+    *               order for row_number/ntile determinism; excluded
+    *               from rank/dense_rank tie semantics and from the
+    *               range partitioning. Empty if `order` is unique
+    *               (then rnk == rn and drnk == rn).
+    * @param tie    the `order` columns WITHOUT direction (for the
+    *               tie-group window; direction is irrelevant to
+    *               equality)
     * @param numPartitions range-partition count — the parallelism the
-    *              single-key sort is spread across
+    *               single-key sort is spread across
     */
   def withRanks(df: DataFrame, keys: Seq[String], order: Seq[Column],
-                tie: Seq[Column], numPartitions: Int): DataFrame = {
+                tie: Seq[Column], numPartitions: Int,
+                suffix: Seq[Column] = Nil): DataFrame = {
     val keyCols = keys.map(col)
     // Phase 1: order-respecting partition ids. __pid is the physical
     // range-partition index: deterministic (RangePartitioner bounds are
-    // sampled with a fixed per-rdd seed) and monotone in (keys, order).
+    // sampled with a fixed per-rdd seed, and partition assignment is a
+    // pure function of the (keys, order) tuple — equal tuples always
+    // land together) and monotone in (keys, order).
     val parted = df
       .repartitionByRange(numPartitions, (keyCols ++ order): _*)
       .withColumn("__pid", spark_partition_id())
     // Phase 2: local ranks. The window's exchange hashes on
     // (__pid, keys) — P×|k| groups, each bounded by a range-partition.
-    val wLoc = Window.partitionBy(col("__pid") +: keyCols: _*).orderBy(order: _*)
+    // rank = row_number of the tie group's first row (min over the tie
+    // window); dense_rank orders by the tie-defining columns only.
+    val wLoc = Window.partitionBy(col("__pid") +: keyCols: _*)
+      .orderBy(order ++ suffix: _*)
+    val wDense = Window.partitionBy(col("__pid") +: keyCols: _*).orderBy(order: _*)
     val wTie = Window.partitionBy((col("__pid") +: keyCols) ++ tie: _*)
     val local = parted
       .withColumn("__ln", row_number().over(wLoc).cast("long"))
-      .withColumn("__lrk", rank().over(wLoc).cast("long"))
-      .withColumn("__ldr", dense_rank().over(wLoc).cast("long"))
+      .withColumn("__ldr", dense_rank().over(wDense).cast("long"))
+      .withColumn("__lrk", min(col("__ln")).over(wTie))
       .withColumn("__lcume", max(col("__ln")).over(wTie))
     // Phase 3: offsets. ≤ P×|k| rows — the window below and the
     // broadcast are on a relation the driver could print.
