@@ -92,6 +92,18 @@ object ScalableRank {
       .withColumn("__ldr", dense_rank().over(wDense).cast("long"))
       .withColumn("__lrk", min(col("__ln")).over(wTie))
       .withColumn("__lcume", max(col("__ln")).over(wTie))
+      // CRITICAL: materialize ONCE (lazily). The offsets below are a
+      // second consumer of this plan; without materialization each
+      // consumer re-executes the range exchange, and because
+      // spark_partition_id() is nondeterministic Catalyst will not
+      // always reuse the exchange — re-sampled range boundaries can
+      // then assign DIFFERENT __pid values on the two sides, silently
+      // corrupting every offset. The checkpoint stores the ranked
+      // relation in executor block storage — the same order of cost as
+      // the window's own shuffle files (on a cluster with lossy
+      // executors, swap for .checkpoint with a reliable dir, exactly
+      // as Components documents).
+      .localCheckpoint(false)
     // Phase 3: offsets. ≤ P×|k| rows — the window below and the
     // broadcast are on a relation the driver could print.
     val wOff = Window.partitionBy(keyCols: _*).orderBy(col("__pid"))
@@ -117,6 +129,50 @@ object ScalableRank {
       .withColumn("drnk", col("__doff") + col("__ldr"))
       .withColumn("cume", col("__off") + col("__lcume"))
       .drop("__pid", "__ln", "__lrk", "__ldr", "__lcume", "__off", "__doff")
+  }
+
+  /** Appends a global per-key running sum of `value` over `order`
+    * (ROWS UNBOUNDED PRECEDING .. CURRENT ROW) as column `rsum` — the
+    * same two-phase decomposition as [[withRanks]]: local running sums
+    * per range partition plus broadcast prefix-summed partition totals.
+    *
+    * This is the building block for value-RANGE frames over
+    * low-cardinality keys (q33): a trailing-range count is the
+    * difference of two cumulative counts, each obtainable from a
+    * running sum over a probe-row union (see ops/Windows.scala).
+    *
+    * Rows equal on the full `order` tuple are co-located (range
+    * partitioning is by the tuple), but their mutual order is
+    * arbitrary — among tied rows the per-row running sum is only
+    * deterministic if tied rows carry equal contributions (e.g. the
+    * probe rows of a cumulative-count union, which contribute 0) or if
+    * `order` is unique. Callers own that invariant.
+    */
+  def withRunningSum(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                     value: Column, numPartitions: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    val parted = df
+      .repartitionByRange(numPartitions, (keyCols ++ order): _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLoc = Window.partitionBy(col("__pid") +: keyCols: _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // same single-materialization requirement as withRanks: the offsets
+    // join is a second consumer of the pid-bearing plan
+    val local = parted.withColumn("__lrs", sum(value).over(wLoc))
+      .localCheckpoint(false)
+    val wOff = Window.partitionBy(keyCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col("__pid") +: keyCols: _*)
+      .agg(sum(value).as("__t"))
+      .coalesce(1) // ≤ P×|k| rows; SinglePartition, no key-only exchange
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select((col("__pid") +: keyCols) :+ col("__off"): _*)
+    local
+      .join(broadcast(offsets), "__pid" +: keys)
+      .withColumn("rsum", col("__off") + col("__lrs"))
+      .drop("__pid", "__lrs", "__off")
   }
 
   /** Column `/` is double division in Spark — ranking arithmetic needs

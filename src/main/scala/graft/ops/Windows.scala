@@ -99,20 +99,42 @@ object Windows {
     }),
 
     // Frames: running total (ROWS UNBOUNDED), moving average (ROWS 2
-    // PRECEDING), and a value-RANGE frame over a numeric order key.
+    // PRECEDING) — both over the high-cardinality custkey, where the
+    // plain window is the right plan — and a value-RANGE frame whose
+    // partition key is o_orderpriority (5 values): the same
+    // low-cardinality shape as q31/q35. The trailing-range count is
+    // decomposed as a difference of cumulative counts,
+    //   n_near(v) = cnt_le(v) − cnt_le(v − 1001),
+    // each read off ONE scalable running sum over a union of data rows
+    // (weight 1) and per-row probe rows at v−1001 (weight 0, sorted
+    // after data rows of equal value so ≤ is inclusive) — probes tie
+    // only with other probes, so the running sum stays deterministic.
     "q33_frames" -> ((s, d) => {
+      val o = T.orders(s, d)
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // keep the key under its real name so PlanAuditSpec's negative
+      // assertion (no hashpartitioning on it) stays meaningful
+      val data = o.select(col("o_orderkey").as("jk"), col("o_orderpriority"),
+        col("o_orderkey").as("val"), lit(1L).as("w"), lit(0).as("probe"))
+      val probes = o.select(col("o_orderkey").as("jk"), col("o_orderpriority"),
+        (col("o_orderkey") - 1001).as("val"), lit(0L).as("w"), lit(1).as("probe"))
+      val near = ScalableRank.withRunningSum(
+          data.unionAll(probes), Seq("o_orderpriority"),
+          Seq(col("val"), col("probe")), col("w"), p)
+        .groupBy(col("jk"))
+        .agg((max(when(col("probe") === 0, col("rsum"))) -
+              max(when(col("probe") === 1, col("rsum")))).as("n_near_keys"))
       val wOrd = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       val run = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val mov = wOrd.rowsBetween(-2, Window.currentRow)
-      val rng = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
-        .rangeBetween(-1000, Window.currentRow)
-      T.orders(s, d)
-        .select(
+      o.select(
           col("o_custkey"), col("o_orderkey"),
           round(sum(col("o_totalprice")).over(run), 2).as("run_total"),
-          round(avg(col("o_totalprice")).over(mov), 4).as("mov_avg3"),
-          count(lit(1)).over(rng).as("n_near_keys"))
+          round(avg(col("o_totalprice")).over(mov), 4).as("mov_avg3"))
+        .join(near, col("o_orderkey") === col("jk"))
+        .select(col("o_custkey"), col("o_orderkey"),
+                col("run_total"), col("mov_avg3"), col("n_near_keys"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
