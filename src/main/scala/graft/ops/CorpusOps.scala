@@ -184,6 +184,29 @@ object CorpusOps {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // Sequence packing: assign docs to fixed-token-budget training
+    // shards (capacity 256) in deterministic doc_id order — the
+    // contiguous-fill sharding a pretraining loader consumes, with the
+    // byte offset of each doc inside its shard. The global cumulative
+    // token count is the textbook "empty partitionBy" window — 100 TB
+    // through ONE task if written naively — so it runs through
+    // ScalableRank.withRunningSum under a constant key: range-partition
+    // by doc_id, local running sums, broadcast prefix offsets.
+    "q90_seq_packing" -> ((s, d) => {
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val docs = T.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          lit(0).as("g"))
+      graft.functions.ScalableRank
+        .withRunningSum(docs, Seq("g"), Seq(col("doc_id")), col("n_tok"), p)
+        .withColumn("start", col("rsum") - col("n_tok"))
+        .select(col("doc_id"), col("n_tok"),
+          floor(col("start") / 256.0).cast("long").as("shard_id"),
+          (col("start") - floor(col("start") / 256.0).cast("long") * 256L).as("shard_off"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: docs sharing any 5-gram with the eval
     // set (doc_id < 20 stands in). Benchmark shingles broadcast — the
     // corpus side never shuffles.
@@ -213,6 +236,22 @@ object CorpusOps {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q90_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           - n_tok AS start
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tok,
+        |       CAST(floor(start / 256.0) AS BIGINT) AS shard_id,
+        |       CAST(start - CAST(floor(start / 256.0) AS BIGINT) * 256 AS BIGINT) AS shard_off
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q82_winnow_fingerprint" ->
       """WITH g AS (
         |  SELECT doc_id, i - 1 AS pos,

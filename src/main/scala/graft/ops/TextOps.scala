@@ -139,6 +139,50 @@ object TextOps {
           substring(md5(lower(trim(col("text")))), 1, 16).as("fp_short"))
         .orderBy(col("doc_id"))),
 
+    // CCNet-style fluency proxy: per-doc mean unigram log-probability
+    // under the corpus's own unigram model — the cheap stand-in for LM
+    // perplexity filtering when no external model is available. Shapes:
+    // token explode (projection), vocabulary-keyed count agg, ONE
+    // scalar broadcast (corpus token total), token⋈vocab join keyed by
+    // the vocabulary (same posture as q84's tf-idf), doc-keyed avg.
+    // keep splits at a fixed ln-prob threshold (−3.6 sits in a gap of
+    // the score distribution ≥0.019 wide at both test SFs, so the flag
+    // is robust to cross-engine ULP drift; the score itself is an avg
+    // of logs — noisy doubles, safe to round).
+    "q91_unigram_logprob" -> ((s, d) => {
+      val tok = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n = vocab.agg(sum(col("c")).cast("double").as("n"))
+      tok.join(vocab, "w").crossJoin(broadcast(n))
+        .groupBy(col("doc_id"))
+        .agg(avg(log(col("c").cast("double") / col("n"))).as("lp"))
+        .select(col("doc_id"), round(col("lp"), 4).as("logprob"),
+          when(col("lp") >= -3.6, 1).otherwise(0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Lexical diversity: type-token ratio and hapax rate per doc — the
+    // classic gibberish/boilerplate signals. Ratios are emitted in
+    // basis points via exact INTEGER division ((10000·a) div b): a
+    // small-denominator rational rounded to 4 decimals can land
+    // exactly on the .xxxx5 engine-disagreement boundary (7/32 =
+    // 0.21875), so no float rounding touches these columns at all.
+    "q92_lexical_diversity" -> ((s, d) => {
+      val cw = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cw"))
+      cw.groupBy(col("doc_id"))
+        .agg(sum(col("cw")).as("n_tok"),
+             count(lit(1)).as("n_types"),
+             sum(when(col("cw") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"),
+          col("n_tok").cast("long").as("n_tok"), col("n_types"), col("n_hapax"),
+          expr("(10000 * n_types) div n_tok").as("ttr_bp"),
+          expr("(10000 * n_hapax) div n_types").as("hapax_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus token histogram via explode (the UDTF/lateral surface —
     // SURVEY §2.2: explode/posexplode stand in for generators). The
     // explode is a projection; the only shuffle is the token groupBy,
@@ -156,6 +200,35 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "q70_lang_id" -> langIdSql,
     "q71_text_quality" -> qualitySql,
+
+    "q91_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), vocab AS (
+        |  SELECT w, count(*) AS c FROM tok GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab
+        |), s AS (
+        |  SELECT doc_id, avg(ln(CAST(c AS DOUBLE) / n.n)) AS lp
+        |  FROM tok JOIN vocab USING (w), n GROUP BY doc_id
+        |)
+        |SELECT doc_id, round(lp, 4) AS logprob,
+        |       CASE WHEN lp >= -3.6 THEN 1 ELSE 0 END AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q92_lexical_diversity" ->
+      """WITH cw AS (
+        |  SELECT doc_id, w, count(*) AS cw
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(cw) AS BIGINT) AS n_tok,
+        |       count(*) AS n_types,
+        |       CAST(sum(CASE WHEN cw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       (10000 * count(*)) // CAST(sum(cw) AS BIGINT) AS ttr_bp,
+        |       (10000 * CAST(sum(CASE WHEN cw = 1 THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS hapax_bp
+        |FROM cw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q72_token_count" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tok,
