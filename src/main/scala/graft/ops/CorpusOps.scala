@@ -170,17 +170,22 @@ object CorpusOps {
     // Deterministic stratified sampling: a fixed-size uniform sample
     // per stratum, chosen by hash order (not data order, not RNG
     // state) — reproducible across engines, runs, and cluster sizes;
-    // the standard way to carve an eval subset per language. One
-    // stratum-keyed window; the hash salt includes the stratum so
-    // samples across strata are independent.
+    // the standard way to carve an eval subset per language. The
+    // stratum (lang) is a LOW-cardinality key, so the per-stratum
+    // ranking runs through ScalableRank like q31/q35 — a plain
+    // stratum-keyed window would put n/|langs| rows in one task. The
+    // hash salt includes the stratum so samples across strata are
+    // independent.
     "q89_stratified_sample" -> ((s, d) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
-      T.documents(s, d)
-        .withColumn("hk",
-          h32(concat(col("lang"), lit(":"), col("doc_id").cast("string"))))
-        .withColumn("rn", row_number().over(w))
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val hashed = T.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          h32(concat(col("lang"), lit(":"), col("doc_id").cast("string"))).as("hk"))
+      graft.functions.ScalableRank
+        .withRanks(hashed, Seq("lang"), Seq(col("hk"), col("doc_id")),
+          Seq(col("hk"), col("doc_id")), p)
         .filter(col("rn") <= 10)
-        .select(col("lang"), col("rn"), col("doc_id"))
+        .select(col("lang"), col("rn").cast("int").as("rn"), col("doc_id"))
         .orderBy(col("lang"), col("rn"))
     }),
 

@@ -54,7 +54,8 @@ class PlanAuditSpec extends SparkSpec {
     // partition counts in ScalableRankSpec.
     for ((q, key) <- Seq("q31_ranking" -> "o_orderpriority",
                          "q35_distribution" -> "o_orderstatus",
-                         "q33_frames" -> "o_orderpriority")) {
+                         "q33_frames" -> "o_orderpriority",
+                         "q89_stratified_sample" -> "lang")) {
       val p = plan(q)
       assert(p.contains("rangepartitioning("),
         s"$q: expected a range-partitioned exchange")
