@@ -41,6 +41,20 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("label-free kmeans IVF is run-to-run deterministic") {
+    // The q66 contract says DETERMINISTIC kmeans (md5-ordered init,
+    // fixed iterations, argmin tie-break by cell id, empty-cell
+    // carryover). Two independent end-to-end runs must emit identical
+    // rows — if any stage leaked RNG state or partition-order
+    // dependence, this flags it.
+    val a = VectorOps.queries("q66_ann_topk_ivf")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    val b = VectorOps.queries("q66_ann_topk_ivf")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("chunked pair enumeration equals the naive label join and bounds every cell") {
     import spark.implicits._
     graft.functions.VectorKernels.ensureRegistered(spark)
