@@ -71,6 +71,21 @@ class ScalableRankSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("withRunningSum matches the plain cumulative window across partition counts") {
+    val exp = df.select(col("key"), col("id"),
+        sum(col("value")).over(Window.partitionBy(col("key"))
+          .orderBy(col("value"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = ScalableRank.withRunningSum(
+          df, Seq("key"), Seq(col("value"), col("id")), col("value"), parts)
+        .select(col("key"), col("id"), col("rsum"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == exp, s"parts=$parts")
+    }
+  }
+
   test("descending order and single-row keys are handled") {
     val gotDesc = twoPhase(desc = true, 7)
       .select(col("key"), col("id"), col("rn")).collect()
