@@ -225,7 +225,80 @@ object CorpusOps {
         .agg(countDistinct(col("g")).as("n_hit_shingles"),
              countDistinct(col("bench_id")).as("n_bench_docs"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Domain mixing (DoReMi/Pile-style mixture reweighting): each
+    // source gets a target share (basis points) of a half-corpus
+    // budget; the per-source sampling rate is exact integer arithmetic
+    // and membership is a deterministic md5 cut, so the mix is
+    // reproducible across engines, runs, and cluster sizes and stable
+    // under corpus growth. Shapes: one tiny source-keyed agg (domain
+    // cardinality rows), a broadcast rate join, one pass over the
+    // corpus — no wide shuffle of the 100 TB side. kept_id_sum pins
+    // the exact sampled membership, not just its size.
+    "q93_domain_mix" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val budget = counts.agg(expr("sum(n_docs) div 2").as("budget"))
+      val rates = counts.crossJoin(broadcast(budget))
+        .withColumn("w_bp",
+          when(col("source") === "src0", 2000L)
+            .when(col("source") === "src1", 1500L)
+            .when(col("source") === "src2", 1000L)
+            .otherwise(300L))
+        .withColumn("target_n", expr("(w_bp * budget) div 10000"))
+        .withColumn("rate_bp",
+          least(lit(10000L), expr("(10000 * ((w_bp * budget) div 10000)) div n_docs")))
+        .select(col("source"), col("n_docs"), col("target_n"), col("rate_bp"))
+      docs
+        .select(col("source"), col("doc_id"),
+          (h32(concat(lit("mix:"), col("source"), lit(":"),
+            col("doc_id").cast("string"))) % 10000L).as("hk"))
+        .join(broadcast(rates), "source")
+        .withColumn("keep", col("hk") < col("rate_bp"))
+        .groupBy(col("source"), col("n_docs"), col("target_n"), col("rate_bp"))
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+             coalesce(sum(when(col("keep"), col("doc_id"))), lit(0L)).as("kept_id_sum"))
+        .orderBy(col("source"))
+    }),
+
+    // Per-doc n-gram novelty: the fraction of a doc's distinct
+    // 3-grams whose corpus-wide first occurrence (min doc_id over docs
+    // containing the gram) is this doc — the curation signal for "how
+    // much new text does this doc add" (high = fresh content, low =
+    // boilerplate already seen). Shapes: shingling is a projection,
+    // first-occurrence is a gram-keyed min agg (shingle-vocab sized,
+    // partial-aggregable), the join back is gram-keyed, the rollup is
+    // doc-keyed. Ratios in exact-integer basis points (q92's pattern).
+    "q94_ngram_novelty" -> ((s, d) => {
+      val sh = TextSim.shingles(T.documents(s, d), 3)
+      val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("(10000 * n_novel) div n_grams").as("novelty_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // RAG-style chunking: overlapping fixed-size token windows
+    // (16 tokens, stride 8) per doc, the retrieval-index unit an LLM
+    // data pipeline emits alongside training shards. Pure per-row
+    // generate (sequence + slice, all codegen'd native functions —
+    // no UDF): pipelines inside the scan partition with no shuffle;
+    // output size is bounded by ~2× the token count regardless of
+    // document skew.
+    "q95_rag_chunking" -> ((s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(expr("sequence(CAST(0 AS BIGINT), (size(ws)-1) div 8)")).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * 8).as("start_tok"),
+          least(lit(16L), size(col("ws")) - col("chunk_id") * 8).as("n_chunk_tok"),
+          array_join(expr("slice(ws, CAST(chunk_id*8+1 AS INT), 16)"), " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id")))
   )
 
   /** DuckDB 5-gram shingle CTE (distinct per doc), mirroring
@@ -241,6 +314,59 @@ object CorpusOps {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q93_domain_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+        |), b AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) // 2 AS budget FROM c
+        |), w AS (
+        |  SELECT source, n_docs,
+        |         CAST(CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1500
+        |              WHEN 'src2' THEN 1000 ELSE 300 END AS BIGINT) AS w_bp
+        |  FROM c
+        |), r AS (
+        |  SELECT source, n_docs, (w_bp * budget) // 10000 AS target_n,
+        |         least(10000, (10000 * ((w_bp * budget) // 10000)) // n_docs) AS rate_bp
+        |  FROM w, b
+        |), k AS (
+        |  SELECT source, doc_id,
+        |         CAST(('0x' || substr(md5('mix:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           % 10000 AS hk
+        |  FROM documents
+        |)
+        |SELECT r.source, r.n_docs, r.target_n, r.rate_bp,
+        |       CAST(sum(CASE WHEN k.hk < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(coalesce(sum(CASE WHEN k.hk < r.rate_bp THEN k.doc_id END), 0) AS BIGINT) AS kept_id_sum
+        |FROM k JOIN r USING (source)
+        |GROUP BY r.source, r.n_docs, r.target_n, r.rate_bp ORDER BY r.source""".stripMargin,
+
+    "q94_ngram_novelty" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM (SELECT doc_id, string_split(text,' ') AS ws,
+        |               unnest(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0))) AS i
+        |        FROM documents)
+        |), f AS (
+        |  SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY 1
+        |)
+        |SELECT sh.doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       (10000 * CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT))
+        |         // count(*) AS novelty_bp
+        |FROM sh JOIN f USING (g)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    "q95_rag_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), c AS (
+        |  SELECT doc_id, ws, unnest(generate_series(0, (len(ws)-1)//8)) AS chunk_id FROM t
+        |)
+        |SELECT doc_id, chunk_id, chunk_id*8 AS start_tok,
+        |       least(16, len(ws) - chunk_id*8) AS n_chunk_tok,
+        |       array_to_string(list_slice(ws, chunk_id*8+1, chunk_id*8+16), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q90_seq_packing" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -40,6 +40,51 @@ class CorpusOpsSpec extends SparkSpec {
     assert(totals == T.documents(spark, sf001).count(), "splits don't partition the corpus")
   }
 
+  test("domain mix: clamped sources keep everything, sampled sources subsample, and the mix is deterministic") {
+    val q = CorpusOps.queries("q93_domain_mix")
+    val a = q(spark, sf001).collect()
+    val b = q(spark, sf001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "mix not deterministic")
+    a.foreach { r =>
+      val (nDocs, target, rate, kept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(kept <= nDocs)
+      if (rate == 10000L) assert(kept == nDocs, s"${r.getString(0)}: clamped rate must keep all")
+      else assert(target < nDocs, s"${r.getString(0)}: sub-10000 rate implies target below count")
+    }
+    // the weighted sources are clamped at this SF, the long tail is sampled
+    assert(a.exists(_.getLong(3) == 10000L) && a.exists(_.getLong(3) < 10000L))
+  }
+
+  test("ngram novelty: the earliest doc is fully novel and novel counts sum to the distinct-gram total") {
+    val out = CorpusOps.queries("q94_ngram_novelty")(spark, sf001).collect()
+    val first = out.minBy(_.getLong(0))
+    assert(first.getLong(3) == 10000L, "corpus-first doc must have novelty 10000bp")
+    val totalNovel = out.map(_.getLong(2)).sum
+    val distinctGrams = graft.functions.TextSim
+      .shingles(T.documents(spark, sf001), 3)
+      .select(col("g")).distinct().count()
+    assert(totalNovel == distinctGrams,
+      "every distinct gram is novel in exactly one doc")
+  }
+
+  test("rag chunking: stride coverage — chunk counts, bounds, and exact tail per doc") {
+    import spark.implicits._
+    val nTok = T.documents(spark, sf001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val chunks = CorpusOps.queries("q95_rag_chunking")(spark, sf001).collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == nTok.keySet, "every doc chunks")
+    byDoc.foreach { case (id, cs) =>
+      val n = nTok(id)
+      assert(cs.length == ((n - 1) / 8 + 1), s"doc $id: wrong chunk count")
+      assert(cs.forall(_.getLong(3) <= 16), s"doc $id: oversize chunk")
+      val last = cs.maxBy(_.getLong(1))
+      assert(last.getLong(2) + last.getLong(3) == n, s"doc $id: tail not covered")
+    }
+  }
+
   test("decontamination flags the planted near-duplicates of benchmark docs") {
     // documents has planted near-dup pairs (jaccard >= 0.96). Any dup
     // partner (doc_id >= 20) of a benchmark doc (doc_id < 20) shares
