@@ -64,6 +64,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("domain mix joins rates by broadcast — the corpus never shuffles on source (q93)") {
+    // The rate table is domain-cardinality rows; the corpus side must
+    // stream through a broadcast hash join, not exchange on `source`
+    // (20 values — the same low-cardinality trap as q31's keys).
+    val p = plan("q93_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), "rate join must broadcast")
+    // Exchanges keyed on `source` are allowed ONLY as aggregation
+    // shuffles fed by a map-side partial aggregate (P x 20 partial
+    // rows move, not the corpus). A source-hashed exchange fed by raw
+    // rows would be the n/20-rows-per-task shape.
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if ("hashpartitioning\\(source#\\d+, \\d+\\)".r.unanchored.matches(l)) {
+        val feeder = lines.drop(i + 1).find(x => !x.trim.startsWith("+- WholeStageCodegen"))
+        assert(feeder.exists(f => f.contains("HashAggregate") && f.contains("partial_")),
+          s"source-hashed exchange not fed by a partial aggregate:\n$l\n-> ${feeder.getOrElse("?")}")
+      }
+    }
+  }
+
+  test("rag chunking is generate-only — its single exchange is the presentation sort (q95)") {
+    val p = plan("q95_rag_chunking")
+    assert(p.contains("Generate explode"), "chunk fan-out must be a Generate")
+    assert("Exchange ".r.findAllIn(p).size == 1 && p.contains("rangepartitioning("),
+      s"expected exactly one range exchange (the ORDER BY), got:\n$p")
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would
