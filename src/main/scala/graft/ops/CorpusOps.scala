@@ -298,7 +298,52 @@ object CorpusOps {
           (col("chunk_id") * 8).as("start_tok"),
           least(lit(16L), size(col("ws")) - col("chunk_id") * 8).as("n_chunk_tok"),
           array_join(expr("slice(ws, CAST(chunk_id*8+1 AS INT), 16)"), " ").as("chunk_text"))
-        .orderBy(col("doc_id"), col("chunk_id")))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Duplicated-span coverage (ExactSubstr-style signal, Lee et al.
+    // 2022): the fraction of each doc's positional 3-grams that occur
+    // in at least one OTHER doc — "how much of this doc is text the
+    // corpus already has elsewhere". Unlike q94 (distinct grams,
+    // first-occurrence attribution), this scores every position, so
+    // within-doc repeats of a cross-doc gram all count as covered.
+    // Shapes: positional gram generate (projection), gram-keyed
+    // distinct-doc count (partial-aggregable), gram-keyed join back,
+    // doc rollup — the q94 cost envelope.
+    "q97_dup_span_coverage" -> ((s, d) => {
+      val grams = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          posexplode(expr(TextSim.gramArrayExpr(3))).as(Seq("pos", "g")))
+      val dfreq = grams.groupBy(col("g")).agg(countDistinct(col("doc_id")).as("df"))
+      grams.join(dfreq, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pos"),
+             sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_pos"))
+        .select(col("doc_id"), col("n_pos"), col("n_dup_pos"),
+          expr("(10000 * n_dup_pos) div n_pos").as("dup_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic global shuffle: the training-order permutation a
+    // pretraining loader consumes, as a stable md5 rank — identical
+    // across runs, engines, and cluster sizes (a Fisher-Yates or
+    // rand() order is none of those). A global row_number is the
+    // "empty partitionBy" window — 100 TB through ONE task if written
+    // naively — so it runs through ScalableRank under a constant key
+    // (q90's pattern): range-partition by (hk, doc_id), local
+    // row_numbers, broadcast prefix offsets.
+    "q98_global_shuffle" -> ((s, d) => {
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val hashed = T.documents(s, d)
+        .select(col("doc_id"),
+          h32(concat(lit("shuf:"), col("doc_id").cast("string"))).as("hk"),
+          lit(0).as("grp"))
+      graft.functions.ScalableRank
+        .withRanks(hashed, Seq("grp"), Seq(col("hk"), col("doc_id")),
+          Seq(col("hk"), col("doc_id")), p)
+        .select(col("doc_id"), col("hk"), col("rn").as("shuffle_pos"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** DuckDB 5-gram shingle CTE (distinct per doc), mirroring
@@ -355,6 +400,32 @@ object CorpusOps {
         |         // count(*) AS novelty_bp
         |FROM sh JOIN f USING (g)
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    "q97_dup_span_coverage" ->
+      """WITH pg AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM (SELECT doc_id, string_split(text,' ') AS ws,
+        |               unnest(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0))) AS i
+        |        FROM documents)
+        |), f AS (
+        |  SELECT g, count(DISTINCT doc_id) AS df FROM pg GROUP BY 1
+        |)
+        |SELECT pg.doc_id, count(*) AS n_pos,
+        |       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pos,
+        |       (10000 * CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT))
+        |         // count(*) AS dup_bp
+        |FROM pg JOIN f USING (g)
+        |GROUP BY pg.doc_id ORDER BY pg.doc_id""".stripMargin,
+
+    "q98_global_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hk
+        |  FROM documents
+        |)
+        |SELECT doc_id, hk,
+        |       CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT) AS shuffle_pos
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q95_rag_chunking" ->
       """WITH t AS (

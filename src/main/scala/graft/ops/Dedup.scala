@@ -207,6 +207,33 @@ object Dedup {
         .join(dropped, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Cross-source leakage matrix: how many verified near-dup pairs
+    // (Jaccard ≥ 0.8) cross each source-pair boundary — the provenance
+    // audit run before mixing corpora (a high off-diagonal count means
+    // two "independent" sources are actually mirrors). Pairs come from
+    // the PRODUCTION sketch tier (MinHash+LSH candidates,
+    // exact-verified — q62's machinery, so it shares the exact SQL
+    // oracle by the same ≪1e-6 recall argument); attaching sources is
+    // two doc-keyed joins on the tiny verified-pair relation, and the
+    // matrix rollup is at most |sources|² rows.
+    "q96_source_leakage" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val sh = TextSim.shingles(docs, 3)
+      val cand = TextSim.bandCandidates(
+        TextSim.lshBands(TextSim.minhashSignature(sh, 128), 32, 4))
+      val pairs = TextSim.verifyJaccard(cand, sh, 0.8)
+        .select(col("id1"), col("id2"))
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id1"), col("source").as("s1")), "id1")
+        .join(src.select(col("doc_id").as("id2"), col("source").as("s2")), "id2")
+        .select(least(col("s1"), col("s2")).as("src_a"),
+                greatest(col("s1"), col("s2")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
     })
   )
 
@@ -217,6 +244,21 @@ object Dedup {
     "q61_neardup_jaccard" -> jaccardOracle("0.6"),
     "q62_neardup_minhash_lsh" -> jaccardOracle("0.8"),
     "q63_neardup_simhash" -> jaccardOracle("0.8"),
+
+    // Exact pair graph at 0.8 (same CTE base), rolled up to the
+    // source-pair matrix.
+    "q96_source_leakage" ->
+      s"""WITH pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |)
+         |SELECT least(d1.source, d2.source) AS src_a,
+         |       greatest(d1.source, d2.source) AS src_b,
+         |       count(*) AS n_pairs
+         |FROM pr
+         |JOIN documents d1 ON pr.id1 = d1.doc_id
+         |JOIN documents d2 ON pr.id2 = d2.doc_id
+         |GROUP BY least(d1.source, d2.source), greatest(d1.source, d2.source)
+         |ORDER BY src_a, src_b""".stripMargin,
 
     // Transitive closure over the exact pair graph via recursive CTE;
     // canonical = min over self ∪ reachable. q69 (the LSH-fed

@@ -85,6 +85,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("dup-span coverage: planted near-dup partners are mostly covered, and coverage never exceeds positions") {
+    val out = CorpusOps.queries("q97_dup_span_coverage")(spark, sf001).collect()
+    out.foreach(r => assert(r.getLong(2) <= r.getLong(1), "covered > total positions"))
+    // docs in a planted near-dup pair share ~all their grams with the
+    // partner — their positional coverage must be high
+    val planted = graft.functions.TextSim.jaccardPairs(
+      graft.functions.TextSim.shingles(T.documents(spark, sf001), 3), 0.9)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val bp = out.filter(r => planted(r.getLong(0))).map(_.getLong(3))
+    assert(bp.nonEmpty && bp.forall(_ >= 9000L),
+      s"planted dup partners under 90% span coverage: ${bp.toSeq.sorted.take(5)}")
+  }
+
+  test("global shuffle emits a deterministic permutation of 1..N") {
+    val q = CorpusOps.queries("q98_global_shuffle")
+    val a = q(spark, sf001).collect()
+    val b = q(spark, sf001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "shuffle order not deterministic")
+    val pos = a.map(_.getLong(2)).sorted
+    assert(pos.toSeq == (1L to a.length.toLong), "positions are not a permutation")
+    // hash order must not be id order (the whole point of the shuffle)
+    assert(a.sortBy(_.getLong(0)).map(_.getLong(2)).toSeq != (1L to a.length.toLong))
+  }
+
   test("decontamination flags the planted near-duplicates of benchmark docs") {
     // documents has planted near-dup pairs (jaccard >= 0.96). Any dup
     // partner (doc_id >= 20) of a benchmark doc (doc_id < 20) shares

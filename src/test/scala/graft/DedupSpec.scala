@@ -81,4 +81,15 @@ class DedupSpec extends SparkSpec {
     assert(withRep.filter(col("doc_id") === col("rep_id")).count() === 3)
     assert(Dedup.canonicalizeLsh(docs).count() === 0)
   }
+
+  test("source-leakage matrix conserves the exact pair count (q96)") {
+    // The matrix is a rollup of the verified pair relation: its n_pairs
+    // must sum to exactly the number of exact Jaccard >= 0.8 pairs, and
+    // every cell must respect the canonical src_a <= src_b ordering.
+    val m = Dedup.queries("q96_source_leakage")(spark, sf001).collect()
+    val exact = TextSim.jaccardPairs(
+      TextSim.shingles(T.documents(spark, sf001), 3), 0.8).count()
+    assert(m.map(_.getLong(2)).sum === exact, "matrix loses or invents pairs")
+    assert(m.forall(r => r.getString(0) <= r.getString(1)))
+  }
 }
