@@ -90,6 +90,39 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1).isNullAt(1), "missing blob must yield NULL features, not crash")
   }
 
+  test("binaryFile source: a directory of media files feeds the identical pipeline") {
+    // The real-world entry point for a media corpus is a directory of
+    // encoded files, not a parquet column. Spark's built-in binaryFile
+    // source reads (path, modificationTime, length, content) — map
+    // content→payload and the whole decode/feature pipeline runs
+    // unchanged on it.
+    val dir = java.nio.file.Files.createTempDirectory("media").toFile
+    val payloads = Map("a.bin" -> "first fake media blob",
+                       "b.bin" -> "second blob with different bytes xyz")
+    payloads.foreach { case (name, s) =>
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, s.getBytes("UTF-8"))
+    }
+    val files = spark.read.format("binaryFile").load(dir.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        col("content").as("payload"),
+        col("length"))
+    val out = Multimodal.decodeMeta(files.withColumn("doc_id", monotonically_increasing_id()))
+    val rows = out.select("file_name", "n_bytes", "width", "height", "n_frames")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == payloads.keySet)
+    payloads.foreach { case (name, s) =>
+      val n = s.getBytes("UTF-8").length
+      val expect = Multimodal.StubMediaDecoder.decode(s.getBytes("UTF-8"))
+      assert(rows(name).getInt(1) == n, "n_bytes must equal the file length")
+      assert(rows(name).getInt(2) == expect.width && rows(name).getInt(3) == expect.height,
+        s"$name: binaryFile-fed decode differs from the column-fed decode")
+    }
+    // the length column the source reports agrees with the payload
+    files.collect().foreach(r => assert(r.getAs[Long]("length") ==
+      r.getAs[Array[Byte]]("payload").length.toLong))
+  }
+
   test("mapPartitions feature extraction: histogram sums to payload length") {
     val feats = Multimodal.extractFeatures(spark, Multimodal.withPayload(docs))
     val joined = feats.join(meta.select("doc_id", "n_bytes"), "doc_id")
