@@ -55,7 +55,9 @@ class PlanAuditSpec extends SparkSpec {
     for ((q, key) <- Seq("q31_ranking" -> "o_orderpriority",
                          "q35_distribution" -> "o_orderstatus",
                          "q33_frames" -> "o_orderpriority",
-                         "q89_stratified_sample" -> "lang")) {
+                         "q89_stratified_sample" -> "lang",
+                         // constant key — the global-window extreme case
+                         "q98_global_shuffle" -> "grp")) {
       val p = plan(q)
       assert(p.contains("rangepartitioning("),
         s"$q: expected a range-partitioned exchange")
