@@ -324,6 +324,37 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     }),
 
+    // PMI collocations (word2vec-style phrase detection): pointwise
+    // mutual information of adjacent token pairs vs their unigram
+    // independence baseline — the statistic vocabulary/tokenizer
+    // curation ranks multiword units with. Shapes: bigram generate
+    // (projection), one bigram-keyed and one token-keyed agg (both
+    // vocabulary-sized, partial-aggregable), two broadcast scalar
+    // totals. Ordered by the exact integer pair count (not the float
+    // pmi) so the top-k cut is engine-deterministic; pmi itself is a
+    // log of noisy doubles — safe to round.
+    "q99_pmi_collocations" -> ((s, d) => {
+      val docs = T.documents(s, d).select(split(col("text"), " ").as("ws"))
+      val pairs = docs.select(explode(expr(
+        "transform(sequence(1, size(ws)-1), i -> struct(element_at(ws,i) AS w1, element_at(ws,i+1) AS w2))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val toks = docs.select(explode(col("ws")).as("w"))
+      val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nb = c12.agg(sum(col("n_pair")).cast("double").as("nb"))
+      val n = c1.agg(sum(col("c")).cast("double").as("n"))
+      c12
+        .join(c1.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(c1.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(n))
+        .withColumn("pmi", round(log((col("n_pair") / col("nb")) /
+          ((col("c1") / col("n")) * (col("c2") / col("n")))), 4))
+        .filter(col("n_pair") >= 5)
+        .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
+        .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+        .limit(30)
+    }),
+
     // Deterministic global shuffle: the training-order permutation a
     // pretraining loader consumes, as a stable md5 rank — identical
     // across runs, engines, and cluster sizes (a Fisher-Yates or
@@ -416,6 +447,30 @@ object CorpusOps {
         |         // count(*) AS dup_bp
         |FROM pg JOIN f USING (g)
         |GROUP BY pg.doc_id ORDER BY pg.doc_id""".stripMargin,
+
+    "q99_pmi_collocations" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS ws FROM documents
+        |), pr AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i FROM t)
+        |), tok AS (
+        |  SELECT unnest(ws) AS w FROM t
+        |), c12 AS (
+        |  SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w, count(*) AS c FROM tok GROUP BY 1
+        |), nb AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS nb FROM c12),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c1)
+        |SELECT c12.w1, c12.w2, c12.n_pair,
+        |       round(ln((c12.n_pair / nb.nb) /
+        |             ((a.c / n.n) * (b.c / n.n))), 4) AS pmi
+        |FROM c12
+        |JOIN c1 a ON c12.w1 = a.w
+        |JOIN c1 b ON c12.w2 = b.w
+        |CROSS JOIN nb CROSS JOIN n
+        |WHERE c12.n_pair >= 5
+        |ORDER BY c12.n_pair DESC, c12.w1, c12.w2 LIMIT 30""".stripMargin,
 
     "q98_global_shuffle" ->
       """WITH h AS (

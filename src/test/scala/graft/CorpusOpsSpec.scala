@@ -109,6 +109,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.sortBy(_.getLong(0)).map(_.getLong(2)).toSeq != (1L to a.length.toLong))
   }
 
+  test("pmi: a planted always-together bigram scores far above an independent pair") {
+    import spark.implicits._
+    // "new" and "york" only ever occur adjacent (a true collocation);
+    // filler tokens pair independently. PMI must separate them.
+    val filler = (1 to 40).map(i => s"tok${i % 8}").mkString(" ")
+    val docs = (1L to 20L).map(i => (i, s"$filler new york $filler")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pmi").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.queries("q99_pmi_collocations")(spark, dir).collect()
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val planted = byPair(("new", "york"))
+    val independents = byPair.collect { case ((a, b), p) if a.startsWith("tok") && b.startsWith("tok") => p }
+    assert(independents.nonEmpty)
+    assert(planted > independents.max + 1.0,
+      s"planted collocation pmi $planted not separated from ${independents.max}")
+  }
+
   test("decontamination flags the planted near-duplicates of benchmark docs") {
     // documents has planted near-dup pairs (jaccard >= 0.96). Any dup
     // partner (doc_id >= 20) of a benchmark doc (doc_id < 20) shares
