@@ -84,6 +84,31 @@ class JdbcDerbySpec extends SparkSpec {
     assert(got === Array(("ada", 68), ("grace", 122)))
   }
 
+  test("aggregates and limits push down to the live database (DSv2 JDBC catalog)") {
+    seeded
+    // The reference's entire performance model is "the server computes,
+    // the client streams" (main.go:106 delegates the whole query to
+    // MySQL). Spark's v2 JDBC catalog recovers exactly that for
+    // aggregates: with pushDownAggregate the GROUP BY/count run inside
+    // the database and only the aggregated rows cross the wire.
+    spark.conf.set("spark.sql.catalog.derby",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set("spark.sql.catalog.derby.url", dbUrl + ";user=root")
+    spark.conf.set("spark.sql.catalog.derby.pushDownAggregate", "true")
+    spark.conf.set("spark.sql.catalog.derby.pushDownLimit", "true")
+    val agg = spark.sql(
+      "SELECT count(*) AS n, min(age) AS mn, max(age) AS mx FROM derby.ROOT.PEOPLE")
+    val scan = agg.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedAggregates"), s"no pushed aggregates in:\n$scan")
+    val r = agg.collect().head
+    assert(r.getLong(0) == 4L && r.getInt(1) == 7 && r.getInt(2) == 61)
+    // pushDownLimit is set but DerbyDialect doesn't implement limit
+    // clauses (MySQLDialect does — it emits LIMIT n); the query must
+    // still answer correctly with the limit applied Spark-side.
+    val lim = spark.sql("SELECT id FROM derby.ROOT.PEOPLE LIMIT 2")
+    assert(lim.count() == 2)
+  }
+
   test("sessionInitStatement executes on the scan connection") {
     seeded
     val cfg = conf("SELECT id FROM people")
