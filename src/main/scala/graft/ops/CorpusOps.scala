@@ -335,8 +335,17 @@ object CorpusOps {
     // log of noisy doubles — safe to round.
     "q99_pmi_collocations" -> ((s, d) => {
       val docs = T.documents(s, d).select(split(col("text"), " ").as("ws"))
+      // Bounds guard: Spark's sequence(1, 0) is DESCENDING [1, 0] (not
+      // empty like DuckDB's generate_series), so a naive
+      // sequence(1, size-1) crashes element_at(ws, 0) on a 1-token
+      // doc. sequence(1, size) is always ascending; the slice trims
+      // the final pair (empty slice when size = 1) and least() keeps
+      // the probe in bounds for the row the slice discards.
       val pairs = docs.select(explode(expr(
-        "transform(sequence(1, size(ws)-1), i -> struct(element_at(ws,i) AS w1, element_at(ws,i+1) AS w2))")).as("p"))
+        """slice(transform(sequence(1, size(ws)),
+          |       i -> struct(element_at(ws, i) AS w1,
+          |                   element_at(ws, least(i + 1, size(ws))) AS w2)),
+          |      1, size(ws) - 1)""".stripMargin)).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       val toks = docs.select(explode(col("ws")).as("w"))
       val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))

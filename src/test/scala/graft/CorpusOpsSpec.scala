@@ -114,7 +114,11 @@ class CorpusOpsSpec extends SparkSpec {
     // "new" and "york" only ever occur adjacent (a true collocation);
     // filler tokens pair independently. PMI must separate them.
     val filler = (1 to 40).map(i => s"tok${i % 8}").mkString(" ")
-    val docs = (1L to 20L).map(i => (i, s"$filler new york $filler")).toDF("doc_id", "text")
+    // doc 0 is a single token: Spark's sequence(1, 0) is descending,
+    // so an unguarded bigram transform would crash on it (DuckDB's
+    // generate_series is empty — a silent cross-engine divergence).
+    val docs = ((0L, "lonely") +: (1L to 20L).map(i => (i, s"$filler new york $filler")))
+      .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("pmi").toString
     docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
