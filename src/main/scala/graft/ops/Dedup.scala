@@ -209,6 +209,59 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // The end-to-end training-data manifest — the full pipeline a
+    // pretraining run consumes, composed from the tested pieces:
+    // quality gate + production near-dup canonicalization (q68) →
+    // domain-mixture sampling with rates recomputed on the CLEAN
+    // corpus (q93's exact-integer arithmetic) → deterministic hash
+    // split (q86) → per-split sequence packing into 256-token shards
+    // (q90, keyed by the 3-value split so it rides ScalableRank, not a
+    // 3-task window). Every stage is a keyed shuffle, broadcast, or
+    // projection; the oracle is the composition of the stages' own
+    // oracles, so the SQL checks the whole pipeline end to end.
+    "q100_training_manifest" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      def h32(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+      val dropped = canonicalizeLsh(docs)
+        .filter(col("doc_id") =!= col("canonical_id"))
+        .select(col("doc_id"))
+      val clean = docs
+        .filter(length(col("text")).between(100, 2000))
+        .join(dropped, Seq("doc_id"), "left_anti")
+      val counts = clean.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val budget = counts.agg(expr("sum(n_docs) div 2").as("budget"))
+      val rates = counts.crossJoin(broadcast(budget))
+        .withColumn("w_bp",
+          when(col("source") === "src0", 2000L)
+            .when(col("source") === "src1", 1500L)
+            .when(col("source") === "src2", 1000L)
+            .otherwise(300L))
+        .withColumn("rate_bp",
+          least(lit(10000L), expr("(10000 * ((w_bp * budget) div 10000)) div n_docs")))
+        .select(col("source"), col("rate_bp"))
+      val kept = clean
+        .withColumn("hk",
+          h32(concat(lit("mix:"), col("source"), lit(":"),
+            col("doc_id").cast("string"))) % 10000L)
+        .join(broadcast(rates), "source")
+        .filter(col("hk") < col("rate_bp"))
+      val assigned = kept
+        .withColumn("b", h32(col("doc_id").cast("string")) % 100)
+        .withColumn("split",
+          when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+        .select(col("doc_id"), col("source"), col("split"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      graft.functions.ScalableRank
+        .withRunningSum(assigned, Seq("split"), Seq(col("doc_id")), col("n_tok"), p)
+        .withColumn("start", col("rsum") - col("n_tok"))
+        .select(col("doc_id"), col("source"), col("split"), col("n_tok"),
+          floor(col("start") / 256.0).cast("long").as("shard_id"),
+          (col("start") - floor(col("start") / 256.0).cast("long") * 256L).as("shard_off"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-source leakage matrix: how many verified near-dup pairs
     // (Jaccard ≥ 0.8) cross each source-pair boundary — the provenance
     // audit run before mixing corpora (a high off-diagonal count means
@@ -290,6 +343,61 @@ object Dedup {
          |)
          |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS canonical_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // The capstone oracle: the stages' own oracles composed — exact
+    // pair graph → transitive dropped set → clean → mixture rates →
+    // md5 cut → md5 split → per-split packing cumsum.
+    "q100_training_manifest" ->
+      s"""WITH RECURSIVE pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |), e(a, b) AS (
+         |  SELECT id1, id2 FROM pr UNION SELECT id2, id1 FROM pr
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+         |), dropped AS (
+         |  SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, min(b)) <> a
+         |), clean AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  WHERE length(text) BETWEEN 100 AND 2000
+         |    AND doc_id NOT IN (SELECT doc_id FROM dropped)
+         |), c AS (
+         |  SELECT source, count(*) AS n_docs FROM clean GROUP BY 1
+         |), b AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) // 2 AS budget FROM c
+         |), w AS (
+         |  SELECT source, n_docs,
+         |         CAST(CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1500
+         |              WHEN 'src2' THEN 1000 ELSE 300 END AS BIGINT) AS w_bp
+         |  FROM c
+         |), r AS (
+         |  SELECT source,
+         |         least(10000, (10000 * ((w_bp * budget) // 10000)) // n_docs) AS rate_bp
+         |  FROM w, b
+         |), kept AS (
+         |  SELECT clean.doc_id, clean.source, clean.text
+         |  FROM clean JOIN r USING (source)
+         |  WHERE CAST(('0x' || substr(md5('mix:' || clean.source || ':'
+         |          || CAST(clean.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < r.rate_bp
+         |), sp AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+         |              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM kept
+         |), pk AS (
+         |  SELECT doc_id, source, split, n_tok,
+         |         CAST(sum(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |           - n_tok AS start
+         |  FROM sp
+         |)
+         |SELECT doc_id, source, split, n_tok,
+         |       CAST(floor(start / 256.0) AS BIGINT) AS shard_id,
+         |       CAST(start - CAST(floor(start / 256.0) AS BIGINT) * 256 AS BIGINT) AS shard_off
+         |FROM pk ORDER BY doc_id""".stripMargin,
 
     "q68_corpus_clean" ->
       s"""WITH RECURSIVE pr AS (

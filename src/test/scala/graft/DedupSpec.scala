@@ -82,6 +82,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.canonicalizeLsh(docs).count() === 0)
   }
 
+  test("training manifest composes its stages: subset of clean, contiguous per-split packing (q100)") {
+    val m = Dedup.queries("q100_training_manifest")(spark, sf001).collect()
+    val clean = Dedup.queries("q68_corpus_clean")(spark, sf001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(m.nonEmpty && m.forall(r => clean(r.getLong(0))),
+      "manifest contains docs the clean stage dropped")
+    // within each split, (shard_id, shard_off) must be the contiguous
+    // token stream in doc_id order — the property a loader relies on
+    m.groupBy(_.getString(2)).foreach { case (sp, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(4) == cum / 256 && r.getLong(5) == cum % 256,
+          s"$sp: packing breaks at doc ${r.getLong(0)}")
+        cum += r.getLong(3)
+      }
+    }
+  }
+
   test("source-leakage matrix conserves the exact pair count (q96)") {
     // The matrix is a rollup of the verified pair relation: its n_pairs
     // must sum to exactly the number of exact Jaccard >= 0.8 pairs, and

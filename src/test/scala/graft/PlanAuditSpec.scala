@@ -57,7 +57,9 @@ class PlanAuditSpec extends SparkSpec {
                          "q33_frames" -> "o_orderpriority",
                          "q89_stratified_sample" -> "lang",
                          // constant key — the global-window extreme case
-                         "q98_global_shuffle" -> "grp")) {
+                         "q98_global_shuffle" -> "grp",
+                         // 3-value split key of the capstone's packing stage
+                         "q100_training_manifest" -> "split")) {
       val p = plan(q)
       assert(p.contains("rangepartitioning("),
         s"$q: expected a range-partitioned exchange")
