@@ -262,6 +262,35 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental near-dup: dedup a NEW batch against the existing
+    // corpus — the production mode at scale, where re-pairing the
+    // whole corpus per ingest is unaffordable. The delta here is the
+    // newest 20% by doc_id (a real pipeline passes an ingest-batch
+    // predicate). Everything sketches once, but the pair join's RIGHT
+    // side is delta bands only, so candidate work is proportional to
+    // collisions INVOLVING THE DELTA — the corpus never self-pairs.
+    // Because a pair's larger id is always the newer doc, "pairs
+    // involving the delta" is exactly id2 >= cut, which is what the
+    // exact oracle filters on; verification then touches only
+    // candidate docs' shingles, as always.
+    "q101_incremental_neardup" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      // In-plan cut (no driver action): newest fifth by id, as a
+      // broadcast scalar — exact-integer so the oracle agrees.
+      val cutDf = docs.agg(expr("(4 * max(doc_id)) div 5").as("cut"))
+      val sh = TextSim.shingles(docs, 3)
+      val bands = TextSim.lshBands(TextSim.minhashSignature(sh, 128), 32, 4)
+      val delta = bands.crossJoin(broadcast(cutDf))
+        .filter(col("doc_id") > col("cut")).drop("cut")
+      val cand = bands.as("l")
+        .join(delta.as("r"),
+          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+        .distinct()
+      TextSim.verifyJaccard(cand, sh, 0.8)
+    }),
+
     // Cross-source leakage matrix: how many verified near-dup pairs
     // (Jaccard ≥ 0.8) cross each source-pair boundary — the provenance
     // audit run before mixing corpora (a high off-diagonal count means
@@ -297,6 +326,20 @@ object Dedup {
     "q61_neardup_jaccard" -> jaccardOracle("0.6"),
     "q62_neardup_minhash_lsh" -> jaccardOracle("0.8"),
     "q63_neardup_simhash" -> jaccardOracle("0.8"),
+
+    // Exact pair graph at 0.8 restricted to pairs whose LARGER id is
+    // in the delta (id2 is always the newer doc, so this is exactly
+    // "pairs involving the new batch").
+    "q101_incremental_neardup" ->
+      s"""WITH pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |), cut AS (
+         |  SELECT (4 * CAST(max(doc_id) AS BIGINT)) // 5 AS cut FROM documents
+         |)
+         |SELECT p.id1, p.id2, p.jaccard
+         |FROM pr p, cut
+         |WHERE p.id2 > cut.cut
+         |ORDER BY p.id1, p.id2""".stripMargin,
 
     // Exact pair graph at 0.8 (same CTE base), rolled up to the
     // source-pair matrix.

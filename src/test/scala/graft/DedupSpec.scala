@@ -100,6 +100,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dup equals the full run restricted to delta pairs (q101)") {
+    // Running only the new batch against the corpus must find exactly
+    // the pairs a full re-dedup would find involving that batch — no
+    // more (no corpus self-pairs) and no fewer (no lost recall).
+    val cut = {
+      val m = T.documents(spark, sf001).agg(max(col("doc_id"))).head().getLong(0)
+      4 * m / 5
+    }
+    val full = Dedup.queries("q62_neardup_minhash_lsh")(spark, sf001)
+      .filter(col("id2") > cut).collect().map(_.toSeq).toSet
+    val inc = Dedup.queries("q101_incremental_neardup")(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    assert(inc == full, s"incremental != full-restricted: ${inc.size} vs ${full.size}")
+    assert(inc.nonEmpty, "no planted pairs in the delta — test data drifted?")
+  }
+
   test("source-leakage matrix conserves the exact pair count (q96)") {
     // The matrix is a rollup of the verified pair relation: its n_pairs
     // must sum to exactly the number of exact Jaccard >= 0.8 pairs, and
