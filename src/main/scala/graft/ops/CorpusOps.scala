@@ -324,6 +324,36 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Packed training sequences, materialized: q90 assigns docs to
+    // 256-token shards by global cumulative position; this emits each
+    // shard's actual payload — docs STARTING in the shard concatenated
+    // in doc_id order — as the md5 of the packed text (so the oracle
+    // hash-checks the real bytes without shipping megabyte strings
+    // through the compare). collect_list is order-nondeterministic, so
+    // the structs are array_sort'ed on doc_id before joining — the
+    // same discipline as every deterministic-output rule here. Shapes:
+    // the global cumsum rides ScalableRank (q90), then ONE shard-keyed
+    // agg; shard payloads are bounded (~256 tokens + one straddler).
+    "q102_packed_shards" -> ((s, d) => {
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          lit(0).as("g"))
+      graft.functions.ScalableRank
+        .withRunningSum(docs, Seq("g"), Seq(col("doc_id")), col("n_tok"), p)
+        .withColumn("start", col("rsum") - col("n_tok"))
+        .withColumn("shard_id", floor(col("start") / 256.0).cast("long"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tok")).as("n_tok_total"),
+             collect_list(struct(col("doc_id"), col("text"))).as("dt"))
+        .select(col("shard_id"), col("n_docs"), col("n_tok_total"),
+          md5(expr("array_join(transform(array_sort(dt), x -> x.text), ' ')"))
+            .as("packed_md5"))
+        .orderBy(col("shard_id"))
+    }),
+
     // PMI collocations (word2vec-style phrase detection): pointwise
     // mutual information of adjacent token pairs vs their unigram
     // independence baseline — the statistic vocabulary/tokenizer
@@ -456,6 +486,23 @@ object CorpusOps {
         |         // count(*) AS dup_bp
         |FROM pg JOIN f USING (g)
         |GROUP BY pg.doc_id ORDER BY pg.doc_id""".stripMargin,
+
+    "q102_packed_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, text, n_tok,
+        |         CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           - n_tok AS start
+        |  FROM t
+        |)
+        |SELECT CAST(floor(start / 256.0) AS BIGINT) AS shard_id,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tok_total,
+        |       md5(string_agg(text, ' ' ORDER BY doc_id)) AS packed_md5
+        |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin,
 
     "q99_pmi_collocations" ->
       """WITH t AS (

@@ -109,6 +109,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.sortBy(_.getLong(0)).map(_.getLong(2)).toSeq != (1L to a.length.toLong))
   }
 
+  test("packed shards: exhaustive, contiguous, and stable across runs") {
+    val q = CorpusOps.queries("q102_packed_shards")
+    val a = q(spark, sf001).collect()
+    val b = q(spark, sf001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "packed payloads not deterministic (collect_list order leaked)")
+    val docs = T.documents(spark, sf001)
+    assert(a.map(_.getLong(1)).sum == docs.count(), "docs lost between shards")
+    val totTok = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .head().getLong(0)
+    assert(a.map(_.getLong(2)).sum == totTok, "tokens lost between shards")
+    val ids = a.map(_.getLong(0)).sorted
+    assert(ids.toSeq == (ids.head to ids.last), "shard ids not contiguous")
+  }
+
   test("pmi: a planted always-together bigram scores far above an independent pair") {
     import spark.implicits._
     // "new" and "york" only ever occur adjacent (a true collocation);
