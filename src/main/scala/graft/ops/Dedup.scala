@@ -300,6 +300,12 @@ object Dedup {
     // oracle by the same ≪1e-6 recall argument); attaching sources is
     // two doc-keyed joins on the tiny verified-pair relation, and the
     // matrix rollup is at most |sources|² rows.
+    // Mass-dup caveat (same envelope as q62): a pair MATRIX counts all
+    // pairs, so a k-deep exact-twin cluster contributes C(k,2) by
+    // definition — on a corpus with deep twin clusters run exactReps
+    // first and add twin-pair counts per source pair arithmetically
+    // from (rep, source, grp_n) instead of enumerating them (q69's
+    // guard, applied to counting).
     "q96_source_leakage" -> ((s, d) => {
       val docs = T.documents(s, d)
       val sh = TextSim.shingles(docs, 3)
