@@ -104,6 +104,31 @@ object TextSim {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 
+  /** Per-ROW MinHash signature over each doc's shingle array —
+    * (doc_id, gs, h0..h{n-1}) with no explode and no aggregation.
+    *
+    * Batch-REJECTED (DESIGN.md, measured 2.5× slower than the
+    * aggregate form: 128 interpreted CodegenFallback transforms per
+    * row cost more than the shuffle they save) — but exactly right for
+    * STREAMING, where docs arrive row-at-a-time and an aggregation
+    * would force update-mode state: here the signature is a pure
+    * projection any append-mode stream can run. Produces bit-identical
+    * signatures to [[minhashSignature]] (min over the same shingle
+    * set under the same hash family).
+    */
+  def minhashSignatureRow(docs: DataFrame, nHashes: Int, n: Int): DataFrame = {
+    val based = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), array_distinct(expr(gramArrayExpr(n))).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .withColumn("xs",
+        expr(s"transform(gs, g -> (CAST(hash(g) AS BIGINT) & 4294967295) % $P)"))
+    val sigs = coefficients(nHashes).zipWithIndex.map { case ((a, b), i) =>
+      expr(s"array_min(transform(xs, x -> (x * ${a}L + ${b}L) % $P))").as(s"h$i")
+    }
+    based.select(col("doc_id") +: col("gs") +: sigs: _*)
+  }
+
   /** LSH banding: (doc_id, band, band_hash), one row per band.
     * Docs agreeing on any band become candidate pairs via an equi-join
     * on (band, band_hash) — the shuffle key that replaces the cross

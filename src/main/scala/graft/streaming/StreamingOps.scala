@@ -91,6 +91,57 @@ object StreamingOps {
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** Streaming near-dup flagging against a static corpus — the stream
+    * twin of q101's incremental dedup: newly-ingested docs are checked
+    * against the existing corpus as they arrive, without ever
+    * re-pairing the corpus.
+    *
+    * Composition: the static side is the corpus's LSH band index with
+    * each doc's shingle array attached (built once per (re)start from
+    * the batch machinery). The STREAM side computes its MinHash
+    * signature PER ROW over the doc's shingle array
+    * (TextSim.minhashSignatureRow — the batch-rejected HOF form is
+    * exactly right here, because an aggregation-form signature would
+    * force update-mode state; this stays a pure append projection),
+    * explodes its 32 bands, probes the index with a stream-static
+    * equi-join on (band, bh), and exact-verifies candidates in-row via
+    * array_intersect/array_union over the two shingle arrays.
+    *
+    * Emits one row per colliding band (append-mode pure; no streaming
+    * state at all) — dedupe downstream with
+    * dropDuplicatesWithinWatermark on (doc_id, corpus_id) if the sink
+    * needs exactly-once pairs. Scale: per arriving doc the work is 32
+    * index probes + candidate-sized verification; corpus size only
+    * enters through index lookup fan-out, never a corpus shuffle.
+    */
+  def nearDupFlagAgainst(stream: DataFrame, corpus: DataFrame,
+                         minJaccard: Double = 0.8): DataFrame = {
+    import graft.functions.TextSim
+    val corpusGrams = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        array_distinct(expr(TextSim.gramArrayExpr(3))).as("c_gs"))
+    val index = TextSim
+      .lshBands(TextSim.minhashSignature(TextSim.shingles(corpus, 3), 128), 32, 4)
+      .join(corpusGrams, "doc_id")
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bh"), col("c_gs"))
+    val sig = TextSim.minhashSignatureRow(stream, 128, 3)
+    val bandCols = (0 until 32).map { j =>
+      val rows = (j * 4 until (j + 1) * 4).map(i => col(s"h$i"))
+      struct(lit(j).as("band"), hash(rows: _*).as("bh"))
+    }
+    val probes = sig
+      .select(col("doc_id"), col("gs"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("gs"), col("b.band").as("band"), col("b.bh").as("bh"))
+    probes.join(index, Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("gs"), col("c_gs"))))
+      .withColumn("jaccard",
+        round(col("inter") / (size(col("gs")) + size(col("c_gs")) - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_id"), col("corpus_id"), col("jaccard"))
+  }
+
   // ---- custom keyed state via mapGroupsWithState ----
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -213,6 +213,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((10L, 1L), (10L, 2L)))
   }
 
+  test("streaming near-dup flagging equals the batch pair relation (stream twin of q101)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static corpus = older docs; stream = the newest fifth arriving
+    // in two micro-batches (the planted near-dup pairs at sf0.001
+    // straddle this cut, so the stream finds real matches)
+    val docs = T.documents(spark, sf001).select(col("doc_id"), col("text"))
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
+    val corpus = docs.filter(col("doc_id") <= cut)
+    val newDocs = docs.filter(col("doc_id") > cut)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.appendToMemory(
+      StreamingOps.nearDupFlagAgainst(
+        mem.toDF().toDF("doc_id", "text"), corpus), "neardup_out").start()
+    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+    mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("neardup_out")
+      .select("doc_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet // band dups collapse here
+    // batch expectation: exact jaccard >= 0.8 pairs crossing the cut
+    val batch = graft.functions.TextSim
+      .jaccardPairs(graft.functions.TextSim.shingles(docs, 3), 0.8)
+      .filter(col("id2") > cut && col("id1") <= cut)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(streamed == batch,
+      s"stream flags ${streamed.size} pairs, batch expects ${batch.size}")
+    assert(streamed.nonEmpty, "no planted pairs straddle the cut — data drifted?")
+  }
+
   test("mapGroupsWithState accumulates per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
