@@ -103,4 +103,19 @@ class TextSimSpec extends SparkSpec {
     val sigs = TextSim.simhash(TextSim.shingles(two, 3)).collect().map(_.getLong(1))
     assert(sigs(0) == sigs(1))
   }
+
+  test("per-row signatures are bit-identical to the aggregate form") {
+    // The streaming path (minhashSignatureRow) and the batch path
+    // (minhashSignature) must emit the SAME 128 values per doc — the
+    // stream twin's recall argument rests on this equality.
+    val n = 16 // narrower width keeps the collect small; same hash family
+    val agg = TextSim.minhashSignature(TextSim.shingles(docs, 3), n)
+      .collect().map(r => r.getLong(0) -> (1 to n).map(i => r.getLong(i))).toMap
+    val row = TextSim.minhashSignatureRow(docs, n, 3)
+      .collect().map(r => r.getLong(0) -> (2 to n + 1).map(i => r.getLong(i))).toMap
+    assert(agg.keySet == row.keySet, "different doc coverage")
+    agg.foreach { case (id, sig) =>
+      assert(sig == row(id), s"doc $id: row/agg signatures diverge")
+    }
+  }
 }
