@@ -124,6 +124,30 @@ object ScalarFns {
           get_json_object(col("props"), "$.missing").as("k_missing"))
         .orderBy(col("event_id"))),
 
+    // JSON_TABLE analog (MySQL 8.0.4): shred a JSON ARRAY document into
+    // rows with ordinality and typed columns. The array document is
+    // derived from the real events table (to_json over each user's
+    // ordered events — the serialize half), then shredded back with
+    // from_json(schema) + posexplode (the JSON_TABLE half), so the
+    // query exercises the full round-trip through real JSON machinery.
+    // The oracle states the SEMANTICS relationally (ordinality = dense
+    // order by event_id) — mechanism-independent, as an oracle should
+    // be. Shapes: one user-keyed agg, then a projection explode.
+    "q103_json_table" -> ((s, d) => {
+      val docJson = T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(to_json(sort_array(collect_list(struct(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))))).as("j"))
+      docJson
+        .select(col("user_id"),
+          posexplode(from_json(col("j"),
+            lit("array<struct<event_id:bigint,k:int>>"))).as(Seq("ord", "e")))
+        .select(col("user_id"), col("ord"),
+          col("e.event_id").as("event_id"), col("e.k").as("k"))
+        .orderBy(col("user_id"), col("ord"))
+    }),
+
     // Array/map higher-order functions on the embeddings table — absent
     // from the MySQL scalar surface, required by the north-star vector
     // ops (SURVEY.md §2.2 array/map row). All higher-order: no UDFs.
@@ -241,6 +265,17 @@ object ScalarFns {
         | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k_int,
         | CAST(NULL AS VARCHAR) AS k_missing
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q103_json_table" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id,
+        |         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS ord,
+        |       event_id, k
+        |FROM o ORDER BY user_id, ord""".stripMargin,
 
     "q57_array_fns" ->
       """SELECT vec_id,
