@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses the LAST stdout line of `sbt runMain
+// graft.Bench` as JSON. Four rounds of BENCH_r*.json came back
+// "parsed": null because two sbt behaviors stand between our println
+// and "last line": the logger's "[info] " prefix on forked-process
+// output, and the "[success] Total time" summary sbt appends after the
+// command. Route the forked program's stdout through raw (no prefix)
+// and suppress the success summary so the program's final line IS the
+// process's final line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -27,7 +27,12 @@ object Bench {
     // whose cost IS the projection (hashes, regex, string fns). Each
     // query runs `runs` times (default 2); min is reported, since
     // local-mode noise is one-sided (GC, JIT, page cache).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional args name a query subset — same contract as Verify —
+    // for fast local iteration; the driver passes none (full catalog).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -54,6 +59,10 @@ object Bench {
     // machine-parsed number here.
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Stop Spark BEFORE printing the machine lines: nothing (shutdown
+    // hooks, executor teardown) may write to stdout after the final
+    // JSON line, because the driver parses the process's LAST line.
+    spark.stop()
     val sorted = results.toSeq.sortBy(_._1)
     sorted.foreach { case (k, v) => println(s"BENCHQ $k ${r3(v)}") }
     val entries = sorted.map { case (k, v) => "\"" + k + "\":" + r3(v) }
@@ -68,7 +77,14 @@ object Bench {
     chunks.zipWithIndex.foreach { case (c, i) =>
       println(s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     }
+    // Second-to-last: the full contract line (metric/value/unit/
+    // queries/sf) for a parser that requires the "queries" map; last:
+    // the tiny totals line for a parser that takes exactly the final
+    // line and a tail window too small for the full map. Tail
+    // truncation eats the HEAD of the window, so the lines closest to
+    // EOF survive first.
+    println(fullJson)
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${sorted.size},"queries_file":"$outFile","sf":"$sfDir"}""")
-    spark.stop()
+    System.out.flush()
   }
 }
