@@ -84,8 +84,11 @@ object TextSim {
     */
   private val P = 2147483647L
 
-  /** Deterministic (a,b) coefficients, seed 42. */
-  private def coefficients(nHashes: Int): Array[(Long, Long)] = {
+  /** Deterministic (a,b) coefficients, seed 42 — shared with the native
+    * kernel ([[MinHashWords]]) so all three signature forms agree bit
+    * for bit.
+    */
+  private[graft] def coefficients(nHashes: Int): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Array.fill(nHashes)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
   }
@@ -127,6 +130,25 @@ object TextSim {
       expr(s"array_min(transform(xs, x -> (x * ${a}L + ${b}L) % $P))").as(s"h$i")
     }
     based.select(col("doc_id") +: col("gs") +: sigs: _*)
+  }
+
+  /** MinHash signature via the native codegen kernel
+    * ([[MinHashWords]]): one generated loop per doc over the token
+    * array — no gram materialization, no explode, no aggregation, no
+    * doc-keyed shuffle. Bit-identical output to [[minhashSignature]]
+    * over the same docs (asserted in TextKernelsSpec); docs shorter
+    * than the shingle width drop out of both. This is the production
+    * signature stage; the aggregate form remains the
+    * independently-derived twin the equality spec checks against.
+    */
+  def minhashSignatureNative(docs: DataFrame, nHashes: Int, n: Int): DataFrame = {
+    TextKernels.ensureRegistered(docs.sparkSession)
+    val sig = docs
+      .select(col("doc_id"),
+        expr(s"graft_minhash(split(text, ' '), $n, $nHashes)").as("mh"))
+      .filter(col("mh").isNotNull)
+    val hs = (0 until nHashes).map(i => col("mh").getItem(i).as(s"h$i"))
+    sig.select(col("doc_id") +: hs: _*)
   }
 
   /** LSH banding: (doc_id, band, band_hash), one row per band.

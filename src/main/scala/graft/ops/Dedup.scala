@@ -107,7 +107,7 @@ object Dedup {
       .select(col("doc_id"), col("text"))
     val sh = TextSim.shingles(reps, shingleWidth)
     val cand = TextSim.bandCandidates(
-      TextSim.lshBands(TextSim.minhashSignature(sh, 128), 32, 4))
+      TextSim.lshBands(TextSim.minhashSignatureNative(reps, 128, shingleWidth), 32, 4))
     val repPairs = TextSim.verifyJaccard(cand, sh, 0.8)
       .select(col("id1"), col("id2"))
     val repLabels = Components.connectedComponents(repPairs)
@@ -135,11 +135,15 @@ object Dedup {
       TextSim.jaccardPairs(TextSim.shingles(T.documents(s, d), 3), 0.6)),
 
     // MinHash(128) + LSH(32×4) candidates, exact-verified at 0.8.
+    // Signatures come from the native codegen kernel (one generated
+    // loop per doc, bit-identical to the aggregate form — see
+    // TextKernels); the exploded shingle relation is built only for
+    // the candidate-sized exact verify.
     "q62_neardup_minhash_lsh" -> ((s, d) => {
-      val sh = TextSim.shingles(T.documents(s, d), 3)
-      val sig = TextSim.minhashSignature(sh, 128)
+      val docs = T.documents(s, d)
+      val sig = TextSim.minhashSignatureNative(docs, 128, 3)
       val cand = TextSim.bandCandidates(TextSim.lshBands(sig, 32, 4))
-      TextSim.verifyJaccard(cand, sh, 0.8)
+      TextSim.verifyJaccard(cand, TextSim.shingles(docs, 3), 0.8)
     }),
 
     // SimHash(64) + combination-band candidates, hamming-prefiltered,
@@ -279,7 +283,7 @@ object Dedup {
       // broadcast scalar — exact-integer so the oracle agrees.
       val cutDf = docs.agg(expr("(4 * max(doc_id)) div 5").as("cut"))
       val sh = TextSim.shingles(docs, 3)
-      val bands = TextSim.lshBands(TextSim.minhashSignature(sh, 128), 32, 4)
+      val bands = TextSim.lshBands(TextSim.minhashSignatureNative(docs, 128, 3), 32, 4)
       val delta = bands.crossJoin(broadcast(cutDf))
         .filter(col("doc_id") > col("cut")).drop("cut")
       val cand = bands.as("l")
@@ -310,7 +314,7 @@ object Dedup {
       val docs = T.documents(s, d)
       val sh = TextSim.shingles(docs, 3)
       val cand = TextSim.bandCandidates(
-        TextSim.lshBands(TextSim.minhashSignature(sh, 128), 32, 4))
+        TextSim.lshBands(TextSim.minhashSignatureNative(docs, 128, 3), 32, 4))
       val pairs = TextSim.verifyJaccard(cand, sh, 0.8)
         .select(col("id1"), col("id2"))
       val src = docs.select(col("doc_id"), col("source"))

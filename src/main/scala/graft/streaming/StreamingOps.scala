@@ -122,7 +122,7 @@ object StreamingOps {
       .select(col("doc_id"),
         array_distinct(expr(TextSim.gramArrayExpr(3))).as("c_gs"))
     val index = TextSim
-      .lshBands(TextSim.minhashSignature(TextSim.shingles(corpus, 3), 128), 32, 4)
+      .lshBands(TextSim.minhashSignatureNative(corpus, 128, 3), 32, 4)
       .join(corpusGrams, "doc_id")
       .select(col("doc_id").as("corpus_id"), col("band"), col("bh"), col("c_gs"))
     val sig = TextSim.minhashSignatureRow(stream, 128, 3)
