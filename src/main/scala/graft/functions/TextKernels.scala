@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -132,6 +132,134 @@ case class MinHashWords(child: Expression, n: Int, nHashes: Int)
     copy(child = newChild)
 }
 
+/** Native Catalyst kernel for the 64-bit SimHash signature — same
+  * motivation as [[MinHashWords]], sharper payoff: q63's candidate
+  * self-join consumes the signature relation on BOTH sides and AQE does
+  * not reuse the exchange (DESIGN.md), so the scan→shingle→simhash-agg
+  * subtree executes twice per query; this kernel turns that subtree
+  * into scan → generated loop.
+  *
+  * Same gram semantics as [[MinHashWords]] (concat_ws of n tokens,
+  * sliding window). The base hash is Spark's `xxhash64(g)` (seed 42),
+  * matching [[TextSim.simhash]]'s `th`. One divergence, documented:
+  * the aggregate form bit-sums over DISTINCT gram strings; this kernel
+  * dedups grams by their sorted xxhash64 values, so two distinct grams
+  * in the SAME doc colliding in xxhash64 would count once instead of
+  * twice — odds ~m²/2^65 per doc, and the effect is recall-only
+  * (candidates feed an exact verify). TextKernelsSpec asserts
+  * bit-identical signatures on real data.
+  *
+  * Returns NULL for docs with fewer than n tokens (no grams — the
+  * aggregate form emits no row).
+  */
+case class SimHashWords(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash expects (array<string>, n >= 1), got ${child.dataType}, n=$n")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val ws = input.asInstanceOf[ArrayData]
+    val nw = ws.numElements()
+    if (nw < n) return null
+    val m = nw - n + 1
+    val ths = new Array[Long](m)
+    val gramParts = new Array[UTF8String](n)
+    var i = 0
+    while (i < m) {
+      var k = 0
+      while (k < n) {
+        gramParts(k) = if (ws.isNullAt(i + k)) null else ws.getUTF8String(i + k)
+        k += 1
+      }
+      val g = UTF8String.concatWs(space, gramParts: _*)
+      ths(i) = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(ths)
+    val sums = new Array[Int](64)
+    i = 0
+    while (i < m) {
+      if (i == 0 || ths(i) != ths(i - 1)) {
+        val th = ths(i)
+        var b = 0
+        while (b < 64) {
+          if (((th >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, ws => {
+      val sRef = ctx.addReferenceObj("simhashSep", space, classOf[UTF8String].getName)
+      val nw = ctx.freshName("nw")
+      val m = ctx.freshName("m")
+      val ths = ctx.freshName("ths")
+      val sums = ctx.freshName("sums")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val g = ctx.freshName("g")
+      val th = ctx.freshName("th")
+      val sig = ctx.freshName("sig")
+      val utf8 = classOf[UTF8String].getName
+      val xxh = classOf[XXH64].getName
+      val parts = (0 until n)
+        .map(k => s"$ws.isNullAt($i + $k) ? null : $ws.getUTF8String($i + $k)")
+        .mkString(", ")
+      s"""
+         |int $nw = $ws.numElements();
+         |if ($nw < $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $m = $nw - $n + 1;
+         |  long[] $ths = new long[$m];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $utf8 $g = $utf8.concatWs($sRef, $parts);
+         |    $ths[$i] = $xxh.hashUnsafeBytes(
+         |        $g.getBaseObject(), $g.getBaseOffset(), $g.numBytes(), 42L);
+         |  }
+         |  java.util.Arrays.sort($ths);
+         |  int[] $sums = new int[64];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    if ($i == 0 || $ths[$i] != $ths[$i - 1]) {
+         |      long $th = $ths[$i];
+         |      for (int $b = 0; $b < 64; $b++) {
+         |        if ((($th >>> $b) & 1L) == 1L) $sums[$b]++; else $sums[$b]--;
+         |      }
+         |    }
+         |  }
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ($sums[$b] > 0) $sig |= (1L << $b);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashWords =
+    copy(child = newChild)
+}
+
 object TextKernels {
   /** Arity/literal-checked builder (mirrors [[VectorKernels.dotBuilder]]):
     * `graft_minhash(ws)` defaults to (n=3, nHashes=128);
@@ -148,8 +276,23 @@ object TextKernels {
         s"graft_minhash(array<string>[, n, nHashes]) takes 1 or 3 arguments (literal ints), got ${exprs.length}")
   }
 
+  /** `graft_simhash(ws)` defaults to n=3; `graft_simhash(ws, n)` takes
+    * a foldable int literal.
+    */
+  def simhashBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(ws) => SimHashWords(ws, 3)
+    case Seq(ws, nE) if nE.foldable =>
+      SimHashWords(ws, nE.eval().asInstanceOf[Number].intValue())
+    case _ =>
+      throw new IllegalArgumentException(
+        s"graft_simhash(array<string>[, n]) takes 1 or 2 arguments (literal int), got ${exprs.length}")
+  }
+
   /** Idempotently register the SQL-facing kernel names on a session. */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", minhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", simhashBuilder, "built-in")
+  }
 }

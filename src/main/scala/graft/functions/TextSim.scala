@@ -199,6 +199,23 @@ object TextSim {
     sig.select(col("doc_id"), assembled.as("simhash"))
   }
 
+  /** SimHash via the native codegen kernel ([[SimHashWords]]): one
+    * generated loop per doc — gram bytes, xxhash64, dedup by sorted
+    * hash, 64 bit-sums — replacing the explode + 64-sum aggregate +
+    * doc-keyed shuffle. Matters doubly for q63, whose candidate
+    * self-join executes the signature subtree twice (no exchange
+    * reuse — DESIGN.md). Signature equality vs [[simhash]] asserted in
+    * TextKernelsSpec; the one documented divergence is within-doc
+    * xxhash64 collisions (~m²/2^65, recall-only).
+    */
+  def simhashNative(docs: DataFrame, n: Int): DataFrame = {
+    TextKernels.ensureRegistered(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        expr(s"graft_simhash(split(text, ' '), $n)").as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
   /** Disjoint banding of a 64-bit simhash into `bands` equal bit
     * slices. Pigeonhole guarantee: a pair within hamming distance
     * (bands - 1) flips at most (bands - 1) bands, so at least one band

@@ -163,7 +163,11 @@ object Dedup {
       // spread over ~2.3M shuffle keys — vs n²/2 over 256 keys for the
       // old 4-bit single-block bands (the round-1 scale-killer). Only
       // hamming-plausible pairs reach the exact shingle-join verify.
-      val sig = TextSim.simhash(TextSim.shingles(docs, 3))
+      // Signature via the native kernel: the candidate self-join
+      // executes this subtree TWICE (no exchange reuse — DESIGN.md),
+      // so collapsing explode+agg into a generated per-row loop pays
+      // double here.
+      val sig = TextSim.simhashNative(docs, 3)
       val near = TextSim.simhashCandidates(sig, blocks = 16, r = 3)
       TextSim.verifyJaccard(near, TextSim.shingles(docs, 3), 0.8)
     }),

@@ -57,6 +57,28 @@ class TextKernelsSpec extends SparkSpec {
       "multiset min must equal distinct-set min for identical gram sets")
   }
 
+  test("native simhash is bit-identical to the aggregate form") {
+    val agg = TextSim.simhash(TextSim.shingles(docs, 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = TextSim.simhashNative(docs, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.keySet === agg.keySet)
+    val diff = agg.keys.filter(k => agg(k) != native(k))
+    assert(diff.isEmpty, s"simhash differs for docs: ${diff.take(5).toList}")
+  }
+
+  test("native simhash dedups repeated grams like the distinct aggregate") {
+    import spark.implicits._
+    // 'a b c a b c a b c' repeats grams; one doc with the distinct gram
+    // set must hash identically.
+    val rep = Seq((1L, "a b c a b c a b c"), (2L, "x y")).toDF("doc_id", "text")
+    val agg = TextSim.simhash(TextSim.shingles(rep, 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = TextSim.simhashNative(rep, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === agg, "short doc must drop from both; repeats must dedup")
+  }
+
   test("SQL surface: wrong arity fails analysis with the signature") {
     TextKernels.ensureRegistered(spark)
     val e = intercept[Exception] {
