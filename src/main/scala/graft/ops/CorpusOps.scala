@@ -413,6 +413,29 @@ object CorpusOps {
           Seq(col("hk"), col("doc_id")), p)
         .select(col("doc_id"), col("hk"), col("rn").as("shuffle_pos"))
         .orderBy(col("doc_id"))
+    }),
+
+    // One BPE merge iteration — the statistic a tokenizer-induction
+    // pass computes: adjacent character-pair frequencies over the word
+    // vocabulary, weighted by corpus word counts (top 20 = the next
+    // merge candidates). Plan shape: the corpus collapses to the
+    // vocabulary FIRST (one vocab-keyed agg), so the per-word pair
+    // expansion — a higher-order transform, interpreted — runs over
+    // |vocab| rows, not the corpus; the pair rollup is keyed by the
+    // pair value (≤ |alphabet|² groups). At 100 TB the corpus pass is
+    // the only full-data stage, exactly as a production BPE trainer
+    // structures it.
+    "q104_bpe_pair_stats" -> ((s, d) => {
+      val wc = T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      wc.filter(length(col("w")) >= 2)
+        .select(col("c"), explode(
+          expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pair"))
+        .limit(20)
     })
   )
 
@@ -429,6 +452,19 @@ object CorpusOps {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q104_bpe_pair_stats" ->
+      """WITH wc AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        |  GROUP BY 1
+        |), p AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair, c
+        |  FROM wc, unnest(generate_series(1, length(w)-1)) AS t(i)
+        |  WHERE length(w) >= 2
+        |)
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS n_occ
+        |FROM p GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin,
+
     "q93_domain_mix" ->
       """WITH c AS (
         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1

@@ -330,6 +330,27 @@ object Dedup {
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Leakage-safe train/val/test split: q86's deterministic md5 split,
+    // but keyed by the NEAR-DUP CANONICAL id (production LSH tier), so
+    // an entire near-dup cluster always lands in one split — the
+    // contamination mode a plain per-doc split invites (train/test
+    // twins) is structurally impossible. Composition: canonicalizeLsh
+    // (every stage keyed/broadcast) + one doc-keyed left join + a
+    // projection; DedupSpec asserts the co-split property pair by pair.
+    "q109_leakage_safe_split" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      def h32(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+      val canon = canonicalizeLsh(docs)
+      docs.join(canon, Seq("doc_id"), "left_outer")
+        .withColumn("split_key", coalesce(col("canonical_id"), col("doc_id")))
+        .withColumn("b", h32(col("split_key").cast("string")) % 100)
+        .withColumn("split",
+          when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -369,6 +390,29 @@ object Dedup {
          |JOIN documents d2 ON pr.id2 = d2.doc_id
          |GROUP BY least(d1.source, d2.source), greatest(d1.source, d2.source)
          |ORDER BY src_a, src_b""".stripMargin,
+
+    // Canonical ids from the exact recursive closure, split on the
+    // canonical key with q86/q100's md5 expression.
+    "q109_leakage_safe_split" ->
+      s"""WITH RECURSIVE pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |), e(a, b) AS (
+         |  SELECT id1, id2 FROM pr UNION SELECT id2, id1 FROM pr
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+         |), canon AS (
+         |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS canonical_id
+         |  FROM reach GROUP BY a
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(c.canonical_id, d.doc_id) AS split_key,
+         |       CASE WHEN CAST(('0x' || substr(md5(CAST(coalesce(c.canonical_id, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+         |            WHEN CAST(('0x' || substr(md5(CAST(coalesce(c.canonical_id, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Transitive closure over the exact pair graph via recursive CTE;
     // canonical = min over self ∪ reachable. q69 (the LSH-fed

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.T
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the documents table — north-star
@@ -105,7 +106,7 @@ object TextOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
     "q70_lang_id" -> ((s, d) => {
       T.documents(s, d).createOrReplaceTempView("documents")
       s.sql(langIdSql)
@@ -195,11 +196,98 @@ object TextOps {
         .groupBy(col("w"))
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("doc_freq"))
         .orderBy(col("w")))
+  ) ++ Map[String, Q](
+
+    // Bigram-LM fluency (the step up from q91's unigram score): per-doc
+    // mean of ln P(w_i | w_{i-1}) under corpus MLE estimates, where
+    // P(w2|w1) = c(w1 w2) / c(w1·) — prefix counts from the bigram
+    // relation itself, so the conditional sums to 1 exactly. Bigram
+    // extraction is a doc-keyed lead window (doc-sized partitions);
+    // the two count relations are bigram-vocabulary-sized aggregates
+    // joined back on vocabulary keys. The keep threshold −3.59 sits in
+    // a measured gap of the score distribution at every test SF
+    // (nearest doc ≥ 6e-4 away — float noise can't flip it).
+    "q107_bigram_fluency" -> ((s, d) => {
+      val tok = T.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val big = tok.withColumn("w2", lead(col("w"), 1).over(wd))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("w").as("w1"), col("w2"))
+      val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(avg(log(col("c2").cast("double") / col("c1"))).as("lp"))
+        .select(col("doc_id"), round(col("lp"), 4).as("bigram_lp"),
+          when(col("lp") >= -3.59, 1).otherwise(0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary coverage curve: top-30 tokens by corpus frequency with
+    // cumulative coverage in exact-integer basis points — the
+    // "how small can the tokenizer vocab be" diagnostic. Ranking over
+    // the (data-dependent, possibly huge) vocabulary goes through
+    // ScalableRank (constant key — q98's pattern, never a single-task
+    // global window); the cumulative sum then runs over the 30
+    // SURVIVING rows only, a constant-size window by construction.
+    "q108_vocab_coverage" -> ((s, d) => {
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val vc = T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("g", lit(0))
+      val tot = vc.agg(sum(col("c")).as("total"))
+      val top = graft.functions.ScalableRank
+        .withRanks(vc, Seq("g"), Seq(col("c").desc, col("w")),
+          Seq(col("c"), col("w")), p)
+        .filter(col("rn") <= 30)
+      val w30 = Window.orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("c")).over(w30))
+        .select(col("rn").as("rnk"), col("w"), col("c").as("n_occ"),
+          expr("(10000 * cum) div total").as("cum_bp"))
+        .orderBy(col("rnk"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
     "q70_lang_id" -> langIdSql,
     "q71_text_quality" -> qualitySql,
+
+    "q107_bigram_fluency" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |         generate_subscripts(string_split(text,' '),1) AS i
+        |  FROM documents
+        |), big AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |), bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1,2),
+        |uc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+        |s AS (
+        |  SELECT doc_id, avg(ln(CAST(c2 AS DOUBLE)/c1)) AS lp
+        |  FROM big JOIN bc USING (w1,w2) JOIN uc USING (w1)
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, round(lp,4) AS bigram_lp,
+        |       CASE WHEN lp >= -3.59 THEN 1 ELSE 0 END AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q108_vocab_coverage" ->
+      """WITH vc AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents) GROUP BY 1
+        |), t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vc),
+        |r AS (
+        |  SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rnk,
+        |         CAST(sum(c) OVER (ORDER BY c DESC, w
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM vc
+        |)
+        |SELECT rnk, w, CAST(c AS BIGINT) AS n_occ, (10000 * cum) // t.total AS cum_bp
+        |FROM r, t WHERE rnk <= 30 ORDER BY rnk""".stripMargin,
 
     "q91_unigram_logprob" ->
       """WITH tok AS (

@@ -214,6 +214,49 @@ object VectorOps {
         .select(col("q_id"), col("rn"), col("id2").as("neighbor_id"),
                 round(col("cos"), 4).as("cos_sim"))
         .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // Int8 scalar quantization of the embedding corpus — the storage
+    // path a 100 TB vector store actually ships (4× smaller than
+    // float32, dequantized on read). Per-dimension affine codes:
+    // code = trunc((v - mn_d) / (mx_d - mn_d) * 255). Plan shape: one
+    // dim-keyed partial-aggregable min/max (dim rows — a broadcast
+    // dimension), joined back broadcast, then a single corpus pass; the
+    // per-vector rollup reports the exact integer code sum and the max
+    // reconstruction error. All arithmetic is IEEE double on both
+    // engines (floats widened before any op), trunc of a non-negative
+    // value = floor, so the codes are engine-exact.
+    "q105_embedding_quantize" -> ((s, d) => {
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "vf")))
+        .select(col("vec_id"), (col("p") + 1).as("i"), col("vf").cast("double").as("v"))
+      val st = e.groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      e.join(broadcast(st), "i")
+        .withColumn("code",
+          floor(when(col("mx") > col("mn"),
+            (col("v") - col("mn")) / (col("mx") - col("mn")) * 255.0)
+            .otherwise(0.0)).cast("int"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("code")).as("sum_code"),
+             round(max(abs(col("v") -
+               (col("mn") + col("code") * (col("mx") - col("mn")) / 255.0))), 6)
+               .as("max_abs_err"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Semantic near-dup canonicalization — the embedding-tier twin of
+    // q67/q69: within-label cosine pairs at 0.35 (the chunked triangle
+    // join bounds per-task pair work; q64's substrate) → distributed
+    // connected components → cluster-minimum canonical ids. This is
+    // "semantic dedup" as a single catalog entry: the text tiers catch
+    // lexical twins, this catches embedding-space twins.
+    "q106_semantic_canonical" -> ((s, d) => {
+      val pairs = chunkedPairs(emb(s, d), chunkSize = 64)
+        .filter(col("cos") >= 0.35)
+        .select(col("id1"), col("id2"))
+      graft.functions.Components.connectedComponents(pairs)
+        .select(col("doc_id").as("vec_id"), col("canonical_id"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -224,6 +267,52 @@ object VectorOps {
       |      FROM e GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Dialect note: DuckDB CAST(double AS INT) rounds where Spark
+    // truncates — CAST(trunc(x) AS INT) (values are non-negative, so
+    // trunc == Spark's floor-based code).
+    "q105_embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), st AS (
+        |  SELECT i, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1
+        |), q AS (
+        |  SELECT vec_id,
+        |         CAST(trunc(CASE WHEN mx > mn THEN (v-mn)/(mx-mn)*255.0 ELSE 0.0 END) AS INT) AS code,
+        |         v, mn, mx
+        |  FROM e JOIN st USING (i)
+        |)
+        |SELECT vec_id, CAST(sum(code) AS BIGINT) AS sum_code,
+        |       round(max(abs(v - (mn + code*(mx-mn)/255.0))), 6) AS max_abs_err
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // Transitive closure over the exact within-label cosine pair graph
+    // (q64's pair CTE), canonical = min over self ∪ reachable — the
+    // same recursive-CTE shape as q67's oracle.
+    "q106_semantic_canonical" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, label, unnest(embedding) AS v,
+         |                  generate_subscripts(embedding,1) AS i FROM embeddings),
+         |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) AS nrm
+         |      FROM e GROUP BY 1),
+         |d AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |             sum(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE)) AS dot
+         |      FROM e a JOIN e b ON a.i = b.i AND a.label = b.label
+         |                        AND a.vec_id < b.vec_id
+         |      GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT id1, id2 FROM d JOIN n n1 ON id1 = n1.vec_id JOIN n n2 ON id2 = n2.vec_id
+         |  WHERE dot/(n1.nrm*n2.nrm) >= 0.35
+         |), eg(a, b) AS (
+         |  SELECT id1, id2 FROM pr UNION SELECT id2, id1 FROM pr
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM eg
+         |  UNION
+         |  SELECT r.a, eg.b FROM reach r JOIN eg ON r.b = eg.a
+         |)
+         |SELECT a AS vec_id, CAST(least(a, min(b)) AS BIGINT) AS canonical_id
+         |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
+
     "q64_embedding_neardup" ->
       s"""$embCte,
          |d AS (SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -159,4 +159,51 @@ class CorpusOpsSpec extends SparkSpec {
     assert(exact.subsetOf(flagged),
       s"near-dup partners of benchmark docs not flagged: ${exact -- flagged}")
   }
+
+  test("bpe pair stats: top pair matches a brute-force recount (q104)") {
+    val vocab = T.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val brute = vocab.iterator
+      .filter(_._1.length >= 2)
+      .flatMap { case (w, c) => w.sliding(2).map(_ -> c) }
+      .foldLeft(Map.empty[String, Long]) { case (m, (p, c)) =>
+        m.updated(p, m.getOrElse(p, 0L) + c)
+      }
+    val top = CorpusOps.queries("q104_bpe_pair_stats")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(top.length === 20)
+    val expectedTop = brute.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(top.toSeq === expectedTop, "weighted pair counts disagree with brute force")
+  }
+
+  test("bigram LM is a proper conditional: P(.|w1) sums to 1 (q107 substrate)") {
+    import spark.implicits._
+    val tok = T.documents(spark, sf001)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val big = tok.withColumn("w2", lead(col("w"), 1).over(wd))
+      .filter(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bad = bc.groupBy(col("w1")).agg(sum(col("c2")).as("s"))
+      .join(uc, "w1").filter(col("s") =!= col("c1")).count()
+    assert(bad === 0L, "bigram prefix counts must equal summed bigram counts")
+  }
+
+  test("vocab coverage curve is monotone and exhaustive at rank end (q108)") {
+    val rows = graft.ops.TextOps.queries("q108_vocab_coverage")(spark, sf001)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 30L), "ranks must be 1..30")
+    val n = rows.map(_.getLong(2))
+    assert(n.zip(n.tail).forall { case (a, b) => a >= b }, "counts nonincreasing")
+    val cum = rows.map(_.getLong(3))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b }, "coverage monotone")
+    assert(cum.last <= 10000L)
+    // this corpus has ~31 word types, so 30 ranks cover nearly all of it
+    assert(cum.last >= 9000L, s"expected near-total coverage, got ${cum.last} bp")
+  }
 }

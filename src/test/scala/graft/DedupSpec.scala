@@ -126,4 +126,29 @@ class DedupSpec extends SparkSpec {
     assert(m.map(_.getLong(2)).sum === exact, "matrix loses or invents pairs")
     assert(m.forall(r => r.getString(0) <= r.getString(1)))
   }
+
+  test("leakage-safe split: near-dup pairs never straddle a split (q109)") {
+    val split = Dedup.queries("q109_leakage_safe_split")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    // exhaustive: one split per document
+    assert(split.size === T.documents(spark, sf001).count())
+    // the property the operator exists for: every verified near-dup
+    // pair (the production tier's own relation) is co-split
+    val pairs = Dedup.queries("q62_neardup_minhash_lsh")(spark, sf001)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val straddling = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(straddling.isEmpty, s"pairs split across sets: ${straddling.take(5).toList}")
+    // and a plain per-doc split DOES straddle (the failure mode guarded
+    // against): find at least one pair whose members hash to different
+    // buckets under the q86 keying
+    def h32mod(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    def bucket(b: Long) = if (b < 80) "train" else if (b < 90) "val" else "test"
+    val naiveStraddle = pairs.exists { case (a, b) => bucket(h32mod(a)) != bucket(h32mod(b)) }
+    assert(naiveStraddle, "test data should demonstrate the naive split's leakage")
+  }
 }

@@ -114,4 +114,36 @@ class VectorOpsSpec extends SparkSpec {
       assert(math.abs(c - sims((j, i))) < 1e-12, s"asymmetric sim ($i,$j)")
     }
   }
+
+  test("int8 quantization: codes bounded, error within one step (q105)") {
+    val out = VectorOps.queries("q105_embedding_quantize")(spark, sf001).collect()
+    val dims = T.embeddings(spark, sf001).selectExpr("size(embedding) AS d")
+      .agg(max(col("d"))).collect()(0).getInt(0)
+    assert(out.nonEmpty)
+    // sum of 64 codes each in [0, 255]
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 255L * dims))
+    // per-element reconstruction error is < one quantization step of the
+    // widest dimension
+    val maxStep = T.embeddings(spark, sf001)
+      .select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(((max(col("v").cast("double")) - min(col("v").cast("double"))) / 255.0).as("step"))
+      .agg(max(col("step"))).collect()(0).getDouble(0)
+    assert(out.forall(_.getDouble(2) < maxStep + 1e-12),
+      "dequantization error must stay under one step")
+  }
+
+  test("semantic canonicalization co-clusters every cosine pair (q106)") {
+    val labels = VectorOps.queries("q106_semantic_canonical")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty, "sf0.001 embeddings should contain cos>=0.35 pairs")
+    // canonical is a cluster member and the cluster minimum
+    assert(labels.forall { case (id, c) => c <= id && labels.get(c).forall(_ == c) })
+    // every pair from the exact pair relation shares a canonical id
+    val pairs = VectorOps.queries("q64_embedding_neardup")(spark, sf001)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val split = pairs.filter { case (a, b) => labels.get(a) != labels.get(b) }
+    assert(split.isEmpty, s"pairs straddling clusters: ${split.take(5).toList}")
+  }
 }
