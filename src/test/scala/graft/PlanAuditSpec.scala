@@ -95,6 +95,34 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one range exchange (the ORDER BY), got:\n$p")
   }
 
+  test("vocab ranking never hash-partitions on the constant key (q108)") {
+    // Same contract as q31/q35, minus the rangepartitioning-present
+    // check: q108's presentation sort runs over ≤30 rows, so Spark may
+    // legitimately plan it as a SinglePartition exchange instead of a
+    // sampled range sort (the ranking exchange itself sits behind
+    // ScalableRank's localCheckpoint, value-tested in ScalableRankSpec).
+    val p = plan("q108_vocab_coverage")
+    assert(!"hashpartitioning\\(g#".r.unanchored.matches(p),
+      "q108: an exchange hash-partitions on the constant ranking key")
+  }
+
+  test("quantization stats join by broadcast — the corpus never shuffles on dim (q105)") {
+    // The per-dim min/max relation is |dims| rows and must come back as
+    // a broadcast. Exchanges keyed on `i` are allowed ONLY as the stats
+    // aggregation's own shuffle fed by a map-side partial aggregate
+    // (P × dims partial rows move, not the corpus) — q93's rule.
+    val p = plan("q105_embedding_quantize")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast stats join")
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if ("hashpartitioning\\(i#\\d+, \\d+\\)".r.unanchored.matches(l)) {
+        val feeder = lines.drop(i + 1).find(x => !x.trim.startsWith("+- WholeStageCodegen"))
+        assert(feeder.exists(f => f.contains("HashAggregate") && f.contains("partial_")),
+          s"dim-hashed exchange not fed by a partial aggregate:\n$l\n-> ${feeder.getOrElse("?")}")
+      }
+    }
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would
