@@ -436,6 +436,96 @@ object CorpusOps {
         .groupBy(col("pair")).agg(sum(col("c")).as("n_occ"))
         .orderBy(col("n_occ").desc, col("pair"))
         .limit(20)
+    }),
+
+    // Boilerplate scrub (CCNet/C4-style REWRITE, not just the q97
+    // measurement): a token position is boilerplate iff any 3-gram
+    // covering it occurs in >= 4 distinct docs; the doc is re-emitted
+    // without those positions. Output carries md5 of the scrubbed text
+    // so the oracle checks the actual rewritten bytes. Plan shape: the
+    // gram df is a vocabulary-keyed agg (tiny vs corpus); covered
+    // positions and the keep anti-join are (doc_id, pos)-keyed; the
+    // reassembly is ONE doc-keyed agg whose state is bounded by doc
+    // length. No stage holds more than a doc or the gram vocabulary.
+    "q110_boilerplate_scrub" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+      val grams = docs
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          posexplode(expr(TextSim.gramArrayExpr(3))).as(Seq("i", "g")))
+      val bpGrams = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 4)
+      val covered = grams.join(bpGrams, "g")
+        .select(col("doc_id"), explode(expr("sequence(i, i + 2)")).as("p"))
+        .distinct()
+      val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(
+            expr("transform(array_sort(collect_list(struct(p, w))), x -> x.w)"),
+            " ")).as("kept_md5"))
+      docs
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Feature hashing (the fastText / quality-classifier front-end):
+    // each token hashes into a 64-bin bag-of-words vector; the output
+    // pins the EXACT per-doc sparse vector via md5 of its canonical
+    // "dim:count" string, plus nnz. The (doc, dim) agg is doc-keyed
+    // (bounded per doc by min(64, doc length)); no vocabulary-sized
+    // state anywhere — this is the projection-shaped featurizer you
+    // run before a broadcast-weights linear scorer at 100 TB.
+    "q112_feature_hashing" -> ((s, d) => {
+      val dims = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), (h32(col("w")) % 64).as("dim"))
+      dims.groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nnz"),
+          md5(array_join(
+            expr("transform(array_sort(collect_list(struct(dim, c)))," +
+              " x -> concat(x.dim, ':', x.c))"),
+            ",")).as("vec_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Filter funnel (the audit table a C4-style quality gate reports):
+    // per-doc boolean gates — too short, low type-token ratio,
+    // over-long word — rolled up per source with a pass count. All
+    // thresholds compare integers (permille floors), never floats.
+    // One projection + one source-keyed agg; the funnel counters are
+    // partial-aggregated map-side, so the shuffle carries |sources|
+    // rows per partition regardless of corpus size.
+    "q113_filter_funnel" -> ((s, d) => {
+      val gates = T.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("ws"))
+        .select(col("source"),
+          size(col("ws")).cast("long").as("n_words"),
+          size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+          expr("aggregate(ws, 0, (m, x) -> greatest(m, length(x)))").as("max_wlen"))
+        .withColumn("ttr_permille",
+          floor(lit(1000.0) * col("n_distinct") / greatest(col("n_words"), lit(1)))
+            .cast("int"))
+        .withColumn("f_short", when(col("n_words") < 30, 1L).otherwise(0L))
+        .withColumn("f_ttr", when(col("ttr_permille") < 220, 1L).otherwise(0L))
+        .withColumn("f_longword", when(col("max_wlen") > 12, 1L).otherwise(0L))
+      gates.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f_short")).as("n_short"),
+          sum(col("f_ttr")).as("n_low_ttr"),
+          sum(col("f_longword")).as("n_longword"),
+          sum(when(col("f_short") + col("f_ttr") + col("f_longword") === 0, 1L)
+            .otherwise(0L)).as("n_pass"))
+        .orderBy(col("source"))
     })
   )
 
@@ -464,6 +554,71 @@ object CorpusOps {
         |)
         |SELECT pair, CAST(sum(c) AS BIGINT) AS n_occ
         |FROM p GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin,
+
+    "q110_boilerplate_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |), tok AS (
+        |  SELECT doc_id, ws[p] AS w, p
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p FROM t)
+        |), g AS (
+        |  SELECT doc_id, i, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g3
+        |  FROM (SELECT doc_id, ws,
+        |               unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        |        FROM t)
+        |), f AS (
+        |  SELECT g3 FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 4
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, p
+        |  FROM (SELECT doc_id, unnest(generate_series(i, i + 2)) AS p
+        |        FROM g JOIN f USING (g3))
+        |), kept AS (
+        |  SELECT tok.doc_id, count(*) AS n_kept,
+        |         md5(string_agg(tok.w, ' ' ORDER BY tok.p)) AS kept_md5
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |  WHERE cov.p IS NULL
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tok,
+        |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(k.kept_md5, md5('')) AS kept_md5
+        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q112_feature_hashing" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 64 AS dim
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |), c AS (
+        |  SELECT doc_id, dim, count(*) AS c FROM dims GROUP BY 1, 2
+        |)
+        |SELECT doc_id, count(*) AS nnz,
+        |       md5(string_agg(dim || ':' || c, ',' ORDER BY dim)) AS vec_md5
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q113_filter_funnel" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, count(*) AS n_words,
+        |         count(DISTINCT w) AS n_distinct, max(length(w)) AS max_wlen
+        |  FROM (SELECT doc_id, source, unnest(string_split(text,' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), gates AS (
+        |  SELECT source,
+        |    CASE WHEN n_words < 30 THEN 1 ELSE 0 END AS f_short,
+        |    CASE WHEN CAST(floor(1000.0 * n_distinct / greatest(n_words, 1)) AS INT)
+        |         < 220 THEN 1 ELSE 0 END AS f_ttr,
+        |    CASE WHEN max_wlen > 12 THEN 1 ELSE 0 END AS f_longword
+        |  FROM w
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(f_short) AS BIGINT) AS n_short,
+        |       CAST(sum(f_ttr) AS BIGINT) AS n_low_ttr,
+        |       CAST(sum(f_longword) AS BIGINT) AS n_longword,
+        |       CAST(sum(CASE WHEN f_short + f_ttr + f_longword = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_pass
+        |FROM gates GROUP BY source ORDER BY source""".stripMargin,
 
     "q93_domain_mix" ->
       """WITH c AS (

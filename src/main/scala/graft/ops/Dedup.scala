@@ -351,6 +351,25 @@ object Dedup {
           when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
         .select(col("doc_id"), col("split_key"), col("split"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Dedup audit: the cluster-size histogram a dedup run reports
+    // (how much mass sits in how-deep duplicate clusters). Rides the
+    // PRODUCTION canonicalization; unclustered docs are size-1
+    // clusters. Beyond canonicalizeLsh's keyed stages this adds two
+    // tiny aggs — canonical-keyed sizes (bounded by cluster count),
+    // then a histogram over sizes (bounded by the deepest cluster).
+    "q115_dedup_cluster_histogram" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val labels = canonicalizeLsh(docs)
+      docs.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .select(coalesce(col("canonical_id"), col("doc_id")).as("canon"))
+        .groupBy(col("canon")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+             sum(col("cluster_size")).as("n_docs"))
+        .orderBy(col("cluster_size"))
     })
   )
 
@@ -413,6 +432,27 @@ object Dedup {
          |            ELSE 'test' END AS split
          |FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q115_dedup_cluster_histogram" ->
+      s"""WITH RECURSIVE pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |), e(a, b) AS (
+         |  SELECT id1, id2 FROM pr UNION SELECT id2, id1 FROM pr
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+         |), lab AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+         |  FROM reach GROUP BY a
+         |), cs AS (
+         |  SELECT coalesce(l.canonical_id, d.doc_id) AS canon, count(*) AS cluster_size
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |  GROUP BY 1
+         |)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     // Transitive closure over the exact pair graph via recursive CTE;
     // canonical = min over self ∪ reachable. q69 (the LSH-fed

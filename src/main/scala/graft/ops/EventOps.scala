@@ -92,7 +92,38 @@ object EventOps {
     // mins over the same user partitioning = ONE shuffle of events, no
     // per-stage joins; the per-user collapse reuses the partitioning
     // and the final funnel count is a tiny global agg.
-    "q85_event_funnel" -> ((s, d) => orderedFunnel(T.events(s, d)))
+    "q85_event_funnel" -> ((s, d) => orderedFunnel(T.events(s, d))),
+
+    // PII scrub audit (the redaction report a pipeline files before
+    // shipping data): three patterns — digit runs, emails, IPv4 — are
+    // counted and scrubbed per event payload; the rollup reports hit
+    // volumes, affected-event counts, and how many DISTINCT payloads
+    // survive scrubbing (payload diversity after redaction). Pure
+    // projection + one event_type-keyed agg; the distinct-count is the
+    // only state and is bounded by payload diversity, not event count.
+    // Spark regexp_replace is global by default; DuckDB needs 'g'.
+    "q111_pii_scrub_audit" -> ((s, d) => {
+      val numRe = "[0-9]+"
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      T.events(s, d)
+        .select(col("event_type"), col("props"))
+        .withColumn("n_num", size(regexp_extract_all(col("props"), lit(numRe), lit(0))).cast("long"))
+        .withColumn("n_email", size(regexp_extract_all(col("props"), lit(emailRe), lit(0))).cast("long"))
+        .withColumn("n_ip", size(regexp_extract_all(col("props"), lit(ipRe), lit(0))).cast("long"))
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(regexp_replace(col("props"),
+            emailRe, "<EMAIL>"), ipRe, "<IP>"), numRe, "<NUM>"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("n_num")).as("n_num_hits"),
+          sum(col("n_email")).as("n_email_hits"),
+          sum(col("n_ip")).as("n_ip_hits"),
+          sum(when(col("n_num") + col("n_email") + col("n_ip") > 0, 1L)
+            .otherwise(0L)).as("n_affected"),
+          countDistinct(col("scrubbed")).as("n_distinct_scrubbed"))
+        .orderBy(col("event_type"))
+    })
   )
 
   /** Ordered signup → click → purchase funnel over an events relation
@@ -196,6 +227,28 @@ object EventOps {
         |  CAST(sum(CASE WHEN t_signup   IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |  CAST(sum(CASE WHEN t_click    IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
         |  CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+
+    "q111_pii_scrub_audit" ->
+      """WITH h AS (
+        |  SELECT event_type, props,
+        |    len(regexp_extract_all(props, '[0-9]+')) AS n_num,
+        |    len(regexp_extract_all(props,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(props, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ip,
+        |    regexp_replace(regexp_replace(regexp_replace(props,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |      '[0-9]+', '<NUM>', 'g') AS scrubbed
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(n_num) AS BIGINT) AS n_num_hits,
+        |  CAST(sum(n_email) AS BIGINT) AS n_email_hits,
+        |  CAST(sum(n_ip) AS BIGINT) AS n_ip_hits,
+        |  CAST(sum(CASE WHEN n_num + n_email + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_affected,
+        |  count(DISTINCT scrubbed) AS n_distinct_scrubbed
+        |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

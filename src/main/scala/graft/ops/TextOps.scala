@@ -249,7 +249,27 @@ object TextOps {
         .select(col("rn").as("rnk"), col("w"), col("c").as("n_occ"),
           expr("(10000 * cum) div total").as("cum_bp"))
         .orderBy(col("rnk"))
-    })
+    }),
+
+    // Tokenizer fertility (the per-language cost metric a tokenizer
+    // report tracks): BPE-ish regex tokens per whitespace word
+    // (fertility) and characters per regex token, rolled up by lang.
+    // Pure projection + one lang-keyed agg — the per-doc token counts
+    // partial-aggregate map-side, so the shuffle carries |langs| rows.
+    // Ratios are permille floors (ints), never rounded floats.
+    "q114_tokenizer_fertility" -> ((s, d) =>
+      T.documents(s, d)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("long").as("n_bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_ws")).as("ws_tokens"),
+          sum(col("n_bpe")).as("bpe_tokens"))
+        .withColumn("fertility_permille",
+          floor(lit(1000.0) * col("bpe_tokens") / col("ws_tokens")).cast("int"))
+        .orderBy(col("lang")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -329,6 +349,19 @@ object TextOps {
         | sha256(text) AS fp_sha256,
         | substr(md5(lower(trim(text))), 1, 16) AS fp_short
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q114_tokenizer_fertility" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws,
+        |         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |           AS n_bpe
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+        |       CAST(floor(1000.0 * sum(n_bpe) / sum(n_ws)) AS INT) AS fertility_permille
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q78_token_histogram" ->
       """SELECT w, count(*) AS n, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq

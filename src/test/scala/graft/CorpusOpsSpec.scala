@@ -206,4 +206,79 @@ class CorpusOpsSpec extends SparkSpec {
     // this corpus has ~31 word types, so 30 ranks cover nearly all of it
     assert(cum.last >= 9000L, s"expected near-total coverage, got ${cum.last} bp")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def stageDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("boilerplate scrub removes exactly the planted shared run and keeps unique docs intact (q110)") {
+    // The run "boiler plate text" appears in 5 docs (df=5 >= 4) while
+    // every straddling gram is doc-unique (df=1), so the covered
+    // positions are exactly the run's three. The control doc shares no
+    // gram and must come back byte-identical.
+    val planted = (1L to 5L).map { i =>
+      (i, s"u${i}a u${i}b boiler plate text u${i}c u${i}d")
+    }
+    val control = Seq((9L, "c1 c2 c3 c4 c5"))
+    val dir = stageDocs(planted ++ control)
+    val out = graft.ops.CorpusOps.queries("q110_boilerplate_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    for (i <- 1L to 5L) {
+      val (nTok, nKept, kMd5) = out(i)
+      assert(nTok === 7L && nKept === 4L, s"doc $i: expected 3 scrubbed positions")
+      assert(kMd5 === md5hex(s"u${i}a u${i}b u${i}c u${i}d"),
+        s"doc $i: scrubbed bytes wrong")
+    }
+    val (cTok, cKept, cMd5) = out(9L)
+    assert(cTok === 5L && cKept === 5L && cMd5 === md5hex("c1 c2 c3 c4 c5"),
+      "control doc must survive unmodified")
+  }
+
+  test("feature hashing is bag-of-words: order-invariant, count-sensitive (q112)") {
+    val dir = stageDocs(Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma beta alpha"), // permutation
+      (3L, "alpha alpha beta"), (4L, "alpha beta")))      // count difference
+    val out = graft.ops.CorpusOps.queries("q112_feature_hashing")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) === out(2L), "permuted doc must hash to the same vector")
+    assert(out(3L) !== out(4L), "token multiplicity must change the vector")
+  }
+
+  test("filter funnel attributes each planted defect to its gate (q113)") {
+    val distinct35 = (1 to 35).map(i => s"w$i").mkString(" ")
+    val dir = stageDocs(Seq(
+      (1L, "w1 w2 w3"),                                   // too short
+      (2L, Seq.fill(40)("x").mkString(" ")),              // low TTR
+      (3L, distinct35 + " extraordinarily"),              // 15-char word
+      (4L, distinct35)))                                  // clean
+    val r = graft.ops.CorpusOps.queries("q113_filter_funnel")(spark, dir)
+      .collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+      === ((4L, 1L, 1L, 1L, 1L)),
+      s"funnel miscounted: ${row.mkString(",")}")
+  }
+
+  test("tokenizer fertility counts BPE-ish splits against whitespace words (q114)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    Seq((1L, "ab cd", "aa", "t"), (2L, "a1b c", "bb", "t"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.TextOps.queries("q114_tokenizer_fertility")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(out("aa") === ((2L, 2L, 1000)), "pure alpha words split 1:1")
+    assert(out("bb") === ((2L, 4L, 2000)), "a1b must split a|1|b (3 tokens + c)")
+  }
 }

@@ -151,4 +151,23 @@ class DedupSpec extends SparkSpec {
     val naiveStraddle = pairs.exists { case (a, b) => bucket(h32mod(a)) != bucket(h32mod(b)) }
     assert(naiveStraddle, "test data should demonstrate the naive split's leakage")
   }
+
+  test("cluster histogram partitions the corpus and matches the label relation (q115)") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.queries("q115_dedup_cluster_histogram")(spark, sf001).collect()
+    // internal consistency: each bucket's doc mass is size x clusters,
+    // and the buckets partition the whole corpus (singletons included)
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) * r.getLong(1),
+        s"bucket ${r.getLong(0)}: n_docs != cluster_size * n_clusters")
+    }
+    assert(rows.map(_.getLong(2)).sum === T.documents(spark, sf001).count(),
+      "histogram must partition the corpus")
+    // cross-check the deepest bucket against the production labels
+    val labels = Dedup.canonicalizeLsh(T.documents(spark, sf001))
+      .groupBy(col("canonical_id")).agg(count(lit(1)).as("n"))
+    val maxLabeled = labels.agg(max(col("n"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(0)).max === maxLabeled,
+      "deepest histogram bucket must equal the largest labeled cluster")
+  }
 }

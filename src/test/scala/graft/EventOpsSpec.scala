@@ -60,4 +60,30 @@ class EventOpsSpec extends SparkSpec {
       (3L, "view", ts(0))
     ) === ((2L, 2L, 1L)))
   }
+
+  test("pii scrub audit counts every pattern and collapses payload diversity (q111)") {
+    import spark.implicits._
+    // Staged as the raw parquet shape T.events expects: ts as raw nanos
+    // (the driver tables are TIMESTAMP(NANOS) read via nanosAsLong).
+    val dir = java.nio.file.Files.createTempDirectory("events").toString
+    Seq(
+      // digit-run counts are over the ORIGINAL payload, so the IP's
+      // four octets count as digit runs too (documented semantics).
+      (1L, 1000000000L, 1L, "a", 0.0, """{"email": "a.b@ex.com", "n": 42}"""),
+      (2L, 2000000000L, 1L, "a", 0.0, """{"ip": "10.0.0.1"}"""),
+      (3L, 3000000000L, 2L, "a", 0.0, """{"k": 87}"""),
+      (4L, 4000000000L, 2L, "a", 0.0, """{"k": 12}"""),
+      (5L, 5000000000L, 3L, "a", 0.0, """{"clean": true}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventOps.queries("q111_pii_scrub_audit")(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // n_events=5; digit runs: 42 | 10,0,0,1 | 87 | 12 -> 7; one email;
+    // one IP; 4 events touched; scrubbed payloads: email-doc, ip-doc,
+    // {"k": <NUM>} (x2 collapsed), clean -> 4 distinct.
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4),
+            row.getLong(5), row.getLong(6)) === ((5L, 7L, 1L, 1L, 4L, 4L)),
+      s"audit miscounted: ${row.mkString(",")}")
+  }
 }

@@ -123,6 +123,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("funnel-style audits shuffle partial rows only — never raw docs on the group key (q111/q113/q114)") {
+    // Same rule as q93/q105: source/lang/event_type are tens-of-values
+    // keys, so any exchange hashed on them must be fed by a map-side
+    // partial aggregate (P × |key| partial rows), never by raw rows.
+    for ((q, key) <- Seq("q113_filter_funnel" -> "source",
+                         "q114_tokenizer_fertility" -> "lang",
+                         "q111_pii_scrub_audit" -> "event_type")) {
+      val p = plan(q)
+      val lines = p.linesIterator.toVector
+      var audited = 0
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (s"hashpartitioning\\($key#\\d+, \\d+\\)".r.unanchored.matches(l)) {
+          val feeder = lines.drop(i + 1).find(x => !x.trim.startsWith("+- WholeStageCodegen"))
+          assert(feeder.exists(f => f.contains("HashAggregate") && f.contains("partial_")),
+            s"$q: $key-hashed exchange not fed by a partial aggregate:\n$l\n-> ${feeder.getOrElse("?")}")
+          audited += 1
+        }
+      }
+      assert(audited >= 1, s"$q: expected at least one $key-keyed aggregation exchange")
+    }
+  }
+
+  test("boilerplate scrub never broadcast-nested-loops and prunes doc text from the anti-join side (q110)") {
+    // The covered-position anti-join and the gram-df join are both
+    // equi-joins on real keys; a BNL here would replicate the corpus.
+    val p = plan("q110_boilerplate_scrub")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q110 must keep all joins keyed")
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would
