@@ -40,7 +40,12 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
       }
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      val best = if (times.isEmpty) -1.0 else times.min
+      // live progress on STDERR only — stdout stays exactly the parsed
+      // contract (BENCHQ lines + JSON, machine line last); a hung query
+      // is attributable from the stderr trail instead of a jstack hunt
+      System.err.println(f"[bench] $name $best%.3f")
+      name -> best
     }
     // Truncation-proof artifact (round-3 verdict item 4): the driver
     // captures a TAIL of stdout whose size we don't control — two
