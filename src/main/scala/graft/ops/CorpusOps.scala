@@ -526,6 +526,57 @@ object CorpusOps {
           sum(when(col("f_short") + col("f_ttr") + col("f_longword") === 0, 1L)
             .otherwise(0L)).as("n_pass"))
         .orderBy(col("source"))
+    }),
+
+    // Source-similarity matrix (the corpus-mix diagnostic behind
+    // dedup-across-sources and mixture design): cosine between the
+    // sources' unigram count vectors. The corpus collapses to
+    // (source, word) counts FIRST — one vocab-keyed partial-agg
+    // shuffle — so the pair join runs over |vocab|·|sources| rows and
+    // emits ≤ |sources|² cells; the norms relation is |sources| rows
+    // and broadcasts. Dots are exact integers; only the final cosine
+    // is floating (round 4 of an irrational — engine-safe).
+    "q116_source_similarity" -> ((s, d) => {
+      val counts = T.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val norms = counts.groupBy(col("source"))
+        .agg(sum(col("c") * col("c")).as("n2"))
+      counts.select(col("source").as("s1"), col("w"), col("c").as("c1"))
+        .join(counts.select(col("source").as("s2"), col("w"), col("c").as("c2")), Seq("w"))
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("n_shared"), sum(col("c1") * col("c2")).as("dot"))
+        .join(broadcast(norms.select(col("source").as("s1"), col("n2").as("n1sq"))), Seq("s1"))
+        .join(broadcast(norms.select(col("source").as("s2"), col("n2").as("n2sq"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("n_shared"), col("dot"),
+          round(col("dot") / (sqrt(col("n1sq")) * sqrt(col("n2sq"))), 4).as("cos4"))
+        .orderBy(col("s1"), col("s2"))
+    }),
+
+    // Token-budget selection (data curation under a budget): keep the
+    // highest-quality docs whose CUMULATIVE token count fits a global
+    // budget — the "best N tokens" pass a curriculum or ablation run
+    // makes. Quality = type-token ratio (integer permille); the global
+    // cumsum rides ScalableRank.withRunningSum under a constant key
+    // (range-partitioned by (score desc, doc_id) — never a single-task
+    // global window), exactly the q90/q98 discipline.
+    "q117_token_budget_select" -> ((s, d) => {
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val budget = 18000L
+      val scored = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tok"),
+          floor(lit(1000.0) * size(array_distinct(col("ws")))
+            / greatest(size(col("ws")), lit(1))).cast("int").as("score"),
+          lit(0).as("g"))
+      graft.functions.ScalableRank
+        .withRunningSum(scored, Seq("g"), Seq(col("score").desc, col("doc_id")),
+          col("n_tok"), p)
+        .filter(col("rsum") <= budget)
+        .select(col("doc_id"), col("score"), col("n_tok"), col("rsum").as("cum_tok"))
+        .orderBy(col("score").desc, col("doc_id"))
     })
   )
 
@@ -596,6 +647,42 @@ object CorpusOps {
         |SELECT doc_id, count(*) AS nnz,
         |       md5(string_agg(dim || ':' || c, ',' ORDER BY dim)) AS vec_md5
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q116_source_similarity" ->
+      """WITH c AS (
+        |  SELECT source, w, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text,' ')) AS w FROM documents)
+        |  GROUP BY 1, 2
+        |), n AS (
+        |  SELECT source, CAST(sum(c * c) AS BIGINT) AS n2 FROM c GROUP BY 1
+        |), p AS (
+        |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared,
+        |         CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |  FROM c a JOIN c b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.s1, p.s2, p.n_shared, p.dot,
+        |       round(CAST(p.dot AS DOUBLE) / (sqrt(n1.n2) * sqrt(n2.n2)), 4) AS cos4
+        |FROM p JOIN n n1 ON p.s1 = n1.source JOIN n n2 ON p.s2 = n2.source
+        |ORDER BY p.s1, p.s2""".stripMargin,
+
+    "q117_token_budget_select" ->
+      """WITH w AS (
+        |  SELECT doc_id, count(*) AS n_words, count(DISTINCT w) AS n_distinct
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |  GROUP BY 1
+        |), s AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_tok,
+        |         CAST(floor(1000.0 * n_distinct / greatest(n_words, 1)) AS INT) AS score
+        |  FROM w
+        |), cm AS (
+        |  SELECT doc_id, score, n_tok,
+        |         CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |  FROM s
+        |)
+        |SELECT doc_id, score, n_tok, cum_tok FROM cm WHERE cum_tok <= 18000
+        |ORDER BY score DESC, doc_id""".stripMargin,
 
     "q113_filter_funnel" ->
       """WITH w AS (

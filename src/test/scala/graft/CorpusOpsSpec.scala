@@ -269,6 +269,41 @@ class CorpusOpsSpec extends SparkSpec {
       s"funnel miscounted: ${row.mkString(",")}")
   }
 
+  test("source similarity: identical distributions hit cosine 1, disjoint vocabularies vanish (q116)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    Seq(
+      (1L, "a b c a", "en", "s1"), (2L, "a b c a", "en", "s2"), // same counts
+      (3L, "x y z", "en", "s3")                                  // disjoint vocab
+    ).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.ops.CorpusOps.queries("q116_source_similarity")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(rows(("s1", "s2")) === 1.0, "identical unigram vectors must be cosine 1")
+    assert(!rows.contains(("s1", "s3")) && !rows.contains(("s2", "s3")),
+      "disjoint vocabularies share no terms and emit no cell")
+  }
+
+  test("token budget selection is greedy-maximal in score order (q117)") {
+    val rows = graft.ops.CorpusOps.queries("q117_token_budget_select")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    val cum = rows.map(_.getLong(3))
+    assert(cum.last <= 18000L, "selection exceeds the budget")
+    // rows arrive in selection order (score desc, doc_id) and the
+    // cumsum is over exactly those rows
+    val ntoks = rows.map(_.getLong(2))
+    assert(cum.toSeq === ntoks.scanLeft(0L)(_ + _).tail.toSeq,
+      "cum_tok must be the running sum in emitted order")
+    // the budget binds: some of the corpus is excluded, and scores
+    // arrive non-increasing (selection order)
+    assert(rows.length < T.documents(spark, sf001).count(),
+      "budget must bind on the test corpus")
+    val scores = rows.map(_.getInt(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "selection must be in score order")
+  }
+
   test("tokenizer fertility counts BPE-ish splits against whitespace words (q114)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("docs").toString

@@ -59,7 +59,9 @@ class PlanAuditSpec extends SparkSpec {
                          // constant key — the global-window extreme case
                          "q98_global_shuffle" -> "grp",
                          // 3-value split key of the capstone's packing stage
-                         "q100_training_manifest" -> "split")) {
+                         "q100_training_manifest" -> "split",
+                         // constant key of the budget-selection cumsum
+                         "q117_token_budget_select" -> "g")) {
       val p = plan(q)
       assert(p.contains("rangepartitioning("),
         s"$q: expected a range-partitioned exchange")
@@ -150,6 +152,12 @@ class PlanAuditSpec extends SparkSpec {
     // equi-joins on real keys; a BNL here would replicate the corpus.
     val p = plan("q110_boilerplate_scrub")
     assert(!p.contains("BroadcastNestedLoopJoin"), "q110 must keep all joins keyed")
+  }
+
+  test("source-similarity norms come back as broadcasts — pair cells never shuffle on source (q116)") {
+    val p = plan("q116_source_similarity")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both norm joins must broadcast the |sources|-row side")
   }
 
   test("no query plans a CartesianProduct") {
