@@ -48,6 +48,31 @@ object VectorOps {
 
   private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
+  /** Number of random-hyperplane signature bits for q118 (256 buckets;
+    * with 1-bit multiprobe a query touches 9 of them).
+    */
+  val RH_BITS = 8
+
+  /** Deterministic random hyperplanes: fixed-seed gaussians, materialized
+    * as literal arrays so the signature is 8 codegen'd graft_dot's over
+    * constants — a pure projection, reproducible on any cluster.
+    */
+  private lazy val rhPlanes: Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(20260812L)
+    Seq.fill(RH_BITS)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** 8-bit sign signature of a vector column under [[rhPlanes]].
+    * typedlit (not SQL text) carries the plane constants: a SQL decimal
+    * literal would arrive as DECIMAL, which graft_dot rejects — the
+    * CLAUDE.md decimal-literal trap.
+    */
+  def rhSignature(v: Column): Column =
+    rhPlanes.zipWithIndex.foldLeft(lit(0)) { case (acc, (p, h)) =>
+      acc + when(call_udf("graft_dot", v, typedlit(p.toSeq)) > 0,
+        lit(1 << h)).otherwise(lit(0))
+    }
+
   /** All within-label pairs (id1 < id2) with cosine, via the blocked
     * triangle join (round-3 verdict item 3).
     *
@@ -209,6 +234,45 @@ object VectorOps {
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id2"))
       probes.join(c, col("cell") === col("cell2") && col("q_id") =!= col("id2"))
         .withColumn("cos", dot("qv", "v2") / (col("qn") * col("n2")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("id2").as("neighbor_id"),
+                round(col("cos"), 4).as("cos_sim"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // LSH-bucketed approximate top-k — the OTHER scale path next to
+    // q66's IVF, mirroring the text tiers' banding: an 8-bit
+    // random-hyperplane signature buckets the corpus (one projection —
+    // 8 codegen'd graft_dot's against literal seed planes), queries
+    // multiprobe every bucket within hamming distance 2 (1+8+28 = 37
+    // of 256 buckets — the standard multiprobe trade: more probes per
+    // query instead of more index copies), and the exact cosine runs
+    // on candidates only. At 100 TB the corpus is written partitioned
+    // by sig, so a query touches 37 buckets (~14% of the space)
+    // instead of all data; the probe relation is |Q|·37 rows and
+    // broadcasts. Hash-seeded (like q66: no SQL oracle) — recall vs
+    // the q65 ground truth and determinism are spec-asserted.
+    "q118_ann_topk_lsh" -> ((s, d) => {
+      val e = emb(s, d)
+      val sigd = e.withColumn("sig", rhSignature(col("v")))
+      val probes = broadcast(
+        sigd.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+                  col("nrm").as("qn"), col("sig"))
+          .withColumn("psig", explode(array(
+            col("sig") +:
+              (0 until RH_BITS).map(h => col("sig").bitwiseXOR(lit(1 << h))) ++:
+              (for (i <- 0 until RH_BITS; j <- i + 1 until RH_BITS)
+                yield col("sig").bitwiseXOR(lit((1 << i) | (1 << j)))): _*))))
+      val c = sigd.select(col("vec_id").as("id2"), col("sig").as("sig2"),
+                          col("v").as("v2"), col("nrm").as("n2"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id2"))
+      probes.join(c, col("psig") === col("sig2") && col("q_id") =!= col("id2"))
+        .withColumn("cos", dot("qv", "v2") / (col("qn") * col("n2")))
+        // probe sigs are pairwise distinct per query and a candidate has
+        // ONE sig, so each (q_id, id2) pair matches at most once — no
+        // dedup stage needed before the top-k window
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("q_id"), col("rn"), col("id2").as("neighbor_id"),

@@ -41,6 +41,41 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("lsh-bucketed top-k: recall beats chance, candidates honor buckets, output deterministic (q118)") {
+    val exact = topk("q65_ann_topk_bruteforce")
+    val approx = topk("q118_ann_topk_lsh")
+    assert(exact.keySet == approx.keySet, "every query must return rows")
+    val recalls = exact.keys.map { q =>
+      val e = exact(q).toSet; val a = approx(q).toSet
+      e.intersect(a).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    // Same honesty as q66: the synthetic embeddings are near-random, so
+    // 8-bit sign-LSH exploring the hamming-2 ball (37/256 of the hash
+    // space) has bounded collision probability for a θ≈70° top
+    // neighbor — the floor asserts a clear multiple of the ~0.01
+    // random-pick baseline (5 of ~500), not clustered-data recall,
+    // which rises with genuine cluster structure as a data property.
+    assert(mean >= 0.15, s"mean recall $mean not clearly above chance")
+    info(f"q118 mean recall vs brute force at sf0.001: $mean%.3f")
+    // structural guarantee: every returned neighbor's signature is
+    // within the probed hamming-2 ball of its query's signature
+    val sigs = graft.ops.VectorOps.queries("q118_ann_topk_lsh")(spark, sf001)
+    val e = T.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("sig", VectorOps.rhSignature(col("v")))
+      .select(col("vec_id"), col("sig")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    sigs.collect().foreach { r =>
+      val d = Integer.bitCount(e(r.getLong(0)) ^ e(r.getLong(2)))
+      assert(d <= 2, s"neighbor ${r.getLong(2)} of ${r.getLong(0)} at hamming $d > 2")
+    }
+    // determinism: two runs, identical rows
+    val a1 = VectorOps.queries("q118_ann_topk_lsh")(spark, sf001).collect().map(_.toSeq)
+    val a2 = VectorOps.queries("q118_ann_topk_lsh")(spark, sf001).collect().map(_.toSeq)
+    assert(a1.toSeq == a2.toSeq, "q118 must be run-to-run deterministic")
+  }
+
   test("label-free kmeans IVF is run-to-run deterministic") {
     // The q66 contract says DETERMINISTIC kmeans (md5-ordered init,
     // fixed iterations, argmin tie-break by cell id, empty-cell
