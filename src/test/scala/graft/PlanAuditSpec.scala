@@ -154,6 +154,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "q110 must keep all joins keyed")
   }
 
+  test("lsh ann probes broadcast — the corpus never shuffles on the signature (q118)") {
+    // The |Q|·37 probe relation is the small side; the bucketed corpus
+    // must stream through a broadcast hash join on sig equality.
+    val p = plan("q118_ann_topk_lsh")
+    assert(p.contains("BroadcastHashJoin"), "probe join must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bucket probing must stay an equi-join")
+  }
+
   test("source-similarity norms come back as broadcasts — pair cells never shuffle on source (q116)") {
     val p = plan("q116_source_similarity")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
