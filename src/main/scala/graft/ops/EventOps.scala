@@ -103,17 +103,13 @@ object EventOps {
     // only state and is bounded by payload diversity, not event count.
     // Spark regexp_replace is global by default; DuckDB needs 'g'.
     "q111_pii_scrub_audit" -> ((s, d) => {
-      val numRe = "[0-9]+"
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      import graft.functions.Pii
       T.events(s, d)
         .select(col("event_type"), col("props"))
-        .withColumn("n_num", size(regexp_extract_all(col("props"), lit(numRe), lit(0))).cast("long"))
-        .withColumn("n_email", size(regexp_extract_all(col("props"), lit(emailRe), lit(0))).cast("long"))
-        .withColumn("n_ip", size(regexp_extract_all(col("props"), lit(ipRe), lit(0))).cast("long"))
-        .withColumn("scrubbed",
-          regexp_replace(regexp_replace(regexp_replace(col("props"),
-            emailRe, "<EMAIL>"), ipRe, "<IP>"), numRe, "<NUM>"))
+        .withColumn("n_num", Pii.numHits(col("props")))
+        .withColumn("n_email", Pii.emailHits(col("props")))
+        .withColumn("n_ip", Pii.ipHits(col("props")))
+        .withColumn("scrubbed", Pii.scrub(col("props")))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("n_num")).as("n_num_hits"),

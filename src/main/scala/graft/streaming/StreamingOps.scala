@@ -91,6 +91,22 @@ object StreamingOps {
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** In-flight PII scrub — the stream twin of q111's projection half,
+    * sharing [[graft.functions.Pii]] so the compliance rules are
+    * provably identical to the audited batch pass. Stateless (pure
+    * projection): runs in append mode with ZERO streaming state at any
+    * rate; `StreamingSpec` asserts both the batch parity and the
+    * empty state-operator list.
+    */
+  def piiScrub(events: DataFrame): DataFrame = {
+    import graft.functions.Pii
+    events.select(col("event_id"), col("event_type"),
+      Pii.numHits(col("props")).as("n_num"),
+      Pii.emailHits(col("props")).as("n_email"),
+      Pii.ipHits(col("props")).as("n_ip"),
+      Pii.scrub(col("props")).as("scrubbed"))
+  }
+
   /** Streaming near-dup flagging against a static corpus — the stream
     * twin of q101's incremental dedup: newly-ingested docs are checked
     * against the existing corpus as they arrive, without ever

@@ -40,6 +40,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("in-flight pii scrub equals the batch projection and keeps zero streaming state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "a", """{"email": "a.b@ex.com", "n": 42}"""),
+      (2L, "a", """{"ip": "10.0.0.1"}"""),
+      (3L, "b", """{"k": 87}"""),
+      (4L, "b", """{"clean": true}"""))
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(rows: _*)
+    val stream = mem.toDF().toDF("event_id", "event_type", "props")
+    val q = StreamingOps.appendToMemory(
+      StreamingOps.piiScrub(stream), "pii_out").start()
+    q.processAllAvailable()
+    // stateless contract: a pure projection must register NO state
+    // operators in the progress metrics
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "pii scrub must not create streaming state")
+    q.stop()
+    val streamed = spark.table("pii_out").collect().map(_.toSeq).toSet
+    val batch = StreamingOps.piiScrub(
+      rows.toDF("event_id", "event_type", "props")).collect().map(_.toSeq).toSet
+    assert(streamed == batch, "stream scrub must equal the batch projection")
+    // and the planted PII actually got scrubbed
+    val byId = spark.table("pii_out").collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(byId(1L) === """{"email": "<EMAIL>", "n": <NUM>}""")
+    assert(byId(2L) === """{"ip": "<IP>"}""")
+    assert(byId(3L) === """{"k": <NUM>}""")
+    assert(byId(4L) === """{"clean": true}""")
+  }
+
   test("dropDuplicatesWithinWatermark removes exact dup event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
