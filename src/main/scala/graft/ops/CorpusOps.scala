@@ -227,6 +227,29 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Eval-integrity report — q87's flip side: per EVAL doc, what
+    // fraction of ITS 5-gram shingles leak from the training corpus
+    // (GPT-3-style "dirty" percentage, the number a decontam pass
+    // actually files per benchmark task). Same scale shape as q87: the
+    // eval shingle set broadcasts, the corpus streams through the
+    // broadcast join with no shuffle, and the distinct+rollup run over
+    // hit rows only (bounded by the eval set, not the corpus).
+    "q119_eval_overlap_report" -> ((s, d) => {
+      val sh = TextSim.shingles(T.documents(s, d), 5)
+      val bench = sh.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bench_id"), col("g"))
+      val tot = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("n_sh"))
+      val hits = sh.filter(col("doc_id") >= 20).select(col("g"))
+        .join(broadcast(bench), "g")
+        .select(col("bench_id"), col("g")).distinct()
+        .groupBy(col("bench_id")).agg(count(lit(1)).as("n_hit"))
+      tot.join(hits, Seq("bench_id"), "left")
+        .select(col("bench_id"), col("n_sh"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("contam_bp", expr("(10000 * n_hit) div n_sh"))
+        .orderBy(col("bench_id"))
+    }),
+
     // Domain mixing (DoReMi/Pile-style mixture reweighting): each
     // source gets a target share (basis points) of a half-corpus
     // budget; the per-source sampling rate is exact integer arithmetic
@@ -977,6 +1000,22 @@ object CorpusOps {
          |       count(DISTINCT c.g) AS n_hit_shingles,
          |       count(DISTINCT b.doc_id) AS n_bench_docs
          |FROM sh c JOIN sh b ON c.g = b.g AND b.doc_id < 20 AND c.doc_id >= 20
-         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "q119_eval_overlap_report" ->
+      s"""WITH $sh5,
+         |t AS (
+         |  SELECT doc_id AS bench_id, count(*) AS n_sh FROM sh
+         |  WHERE doc_id < 20 GROUP BY 1
+         |), h AS (
+         |  SELECT DISTINCT b.doc_id AS bench_id, b.g
+         |  FROM sh b JOIN sh c ON b.g = c.g AND b.doc_id < 20 AND c.doc_id >= 20
+         |), hc AS (
+         |  SELECT bench_id, count(*) AS n_hit FROM h GROUP BY 1
+         |)
+         |SELECT t.bench_id, t.n_sh,
+         |       CAST(coalesce(hc.n_hit, 0) AS BIGINT) AS n_hit,
+         |       (10000 * CAST(coalesce(hc.n_hit, 0) AS BIGINT)) // t.n_sh AS contam_bp
+         |FROM t LEFT JOIN hc USING (bench_id) ORDER BY bench_id""".stripMargin
   )
 }

@@ -160,6 +160,22 @@ class CorpusOpsSpec extends SparkSpec {
       s"near-dup partners of benchmark docs not flagged: ${exact -- flagged}")
   }
 
+  test("eval overlap report: a fully-leaked eval doc reads 10000 bp, a unique one reads 0 (q119)") {
+    // bench side = doc_id < 20. Doc 1's text reappears verbatim inside
+    // corpus doc 100 (every 5-gram leaks); doc 2 shares no 5-gram.
+    val leaked = "w1 w2 w3 w4 w5 w6 w7"
+    val dir = stageDocs(Seq(
+      (1L, leaked),
+      (2L, "u1 u2 u3 u4 u5 u6"),
+      (100L, s"pre amble $leaked post script"),
+      (101L, "other corpus text entirely here")))
+    val out = graft.ops.CorpusOps.queries("q119_eval_overlap_report")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 3L, 10000L)), "verbatim-contained eval doc must be 100% dirty")
+    assert(out(2L) === ((2L, 0L, 0L)), "gram-disjoint eval doc must be clean")
+    assert(!out.contains(100L), "corpus docs must not appear in the eval report")
+  }
+
   test("bpe pair stats: top pair matches a brute-force recount (q104)") {
     val vocab = T.documents(spark, sf001)
       .select(explode(split(col("text"), " ")).as("w"))

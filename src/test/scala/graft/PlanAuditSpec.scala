@@ -33,8 +33,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "as-of must not plan a per-row probe join")
   }
 
-  test("decontamination broadcasts the benchmark side (q87)") {
+  test("decontamination broadcasts the benchmark side (q87/q119)") {
     assert(plan("q87_decontaminate").contains("BroadcastHashJoin"))
+    assert(plan("q119_eval_overlap_report").contains("BroadcastHashJoin"))
   }
 
   test("simhash candidate pairing is a shuffled hash join (q63)") {
