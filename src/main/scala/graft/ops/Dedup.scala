@@ -353,6 +353,26 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source duplication audit: how much of each source is
+    // redundant under the production canonicalization — the number
+    // that drives per-source mixture down-weighting (a source that is
+    // 40% duplicates contributes less unique signal than its raw size
+    // suggests). canonicalizeLsh + one doc-keyed join + one
+    // source-keyed partial-agg rollup.
+    "q120_source_dup_rate" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val labels = canonicalizeLsh(docs)
+      docs.select(col("doc_id"), col("source"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .withColumn("is_dup",
+          when(col("canonical_id").isNotNull &&
+               col("canonical_id") =!= col("doc_id"), 1L).otherwise(0L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+        .withColumn("dup_bp", expr("(10000 * n_dups) div n_docs"))
+        .orderBy(col("source"))
+    }),
+
     // Dedup audit: the cluster-size histogram a dedup run reports
     // (how much mass sits in how-deep duplicate clusters). Rides the
     // PRODUCTION canonicalization; unclustered docs are size-1
@@ -432,6 +452,29 @@ object Dedup {
          |            ELSE 'test' END AS split
          |FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q120_source_dup_rate" ->
+      s"""WITH RECURSIVE pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |), e(a, b) AS (
+         |  SELECT id1, id2 FROM pr UNION SELECT id2, id1 FROM pr
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+         |), lab AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+         |  FROM reach GROUP BY a
+         |)
+         |SELECT d.source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN l.canonical_id IS NOT NULL
+         |                      AND l.canonical_id <> d.doc_id
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |       (10000 * CAST(sum(CASE WHEN l.canonical_id IS NOT NULL
+         |                               AND l.canonical_id <> d.doc_id
+         |                         THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS dup_bp
+         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "q115_dedup_cluster_histogram" ->
       s"""WITH RECURSIVE pr AS (

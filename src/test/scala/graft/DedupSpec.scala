@@ -152,6 +152,19 @@ class DedupSpec extends SparkSpec {
     assert(naiveStraddle, "test data should demonstrate the naive split's leakage")
   }
 
+  test("per-source dup rates reconcile with the cluster histogram (q120 vs q115)") {
+    val bySource = Dedup.queries("q120_source_dup_rate")(spark, sf001).collect()
+    val hist = Dedup.queries("q115_dedup_cluster_histogram")(spark, sf001).collect()
+    // every non-canonical doc is a "dup": summed over sources it must
+    // equal sum over histogram buckets of (size - 1) * clusters
+    val dupsFromSources = bySource.map(_.getLong(2)).sum
+    val dupsFromHist = hist.map(r => (r.getLong(0) - 1) * r.getLong(1)).sum
+    assert(dupsFromSources === dupsFromHist,
+      s"source rollup ($dupsFromSources) and histogram ($dupsFromHist) disagree")
+    assert(bySource.map(_.getLong(1)).sum === T.documents(spark, sf001).count(),
+      "source rollup must cover the corpus")
+  }
+
   test("cluster histogram partitions the corpus and matches the label relation (q115)") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.queries("q115_dedup_cluster_histogram")(spark, sf001).collect()
