@@ -600,6 +600,57 @@ object CorpusOps {
         .filter(col("rsum") <= budget)
         .select(col("doc_id"), col("score"), col("n_tok"), col("rsum").as("cum_tok"))
         .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // Quality-classifier inference — the scorer q112's featurizer
+    // feeds: a broadcast-weights linear model over the 64-bin hashed
+    // bag-of-words. Weights are a deterministic integer table
+    // (w(dim) = dim·2654435761 mod 1997 − 998, standing in for trained
+    // parameters) so logit = Σ count·w stays exact-integer end to end
+    // and the oracle hash-checks real inference, not a float
+    // lookalike. Plan shape: (doc,dim) counts (partial-aggregable) ⋈
+    // broadcast 64-row weight table → one doc-keyed sum. At 100 TB
+    // this is the projection-shaped classifier pass (fastText-style
+    // quality gate): even a 2^20-dim model broadcasts; the corpus
+    // never shuffles anything wider than its per-doc sparse vector.
+    "q121_quality_classifier" -> ((s, d) => {
+      val dims = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), (h32(col("w")) % 64).as("dim"))
+        .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("c"))
+      val weights = broadcast(
+        s.range(64).select(col("id").as("dim"),
+          (pmod(col("id") * 2654435761L, lit(1997L)) - 998L).as("w")))
+      dims.join(weights, "dim")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nnz"), sum(col("c") * col("w")).as("logit"))
+        .withColumn("keep", when(col("logit") >= 0, 1).otherwise(0))
+        .select(col("doc_id"), col("nnz"), col("logit"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Segmented positional posting lists — the retrieval-index build
+    // behind q59/q84's scoring: postings aggregate per (term,
+    // doc-block) SEGMENT (Lucene's layout), so per-group state is
+    // bounded by the block (1000 docs × tf), never by a head term's
+    // corpus-wide frequency — the skew that kills a naive
+    // groupBy(term) collect_list at scale. Segment merge is
+    // concatenation by construction (doc ranges are disjoint and
+    // ordered). The md5 pins the EXACT ordered (doc:pos) list per
+    // segment. One (term, block)-keyed shuffle; at 100 TB the index
+    // lands partitioned by (term-bucket, block).
+    "q122_inverted_index" -> ((s, d) => {
+      val post = T.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+        .select(col("w"), col("doc_id"), (col("p0") + 1).as("p"),
+                floor(col("doc_id") / 1000).cast("long").as("blk"))
+      post.groupBy(col("w"), col("blk"))
+        .agg(countDistinct(col("doc_id")).as("df_seg"),
+             count(lit(1)).as("cf_seg"),
+             md5(array_join(
+               expr("transform(array_sort(collect_list(struct(doc_id, p)))," +
+                 " x -> concat(x.doc_id, ':', x.p))"), ",")).as("postings_md5"))
+        .orderBy(col("w"), col("blk"))
     })
   )
 
@@ -670,6 +721,37 @@ object CorpusOps {
         |SELECT doc_id, count(*) AS nnz,
         |       md5(string_agg(dim || ':' || c, ',' ORDER BY dim)) AS vec_md5
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q121_quality_classifier" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 64 AS dim
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |), c AS (
+        |  SELECT doc_id, dim, count(*) AS c FROM dims GROUP BY 1, 2
+        |), wt AS (
+        |  SELECT CAST(t.dim AS BIGINT) AS dim,
+        |         (t.dim * 2654435761) % 1997 - 998 AS w
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS dim) t
+        |)
+        |SELECT doc_id, count(*) AS nnz,
+        |       CAST(sum(c.c * wt.w) AS BIGINT) AS logit,
+        |       CASE WHEN sum(c.c * wt.w) >= 0 THEN 1 ELSE 0 END AS keep
+        |FROM c JOIN wt USING (dim)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q122_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, ws[p] AS w, p, doc_id // 1000 AS blk
+        |  FROM (SELECT doc_id, ws,
+        |               unnest(generate_series(1, len(ws))) AS p
+        |        FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents))
+        |)
+        |SELECT w, CAST(blk AS BIGINT) AS blk,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df_seg,
+        |       count(*) AS cf_seg,
+        |       md5(string_agg(doc_id || ':' || p, ',' ORDER BY doc_id, p)) AS postings_md5
+        |FROM tok GROUP BY w, blk ORDER BY w, blk""".stripMargin,
 
     "q116_source_similarity" ->
       """WITH c AS (

@@ -390,6 +390,50 @@ object Dedup {
         .agg(count(lit(1)).as("n_clusters"),
              sum(col("cluster_size")).as("n_docs"))
         .orderBy(col("cluster_size"))
+    }),
+
+    // Cross-doc segment dedup REWRITE (CCNet-style line/paragraph
+    // dedup, on fixed 10-token segments since the synthetic corpus
+    // has no paragraph marks): a segment occurrence survives iff it
+    // is the GLOBAL first occurrence of its text — min (doc_id,
+    // seg_idx) over the segment-hash group — and docs are re-emitted
+    // from their surviving segments, scrubbed bytes md5-pinned.
+    // Distinct from q110 (df-threshold boilerplate cut) and q97
+    // (measurement only): first-occurrence-keeps rewrite is the dedup
+    // mode CCNet runs before quality filtering. Plan shape: segments
+    // are a projection (sequence+slice, q95's pattern);
+    // first-occurrence is a segment-hash-keyed partial-aggregable
+    // min; keep is a segment-hash-keyed join back; reassembly is ONE
+    // doc-keyed agg with state bounded by doc length. A
+    // mass-duplicated segment skews only its min-agg group — partial
+    // aggregation collapses it map-side, the join back fans the one
+    // winner out, and AQE splits the probe side; nothing quadratic,
+    // no corpus-sized broadcast.
+    "q123_segment_dedup" -> ((s, d) => {
+      val segs = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(expr("sequence(0, greatest(size(ws) - 1, 0), 10)")).as("st"))
+        .select(col("doc_id"), (col("st") / 10).cast("long").as("seg_idx"),
+          array_join(expr("slice(ws, st + 1, 10)"), " ").as("seg"))
+        .withColumn("sh", md5(col("seg")))
+      val firsts = segs.groupBy(col("sh"))
+        .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+      val kept = segs.join(firsts, "sh")
+        .filter(col("doc_id") === col("f.doc_id") &&
+                col("seg_idx") === col("f.seg_idx"))
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(
+            expr("transform(array_sort(collect_list(struct(seg_idx, seg)))," +
+              " x -> x.seg)"),
+            " ")).as("scrub_md5"))
+      segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_seg"))
+        .join(rebuilt, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_seg"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("scrub_md5"), md5(lit(""))).as("scrub_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -598,6 +642,35 @@ object Dedup {
          |SELECT doc_id, lang, source FROM documents
          |WHERE length(text) BETWEEN 100 AND 2000
          |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // Global-first-occurrence keep via a window over the segment hash
+    // (row_number = 1 ⟺ Spark's min(struct(doc_id, seg_idx))).
+    "q123_segment_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |), sg AS (
+        |  SELECT doc_id, (st - 1) // 10 AS seg_idx,
+        |         array_to_string(ws[st:st+9], ' ') AS seg
+        |  FROM (SELECT doc_id, ws,
+        |               unnest(generate_series(1, greatest(len(ws), 1), 10)) AS st
+        |        FROM t)
+        |), r AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |         row_number() OVER (PARTITION BY md5(seg)
+        |                            ORDER BY doc_id, seg_idx) AS rn
+        |  FROM sg
+        |), k AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS scrub_md5
+        |  FROM r WHERE rn = 1 GROUP BY doc_id
+        |), n AS (
+        |  SELECT doc_id, count(*) AS n_seg FROM sg GROUP BY doc_id
+        |)
+        |SELECT n.doc_id, n.n_seg,
+        |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(k.scrub_md5, md5('')) AS scrub_md5
+        |FROM n LEFT JOIN k USING (doc_id)
+        |ORDER BY n.doc_id""".stripMargin
   )
 }

@@ -321,6 +321,40 @@ object VectorOps {
       graft.functions.Components.connectedComponents(pairs)
         .select(col("doc_id").as("vec_id"), col("canonical_id"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Semantic source-affinity matrix — the embedding-space twin of
+    // q116's lexical source similarity: pairwise cosine between
+    // per-label CENTROIDS (mean embeddings). The corpus collapses to
+    // |labels|·dim centroid cells in one partial-aggregable
+    // (label, dim) avg — the shuffle carries map-side partials, never
+    // rows — and everything after runs on broadcast-sized relations
+    // (≤ |labels|² cells). This is the mixture-design diagnostic for
+    // "are two sources semantically interchangeable" that q116
+    // answers lexically. Centroid sums are order-dependent doubles;
+    // the final cosine rounds to 4 (the documented noisy-double
+    // discipline).
+    "q124_semantic_source_affinity" -> ((s, d) => {
+      val e = T.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "vf")))
+        .select(col("label"), (col("p") + 1).as("i"),
+                col("vf").cast("double").as("v"))
+      val cent = e.groupBy(col("label"), col("i")).agg(avg(col("v")).as("cv"))
+      val sizes = T.embeddings(s, d).groupBy(col("label"))
+        .agg(count(lit(1)).as("n"))
+      val norms = cent.groupBy(col("label")).agg(sum(col("cv") * col("cv")).as("m"))
+      cent.select(col("label").as("l1"), col("i"), col("cv").as("v1"))
+        .join(cent.select(col("label").as("l2"), col("i"), col("cv").as("v2")), Seq("i"))
+        .filter(col("l1") < col("l2"))
+        .groupBy(col("l1"), col("l2"))
+        .agg(sum(col("v1") * col("v2")).as("dot"))
+        .join(broadcast(sizes.select(col("label").as("l1"), col("n").as("n1"))), Seq("l1"))
+        .join(broadcast(sizes.select(col("label").as("l2"), col("n").as("n2"))), Seq("l2"))
+        .join(broadcast(norms.select(col("label").as("l1"), col("m").as("m1"))), Seq("l1"))
+        .join(broadcast(norms.select(col("label").as("l2"), col("m").as("m2"))), Seq("l2"))
+        .select(col("l1"), col("l2"), col("n1"), col("n2"),
+          round(col("dot") / (sqrt(col("m1")) * sqrt(col("m2"))), 4).as("cos4"))
+        .orderBy(col("l1"), col("l2"))
     })
   )
 
@@ -402,7 +436,22 @@ object VectorOps {
          |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id2) AS rn
          |      FROM c)
          |SELECT q_id, rn, id2 AS neighbor_id, round(cos, 4) AS cos_sim
-         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    "q124_semantic_source_affinity" ->
+      """WITH e AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                  generate_subscripts(embedding,1) AS i FROM embeddings),
+        |cent AS (SELECT label, i, avg(v) AS cv FROM e GROUP BY 1, 2),
+        |sz AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |nr AS (SELECT label, sum(cv*cv) AS m FROM cent GROUP BY 1),
+        |p AS (SELECT a.label AS l1, b.label AS l2, sum(a.cv*b.cv) AS dot
+        |      FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+        |      GROUP BY 1, 2)
+        |SELECT p.l1, p.l2, CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+        |       round(p.dot/(sqrt(na.m)*sqrt(nb.m)), 4) AS cos4
+        |FROM p JOIN sz s1 ON p.l1 = s1.label JOIN sz s2 ON p.l2 = s2.label
+        |       JOIN nr na ON p.l1 = na.label JOIN nr nb ON p.l2 = nb.label
+        |ORDER BY p.l1, p.l2""".stripMargin
     // q66_ann_topk_ivf: no SQL oracle (probe-dependent approximate
     // result); recall vs q65 asserted in VectorOpsSpec.
   )

@@ -332,4 +332,61 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out("aa") === ((2L, 2L, 1000)), "pure alpha words split 1:1")
     assert(out("bb") === ((2L, 4L, 2000)), "a1b must split a|1|b (3 tokens + c)")
   }
+
+  test("classifier logit equals an independent joinless derivation (q121)") {
+    // The production plan routes counts through a broadcast weight
+    // table; this recomputes logit with the weight formula inlined as
+    // an expression (no join, no (doc,dim) pre-agg) and demands exact
+    // frame equality — the integer-exactness claim, derived two ways.
+    val out = CorpusOps.queries("q121_quality_classifier")(spark, sf001)
+    val inline = T.documents(spark, sf001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 64).as("dim"))
+      .withColumn("w8", pmod(col("dim") * 2654435761L, lit(1997L)) - 998L)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("dim")).as("nnz"), sum(col("w8")).as("logit"))
+    val got = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = inline.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want, "broadcast-join inference must equal the inline formula")
+    out.collect().foreach { r =>
+      assert((r.getLong(2) >= 0) === (r.getInt(3) == 1), "keep must be logit >= 0")
+    }
+  }
+
+  test("inverted index segments split on the block boundary and conserve term counts (q122)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    // doc ids straddle the 1000-block boundary; "x" appears in both
+    // blocks, "y" only below it.
+    Seq((998L, "x y x", "en", "t"), (999L, "y", "en", "t"),
+        (1002L, "x z", "en", "t"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.queries("q122_inverted_index")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def m(sq: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(sq.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // term x: block 0 postings are doc 998 positions 1 and 3; block 1
+    // is doc 1002 position 1 — segment boundaries are doc-range cuts
+    // and concatenating segments in block order IS the full list.
+    assert(out(("x", 0L)) === ((1L, 2L, m("998:1,998:3"))))
+    assert(out(("x", 1L)) === ((1L, 1L, m("1002:1"))))
+    assert(out(("y", 0L)) === ((2L, 2L, m("998:2,999:1"))))
+    assert(!out.contains(("y", 1L)), "y never reaches block 1")
+    // conservation at corpus scale: per-term cf summed over segments
+    // equals the direct token count
+    val seg = CorpusOps.queries("q122_inverted_index")(spark, sf001)
+      .groupBy(col("w")).agg(sum(col("cf_seg")).as("cf"))
+    val direct = T.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    assert(seg.join(direct, Seq("w"), "full_outer")
+      .filter(seg("cf") =!= direct("cf") ||
+        seg("cf").isNull || direct("cf").isNull).count() === 0L,
+      "segment cf totals must conserve the direct term counts")
+  }
 }

@@ -183,4 +183,46 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).max === maxLabeled,
       "deepest histogram bucket must equal the largest labeled cluster")
   }
+
+  test("segment dedup keeps global first occurrences and rebuilds intact docs byte-exact (q123)") {
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    def words(pfx: String, n: Int) = (1 to n).map(pfx + _).mkString(" ")
+    val segA = words("a", 10); val segB = words("b", 10)
+    val segU = words("u", 10); val segV = words("v", 10)
+    // doc 1: two unique segments; doc 2: repeats doc 1's first segment
+    // then adds its own; doc 3: nothing but doc 1's segments; doc 4:
+    // its own fresh segment twice WITHIN one doc.
+    Seq((1L, s"$segA $segB"), (2L, s"$segA $segU"),
+        (3L, s"$segB $segA"), (4L, s"$segV $segV"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def m(sq: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(sq.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val out = Dedup.queries("q123_segment_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 2L, m(s"$segA $segB"))),
+      "doc 1 is the first occurrence of both its segments — byte-exact rebuild")
+    assert(out(2L) === ((2L, 1L, m(segU))),
+      "doc 2 loses the repeated segment, keeps its unique one")
+    assert(out(3L) === ((2L, 0L, m(""))),
+      "doc 3 is fully duplicated — scrubbed to empty")
+    assert(out(4L) === ((2L, 1L, m(segV))),
+      "within-doc repeats collapse to the first occurrence too")
+    // corpus-scale conservation: each distinct segment text survives
+    // exactly once across the whole corpus
+    val segs = T.documents(spark, sf001)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(explode(expr("sequence(0, greatest(size(ws) - 1, 0), 10)")).as("st"),
+              col("ws"))
+      .select(array_join(expr("slice(ws, st + 1, 10)"), " ").as("seg"))
+    val distinctSegs = segs.agg(countDistinct(col("seg"))).collect().head.getLong(0)
+    val keptTotal = Dedup.queries("q123_segment_dedup")(spark, sf001)
+      .agg(sum(col("n_kept"))).collect().head.getLong(0)
+    assert(keptTotal === distinctSegs,
+      "sum of kept segments must equal the distinct segment vocabulary")
+  }
 }

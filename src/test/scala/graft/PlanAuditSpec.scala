@@ -170,6 +170,41 @@ class PlanAuditSpec extends SparkSpec {
       "both norm joins must broadcast the |sources|-row side")
   }
 
+  test("classifier inference broadcasts the weight table — the corpus never shuffles on dim (q121)") {
+    val p = plan("q121_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"), "weights must broadcast")
+    val lines = p.linesIterator.toSeq
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (l.contains("Exchange hashpartitioning(dim"))
+        fail(s"corpus shuffled on dim at plan line $i: $l")
+    }
+  }
+
+  test("inverted index shuffles on (term, block) — never on the term alone (q122)") {
+    // A groupBy(term) would put a head term's whole posting list in
+    // one task; the segment key must carry the block.
+    val p = plan("q122_inverted_index")
+    val lines = p.linesIterator.toSeq
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (l.contains("Exchange hashpartitioning(w#") && !l.contains("blk"))
+        fail(s"exchange on term without block at plan line $i: $l")
+    }
+  }
+
+  test("segment dedup keeps every join keyed on the segment hash (q123)") {
+    val p = plan("q123_segment_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "q123 joins must stay equi-joins on sh/doc_id")
+  }
+
+  test("semantic affinity collapses to centroids before any join — partial aggs only on (label, i) (q124)") {
+    // The (label, i) avg must partial-aggregate map-side so the
+    // shuffle carries centroid partials, not exploded corpus rows.
+    val p = plan("q124_semantic_source_affinity")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "size and norm joins must broadcast the |labels|-row sides")
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would

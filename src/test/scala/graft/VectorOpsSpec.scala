@@ -181,4 +181,30 @@ class VectorOpsSpec extends SparkSpec {
     val split = pairs.filter { case (a, b) => labels.get(a) != labels.get(b) }
     assert(split.isEmpty, s"pairs straddling clusters: ${split.take(5).toList}")
   }
+
+  test("semantic affinity matrix is complete, bounded, and matches a driver-side centroid (q124)") {
+    val rows = VectorOps.queries("q124_semantic_source_affinity")(spark, sf001).collect()
+    val labels = T.embeddings(spark, sf001)
+      .select(col("label")).distinct().collect().map(_.getInt(0)).sorted
+    val l = labels.length
+    assert(rows.length === l * (l - 1) / 2, "one cell per unordered label pair")
+    assert(rows.forall(r => math.abs(r.getDouble(4)) <= 1.0 + 1e-9),
+      "cosine must stay in [-1, 1]")
+    // recompute one cell's centroids directly from collected vectors
+    val (la, lb) = (labels(0), labels(1))
+    val vecs = T.embeddings(spark, sf001)
+      .filter(col("label").isin(la, lb))
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble))
+    def centroid(lab: Int): Seq[Double] = {
+      val vs = vecs.filter(_._1 == lab).map(_._2).toSeq
+      vs.transpose.map(c => c.sum / vs.length)
+    }
+    val (ca, cb) = (centroid(la), centroid(lb))
+    val dot = ca.zip(cb).map { case (a, b) => a * b }.sum
+    val want = dot / (math.sqrt(ca.map(x => x * x).sum) * math.sqrt(cb.map(x => x * x).sum))
+    val got = rows.find(r => r.getInt(0) == la && r.getInt(1) == lb).get.getDouble(4)
+    assert(math.abs(got - want) < 1e-4 + 1e-9,
+      s"cell ($la,$lb): got $got, driver-side $want")
+  }
 }
