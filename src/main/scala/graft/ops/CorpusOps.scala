@@ -629,6 +629,29 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Curriculum interleave — the deterministic round-robin training
+    // order across sources (one doc per source per round, the mixing
+    // stride a multi-source training run feeds the loader): rank docs
+    // within their source, then order globally by (round, source).
+    // Both rankings ride ScalableRank — source IS a low-cardinality
+    // key (the q31/q35 hazard), and the global position is the
+    // constant-key case (q90/q98's pattern) — so neither a
+    // |sources|-task nor a single-task sort exists anywhere in the
+    // plan.
+    "q125_curriculum_interleave" -> ((s, d) => {
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val docs = T.documents(s, d).select(col("doc_id"), col("source"))
+      val bySrc = graft.functions.ScalableRank
+        .withRanks(docs, Seq("source"), Seq(col("doc_id")), Seq(col("doc_id")), p)
+        .select(col("doc_id"), col("source"), col("rn").as("src_rank"),
+                lit(0).as("g"))
+      graft.functions.ScalableRank
+        .withRanks(bySrc, Seq("g"), Seq(col("src_rank"), col("source")),
+          Seq(col("src_rank"), col("source")), p)
+        .select(col("rn").as("pos"), col("doc_id"), col("source"), col("src_rank"))
+        .orderBy(col("pos"))
+    }),
+
     // Segmented positional posting lists — the retrieval-index build
     // behind q59/q84's scoring: postings aggregate per (term,
     // doc-block) SEGMENT (Lucene's layout), so per-group state is
@@ -739,6 +762,17 @@ object CorpusOps {
         |       CASE WHEN sum(c.c * wt.w) >= 0 THEN 1 ELSE 0 END AS keep
         |FROM c JOIN wt USING (dim)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q125_curriculum_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |              AS BIGINT) AS src_rank
+        |  FROM documents
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY src_rank, source) AS BIGINT) AS pos,
+        |       doc_id, source, src_rank
+        |FROM r ORDER BY pos""".stripMargin,
 
     "q122_inverted_index" ->
       """WITH tok AS (

@@ -107,6 +107,24 @@ object StreamingOps {
       Pii.scrub(col("props")).as("scrubbed"))
   }
 
+  /** Streaming quality-classifier gate — the stream twin of q121's
+    * batch inference, sharing the same hash and weight formula so the
+    * keep/drop decision is provably identical to the audited batch
+    * pass. The batch plan pre-aggregates (doc,dim) counts and joins a
+    * broadcast weight table; an aggregation here would force
+    * update-mode state, so the stream side folds the logit PER ROW
+    * with the weight formula inlined in a higher-order aggregate —
+    * the same batch-rejected-HOF / stream-correct trade
+    * [[nearDupFlagAgainst]] documents. Stateless append: zero
+    * streaming state at any rate; per-row cost is one md5 per token.
+    */
+  def classifierGate(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr("aggregate(split(text, ' '), 0L, (acc, w) -> acc + " +
+        "pmod(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % 64" +
+        " * 2654435761, 1997) - 998)").as("logit"))
+      .withColumn("keep", when(col("logit") >= 0, 1).otherwise(0))
+
   /** Streaming near-dup flagging against a static corpus — the stream
     * twin of q101's incremental dedup: newly-ingested docs are checked
     * against the existing corpus as they arrive, without ever

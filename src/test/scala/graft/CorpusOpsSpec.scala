@@ -389,4 +389,27 @@ class CorpusOpsSpec extends SparkSpec {
         seg("cf").isNull || direct("cf").isNull).count() === 0L,
       "segment cf totals must conserve the direct term counts")
   }
+
+  test("inverted index maintenance is incremental: full index == old-batch ∪ delta-batch (q122)") {
+    import spark.implicits._
+    // Because segments cut on doc-id block boundaries, indexing a new
+    // doc batch whose ids start at a fresh block NEVER rewrites an
+    // existing segment — the maintenance property a 100 TB index needs
+    // (append new segment rows; old rows byte-identical).
+    val old = Seq((1L, "x y", "en", "t"), (2L, "y z", "en", "t"))
+    val delta = Seq((1000L, "x q", "en", "t"), (1001L, "z", "en", "t"))
+    def stage(rows: Seq[(Long, String, String, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("docs").toString
+      rows.toDF("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def idx(dir: String) = CorpusOps.queries("q122_inverted_index")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val full = idx(stage(old ++ delta))
+    val union = idx(stage(old)) ++ idx(stage(delta))
+    assert(full === union,
+      "full rebuild must equal old segments plus delta segments, row for row")
+  }
 }

@@ -72,6 +72,32 @@ class StreamingSpec extends SparkSpec {
     assert(byId(4L) === """{"clean": true}""")
   }
 
+  test("streaming classifier gate equals batch q121 inference and keeps zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    val rows = Seq((1L, "alpha beta gamma"), (2L, "delta delta epsilon"),
+                   (3L, "zeta"), (4L, "alpha alpha alpha alpha"))
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val q = StreamingOps.appendToMemory(
+      StreamingOps.classifierGate(mem.toDF().toDF("doc_id", "text")),
+      "clf_out").start()
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "classifier gate must not create streaming state")
+    q.stop()
+    val streamed = spark.table("clf_out").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val batch = graft.ops.CorpusOps.queries("q121_quality_classifier")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(streamed === batch,
+      "per-row streamed logit must equal the broadcast-join batch inference")
+  }
+
   test("dropDuplicatesWithinWatermark removes exact dup event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
