@@ -355,6 +355,61 @@ object VectorOps {
         .select(col("l1"), col("l2"), col("n1"), col("n2"),
           round(col("dot") / (sqrt(col("m1")) * sqrt(col("m2"))), 4).as("cos4"))
         .orderBy(col("l1"), col("l2"))
+    }),
+
+    // Intra-label semantic dispersion — the diversity signal
+    // SemDeDup-style selection ranks clusters by: how tightly does
+    // each label hug its own centroid (avg + min member-to-centroid
+    // cosine). A tight label is redundant (sample it down); a loose
+    // one is diverse. Plan shape: the (label, dim) centroid avg is
+    // partial-aggregable; the centroid relation (|labels|·dim rows)
+    // joins back BROADCAST on (label, i); the member dot is one
+    // vec-keyed agg and the rollup is |labels| rows. The corpus is
+    // touched twice (centroid pass + scoring pass), shuffles only
+    // carry partials, and nothing is ever quadratic.
+    "q126_semantic_dispersion" -> ((s, d) => {
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+                posexplode(col("embedding")).as(Seq("p", "vf")))
+        .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
+                col("vf").cast("double").as("v"))
+      val cent = e.groupBy(col("label"), col("i")).agg(avg(col("v")).as("cv"))
+      val perVec = e.join(broadcast(cent), Seq("label", "i"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("v") * col("cv")).as("dot"),
+             sum(col("v") * col("v")).as("vn2"),
+             sum(col("cv") * col("cv")).as("cn2"))
+        .withColumn("cos", col("dot") / (sqrt(col("vn2")) * sqrt(col("cn2"))))
+      perVec.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+             round(avg(col("cos")), 4).as("avg_cos4"),
+             round(min(col("cos")), 4).as("min_cos4"))
+        .orderBy(col("label"))
+    }),
+
+    // Hard-negative mining — the contrastive-training data generator:
+    // for each query vector, the top-3 most similar vectors from a
+    // DIFFERENT label (high-cosine cross-label neighbors are the
+    // hard negatives a retrieval trainer wants). Same scale shape as
+    // q65: bounded query set broadcasts, the corpus streams through
+    // one pass, per-query top-k prunes via window; the label
+    // inequality is just one more join predicate — never a second
+    // pass or a label shuffle.
+    "q127_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("label").as("q_lab"),
+                col("v").as("qv"), col("nrm").as("qn")))
+      val c = e.select(col("vec_id").as("id2"), col("label").as("lab2"),
+                       col("v").as("v2"), col("nrm").as("n2"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id2"))
+      q.join(c, col("q_lab") =!= col("lab2"))
+        .withColumn("cos", dot("qv", "v2") / (col("qn") * col("n2")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn"), col("id2").as("neg_id"),
+                round(col("cos"), 4).as("cos_sim"))
+        .orderBy(col("q_id"), col("rn"))
     })
   )
 
@@ -451,7 +506,40 @@ object VectorOps {
         |       round(p.dot/(sqrt(na.m)*sqrt(nb.m)), 4) AS cos4
         |FROM p JOIN sz s1 ON p.l1 = s1.label JOIN sz s2 ON p.l2 = s2.label
         |       JOIN nr na ON p.l1 = na.label JOIN nr nb ON p.l2 = nb.label
-        |ORDER BY p.l1, p.l2""".stripMargin
+        |ORDER BY p.l1, p.l2""".stripMargin,
+
+    "q126_semantic_dispersion" ->
+      """WITH e AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                  generate_subscripts(embedding,1) AS i FROM embeddings),
+        |cent AS (SELECT label, i, avg(v) AS cv FROM e GROUP BY 1, 2),
+        |pv AS (
+        |  SELECT e.vec_id, e.label,
+        |         sum(e.v * c.cv) AS dot, sum(e.v * e.v) AS vn2,
+        |         sum(c.cv * c.cv) AS cn2
+        |  FROM e JOIN cent c ON e.label = c.label AND e.i = c.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT label, count(*) AS n,
+        |       round(avg(dot/(sqrt(vn2)*sqrt(cn2))), 4) AS avg_cos4,
+        |       round(min(dot/(sqrt(vn2)*sqrt(cn2))), 4) AS min_cos4
+        |FROM pv GROUP BY label ORDER BY label""".stripMargin,
+
+    "q127_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                  generate_subscripts(embedding,1) AS i FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY 1),
+        |d AS (SELECT a.vec_id AS q_id, b.vec_id AS id2,
+        |             sum(a.v * b.v) AS dot
+        |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 5
+        |                        AND a.label <> b.label
+        |      GROUP BY 1, 2),
+        |c AS (SELECT q_id, id2, dot/(n1.nrm*n2.nrm) AS cos
+        |      FROM d JOIN n n1 ON q_id = n1.vec_id JOIN n n2 ON id2 = n2.vec_id),
+        |r AS (SELECT q_id, id2, cos,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id2) AS rn
+        |      FROM c)
+        |SELECT q_id, rn, id2 AS neg_id, round(cos, 4) AS cos_sim
+        |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
     // q66_ann_topk_ivf: no SQL oracle (probe-dependent approximate
     // result); recall vs q65 asserted in VectorOpsSpec.
   )

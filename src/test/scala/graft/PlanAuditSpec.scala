@@ -205,6 +205,22 @@ class PlanAuditSpec extends SparkSpec {
       "size and norm joins must broadcast the |labels|-row sides")
   }
 
+  test("dispersion scoring joins centroids back by broadcast — the corpus never shuffles on (label, i) twice (q126)") {
+    val p = plan("q126_semantic_dispersion")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |labels|*dim centroid relation must broadcast")
+  }
+
+  test("hard-negative mining broadcasts the bounded query set (q127)") {
+    // Like q65: the corpus streams through one pass against a
+    // broadcast query side; the label-inequality predicate rides the
+    // broadcast nested loop, never a shuffle of the corpus.
+    val p = plan("q127_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would

@@ -207,4 +207,50 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(got - want) < 1e-4 + 1e-9,
       s"cell ($la,$lb): got $got, driver-side $want")
   }
+
+  test("semantic dispersion: identical members score 1.0, planted spread scores its exact geometry (q126)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString
+    // label 1: three identical vectors -> avg = min = 1.0 exactly.
+    // label 2: two orthogonal unit vectors -> centroid (.5, .5),
+    // member-to-centroid cosine = 1/sqrt(2) = 0.7071 for both.
+    Seq((1L, Seq(3f, 4f), 1), (2L, Seq(3f, 4f), 1), (3L, Seq(3f, 4f), 1),
+        (4L, Seq(1f, 0f), 2), (5L, Seq(0f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.queries("q126_semantic_dispersion")(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1) === ((3L, 1.0, 1.0)), "identical members hug their centroid exactly")
+    assert(out(2) === ((2L, 0.7071, 0.7071)), "orthogonal pair sits at 1/sqrt(2)")
+  }
+
+  test("hard negatives equal a driver-side cross-label brute force (q127)") {
+    val vecs = T.embeddings(spark, sf001)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      (qid, ql, qv) <- vecs if qid < 5
+    } yield qid -> vecs.filter(_._2 != ql)
+      .map { case (id2, _, v2) => (id2, cos(qv, v2)) }
+      .sortBy { case (id2, c) => (-c, id2) }.take(3).map(_._1).toSeq).toMap
+    val got = VectorOps.queries("q127_hard_negatives")(spark, sf001)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (q, ids) =>
+      assert(got(q) === ids, s"query $q: got ${got(q)}, want $ids")
+    }
+    // and no negative ever shares the query's label
+    val labOf = vecs.map(v => v._1 -> v._2).toMap
+    got.foreach { case (q, ids) =>
+      ids.foreach(id => assert(labOf(id) != labOf(q), s"$id shares label with query $q"))
+    }
+  }
 }
