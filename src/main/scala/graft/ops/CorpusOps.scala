@@ -602,6 +602,35 @@ object CorpusOps {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // Per-source KL divergence from the corpus unigram mix — the
+    // distributional-drift diagnostic mixture design runs next to
+    // q93/q116: KL(p_source ‖ p_corpus) says how far each source's
+    // token distribution sits from the blend (a near-zero source is
+    // redundant with the mix; a large one carries distinct signal).
+    // All mass terms are exact integer counts; the only float is the
+    // final Σ p·ln(ratio), rounded 4 (q91's ln discipline). Plan:
+    // one vocab-keyed (source, w) partial agg; corpus and per-source
+    // totals derive from it (vocab- and |sources|-sized aggs); the
+    // broadcast joins fan the tiny totals back; the rollup is
+    // |sources| rows. The corpus is tokenized exactly once.
+    "q129_source_kl" -> ((s, d) => {
+      val sw = T.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+      val cw = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+      val ns = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+      val n = broadcast(cw.agg(sum(col("c_w")).as("n")))
+      sw.join(broadcast(cw), "w")
+        .join(broadcast(ns), "source")
+        .crossJoin(n)
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tok"),
+          round(sum((col("c_sw") / col("n_s")) *
+            log((col("c_sw") * col("n")) / (col("c_w") * col("n_s")))), 4)
+            .as("kl4"))
+        .orderBy(col("source"))
+    }),
+
     // Quality-classifier inference — the scorer q112's featurizer
     // feeds: a broadcast-weights linear model over the 64-bin hashed
     // bag-of-words. Weights are a deterministic integer table
@@ -758,6 +787,24 @@ object CorpusOps {
         |SELECT doc_id, count(*) AS nnz,
         |       md5(string_agg(dim || ':' || c, ',' ORDER BY dim)) AS vec_md5
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q129_source_kl" ->
+      """WITH sw AS (
+        |  SELECT source, w, count(*) AS c_sw
+        |  FROM (SELECT source, unnest(string_split(text,' ')) AS w FROM documents)
+        |  GROUP BY 1, 2
+        |), cw AS (
+        |  SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1
+        |), ns AS (
+        |  SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1
+        |), nt AS (
+        |  SELECT CAST(sum(c_w) AS BIGINT) AS n FROM cw
+        |)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tok,
+        |       round(sum((CAST(c_sw AS DOUBLE) / n_s) *
+        |                 ln((c_sw * nt.n) / (c_w * n_s))), 4) AS kl4
+        |FROM sw JOIN cw USING (w) JOIN ns USING (source), nt
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q121_quality_classifier" ->
       """WITH dims AS (

@@ -434,6 +434,31 @@ object Dedup {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("scrub_md5"), md5(lit(""))).as("scrub_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Containment dedup — the ASYMMETRIC overlap Jaccard misses: a
+    // short doc quoted wholesale inside a long one has containment
+    // |A∩B|/|A| near 1 but low Jaccard (the union is dominated by
+    // the container), so the symmetric tiers (q61-q63) structurally
+    // cannot flag it. Pairs come from the 3-gram inverted-index join
+    // (q61's cost shape: quadratic only in per-gram collisions; at
+    // 100 TB cap gram df — drop stop-grams — exactly the
+    // boilerplate-tier discipline). Membership is decided by EXACT
+    // INTEGER comparison (10·inter ≥ 9·|A|) and emitted as exact
+    // basis points — no float ever gates a pair.
+    "q128_containment" -> ((s, d) => {
+      val sh = TextSim.shingles(T.documents(s, d), 3)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("doc_id").as("id_a"), col("g"))
+        .join(sh.select(col("doc_id").as("id_b"), col("g")), "g")
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .filter(col("inter") * 10 >= col("sz_a") * 9)
+        .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+          expr("(10000 * inter) div sz_a").as("cont_bp"))
+        .orderBy(col("contained_id"), col("container_id"))
     })
   )
 
@@ -671,6 +696,31 @@ object Dedup {
         |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
         |       coalesce(k.scrub_md5, md5('')) AS scrub_md5
         |FROM n LEFT JOIN k USING (doc_id)
-        |ORDER BY n.doc_id""".stripMargin
+        |ORDER BY n.doc_id""".stripMargin,
+
+    // Asymmetric containment over distinct 3-gram shingles; the
+    // threshold and the emitted basis points are exact integers.
+    "q128_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM (SELECT doc_id, ws,
+        |               unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        |        FROM t)
+        |  WHERE len(ws) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), ov AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a AS contained_id, id_b AS container_id,
+        |       (10000 * n_inter) // sz AS cont_bp
+        |FROM ov JOIN sizes ON id_a = sizes.doc_id
+        |WHERE n_inter * 10 >= sz * 9
+        |ORDER BY contained_id, container_id""".stripMargin
   )
 }

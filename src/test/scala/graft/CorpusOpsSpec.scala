@@ -412,4 +412,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(full === union,
       "full rebuild must equal old segments plus delta segments, row for row")
   }
+
+  test("source KL is non-negative, zero for the blend itself, and exact on disjoint vocabularies (q129)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    // disjoint vocabularies: every token's corpus mass comes from its
+    // own source, so KL(p_s || p) = ln(N / n_s) exactly —
+    // ln(40/10) for X, ln(40/30) for Y.
+    Seq((1L, (1 to 10).map("a" + _).mkString(" "), "en", "X"),
+        (2L, (1 to 30).map("b" + _).mkString(" "), "en", "Y"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.queries("q129_source_kl")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("X") === ((10L, BigDecimal(math.log(4.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out("Y") === ((30L, BigDecimal(math.log(40.0 / 30.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // corpus-wide sanity at sf0.001: KL >= 0 for every source (Gibbs)
+    val rows = CorpusOps.queries("q129_source_kl")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0,
+      s"KL must be non-negative, got ${r.getDouble(2)} for ${r.getString(0)}"))
+  }
 }

@@ -225,4 +225,29 @@ class DedupSpec extends SparkSpec {
     assert(keptTotal === distinctSegs,
       "sum of kept segments must equal the distinct segment vocabulary")
   }
+
+  test("containment flags a doc quoted inside a larger one — the pair Jaccard misses (q128)") {
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    def words(pfx: String, n: Int) = (1 to n).map(pfx + _).mkString(" ")
+    val quoted = words("q", 12)            // 10 distinct 3-grams
+    val container = s"${words("x", 14)} $quoted ${words("y", 14)}"
+    Seq((1L, quoted), (2L, container), (3L, words("z", 20)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.queries("q128_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.contains((1L, 2L)), "the quoted doc must be flagged as contained")
+    assert(out((1L, 2L)) === 10000L, "verbatim quote -> containment 100%")
+    assert(!out.contains((2L, 1L)),
+      "containment is asymmetric: the container is not contained")
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "the unrelated doc collides with nobody")
+    // and the symmetric tier really does miss it: Jaccard of the pair
+    // is 10 shared grams over a ~40-gram union, far below 0.8
+    val jac = Dedup.queries("q61_neardup_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac.get((1L, 2L)).forall(_ < 0.8),
+      "the planted containment pair must sit below the near-dup Jaccard threshold")
+  }
 }
