@@ -459,6 +459,69 @@ object Dedup {
         .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
           expr("(10000 * inter) div sz_a").as("cont_bp"))
         .orderBy(col("contained_id"), col("container_id"))
+    }),
+
+    // Cross-language near-dup pairs — the bitext/translation-pair
+    // mining proxy (and the "same content re-tagged under another
+    // language" contamination audit): the PRODUCTION minhash tier's
+    // verified pairs (q62's exact-oracle relation), restricted to
+    // pairs whose endpoints carry different lang tags. Beyond q62's
+    // keyed stages this adds two doc-keyed joins with a tiny pair
+    // side — AQE broadcasts it; the corpus never reshuffles.
+    "q130_crosslang_pairs" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val sig = TextSim.minhashSignatureNative(docs, 128, 3)
+      val cand = TextSim.bandCandidates(TextSim.lshBands(sig, 32, 4))
+      val pairs = TextSim.verifyJaccard(cand, TextSim.shingles(docs, 3), 0.8)
+      val lang = docs.select(col("doc_id"), col("lang"))
+      pairs
+        .join(lang.select(col("doc_id").as("id1"), col("lang").as("lang1")), "id1")
+        .join(lang.select(col("doc_id").as("id2"), col("lang").as("lang2")), "id2")
+        .filter(col("lang1") =!= col("lang2"))
+        .select(col("id1"), col("id2"), col("lang1"), col("lang2"), col("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // Per-source data card — the one-table corpus summary a release
+    // ships (docs, tokens, language spread, redundancy, quality pass
+    // rate), composing the catalog's audit signals over the
+    // PRODUCTION dedup tier: q113's exact gate thresholds, q120's
+    // canonical-id dup accounting. Every emitted number is an exact
+    // integer (counts, basis points, permille) — the whole card is
+    // hash-stable. Plan: one corpus projection + source-keyed
+    // partial aggs + canonicalizeLsh's keyed stages; the per-source
+    // rollup relations are |sources| rows and join broadcast.
+    "q131_data_card" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val base = docs
+        .select(col("source"), col("lang"), col("doc_id"),
+          split(col("text"), " ").as("ws"))
+        .select(col("source"), col("lang"), col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+          expr("aggregate(ws, 0, (m, x) -> greatest(m, length(x)))").as("max_wlen"))
+        .withColumn("ttr_permille",
+          floor(lit(1000.0) * col("n_distinct") / greatest(col("n_words"), lit(1)))
+            .cast("int"))
+        .withColumn("pass",
+          when(col("n_words") >= 30 && col("ttr_permille") >= 220 &&
+               col("max_wlen") <= 12, 1L).otherwise(0L))
+      val dup = docs.select(col("doc_id"), col("source"))
+        .join(canonicalizeLsh(docs), Seq("doc_id"), "left_outer")
+        .withColumn("is_dup",
+          when(col("canonical_id").isNotNull &&
+               col("canonical_id") =!= col("doc_id"), 1L).otherwise(0L))
+        .groupBy(col("source")).agg(sum(col("is_dup")).as("n_dups"))
+      base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_words")).as("n_tok"),
+             countDistinct(col("lang")).as("n_langs"),
+             sum(col("pass")).as("n_pass"))
+        .join(broadcast(dup), Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tok"), col("n_langs"),
+          expr("(10000 * n_dups) div n_docs").as("dup_bp"),
+          expr("(1000 * n_pass) div n_docs").as("pass_pm"))
+        .orderBy(col("source"))
     })
   )
 
@@ -721,6 +784,64 @@ object Dedup {
         |       (10000 * n_inter) // sz AS cont_bp
         |FROM ov JOIN sizes ON id_a = sizes.doc_id
         |WHERE n_inter * 10 >= sz * 9
-        |ORDER BY contained_id, container_id""".stripMargin
+        |ORDER BY contained_id, container_id""".stripMargin,
+
+    // Exact 0.8 pair graph restricted to cross-language endpoints.
+    "q130_crosslang_pairs" ->
+      s"""WITH pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |)
+         |SELECT p.id1, p.id2, d1.lang AS lang1, d2.lang AS lang2, p.jaccard
+         |FROM pr p JOIN documents d1 ON p.id1 = d1.doc_id
+         |          JOIN documents d2 ON p.id2 = d2.doc_id
+         |WHERE d1.lang <> d2.lang
+         |ORDER BY p.id1, p.id2""".stripMargin,
+
+    // q113's gate expressions + q120's canonical dup accounting,
+    // rolled into the one-row-per-source card.
+    "q131_data_card" ->
+      s"""WITH RECURSIVE pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |), e(a, b) AS (
+         |  SELECT id1, id2 FROM pr UNION SELECT id2, id1 FROM pr
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+         |), lab AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+         |  FROM reach GROUP BY a
+         |), dup AS (
+         |  SELECT d.source,
+         |         CAST(sum(CASE WHEN l.canonical_id IS NOT NULL
+         |                        AND l.canonical_id <> d.doc_id
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |  GROUP BY 1
+         |), w AS (
+         |  SELECT doc_id, source, lang, count(*) AS n_words,
+         |         count(DISTINCT w) AS n_distinct, max(length(w)) AS max_wlen
+         |  FROM (SELECT doc_id, source, lang, unnest(string_split(text,' ')) AS w
+         |        FROM documents)
+         |  GROUP BY 1, 2, 3
+         |), g AS (
+         |  SELECT source, lang, n_words,
+         |    CASE WHEN n_words >= 30
+         |          AND CAST(floor(1000.0 * n_distinct / greatest(n_words, 1)) AS INT)
+         |              >= 220
+         |          AND max_wlen <= 12 THEN 1 ELSE 0 END AS pass
+         |  FROM w
+         |), agg AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(n_words) AS BIGINT) AS n_tok,
+         |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |         CAST(sum(pass) AS BIGINT) AS n_pass
+         |  FROM g GROUP BY 1
+         |)
+         |SELECT a.source, a.n_docs, a.n_tok, a.n_langs,
+         |       (10000 * dup.n_dups) // a.n_docs AS dup_bp,
+         |       (1000 * a.n_pass) // a.n_docs AS pass_pm
+         |FROM agg a JOIN dup USING (source)
+         |ORDER BY a.source""".stripMargin
   )
 }

@@ -250,4 +250,43 @@ class DedupSpec extends SparkSpec {
     assert(jac.get((1L, 2L)).forall(_ < 0.8),
       "the planted containment pair must sit below the near-dup Jaccard threshold")
   }
+
+  test("cross-language pairs are exactly q62's pairs with mixed lang tags (q130)") {
+    val langOf = T.documents(spark, sf001)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q62 = Dedup.queries("q62_neardup_minhash_lsh")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = q62.filter { case (a, b) => langOf(a) != langOf(b) }
+    val got = Dedup.queries("q130_crosslang_pairs")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want, "q130 must be the cross-lang restriction of the q62 relation")
+    assert(got.nonEmpty, "the planted near-dups include cross-lang pairs")
+    Dedup.queries("q130_crosslang_pairs")(spark, sf001).collect().foreach { r =>
+      assert(r.getString(2) != r.getString(3), "endpoints must differ in lang")
+    }
+  }
+
+  test("data card reconciles with the funnel and dup-rate audits it composes (q131)") {
+    val card = Dedup.queries("q131_data_card")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // dup_bp must equal q120's per-source figure
+    val dup = Dedup.queries("q120_source_dup_rate")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    card.foreach { case (s, (_, _, _, dupBp, _)) =>
+      assert(dupBp === dup(s), s"source $s: card dup_bp $dupBp != q120 ${dup(s)}")
+    }
+    // pass_pm must derive from q113's n_pass / n_docs
+    val funnel = graft.ops.CorpusOps.queries("q113_filter_funnel")(spark, sf001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(5)))).toMap
+    card.foreach { case (s, (nDocs, _, _, _, passPm)) =>
+      val (fDocs, fPass) = funnel(s)
+      assert(nDocs === fDocs)
+      assert(passPm === (1000L * fPass) / fDocs,
+        s"source $s: card pass_pm $passPm inconsistent with funnel $fPass/$fDocs")
+    }
+    // the card partitions the corpus
+    assert(card.values.map(_._1).sum === T.documents(spark, sf001).count())
+  }
 }
