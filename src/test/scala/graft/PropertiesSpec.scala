@@ -101,4 +101,25 @@ class PropertiesSpec extends AnyFunSuite {
         c.validate.isRight == Seq(pw, db, q, out).forall(_.nonEmpty)
     })
   }
+
+  test("q125 closed-form interleave position equals the row_number definition on arbitrary source mixes") {
+    // pos(r, s) = Σ_s' min(r-1, n_s') + |{s' ≤ s : n_s' ≥ r}| must
+    // reproduce row_number() over (ORDER BY r, s) for ANY per-source
+    // count distribution — the algebra the operator substitutes for a
+    // second global ranking pass.
+    val mixGen: Gen[Map[String, Int]] =
+      Gen.mapOf(Gen.zip(Gen.identifier.map(_.take(6)), Gen.choose(1, 40)))
+        .suchThat(_.nonEmpty)
+    check(Prop.forAll(mixGen) { mix =>
+      val rows = for ((s, n) <- mix.toSeq; r <- 1 to n) yield (r, s)
+      val byOrder = rows.sortBy { case (r, s) => (r, s) }
+      val rowNumber = byOrder.zipWithIndex
+        .map { case (rs, i) => rs -> (i + 1L) }.toMap
+      rows.forall { case (r, s) =>
+        val closed = mix.values.map(n => math.min(r - 1L, n.toLong)).sum +
+          mix.count { case (s2, n2) => s2 <= s && n2 >= r }
+        closed == rowNumber((r, s))
+      }
+    })
+  }
 }
