@@ -119,6 +119,28 @@ object EventOps {
             .otherwise(0L)).as("n_affected"),
           countDistinct(col("scrubbed")).as("n_distinct_scrubbed"))
         .orderBy(col("event_type"))
+    }),
+
+    // Cohort retention matrix — the classic product-analytics rollup
+    // (users grouped by first-seen week × how many weeks later they
+    // were still active). All arithmetic is integer week indices from
+    // a fixed epoch, so the matrix hash-checks. Plan shape: the
+    // (user, week) activity set is one user-keyed distinct agg; the
+    // first-seen week is a user-keyed min derived from it (same
+    // partitioning — exchange reuse); the join back is user-keyed;
+    // the matrix agg output is ≤ weeks² rows. Nothing in the plan
+    // holds more than per-user state; at 100 TB this is two keyed
+    // shuffles of the activity set, never of raw events.
+    "q132_cohort_retention" -> ((s, d) => {
+      val act = T.events(s, d)
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), date'2024-01-01') div 7").as("wk"))
+        .distinct()
+      val cohort = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      act.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
     })
   )
 
@@ -245,6 +267,19 @@ object EventOps {
         |  CAST(sum(CASE WHEN n_num + n_email + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_affected,
         |  count(DISTINCT scrubbed) AS n_distinct_scrubbed
-        |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q132_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1
+        |)
+        |SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+        |       count(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

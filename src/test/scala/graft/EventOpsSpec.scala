@@ -86,4 +86,29 @@ class EventOpsSpec extends SparkSpec {
             row.getLong(5), row.getLong(6)) === ((5L, 7L, 1L, 1L, 4L, 4L)),
       s"audit miscounted: ${row.mkString(",")}")
   }
+
+  test("cohort retention attributes each user to its first-seen week (q132)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events").toString
+    val day = 86400L
+    val epoch2024 = 1704067200L // 2024-01-01 UTC, the corpus epoch
+    def ns(daysAfter: Long) = (epoch2024 + daysAfter * day + 3600L) * 1000000000L
+    Seq(
+      (1L, ns(1), 10L, "a", 0.0, "{}"),   // user 10, week 0 (cohort)
+      (2L, ns(15), 10L, "a", 0.0, "{}"),  // user 10, week 2
+      (3L, ns(16), 10L, "a", 0.0, "{}"),  // same week 2 — one activity
+      (4L, ns(8), 20L, "a", 0.0, "{}")    // user 20, week 1 (cohort)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.queries("q132_cohort_retention")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((0L, 0L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L),
+      s"matrix mismatch: $got")
+    // corpus-scale invariant: the offset-0 diagonal counts every user
+    // exactly once (everyone is active in their own cohort week)
+    val rows = EventOps.queries("q132_cohort_retention")(spark, sf001).collect()
+    val diag = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val nUsers = T.events(spark, sf001).select("user_id").distinct().count()
+    assert(diag === nUsers, "offset-0 cells must partition the user base")
+  }
 }
