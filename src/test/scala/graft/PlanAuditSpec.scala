@@ -170,6 +170,29 @@ class PlanAuditSpec extends SparkSpec {
       "both norm joins must broadcast the |sources|-row side")
   }
 
+  test("round-6 low-cardinality rollups shuffle partial rows only (q129/q131/q132)") {
+    // The same partial-agg-fed rule as q111/q113/q114, applied to the
+    // new source- and cohort-keyed rollups: an exchange hashed on a
+    // tens-of-values key must carry map-side partials, never raw rows.
+    for ((q, key) <- Seq("q129_source_kl" -> "source",
+                         "q131_data_card" -> "source",
+                         "q132_cohort_retention" -> "cohort_wk")) {
+      val p = plan(q)
+      val lines = p.linesIterator.toVector
+      var audited = 0
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (s"hashpartitioning\\($key#\\d+".r.unanchored.matches(l) &&
+            l.contains("Exchange")) {
+          val feeder = lines.drop(i + 1).find(x => !x.trim.startsWith("+- WholeStageCodegen"))
+          assert(feeder.exists(f => f.contains("HashAggregate") && f.contains("partial_")),
+            s"$q: $key-hashed exchange not fed by a partial aggregate:\n$l\n-> ${feeder.getOrElse("?")}")
+          audited += 1
+        }
+      }
+      assert(audited >= 1, s"$q: expected at least one $key-keyed aggregation exchange")
+    }
+  }
+
   test("classifier inference broadcasts the weight table — the corpus never shuffles on dim (q121)") {
     val p = plan("q121_quality_classifier")
     assert(p.contains("BroadcastHashJoin"), "weights must broadcast")
