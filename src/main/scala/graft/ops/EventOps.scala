@@ -141,6 +141,33 @@ object EventOps {
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("cohort_wk"), col("week_offset"))
+    }),
+
+    // Funnel conversion by cohort — q132's cohort assignment crossed
+    // with q85's ordered stage times: per first-seen week, how many
+    // users signed up, clicked after signing up, purchased after
+    // clicking, and the stage-to-stage conversion in exact permille.
+    // Both inputs are user-keyed relations (one shuffle each, q85's
+    // windows reuse theirs); the join is user-keyed and the rollup is
+    // ≤ weeks rows. Conversion denominators are guarded with
+    // greatest(_, 1) so the integer division is total.
+    "q133_funnel_by_cohort" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val st = userStages(ev)
+      val cohort = ev
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), date'2024-01-01') div 7").as("wk"))
+        .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      st.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"))
+        .agg(
+          sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("t_click").isNotNull, 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+        .select(col("cohort_wk"), col("n_signup"), col("n_click"), col("n_purchase"),
+          expr("(1000 * n_click) div greatest(n_signup, 1)").as("click_pm"),
+          expr("(1000 * n_purchase) div greatest(n_click, 1)").as("purchase_pm"))
+        .orderBy(col("cohort_wk"))
     })
   )
 
@@ -155,7 +182,10 @@ object EventOps {
     * per-user collapse reuses the partitioning and the funnel count is
     * a tiny global agg.
     */
-  def orderedFunnel(ev: DataFrame): DataFrame = {
+  /** Per-user ordered stage times (the funnel's keyed intermediate —
+    * one user-keyed shuffle, windows reuse the partitioning).
+    */
+  def userStages(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     ev
       .withColumn("t_signup",
@@ -170,12 +200,15 @@ object EventOps {
       .agg(max(col("t_signup")).as("t_signup"),
            max(col("t_click")).as("t_click"),
            max(col("t_purchase")).as("t_purchase"))
+  }
+
+  def orderedFunnel(ev: DataFrame): DataFrame =
+    userStages(ev)
       .groupBy()
       .agg(
         sum(when(col("t_signup").isNotNull, 1).otherwise(0)).as("n_signup"),
         sum(when(col("t_click").isNotNull, 1).otherwise(0)).as("n_signup_click"),
         sum(when(col("t_purchase").isNotNull, 1).otherwise(0)).as("n_full_funnel"))
-  }
 
   val oracle: Map[String, String] = Map(
     "q74_sessionize" ->
@@ -280,6 +313,42 @@ object EventOps {
         |SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
         |       count(*) AS n_users
         |FROM a JOIN c USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q133_funnel_by_cohort" ->
+      """WITH w1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_signup
+        |  FROM events
+        |), w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_signup THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_click
+        |  FROM w1
+        |), w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_purchase
+        |  FROM w2
+        |), u AS (
+        |  SELECT user_id, max(t_signup) AS t_signup, max(t_click) AS t_click,
+        |         max(t_purchase) AS t_purchase
+        |  FROM w3 GROUP BY user_id
+        |), c AS (
+        |  SELECT user_id,
+        |         min(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7)
+        |           AS cohort_wk
+        |  FROM events GROUP BY 1
+        |), g AS (
+        |  SELECT c.cohort_wk,
+        |    CAST(sum(CASE WHEN t_signup   IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |    CAST(sum(CASE WHEN t_click    IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |    CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |  FROM u JOIN c USING (user_id)
+        |  GROUP BY 1
+        |)
+        |SELECT cohort_wk, n_signup, n_click, n_purchase,
+        |       (1000 * n_click) // greatest(n_signup, 1) AS click_pm,
+        |       (1000 * n_purchase) // greatest(n_click, 1) AS purchase_pm
+        |FROM g ORDER BY cohort_wk""".stripMargin
   )
 }

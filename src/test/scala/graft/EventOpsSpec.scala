@@ -111,4 +111,41 @@ class EventOpsSpec extends SparkSpec {
     val nUsers = T.events(spark, sf001).select("user_id").distinct().count()
     assert(diag === nUsers, "offset-0 cells must partition the user base")
   }
+
+  test("funnel-by-cohort segments the ordered funnel per first-seen week (q133)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events").toString
+    val day = 86400L
+    val epoch2024 = 1704067200L
+    def ns(daysAfter: Long, hour: Long = 1L) =
+      (epoch2024 + daysAfter * day + hour * 3600L) * 1000000000L
+    Seq(
+      // cohort 0: user 1 completes the whole funnel in order; user 2
+      // only signs up.
+      (1L, ns(1, 1), 1L, "signup", 0.0, "{}"),
+      (2L, ns(1, 2), 1L, "click", 0.0, "{}"),
+      (3L, ns(1, 3), 1L, "purchase", 0.0, "{}"),
+      (4L, ns(2, 1), 2L, "signup", 0.0, "{}"),
+      // cohort 1: user 3 signs up and clicks, but its purchase came
+      // BEFORE the click — ordered semantics must not count it.
+      (5L, ns(8, 1), 3L, "signup", 0.0, "{}"),
+      (6L, ns(8, 3), 3L, "click", 0.0, "{}"),
+      (7L, ns(8, 2), 3L, "purchase", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.queries("q133_funnel_by_cohort")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(0L) === ((2L, 1L, 1L, 500L, 1000L)),
+      "cohort 0: 2 signups, 1 converted to click (500pm), that one purchased (1000pm)")
+    assert(got(1L) === ((1L, 1L, 0L, 1000L, 0L)),
+      "cohort 1: the pre-click purchase must not count as a conversion")
+    // reconciliation at sf0.001: cohort cells must sum to q85's
+    // global funnel counts
+    val cells = EventOps.queries("q133_funnel_by_cohort")(spark, sf001).collect()
+    val global = EventOps.queries("q85_event_funnel")(spark, sf001).collect().head
+    assert(cells.map(_.getLong(1)).sum === global.getLong(0))
+    assert(cells.map(_.getLong(2)).sum === global.getLong(1))
+    assert(cells.map(_.getLong(3)).sum === global.getLong(2))
+  }
 }
