@@ -121,6 +121,41 @@ object Dedup {
         coalesce(col("rep_canon"), col("rep_id")).as("canonical_id"))
   }
 
+  /** Containment pairs over distinct n-gram shingles: emit
+    * (contained, container, cont_bp) where |A∩B| · thrDen ≥ |A| ·
+    * thrNum — exact integers decide membership. With `dfCap` set, the
+    * ENTIRE computation (sizes and intersections) runs over the
+    * df-capped gram set: grams appearing in more than dfCap docs are
+    * dropped before pairing, which bounds the per-gram join fan-out
+    * (the quadratic term Σ_g m_g² is capped at Σ_g m_g·dfCap =
+    * O(corpus · dfCap)) — the production dial for 100 TB, the same
+    * stop-gram discipline as the boilerplate tier. When no gram
+    * exceeds the cap, capped ≡ exact (asserted in DedupSpec).
+    */
+  def containmentPairs(docs: DataFrame, n: Int, thrNum: Int, thrDen: Int,
+                       dfCap: Option[Long] = None): DataFrame = {
+    val all = TextSim.shingles(docs, n)
+    val sh = dfCap match {
+      case Some(cap) =>
+        val rare = all.groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("__df"))
+          .filter(col("__df") <= cap).select(col("g"))
+        all.join(rare, "g")
+      case None => all
+    }
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc_id").as("id_a"), col("g"))
+      .join(sh.select(col("doc_id").as("id_b"), col("g")), "g")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .filter(col("inter") * thrDen >= col("sz_a") * thrNum)
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        expr("(10000 * inter) div sz_a").as("cont_bp"))
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on the key, keep the smallest id as the
     // canonical representative. One shuffle on the key at any scale.
@@ -446,20 +481,8 @@ object Dedup {
     // boilerplate-tier discipline). Membership is decided by EXACT
     // INTEGER comparison (10·inter ≥ 9·|A|) and emitted as exact
     // basis points — no float ever gates a pair.
-    "q128_containment" -> ((s, d) => {
-      val sh = TextSim.shingles(T.documents(s, d), 3)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = sh.select(col("doc_id").as("id_a"), col("g"))
-        .join(sh.select(col("doc_id").as("id_b"), col("g")), "g")
-        .filter(col("id_a") =!= col("id_b"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-        .filter(col("inter") * 10 >= col("sz_a") * 9)
-        .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
-          expr("(10000 * inter) div sz_a").as("cont_bp"))
-        .orderBy(col("contained_id"), col("container_id"))
-    }),
+    "q128_containment" -> ((s, d) =>
+      containmentPairs(T.documents(s, d), 3, thrNum = 9, thrDen = 10)),
 
     // Cross-language near-dup pairs — the bitext/translation-pair
     // mining proxy (and the "same content re-tagged under another

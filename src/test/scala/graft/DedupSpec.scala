@@ -251,6 +251,40 @@ class DedupSpec extends SparkSpec {
       "the planted containment pair must sit below the near-dup Jaccard threshold")
   }
 
+  test("df-capped containment equals exact when the cap is not binding, and bounds candidates when it is") {
+    // (a) equality: cap >= max gram df on the real corpus -> identical
+    // relation, row for row
+    val docs = T.documents(spark, sf001)
+    val maxDf = TextSim.shingles(docs, 3)
+      .groupBy(col("g")).agg(countDistinct(col("doc_id")).as("df"))
+      .agg(max(col("df"))).collect().head.getLong(0)
+    def rel(cap: Option[Long]) =
+      Dedup.containmentPairs(docs, 3, 9, 10, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rel(Some(maxDf)) === rel(None),
+      "a non-binding cap must not change the containment relation")
+    // (b) the scale guard: plant a stop-gram shared by EVERY doc of a
+    // 60-doc corpus plus per-doc unique content. Uncapped, the
+    // stop-gram alone contributes n*(n-1) candidate pairs; capped at
+    // 10 the planted corpus must produce ZERO candidate pairs, because
+    // no rare gram is shared.
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    import spark.implicits._
+    val stop = "the quick fox"
+    (1 to 60).map(i => (i.toLong, s"$stop u${i}a u${i}b u${i}c u${i}d"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = T.documents(spark, dir)
+    def interCount(cap: Option[Long]) =
+      Dedup.containmentPairs(planted, 3, 0, 10, cap).count()
+    // thrNum = 0 keeps EVERY candidate pair -> counts raw pair volume
+    assert(interCount(None) === 60L * 59L,
+      "uncapped: the planted stop-gram pairs every doc with every other")
+    assert(interCount(Some(10)) === 0L,
+      "df-capped: stop-gram collisions vanish, candidate volume is bounded")
+  }
+
   test("cross-language pairs are exactly q62's pairs with mixed lang tags (q130)") {
     val langOf = T.documents(spark, sf001)
       .select(col("doc_id"), col("lang")).collect()
