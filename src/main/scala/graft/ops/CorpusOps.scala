@@ -631,6 +631,31 @@ object CorpusOps {
         .orderBy(col("source"))
     }),
 
+    // Blocklist filter — C4's named "bad words" gate, the one
+    // published-pipeline component the funnel family didn't yet name:
+    // token-exact blocklist hits per doc, the keep decision, and the
+    // per-source audit a release files. The blocklist BROADCASTS (a
+    // real one is tens of KB; even a million-entry list broadcasts),
+    // membership is a map-side hash-join probe, and the only
+    // exchanges are the doc rollup and the |sources|-row audit — the
+    // corpus never shuffles on anything list-related.
+    "q134_blocklist_filter" -> ((s, d) => {
+      import s.implicits._
+      val block = broadcast(
+        Seq("slow", "error", "drop").toDF("w").withColumn("hit", lit(1L)))
+      val toks = T.documents(s, d)
+        .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      toks.join(block, Seq("w"), "left_outer")
+        .groupBy(col("source"), col("doc_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_blocked"),
+             sum(col("n_hits")).as("n_hits"))
+        .withColumn("blocked_bp", expr("(10000 * n_blocked) div n_docs"))
+        .orderBy(col("source"))
+    }),
+
     // Quality-classifier inference — the scorer q112's featurizer
     // feeds: a broadcast-weights linear model over the 64-bin hashed
     // bag-of-words. Weights are a deterministic integer table
@@ -787,6 +812,24 @@ object CorpusOps {
         |SELECT doc_id, count(*) AS nnz,
         |       md5(string_agg(dim || ':' || c, ',' ORDER BY dim)) AS vec_md5
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q134_blocklist_filter" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, unnest(string_split(text,' ')) AS w
+        |  FROM documents
+        |), h AS (
+        |  SELECT source, doc_id,
+        |         CAST(sum(CASE WHEN w IN ('slow', 'error', 'drop')
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |  FROM t GROUP BY 1, 2
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_blocked,
+        |       CAST(sum(n_hits) AS BIGINT) AS n_hits,
+        |       (10000 * CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT))
+        |         // count(*) AS blocked_bp
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     "q129_source_kl" ->
       """WITH sw AS (

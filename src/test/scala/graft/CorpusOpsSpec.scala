@@ -413,6 +413,28 @@ class CorpusOpsSpec extends SparkSpec {
       "full rebuild must equal old segments plus delta segments, row for row")
   }
 
+  test("blocklist filter counts token-exact hits and broadcasts the list (q134)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    // "slower" must NOT hit (token-exact, not substring); doc 2 is
+    // clean; doc 3 hits twice in one doc but counts as one blocked doc.
+    Seq((1L, "slower things here", "en", "A"),
+        (2L, "clean words only", "en", "A"),
+        (3L, "slow and slow error", "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.queries("q134_blocklist_filter")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("A") === ((2L, 0L, 0L, 0L)), "substring lookalikes must not hit")
+    assert(out("B") === ((1L, 1L, 3L, 10000L)),
+      "three hits in one doc -> one blocked doc, 3 hits, 100% blocked")
+    // the list side must broadcast — the corpus never shuffles on w
+    val p = CorpusOps.queries("q134_blocklist_filter")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "blocklist membership must be a broadcast probe")
+  }
+
   test("source KL is non-negative, zero for the blend itself, and exact on disjoint vocabularies (q129)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("docs").toString
