@@ -608,7 +608,13 @@ object CorpusOps {
     // token distribution sits from the blend (a near-zero source is
     // redundant with the mix; a large one carries distinct signal).
     // All mass terms are exact integer counts; the only float is the
-    // final Σ p·ln(ratio), rounded 4 (q91's ln discipline). Plan:
+    // final Σ p·ln(ratio), rounded 4 (q91's ln discipline). The ratio
+    // is computed as ln(c_sw/c_w) + ln(n/n_s) — NOT ln(c_sw·n /
+    // (c_w·n_s)): at the 100 TB posture n is ~1e13+ tokens and the
+    // int64 product c_sw·n wraps silently under Spark's non-ANSI
+    // arithmetic; each individual ratio is a double division of two
+    // in-range longs, exact to a rounding error the round(4) absorbs
+    // (identical expression shape on the DuckDB side). Plan:
     // one vocab-keyed (source, w) partial agg; corpus and per-source
     // totals derive from it (vocab- and |sources|-sized aggs); the
     // broadcast joins fan the tiny totals back; the rollup is
@@ -626,7 +632,7 @@ object CorpusOps {
         .groupBy(col("source"))
         .agg(max(col("n_s")).as("n_tok"),
           round(sum((col("c_sw") / col("n_s")) *
-            log((col("c_sw") * col("n")) / (col("c_w") * col("n_s")))), 4)
+            (log(col("c_sw") / col("c_w")) + log(col("n") / col("n_s")))), 4)
             .as("kl4"))
         .orderBy(col("source"))
     }),
@@ -845,7 +851,8 @@ object CorpusOps {
         |)
         |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tok,
         |       round(sum((CAST(c_sw AS DOUBLE) / n_s) *
-        |                 ln((c_sw * nt.n) / (c_w * n_s))), 4) AS kl4
+        |                 (ln(CAST(c_sw AS DOUBLE) / c_w)
+        |                  + ln(CAST(nt.n AS DOUBLE) / n_s))), 4) AS kl4
         |FROM sw JOIN cw USING (w) JOIN ns USING (source), nt
         |GROUP BY source ORDER BY source""".stripMargin,
 

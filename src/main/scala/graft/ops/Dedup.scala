@@ -57,6 +57,34 @@ object Dedup {
        |WHERE CAST(p.inter AS DOUBLE)/(s1.n + s2.n - p.inter) >= $thr
        |ORDER BY id1, id2""".stripMargin
 
+  /** DuckDB side of the exact containment relation (asymmetric
+    * overlap over distinct 3-gram shingles) — shared by q128 (exact
+    * tier) and q128b (df-capped production tier; cap ≫ every gram's
+    * df on the test corpora, so capped ≡ exact here).
+    */
+  private val containmentOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |  FROM (SELECT doc_id, ws,
+      |               unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+      |        FROM t)
+      |  WHERE len(ws) >= 3
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+      |), ov AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a AS contained_id, id_b AS container_id,
+      |       (10000 * n_inter) // sz AS cont_bp
+      |FROM ov JOIN sizes ON id_a = sizes.doc_id
+      |WHERE n_inter * 10 >= sz * 9
+      |ORDER BY contained_id, container_id""".stripMargin
+
   /** Exact-duplicate collapse ahead of the sketch tiers (the
     * mass-duplicate guard): one representative per distinct text, so a
     * k-deep identical-doc cluster — routine in web corpora — feeds ONE
@@ -484,6 +512,21 @@ object Dedup {
     "q128_containment" -> ((s, d) =>
       containmentPairs(T.documents(s, d), 3, thrNum = 9, thrDen = 10)),
 
+    // Containment dedup, PRODUCTION tier — the SAME relation through
+    // the df-capped gram set (the dial q128's doc block names): grams
+    // seen in more than 64 docs are dropped before pairing, bounding
+    // the inverted-index fan-out at Σ_g m_g·64 = O(corpus·cap)
+    // instead of Σ_g m_g² — the q61→q62 tiering discipline applied to
+    // containment. The cap sits above the measured max gram df at
+    // every tested SF (7 at sf0.01, 25 at sf0.1), so capped ≡ exact
+    // here and the entry shares q128's oracle VERBATIM; on a real
+    // web corpus the cap is what retires stop-grams ("of the" class)
+    // whose m_g² term is the scale-killer. Capped≡exact and the
+    // bounded-candidate property are spec'd in DedupSpec.
+    "q128b_containment_capped" -> ((s, d) =>
+      containmentPairs(T.documents(s, d), 3, thrNum = 9, thrDen = 10,
+        dfCap = Some(64L))),
+
     // Cross-language near-dup pairs — the bitext/translation-pair
     // mining proxy (and the "same content re-tagged under another
     // language" contamination audit): the PRODUCTION minhash tier's
@@ -786,28 +829,13 @@ object Dedup {
 
     // Asymmetric containment over distinct 3-gram shingles; the
     // threshold and the emitted basis points are exact integers.
-    "q128_containment" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
-        |  FROM (SELECT doc_id, ws,
-        |               unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
-        |        FROM t)
-        |  WHERE len(ws) >= 3
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
-        |), ov AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT id_a AS contained_id, id_b AS container_id,
-        |       (10000 * n_inter) // sz AS cont_bp
-        |FROM ov JOIN sizes ON id_a = sizes.doc_id
-        |WHERE n_inter * 10 >= sz * 9
-        |ORDER BY contained_id, container_id""".stripMargin,
+    // q128b (df-capped production tier) shares this oracle verbatim:
+    // no gram in the test corpora exceeds the 64-doc cap, so the
+    // capped gram set IS the full gram set (measured: max df 7 at
+    // sf0.01, 25 at sf0.1) — the same oracle-sharing argument as
+    // q62 reusing q61's exact relation.
+    "q128_containment" -> containmentOracle,
+    "q128b_containment_capped" -> containmentOracle,
 
     // Exact 0.8 pair graph restricted to cross-language endpoints.
     "q130_crosslang_pairs" ->

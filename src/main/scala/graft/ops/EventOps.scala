@@ -130,11 +130,16 @@ object EventOps {
     // partitioning — exchange reuse); the join back is user-keyed;
     // the matrix agg output is ≤ weeks² rows. Nothing in the plan
     // holds more than per-user state; at 100 TB this is two keyed
-    // shuffles of the activity set, never of raw events.
+    // shuffles of the activity set, never of raw events. The week
+    // index is an explicit FLOOR of the day distance (Spark `div`
+    // truncates toward zero, DuckDB `//` floors — they only agree on
+    // non-negative distances, so both sides floor a double ratio and
+    // pre-epoch events land in negative weeks identically).
     "q132_cohort_retention" -> ((s, d) => {
       val act = T.events(s, d)
         .select(col("user_id"),
-          expr("datediff(to_date(ts), date'2024-01-01') div 7").as("wk"))
+          expr("CAST(floor(datediff(to_date(ts), date'2024-01-01')" +
+            " / CAST(7 AS DOUBLE)) AS BIGINT)").as("wk"))
         .distinct()
       val cohort = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
       act.join(cohort, "user_id")
@@ -156,7 +161,9 @@ object EventOps {
       val st = userStages(ev)
       val cohort = ev
         .select(col("user_id"),
-          expr("datediff(to_date(ts), date'2024-01-01') div 7").as("wk"))
+          // Same explicit floor as q132 (div/`//` disagree pre-epoch).
+          expr("CAST(floor(datediff(to_date(ts), date'2024-01-01')" +
+            " / CAST(7 AS DOUBLE)) AS BIGINT)").as("wk"))
         .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
       st.join(cohort, "user_id")
         .groupBy(col("cohort_wk"))
@@ -305,7 +312,8 @@ object EventOps {
     "q132_cohort_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id,
-        |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+        |         CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |                    / 7.0) AS BIGINT) AS wk
         |  FROM events
         |), c AS (
         |  SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1
@@ -335,8 +343,8 @@ object EventOps {
         |  FROM w3 GROUP BY user_id
         |), c AS (
         |  SELECT user_id,
-        |         min(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7)
-        |           AS cohort_wk
+        |         min(CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |                        / 7.0) AS BIGINT)) AS cohort_wk
         |  FROM events GROUP BY 1
         |), g AS (
         |  SELECT c.cohort_wk,
