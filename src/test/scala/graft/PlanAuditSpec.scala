@@ -1,13 +1,91 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+import org.apache.spark.sql.execution.{CoalesceExec, InputAdapter, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
 /** Machine-checked scale posture: the physical-plan properties DESIGN.md
   * claims, asserted so regressions surface as test failures instead of
   * silent plan drift. Plans are built (not executed) at sf0.001.
+  *
+  * Exchange-shape rules walk the typed SparkPlan tree (collect the
+  * ShuffleExchangeExec nodes and inspect their ACTUAL child), not the
+  * formatted plan text — a text scan can match a sibling subtree's
+  * line in multi-child plans and silently audit the wrong node after a
+  * Spark version reformats the output (round-5 advisor finding).
   */
 class PlanAuditSpec extends SparkSpec {
 
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sf001).queryExecution.executedPlan.toString
+
+  /** The typed physical tree, unwrapped from the AQE shell (plans are
+    * never executed here, so this is the initial physical plan).
+    */
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+
+  private def physical(q: String): SparkPlan =
+    physical(SparkEntry.queries(q)(spark, sf001))
+
+  /** Attribute names an exchange hash-partitions on (Nil when the
+    * exchange is not hash-partitioned or keys aren't plain columns).
+    */
+  private def hashKeys(e: ShuffleExchangeExec): Seq[String] =
+    e.outputPartitioning match {
+      case h: HashPartitioning =>
+        h.expressions.map {
+          case a: Attribute  => a.name
+          case x: Expression => x.sql
+        }
+      case _ => Nil
+    }
+
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    p.collect { case e: ShuffleExchangeExec => e }
+
+  /** Strips codegen wrappers so the node that actually FEEDS an
+    * exchange is inspected, not its WholeStageCodegen shell.
+    */
+  @annotation.tailrec
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case w: WholeStageCodegenExec => unwrap(w.child)
+    case i: InputAdapter          => unwrap(i.child)
+    case other                    => other
+  }
+
+  /** True iff the exchange's own child is a map-side partial aggregate
+    * — i.e. the shuffle moves P×|keys| partial rows, never raw rows.
+    */
+  private def partialAggFed(e: ShuffleExchangeExec): Boolean =
+    unwrap(e.child) match {
+      case a: BaseAggregateExec =>
+        a.aggregateExpressions.forall(ae =>
+          ae.mode == Partial || ae.mode == PartialMerge)
+      case _ => false
+    }
+
+  /** Asserts every exchange hashed on `key` (any position) is fed by a
+    * map-side partial aggregate, and that at least one such exchange
+    * exists (the aggregation really does shuffle on that key).
+    */
+  private def assertKeyedExchangesPartialAggFed(q: String, key: String): Unit = {
+    val ex = shuffles(physical(q)).filter(e => hashKeys(e).contains(key))
+    assert(ex.nonEmpty, s"$q: expected at least one $key-keyed aggregation exchange")
+    ex.foreach { e =>
+      assert(partialAggFed(e),
+        s"$q: $key-hashed exchange not fed by a partial aggregate; child is " +
+          s"${unwrap(e.child).nodeName}\n$e")
+    }
+  }
 
   test("filters reach the parquet scan and columns are pruned (q02)") {
     val p = plan("q02_filter_predicates")
@@ -63,10 +141,10 @@ class PlanAuditSpec extends SparkSpec {
                          "q100_training_manifest" -> "split",
                          // constant key of the budget-selection cumsum
                          "q117_token_budget_select" -> "g")) {
-      val p = plan(q)
-      assert(p.contains("rangepartitioning("),
+      val p = physical(q)
+      assert(shuffles(p).exists(_.outputPartitioning.isInstanceOf[RangePartitioning]),
         s"$q: expected a range-partitioned exchange")
-      assert(!s"hashpartitioning\\($key#".r.unanchored.matches(p),
+      assert(!shuffles(p).exists(e => hashKeys(e).headOption.contains(key)),
         s"$q: an exchange hash-partitions on the low-cardinality key $key")
     }
   }
@@ -81,14 +159,7 @@ class PlanAuditSpec extends SparkSpec {
     // shuffles fed by a map-side partial aggregate (P x 20 partial
     // rows move, not the corpus). A source-hashed exchange fed by raw
     // rows would be the n/20-rows-per-task shape.
-    val lines = p.linesIterator.toVector
-    lines.zipWithIndex.foreach { case (l, i) =>
-      if ("hashpartitioning\\(source#\\d+, \\d+\\)".r.unanchored.matches(l)) {
-        val feeder = lines.drop(i + 1).find(x => !x.trim.startsWith("+- WholeStageCodegen"))
-        assert(feeder.exists(f => f.contains("HashAggregate") && f.contains("partial_")),
-          s"source-hashed exchange not fed by a partial aggregate:\n$l\n-> ${feeder.getOrElse("?")}")
-      }
-    }
+    assertKeyedExchangesPartialAggFed("q93_domain_mix", "source")
   }
 
   test("rag chunking is generate-only — its single exchange is the presentation sort (q95)") {
@@ -104,8 +175,8 @@ class PlanAuditSpec extends SparkSpec {
     // legitimately plan it as a SinglePartition exchange instead of a
     // sampled range sort (the ranking exchange itself sits behind
     // ScalableRank's localCheckpoint, value-tested in ScalableRankSpec).
-    val p = plan("q108_vocab_coverage")
-    assert(!"hashpartitioning\\(g#".r.unanchored.matches(p),
+    val p = physical("q108_vocab_coverage")
+    assert(!shuffles(p).exists(e => hashKeys(e).headOption.contains("g")),
       "q108: an exchange hash-partitions on the constant ranking key")
   }
 
@@ -116,14 +187,7 @@ class PlanAuditSpec extends SparkSpec {
     // (P × dims partial rows move, not the corpus) — q93's rule.
     val p = plan("q105_embedding_quantize")
     assert(p.contains("BroadcastHashJoin"), "expected broadcast stats join")
-    val lines = p.linesIterator.toVector
-    lines.zipWithIndex.foreach { case (l, i) =>
-      if ("hashpartitioning\\(i#\\d+, \\d+\\)".r.unanchored.matches(l)) {
-        val feeder = lines.drop(i + 1).find(x => !x.trim.startsWith("+- WholeStageCodegen"))
-        assert(feeder.exists(f => f.contains("HashAggregate") && f.contains("partial_")),
-          s"dim-hashed exchange not fed by a partial aggregate:\n$l\n-> ${feeder.getOrElse("?")}")
-      }
-    }
+    assertKeyedExchangesPartialAggFed("q105_embedding_quantize", "i")
   }
 
   test("funnel-style audits shuffle partial rows only — never raw docs on the group key (q111/q113/q114)") {
@@ -132,20 +196,8 @@ class PlanAuditSpec extends SparkSpec {
     // partial aggregate (P × |key| partial rows), never by raw rows.
     for ((q, key) <- Seq("q113_filter_funnel" -> "source",
                          "q114_tokenizer_fertility" -> "lang",
-                         "q111_pii_scrub_audit" -> "event_type")) {
-      val p = plan(q)
-      val lines = p.linesIterator.toVector
-      var audited = 0
-      lines.zipWithIndex.foreach { case (l, i) =>
-        if (s"hashpartitioning\\($key#\\d+, \\d+\\)".r.unanchored.matches(l)) {
-          val feeder = lines.drop(i + 1).find(x => !x.trim.startsWith("+- WholeStageCodegen"))
-          assert(feeder.exists(f => f.contains("HashAggregate") && f.contains("partial_")),
-            s"$q: $key-hashed exchange not fed by a partial aggregate:\n$l\n-> ${feeder.getOrElse("?")}")
-          audited += 1
-        }
-      }
-      assert(audited >= 1, s"$q: expected at least one $key-keyed aggregation exchange")
-    }
+                         "q111_pii_scrub_audit" -> "event_type"))
+      assertKeyedExchangesPartialAggFed(q, key)
   }
 
   test("boilerplate scrub never broadcast-nested-loops and prunes doc text from the anti-join side (q110)") {
@@ -176,41 +228,27 @@ class PlanAuditSpec extends SparkSpec {
     // tens-of-values key must carry map-side partials, never raw rows.
     for ((q, key) <- Seq("q129_source_kl" -> "source",
                          "q131_data_card" -> "source",
-                         "q132_cohort_retention" -> "cohort_wk")) {
-      val p = plan(q)
-      val lines = p.linesIterator.toVector
-      var audited = 0
-      lines.zipWithIndex.foreach { case (l, i) =>
-        if (s"hashpartitioning\\($key#\\d+".r.unanchored.matches(l) &&
-            l.contains("Exchange")) {
-          val feeder = lines.drop(i + 1).find(x => !x.trim.startsWith("+- WholeStageCodegen"))
-          assert(feeder.exists(f => f.contains("HashAggregate") && f.contains("partial_")),
-            s"$q: $key-hashed exchange not fed by a partial aggregate:\n$l\n-> ${feeder.getOrElse("?")}")
-          audited += 1
-        }
-      }
-      assert(audited >= 1, s"$q: expected at least one $key-keyed aggregation exchange")
-    }
+                         "q132_cohort_retention" -> "cohort_wk"))
+      assertKeyedExchangesPartialAggFed(q, key)
   }
 
   test("classifier inference broadcasts the weight table — the corpus never shuffles on dim (q121)") {
-    val p = plan("q121_quality_classifier")
-    assert(p.contains("BroadcastHashJoin"), "weights must broadcast")
-    val lines = p.linesIterator.toSeq
-    lines.zipWithIndex.foreach { case (l, i) =>
-      if (l.contains("Exchange hashpartitioning(dim"))
-        fail(s"corpus shuffled on dim at plan line $i: $l")
+    val p = physical("q121_quality_classifier")
+    assert(p.toString.contains("BroadcastHashJoin"), "weights must broadcast")
+    shuffles(p).foreach { e =>
+      if (hashKeys(e).headOption.contains("dim"))
+        fail(s"corpus shuffled on dim: $e")
     }
   }
 
   test("inverted index shuffles on (term, block) — never on the term alone (q122)") {
     // A groupBy(term) would put a head term's whole posting list in
     // one task; the segment key must carry the block.
-    val p = plan("q122_inverted_index")
-    val lines = p.linesIterator.toSeq
-    lines.zipWithIndex.foreach { case (l, i) =>
-      if (l.contains("Exchange hashpartitioning(w#") && !l.contains("blk"))
-        fail(s"exchange on term without block at plan line $i: $l")
+    val p = physical("q122_inverted_index")
+    shuffles(p).foreach { e =>
+      val keys = hashKeys(e)
+      if (keys.headOption.contains("w") && !keys.exists(_.contains("blk")))
+        fail(s"exchange on term without block: $e")
     }
   }
 
@@ -242,6 +280,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "query side must broadcast")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ScalableRank offsets keep the partial aggregate ABOVE the data, BELOW the coalesce(1)") {
+    // The offsets relation collapses to one partition (coalesce(1),
+    // ScalableRank.scala) before its prefix-sum windows — sound only
+    // because the (__pid, keys) aggregation happens FIRST, so the
+    // single task receives ≤ P×|k| partial rows, never the data. That
+    // ordering currently holds because Catalyst keeps the aggregation's
+    // own exchange below the coalesce; if a future Spark folded the
+    // coalesce under the partial aggregate, the offsets would become a
+    // single-task aggregation over the full relation. Pin the shape:
+    // under every single-partition CoalesceExec there must still be a
+    // shuffle exchange fed by a map-side partial aggregate.
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(2000).select((col("id") % 5).cast("string").as("k"),
+      col("id").as("v"))
+    for ((name, ranked) <- Seq(
+        "withRanks" -> graft.functions.ScalableRank
+          .withRanks(df, Seq("k"), Seq(col("v")), Seq(col("v")), 8),
+        "withRunningSum" -> graft.functions.ScalableRank
+          .withRunningSum(df, Seq("k"), Seq(col("v")), col("v"), 8))) {
+      val coalesces = physical(ranked)
+        .collect { case c: CoalesceExec if c.numPartitions == 1 => c }
+      assert(coalesces.nonEmpty,
+        s"$name: expected the offsets coalesce(1) in the physical plan")
+      coalesces.foreach { c =>
+        val fed = shuffles(c).filter(partialAggFed)
+        assert(fed.nonEmpty,
+          s"$name: no partial-aggregate-fed exchange below the " +
+            s"single-partition coalesce — offsets would aggregate in one task:\n$c")
+        assert(fed.exists(e => hashKeys(e).contains("__pid")),
+          s"$name: the offsets aggregation exchange must be keyed on (__pid, keys)")
+      }
+    }
   }
 
   test("no query plans a CartesianProduct") {
