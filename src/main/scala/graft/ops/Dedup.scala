@@ -404,16 +404,7 @@ object Dedup {
     // projection; DedupSpec asserts the co-split property pair by pair.
     "q109_leakage_safe_split" -> ((s, d) => {
       val docs = T.documents(s, d)
-      def h32(c: org.apache.spark.sql.Column) =
-        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-      val canon = canonicalizeLsh(docs)
-      docs.join(canon, Seq("doc_id"), "left_outer")
-        .withColumn("split_key", coalesce(col("canonical_id"), col("doc_id")))
-        .withColumn("b", h32(col("split_key").cast("string")) % 100)
-        .withColumn("split",
-          when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
-        .select(col("doc_id"), col("split_key"), col("split"))
-        .orderBy(col("doc_id"))
+      leakageSafeSplitFrom(docs, canonicalizeLsh(docs))
     }),
 
     // Per-source duplication audit: how much of each source is
@@ -424,16 +415,7 @@ object Dedup {
     // source-keyed partial-agg rollup.
     "q120_source_dup_rate" -> ((s, d) => {
       val docs = T.documents(s, d)
-      val labels = canonicalizeLsh(docs)
-      docs.select(col("doc_id"), col("source"))
-        .join(labels, Seq("doc_id"), "left_outer")
-        .withColumn("is_dup",
-          when(col("canonical_id").isNotNull &&
-               col("canonical_id") =!= col("doc_id"), 1L).otherwise(0L))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
-        .withColumn("dup_bp", expr("(10000 * n_dups) div n_docs"))
-        .orderBy(col("source"))
+      sourceDupRateFrom(docs, canonicalizeLsh(docs))
     }),
 
     // Dedup audit: the cluster-size histogram a dedup run reports
@@ -444,15 +426,7 @@ object Dedup {
     // then a histogram over sizes (bounded by the deepest cluster).
     "q115_dedup_cluster_histogram" -> ((s, d) => {
       val docs = T.documents(s, d)
-      val labels = canonicalizeLsh(docs)
-      docs.select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left_outer")
-        .select(coalesce(col("canonical_id"), col("doc_id")).as("canon"))
-        .groupBy(col("canon")).agg(count(lit(1)).as("cluster_size"))
-        .groupBy(col("cluster_size"))
-        .agg(count(lit(1)).as("n_clusters"),
-             sum(col("cluster_size")).as("n_docs"))
-        .orderBy(col("cluster_size"))
+      clusterHistogramFrom(docs, canonicalizeLsh(docs))
     }),
 
     // Cross-doc segment dedup REWRITE (CCNet-style line/paragraph
@@ -559,6 +533,58 @@ object Dedup {
     // rollup relations are |sources| rows and join broadcast.
     "q131_data_card" -> ((s, d) => {
       val docs = T.documents(s, d)
+      dataCardFrom(docs, canonicalizeLsh(docs))
+    })
+  )
+
+  /** The dedup AUDIT operators, over a PRECOMPUTED canonical map.
+    *
+    * The catalog entries (q109/q115/q120/q131) compose these with
+    * [[canonicalizeLsh]] inline because the driver contract runs each
+    * query standalone — but that is NOT the 100 TB operating mode. A
+    * real pipeline canonicalizes ONCE, materializes the tiny
+    * (doc_id, canonical_id) relation (cluster members only — a few
+    * percent of corpus row count, two longs per row), and feeds every
+    * audit from it; the sketch/verify/components cost is paid once
+    * instead of once per audit. These `*From` variants are that mode:
+    * `labels` is any relation with (doc_id, canonical_id) — the live
+    * canonicalizeLsh plan or a parquet round-trip of it (equality of
+    * the two modes is asserted in DedupSpec).
+    */
+  def leakageSafeSplitFrom(docs: DataFrame, labels: DataFrame): DataFrame = {
+    def h32(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    docs.join(labels, Seq("doc_id"), "left_outer")
+      .withColumn("split_key", coalesce(col("canonical_id"), col("doc_id")))
+      .withColumn("b", h32(col("split_key").cast("string")) % 100)
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("split_key"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sourceDupRateFrom(docs: DataFrame, labels: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .withColumn("is_dup",
+        when(col("canonical_id").isNotNull &&
+             col("canonical_id") =!= col("doc_id"), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+      .withColumn("dup_bp", expr("(10000 * n_dups) div n_docs"))
+      .orderBy(col("source"))
+
+  def clusterHistogramFrom(docs: DataFrame, labels: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(coalesce(col("canonical_id"), col("doc_id")).as("canon"))
+      .groupBy(col("canon")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+           sum(col("cluster_size")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  def dataCardFrom(docs: DataFrame, labels: DataFrame): DataFrame = {
       val base = docs
         .select(col("source"), col("lang"), col("doc_id"),
           split(col("text"), " ").as("ws"))
@@ -573,7 +599,7 @@ object Dedup {
           when(col("n_words") >= 30 && col("ttr_permille") >= 220 &&
                col("max_wlen") <= 12, 1L).otherwise(0L))
       val dup = docs.select(col("doc_id"), col("source"))
-        .join(canonicalizeLsh(docs), Seq("doc_id"), "left_outer")
+        .join(labels, Seq("doc_id"), "left_outer")
         .withColumn("is_dup",
           when(col("canonical_id").isNotNull &&
                col("canonical_id") =!= col("doc_id"), 1L).otherwise(0L))
@@ -588,8 +614,7 @@ object Dedup {
           expr("(10000 * n_dups) div n_docs").as("dup_bp"),
           expr("(1000 * n_pass) div n_docs").as("pass_pm"))
         .orderBy(col("source"))
-    })
-  )
+  }
 
   val oracle: Map[String, String] = Map(
     "q60_dedup_exact" ->

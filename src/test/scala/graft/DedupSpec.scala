@@ -301,6 +301,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("audits over a MATERIALIZED canonical map equal the inline compositions (canonicalize once, audit many)") {
+    // The 100 TB operating mode: canonicalizeLsh runs once, its tiny
+    // (doc_id, canonical_id) relation is written out, and every audit
+    // reads it back — the sketch/verify/components cost is paid once,
+    // not once per audit. Equality with the inline catalog entries
+    // (which recompute the map per query under the driver's
+    // one-query-at-a-time contract) is what makes the composition a
+    // fact rather than an argument.
+    val docs = graft.T.documents(spark, sf001)
+    val out = java.nio.file.Files.createTempDirectory("canon").toString
+    Dedup.canonicalizeLsh(docs).write.mode("overwrite").parquet(out)
+    val stored = spark.read.parquet(out)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    assert(rows(Dedup.leakageSafeSplitFrom(docs, stored)) ===
+      rows(SparkEntry.queries("q109_leakage_safe_split")(spark, sf001)))
+    assert(rows(Dedup.sourceDupRateFrom(docs, stored)) ===
+      rows(SparkEntry.queries("q120_source_dup_rate")(spark, sf001)))
+    assert(rows(Dedup.clusterHistogramFrom(docs, stored)) ===
+      rows(SparkEntry.queries("q115_dedup_cluster_histogram")(spark, sf001)))
+    assert(rows(Dedup.dataCardFrom(docs, stored)) ===
+      rows(SparkEntry.queries("q131_data_card")(spark, sf001)))
+  }
+
   test("data card reconciles with the funnel and dup-rate audits it composes (q131)") {
     val card = Dedup.queries("q131_data_card")(spark, sf001)
       .collect().map(r => r.getString(0) ->
