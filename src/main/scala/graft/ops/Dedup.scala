@@ -184,6 +184,66 @@ object Dedup {
       .orderBy(col("contained_id"), col("container_id"))
   }
 
+  /** Containment pairs via DF-ORDERED PREFIX FILTERING (the PPJoin /
+    * Chaudhuri-et-al. prefix-filter principle applied to asymmetric
+    * containment) — the second containment tier, with EXACT recall:
+    *
+    * Fix any global total order on grams; here (df asc, gram asc) —
+    * rarest first. A doc A with |A| = sz needs overlap t =
+    * ceil(sz·thrNum/thrDen) to be contained anywhere; if a container B
+    * misses ALL of A's first L = sz − t + 1 grams in that order, then
+    * |A∩B| ≤ sz − L = t − 1 < t — pigeonhole, not probability. So
+    * indexing only each doc's L RAREST grams against the full gram
+    * index finds every qualifying pair, and the exact verify on
+    * candidates reproduces q128's relation identically (same oracle,
+    * by proof rather than by recall argument — stronger than the
+    * q61→q62 sketch tiering).
+    *
+    * Cost shape vs the full inverted-index join: candidate fan-out is
+    * Σ_g pf_g·m_g where pf_g counts docs carrying g in their PREFIX —
+    * and because the order puts rare grams first, mass concentrates
+    * where m_g is small; stop-grams (the Σ m_g² killer) appear in
+    * prefixes only for docs made almost entirely of stop-grams. The
+    * verify stage then costs |candidates|·|A| keyed rows, the same
+    * candidate-only discipline as q62. Composable with the df-cap
+    * (q128b) for a belt-and-braces production config; the two dials
+    * are independent.
+    *
+    * Plan: gram-df agg (gram-keyed), df join back (gram-keyed), per-doc
+    * rank window (doc-keyed — doc_id is high-cardinality, so a plain
+    * window is the right tool, not ScalableRank), prefix-vs-index join
+    * (gram-keyed), pair-keyed verify joins. Every shuffle is on a
+    * high-cardinality key.
+    */
+  def containmentPairsPrefix(docs: DataFrame, n: Int, thrNum: Int,
+                             thrDen: Int): DataFrame = {
+    val sh = TextSim.shingles(docs, n)
+    val gdf = sh.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))
+    val prefix = sh.join(gdf, "g")
+      .withColumn("rk", row_number().over(wDoc).cast("long"))
+      .join(sizes, "doc_id")
+      // L = sz − ceil(sz·thrNum/thrDen) + 1, all exact integers
+      .filter(col("rk") <=
+        col("sz") - expr(s"($thrNum * sz + ${thrDen - 1}) div $thrDen") + 1)
+      .select(col("doc_id"), col("g"))
+    val cand = prefix.select(col("doc_id").as("id_a"), col("g"))
+      .join(sh.select(col("doc_id").as("id_b"), col("g")), "g")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("g")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .filter(col("inter") * thrDen >= col("sz_a") * thrNum)
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        expr("(10000 * inter) div sz_a").as("cont_bp"))
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on the key, keep the smallest id as the
     // canonical representative. One shuffle on the key at any scale.
@@ -500,6 +560,13 @@ object Dedup {
     "q128b_containment_capped" -> ((s, d) =>
       containmentPairs(T.documents(s, d), 3, thrNum = 9, thrDen = 10,
         dfCap = Some(64L))),
+
+    // Containment via df-ordered prefix filtering — same relation as
+    // q128 with EXACT recall by pigeonhole (see containmentPairsPrefix)
+    // but candidate volume driven by RARE-gram collisions instead of
+    // all-gram collisions; shares q128's oracle by proof.
+    "q135_containment_prefix" -> ((s, d) =>
+      containmentPairsPrefix(T.documents(s, d), 3, thrNum = 9, thrDen = 10)),
 
     // Cross-language near-dup pairs — the bitext/translation-pair
     // mining proxy (and the "same content re-tagged under another
@@ -861,6 +928,10 @@ object Dedup {
     // q62 reusing q61's exact relation.
     "q128_containment" -> containmentOracle,
     "q128b_containment_capped" -> containmentOracle,
+    // prefix filtering has EXACT recall (pigeonhole over the global
+    // gram order) — the shared oracle is a proof-backed identity, not
+    // a recall argument.
+    "q135_containment_prefix" -> containmentOracle,
 
     // Exact 0.8 pair graph restricted to cross-language endpoints.
     "q130_crosslang_pairs" ->

@@ -301,6 +301,61 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filter containment equals the inverted-index relation and prunes candidates (q135)") {
+    // Exact-recall tier: the df-ordered prefix join must reproduce
+    // q128's relation identically (the pigeonhole argument in
+    // containmentPairsPrefix), on the planted-quote corpus AND on the
+    // real sf0.001 documents.
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    def words(pfx: String, n: Int) = (1 to n).map(pfx + _).mkString(" ")
+    val quoted = words("q", 12)
+    val container = s"${words("x", 14)} $quoted ${words("y", 14)}"
+    // A stop-gram block: the shared "s1 s2 ... s30" run makes every
+    // filler doc collide with every other on ~28 grams — the Σ m_g²
+    // shape the prefix filter exists to avoid.
+    val stopRun = words("s", 30)
+    val fillers = (10L until 30L).map(i => (i, s"${words(s"u$i-", 6)} $stopRun"))
+    (Seq((1L, quoted), (2L, container)) ++ fillers)
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def rel(q: String, d: String) = Dedup.queries(q)(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rel("q135_containment_prefix", dir) === rel("q128_containment", dir),
+      "prefix tier must equal the exact relation on the planted corpus")
+    assert(rel("q135_containment_prefix", sf001) === rel("q128_containment", sf001),
+      "prefix tier must equal the exact relation on real documents")
+
+    // Candidate-volume claim, measured: pairs colliding on ANY gram
+    // (the inverted-index fan-out) vs pairs colliding on a PREFIX gram.
+    // The 20 fillers share the stop run — ~190 full-index pairs — but
+    // their prefixes are their six RARE unique grams, so the prefix
+    // join sees only the genuinely suspicious pair.
+    val docs = graft.T.documents(spark, dir)
+    val sh = TextSim.shingles(docs, 3)
+    def pairCount(left: org.apache.spark.sql.DataFrame): Long =
+      left.select(col("doc_id").as("id_a"), col("g"))
+        .join(sh.select(col("doc_id").as("id_b"), col("g")), "g")
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct().count()
+    val fullPairs = pairCount(sh)
+    val gdf = sh.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))
+    val prefix = sh.join(gdf, "g")
+      .withColumn("rk", row_number().over(wDoc).cast("long"))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+      .select(col("doc_id"), col("g"))
+    val prefixPairs = pairCount(prefix)
+    assert(fullPairs >= 380L,
+      s"the stop run must make the full index quadratic (got $fullPairs ordered pairs)")
+    assert(prefixPairs <= 4L,
+      s"prefix candidates must stay near the true pair (got $prefixPairs)")
+  }
+
   test("audits over a MATERIALIZED canonical map equal the inline compositions (canonicalize once, audit many)") {
     // The 100 TB operating mode: canonicalizeLsh runs once, its tiny
     // (doc_id, canonical_id) relation is written out, and every audit
