@@ -215,11 +215,15 @@ object Dedup {
     * (gram-keyed), pair-keyed verify joins. Every shuffle is on a
     * high-cardinality key.
     */
-  def containmentPairsPrefix(docs: DataFrame, n: Int, thrNum: Int,
-                             thrDen: Int): DataFrame = {
-    val sh = TextSim.shingles(docs, n)
+  /** Prefix-filter candidate pairs (id_a = potential contained, id_b =
+    * potential container): the complete-by-pigeonhole candidate set of
+    * [[containmentPairsPrefix]], shared with the sketched estimator
+    * tier (q136). `sh`/`sizes` are the distinct-shingle relation and
+    * per-doc shingle counts.
+    */
+  def prefixCandidates(sh: DataFrame, sizes: DataFrame, thrNum: Int,
+                       thrDen: Int): DataFrame = {
     val gdf = sh.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))
     val prefix = sh.join(gdf, "g")
       .withColumn("rk", row_number().over(wDoc).cast("long"))
@@ -228,10 +232,17 @@ object Dedup {
       .filter(col("rk") <=
         col("sz") - expr(s"($thrNum * sz + ${thrDen - 1}) div $thrDen") + 1)
       .select(col("doc_id"), col("g"))
-    val cand = prefix.select(col("doc_id").as("id_a"), col("g"))
+    prefix.select(col("doc_id").as("id_a"), col("g"))
       .join(sh.select(col("doc_id").as("id_b"), col("g")), "g")
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  def containmentPairsPrefix(docs: DataFrame, n: Int, thrNum: Int,
+                             thrDen: Int): DataFrame = {
+    val sh = TextSim.shingles(docs, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val cand = prefixCandidates(sh, sizes, thrNum, thrDen)
     val inter = cand
       .join(sh.select(col("doc_id").as("id_a"), col("g")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
@@ -241,6 +252,61 @@ object Dedup {
       .filter(col("inter") * thrDen >= col("sz_a") * thrNum)
       .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
         expr("(10000 * inter) div sz_a").as("cont_bp"))
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
+  /** Containment ESTIMATES from one-sided bottom-k gram sketches — the
+    * divide-by-|A| estimator (round-5 verdict item 5's asymmetric
+    * sketching), and the tier whose per-pair cost is INDEPENDENT of
+    * container size:
+    *
+    * Each doc keeps its k smallest gram md5-hashes — a uniform
+    * without-replacement sample of its gram set, and fully
+    * deterministic, so DuckDB replays the identical estimator and the
+    * approximate relation is itself oracle-checked bit-exact. For a
+    * candidate pair (A contained-candidate, B container), membership
+    * of A's sketch grams in B's gram relation is probed by ONE keyed
+    * join; with m = |sketch(A) ∩ B| and |sketch(A)| = min(k, |A|),
+    *   cont_est = m / min(k, |A|)
+    * — unbiased (each sketch gram is a uniform sample of A, and
+    * membership in B is exact), and EXACT whenever |A| ≤ k (the
+    * sketch is the whole set). Emitted basis points are pure integer
+    * arithmetic: (10000·m) div min(k,|A|) — no float anywhere.
+    *
+    * Why this beats exact verify when containers are BOOKS: q135's
+    * verify joins materialize |A|+|B| gram rows per pair — a 1e6-gram
+    * container explodes every pair it appears in. Here B's grams are
+    * only the build side of a hash join keyed on (id_b, gram): probe
+    * volume is |cand|·k rows regardless of |B|. Candidates still come
+    * from [[prefixCandidates]] (complete by pigeonhole), so the only
+    * approximation is the estimate itself; the gate sits `gateBp`
+    * below the exact 9000 to absorb sampling noise (binomial sd at
+    * C=0.9, k=64 is ~375 bp; recall vs q128's relation measured in
+    * DedupSpec, and pairs at C=1 — verbatim quotes — have zero
+    * variance: m = |sketch(A)| always).
+    */
+  def containmentSketch(docs: DataFrame, n: Int, k: Int,
+                        gateBp: Int): DataFrame = {
+    val sh = TextSim.shingles(docs, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("h"), col("g"))
+    val sketch = sh
+      .withColumn("h", conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
+      .withColumn("hr", row_number().over(wDoc))
+      .filter(col("hr") <= k)
+      .select(col("doc_id").as("id_a"), col("g"))
+    val cand = prefixCandidates(sh, sizes, 9, 10)
+    val m = cand
+      .join(sketch, "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("m"))
+    m
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .withColumn("est_bp", expr(s"(10000 * m) div least($k, sz_a)"))
+      .filter(col("est_bp") >= gateBp)
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        col("est_bp"))
       .orderBy(col("contained_id"), col("container_id"))
   }
 
@@ -567,6 +633,13 @@ object Dedup {
     // all-gram collisions; shares q128's oracle by proof.
     "q135_containment_prefix" -> ((s, d) =>
       containmentPairsPrefix(T.documents(s, d), 3, thrNum = 9, thrDen = 10)),
+
+    // Containment ESTIMATOR over bottom-64 gram sketches — pairing
+    // cost 2k sketch rows per candidate instead of full gram sets
+    // (the big-container dial); deterministic md5 sketches, so the
+    // approximate relation itself is oracle-checked.
+    "q136_containment_sketch" -> ((s, d) =>
+      containmentSketch(T.documents(s, d), 3, k = 64, gateBp = 8500)),
 
     // Cross-language near-dup pairs — the bitext/translation-pair
     // mining proxy (and the "same content re-tagged under another
@@ -932,6 +1005,55 @@ object Dedup {
     // gram order) — the shared oracle is a proof-backed identity, not
     // a recall argument.
     "q135_containment_prefix" -> containmentOracle,
+
+    // The one-sided bottom-k estimator replayed move-for-move: same
+    // md5 hashes, same prefix candidates, same all-integer basis
+    // points — approximate relation, bit-exact oracle.
+    "q136_containment_sketch" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM (SELECT doc_id, ws,
+        |               unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        |        FROM t)
+        |  WHERE len(ws) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), sk AS (
+        |  SELECT doc_id AS id_a, g FROM (
+        |    SELECT doc_id, g,
+        |           row_number() OVER (
+        |             PARTITION BY doc_id
+        |             ORDER BY CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT), g
+        |           ) AS hr
+        |    FROM sh)
+        |  WHERE hr <= 64
+        |), gdf AS (
+        |  SELECT g, count(*) AS gdf FROM sh GROUP BY 1
+        |), pre AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT s.doc_id, s.g, z.sz,
+        |           row_number() OVER (PARTITION BY s.doc_id
+        |                              ORDER BY gdf.gdf, s.g) AS rk
+        |    FROM sh s JOIN gdf USING (g) JOIN sizes z ON s.doc_id = z.doc_id)
+        |  WHERE rk <= sz - ((9 * sz + 9) // 10) + 1
+        |), cand AS (
+        |  SELECT DISTINCT p.doc_id AS id_a, s.doc_id AS id_b
+        |  FROM pre p JOIN sh s ON p.g = s.g AND p.doc_id <> s.doc_id
+        |), m AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS m
+        |  FROM cand c
+        |  JOIN sk ON sk.id_a = c.id_a
+        |  JOIN sh b ON b.doc_id = c.id_b AND b.g = sk.g
+        |  GROUP BY 1, 2
+        |)
+        |SELECT m.id_a AS contained_id, m.id_b AS container_id,
+        |       (10000 * m.m) // least(64, z.sz) AS est_bp
+        |FROM m JOIN sizes z ON m.id_a = z.doc_id
+        |WHERE (10000 * m.m) // least(64, z.sz) >= 8500
+        |ORDER BY contained_id, container_id""".stripMargin,
 
     // Exact 0.8 pair graph restricted to cross-language endpoints.
     "q130_crosslang_pairs" ->

@@ -356,6 +356,50 @@ class DedupSpec extends SparkSpec {
       s"prefix candidates must stay near the true pair (got $prefixPairs)")
   }
 
+  test("sketched containment recalls every exact pair and is exact when sketches cover the sets (q136)") {
+    // Recall vs q128's relation (the verdict criterion for a sketched
+    // containment tier): at the 8500 gate every true >=0.9 pair must
+    // surface, on the planted-quote corpus and on real documents.
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    def words(pfx: String, n: Int) = (1 to n).map(pfx + _).mkString(" ")
+    val quoted = words("q", 12)
+    // A BIG container (300+ grams — 5x the 64-hash sketch) quoting the
+    // small doc wholesale: the case the sketch tier exists for, where
+    // exact verify would explode the big side's gram set per pair.
+    val bigContainer = s"${words("x", 150)} $quoted ${words("y", 150)}"
+    Seq((1L, quoted), (2L, bigContainer), (3L, words("z", 40)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairs(q: String, d: String) = Dedup.queries(q)(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sk = pairs("q136_containment_sketch", dir)
+    assert(sk.contains((1L, 2L)),
+      "the sketch tier must recall the doc quoted inside the big container")
+    assert(!sk.exists(p => p._1 == 3L || p._2 == 3L),
+      "the unrelated doc must not surface")
+    assert(pairs("q128_containment", sf001).subsetOf(
+      pairs("q136_containment_sketch", sf001)),
+      "at the 8500 gate the sketch tier must recall every exact >=0.9 pair")
+
+    // Exactness when the CONTAINED side fits in the sketch (|A| <= k):
+    // sketch(A) = A, so m = |A∩B| and est_bp = exact cont_bp — note
+    // the container's size never matters (the one-sided estimator's
+    // whole point).
+    val dir2 = java.nio.file.Files.createTempDirectory("docs").toString
+    val smallContainer = s"${words("x", 20)} $quoted ${words("y", 20)}"
+    Seq((1L, quoted), (2L, smallContainer))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val est = Dedup.queries("q136_containment_sketch")(spark, dir2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = Dedup.queries("q128_containment")(spark, dir2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(est.get((1L, 2L)) === exact.get((1L, 2L)),
+      "sub-sketch-size sets must estimate exactly")
+  }
+
   test("audits over a MATERIALIZED canonical map equal the inline compositions (canonicalize once, audit many)") {
     // The 100 TB operating mode: canonicalizeLsh runs once, its tiny
     // (doc_id, canonical_id) relation is written out, and every audit
