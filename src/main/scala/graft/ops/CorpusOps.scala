@@ -189,6 +189,44 @@ object CorpusOps {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // WEIGHTED sampling without replacement, deterministic — the
+    // mixture step's reservoir: sample docs per source with
+    // probability proportional to an integer weight (here a capped
+    // length tier: longer docs carry more training mass), reproducible
+    // across runs and engines because nothing random or floating-point
+    // is involved. Mechanism: each doc holds w lottery tickets,
+    // tickets are hashed (md5 — a fixed random permutation of ticket
+    // space), the doc's key is its BEST ticket, and the per-source
+    // top-25 smallest keys win — the integer-exact discrete form of
+    // the Efraimidis-Spirakis u^(1/w) reservoir (min of w uniform
+    // draws), with successive-WOR semantics: P(doc wins next slot)
+    // = w_doc / Σ w_remaining. Plan: the ticket fan-out is a codegen
+    // Generate bounded by max weight (5); the doc collapse is a
+    // doc-keyed agg; the per-source top-k rides ScalableRank (source
+    // is the low-cardinality trap, never Window.partitionBy).
+    "q137_weighted_sample" -> ((s, d) => {
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val weighted = T.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          (lit(1) + least(lit(4),
+            (size(split(col("text"), " ")) / 50).cast("int"))).as("w"))
+      val best = weighted
+        .select(col("source"), col("doc_id"), col("w"),
+          explode(expr("sequence(1, w)")).as("i"))
+        .withColumn("t", conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("i").cast("string"))),
+          1, 15), 16, 10).cast("long"))
+        .groupBy(col("source"), col("doc_id"), col("w"))
+        .agg(min(col("t")).as("tkt"))
+      graft.functions.ScalableRank
+        .withRanks(best, Seq("source"), Seq(col("tkt"), col("doc_id")),
+          Seq(col("tkt"), col("doc_id")), p)
+        .filter(col("rn") <= 25)
+        .select(col("source"), col("rn").cast("int").as("rn"),
+          col("doc_id"), col("w"), col("tkt"))
+        .orderBy(col("source"), col("rn"))
+    }),
+
     // Sequence packing: assign docs to fixed-token-budget training
     // shards (capacity 256) in deterministic doc_id order — the
     // contiguous-fill sharding a pretraining loader consumes, with the
@@ -1193,6 +1231,29 @@ object CorpusOps {
         |)
         |SELECT lang, rn, doc_id FROM r WHERE rn <= 10
         |ORDER BY lang, rn""".stripMargin,
+
+    // Same lottery tickets, same md5 permutation, same integer
+    // arithmetic — the weighted reservoir replays exactly.
+    "q137_weighted_sample" ->
+      """WITH wt AS (
+        |  SELECT source, doc_id,
+        |         1 + least(4, len(string_split(text,' ')) // 50) AS w
+        |  FROM documents
+        |), tk AS (
+        |  SELECT source, doc_id, w,
+        |         min(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |                                      CAST(i AS VARCHAR)), 1, 15))
+        |                  AS BIGINT)) AS tkt
+        |  FROM (SELECT source, doc_id, w, unnest(generate_series(1, w)) AS i
+        |        FROM wt)
+        |  GROUP BY 1, 2, 3
+        |), r AS (
+        |  SELECT source, doc_id, w, tkt,
+        |         row_number() OVER (PARTITION BY source ORDER BY tkt, doc_id) AS rn
+        |  FROM tk
+        |)
+        |SELECT source, rn, doc_id, w, tkt FROM r WHERE rn <= 25
+        |ORDER BY source, rn""".stripMargin,
 
     "q88_repetition_filter" ->
       """WITH w AS (

@@ -457,4 +457,56 @@ class CorpusOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(2) >= 0.0,
       s"KL must be non-negative, got ${r.getDouble(2)} for ${r.getString(0)}"))
   }
+
+  test("weighted sampling: exact quotas, ticket mechanism, and ~w-proportional win rates (q137)") {
+    import spark.implicits._
+    // Mechanism on the real corpus: every source fills min(25, |source|)
+    // contiguous ranks, and each winner's ticket really is the MIN over
+    // its w md5 tickets (recomputed independently here).
+    val out = CorpusOps.queries("q137_weighted_sample")(spark, sf001).collect()
+    val bySrc = out.groupBy(_.getString(0))
+    val srcSizes = graft.T.documents(spark, sf001)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, rows) <- bySrc) {
+      assert(rows.map(_.getInt(1)).sorted.toSeq ===
+        (1 to math.min(25L, srcSizes(src)).toInt),
+        s"$src: ranks must be a contiguous 1..k block")
+    }
+    def ticket(docId: Long, i: Int): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$docId:$i".getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    out.foreach { r =>
+      val (doc, w, tkt) = (r.getLong(2), r.getInt(3), r.getLong(4))
+      assert(tkt === (1 to w).map(ticket(doc, _)).min,
+        s"doc $doc: emitted ticket must be the min over its $w tickets")
+    }
+
+    // Weighted semantics, measured: 1000 weight-5 docs vs 1000 weight-1
+    // docs in one source; each top-500 slot goes to weight 5 with odds
+    // 5:1 (lottery tickets), so E[w5 winners] = 416; the fixed md5 draw
+    // must sit within 5 sd (~41) of it. Text lengths drive the weights
+    // (>= 201 words -> tier 5, < 50 -> tier 1).
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    val docs =
+      (1L to 1000L).map(i => (i, (1 to 201).map(j => s"a$i-$j").mkString(" "))) ++
+      (3001L to 4000L).map(i => (i, (1 to 10).map(j => s"b$i-$j").mkString(" ")))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val best = graft.T.documents(spark, dir)
+      .select(col("doc_id"),
+        (lit(1) + least(lit(4), (size(split(col("text"), " ")) / 50).cast("int"))).as("w"),
+        explode(expr(
+          "sequence(1, 1 + least(4, CAST(size(split(text, ' ')) / 50 AS INT)))")).as("i"))
+      .withColumn("t", conv(substring(
+        md5(concat(col("doc_id"), lit(":"), col("i"))), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("doc_id"), col("w")).agg(min(col("t")).as("tkt"))
+      .orderBy(col("tkt"), col("doc_id")).limit(500).collect()
+    val w5 = best.count(_.getInt(1) === 5)
+    assert(w5 >= 375 && w5 <= 457,
+      s"weight-5 docs must win ~5/6 of 500 slots (E=416, sd~8), got $w5")
+  }
 }
