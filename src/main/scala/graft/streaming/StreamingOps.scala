@@ -176,6 +176,61 @@ object StreamingOps {
       .select(col("doc_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Streaming containment gate against a static corpus — the stream
+    * twin of the q128/q135/q136 family for the in-flight question
+    * "is this arriving doc substantially quoted from the corpus?"
+    * (license-pool and eval-leakage gating at ingest time).
+    *
+    * Static side, built once per (re)start: the corpus gram inverted
+    * index with each corpus doc's distinct-gram array attached (the
+    * same attach-the-set trick [[nearDupFlagAgainst]] uses, so the
+    * verify needs no streaming aggregation). Stream side, pure
+    * stateless projection: the doc's distinct grams and its bottom-k
+    * md5 sketch (q136's one-sided sample — array HOFs are exactly
+    * right here for the same reason as minhashSignatureRow: an
+    * aggregation-form sketch would force update-mode state). Each
+    * sketch gram probes the index; candidates exact-verify IN-ROW via
+    * array_intersect over (stream grams, corpus doc grams) with the
+    * q128 integer gate.
+    *
+    * Recall: a doc with containment ≥ 0.9 shares ≥ ⌈0.9·sz⌉ grams
+    * with the container, so a uniform bottom-k sketch gram misses the
+    * intersection with probability < 0.1 — all k miss with
+    * probability < 10^-k. Docs with sz ≤ k probe with their ENTIRE
+    * gram set: recall exactly 1, the q135 regime.
+    *
+    * Emits one row per colliding sketch gram (append-pure, zero
+    * state); dedupe downstream on (doc_id, corpus_id) — same contract
+    * as [[nearDupFlagAgainst]]'s per-band rows.
+    */
+  def containmentGateAgainst(stream: DataFrame, corpus: DataFrame,
+                             k: Int = 64, thrNum: Int = 9,
+                             thrDen: Int = 10): DataFrame = {
+    import graft.functions.TextSim
+    val corpusGrams = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id").as("corpus_id"),
+        array_distinct(expr(TextSim.gramArrayExpr(3))).as("c_gs"))
+    val index = corpusGrams
+      .select(col("corpus_id"), col("c_gs"), explode(col("c_gs")).as("g"))
+    val probes = stream
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        array_distinct(expr(TextSim.gramArrayExpr(3))).as("gs"))
+      .withColumn("skg", expr(
+        s"""transform(
+           |  slice(array_sort(transform(gs,
+           |          g -> struct(substring(md5(g), 1, 15) AS h, g))), 1, $k),
+           |  x -> x.g)""".stripMargin))
+      .select(col("doc_id"), col("gs"), explode(col("skg")).as("g"))
+    probes.join(index, "g")
+      .withColumn("inter", size(array_intersect(col("gs"), col("c_gs"))))
+      .filter(col("inter") * thrDen >= size(col("gs")) * thrNum &&
+        size(col("gs")) > 0)
+      .select(col("doc_id"), col("corpus_id"),
+        expr("(10000 * inter) div size(gs)").as("cont_bp"))
+  }
+
   // ---- custom keyed state via mapGroupsWithState ----
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

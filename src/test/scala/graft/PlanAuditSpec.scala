@@ -140,7 +140,9 @@ class PlanAuditSpec extends SparkSpec {
                          // 3-value split key of the capstone's packing stage
                          "q100_training_manifest" -> "split",
                          // constant key of the budget-selection cumsum
-                         "q117_token_budget_select" -> "g")) {
+                         "q117_token_budget_select" -> "g",
+                         // 20-value source key of the weighted reservoir
+                         "q137_weighted_sample" -> "source")) {
       val p = physical(q)
       assert(shuffles(p).exists(_.outputPartitioning.isInstanceOf[RangePartitioning]),
         s"$q: expected a range-partitioned exchange")

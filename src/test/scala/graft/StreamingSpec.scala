@@ -303,6 +303,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "no planted pairs straddle the cut — data drifted?")
   }
 
+  test("streaming containment gate equals the batch relation (stream twin of q128/q136)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Corpus with a known passage; the stream carries one doc quoting
+    // it wholesale (must gate), one clean doc (must pass), and the
+    // sf0.001 head docs as realistic traffic.
+    def words(pfx: String, n: Int) = (1 to n).map(pfx + _).mkString(" ")
+    val passage = words("p", 30)
+    val corpus = Seq((1L, s"${words("c", 10)} $passage ${words("d", 10)}"),
+                     (2L, words("e", 40))).toDF("doc_id", "text")
+    val arriving = Seq(
+      (100L, s"intro $passage outro"),          // ~28/32 grams from corpus doc 1
+      (101L, words("z", 40))) ++                // clean
+      T.documents(spark, sf001).select(col("doc_id") + 1000L, col("text"))
+        .limit(20).collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.appendToMemory(
+      StreamingOps.containmentGateAgainst(
+        mem.toDF().toDF("doc_id", "text"), corpus), "contain_out").start()
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("contain_out")
+      .select("doc_id", "corpus_id", "cont_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // batch reference: same integer gate over the same gram sets
+    val batch = graft.ops.Dedup
+      .containmentPairs(corpus.union(arriving.toDF("doc_id", "text")), 3, 9, 10)
+      .filter(col("contained_id") >= 100L && col("container_id") < 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch,
+      s"stream gates ${streamed.size} pairs, batch expects ${batch.size}")
+    assert(streamed.contains((100L, 1L)), "the planted quote must be gated")
+    assert(!streamed.exists(_._1._1 == 101L), "the clean doc must pass")
+  }
+
   test("mapGroupsWithState accumulates per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
