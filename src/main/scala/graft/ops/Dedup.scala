@@ -641,6 +641,34 @@ object Dedup {
     "q136_containment_sketch" -> ((s, d) =>
       containmentSketch(T.documents(s, d), 3, k = 64, gateBp = 8500)),
 
+    // Exact near-dup at 0.8 via prefix filtering — PPJoin applied to
+    // the SYMMETRIC threshold, the sketch-free exact production tier
+    // beside minhash (q62) and simhash (q63): J ≥ t forces overlap
+    // ≥ ⌈t·|X|⌉ in the worst direction (I·(1+t) ≥ t(|X|+|Y|) and
+    // |Y| ≥ I give I ≥ t·|X|), so prefixCandidates at 8/10 is a
+    // COMPLETE candidate set by the same pigeonhole as q135 and the
+    // exact verify reproduces the q62/q63 oracle relation with zero
+    // probabilistic recall argument. Candidate volume rides rare-gram
+    // collisions (the stop-gram Σ m_g² term never pairs).
+    // PPJoin's second pruning rule rides along: J ≥ t also forces
+    // min(|X|,|Y|) ≥ t·max(|X|,|Y|), so the size filter drops
+    // length-incompatible candidates before the exact verify ever
+    // explodes their gram sets (integer-exact, broadcastable sizes).
+    "q138_neardup_prefix" -> ((s, d) => {
+      val sh = TextSim.shingles(T.documents(s, d), 3)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val sym = prefixCandidates(sh, sizes, 8, 10)
+        .select(least(col("id_a"), col("id_b")).as("id1"),
+          greatest(col("id_a"), col("id_b")).as("id2"))
+        .distinct()
+        .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
+        .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
+        .filter(least(col("sz1"), col("sz2")) * 10 >=
+          greatest(col("sz1"), col("sz2")) * 8)
+        .select(col("id1"), col("id2"))
+      TextSim.verifyJaccard(sym, sh, 0.8)
+    }),
+
     // Cross-language near-dup pairs — the bitext/translation-pair
     // mining proxy (and the "same content re-tagged under another
     // language" contamination audit): the PRODUCTION minhash tier's
@@ -763,6 +791,8 @@ object Dedup {
     "q61_neardup_jaccard" -> jaccardOracle("0.6"),
     "q62_neardup_minhash_lsh" -> jaccardOracle("0.8"),
     "q63_neardup_simhash" -> jaccardOracle("0.8"),
+    // exact-by-pigeonhole prefix tier — same relation, zero recall argument
+    "q138_neardup_prefix" -> jaccardOracle("0.8"),
 
     // Exact pair graph at 0.8 restricted to pairs whose LARGER id is
     // in the delta (id2 is always the newer doc, so this is exactly

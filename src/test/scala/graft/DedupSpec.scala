@@ -400,6 +400,17 @@ class DedupSpec extends SparkSpec {
       "sub-sketch-size sets must estimate exactly")
   }
 
+  test("prefix-filter near-dup equals the sketch tiers' exact relation (q138 == q62)") {
+    // Both are exact at 0.8 — q62 by sketch-recall + exact verify,
+    // q138 by pigeonhole-complete candidates + exact verify — so the
+    // relations must be identical, including the jaccard values.
+    def rel(q: String) = SparkEntry.queries(q)(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = rel("q138_neardup_prefix")
+    assert(prefix === rel("q62_neardup_minhash_lsh"))
+    assert(prefix.nonEmpty, "sf0.001 must contain planted near-dup pairs")
+  }
+
   test("audits over a MATERIALIZED canonical map equal the inline compositions (canonicalize once, audit many)") {
     // The 100 TB operating mode: canonicalizeLsh runs once, its tiny
     // (doc_id, canonical_id) relation is written out, and every audit
