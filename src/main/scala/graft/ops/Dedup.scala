@@ -599,6 +599,57 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // ALIGNMENT-FREE exact-substring scrub — the ExactSubstr dedup
+    // mode (remove every verbatim ≥W-token repeat, keep the global
+    // first occurrence), distinct from q123's fixed-segment rewrite
+    // (stride-10 boundaries: a repeat straddling a boundary survives
+    // q123; stride-1 windows catch ANY alignment) and from q97
+    // (measurement only, no rewrite). Every W-token window is hashed;
+    // an occurrence is dup iff it is not the global (doc_id, pos)-min
+    // of its hash; a token is scrubbed iff some dup occurrence covers
+    // it. Plan: windows are one Generate + codegen slice/md5
+    // projection (corpus-sized); first-occurrence is a window-hash-
+    // keyed partial-aggable min; the join back is hash-keyed with
+    // linear fan-out (m occurrences join ONE first row — boilerplate
+    // skew stays linear, never m²); coverage explodes dup occurrences
+    // ×W only; the rebuild is q123's one doc-keyed agg, md5-pinned.
+    "q139_substring_scrub" -> ((s, d) => {
+      val W = 8
+      val docsWs = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val toks = docsWs
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("idx", "tok")))
+      val wins = docsWs
+        .filter(size(col("ws")) >= W)
+        .select(col("doc_id"), col("ws"),
+          explode(expr(s"sequence(0, size(ws) - $W)")).as("p"))
+        .select(col("doc_id"), col("p"),
+          md5(array_join(slice(col("ws"), col("p") + 1, lit(W)), " ")).as("wh"))
+      val first = wins.groupBy(col("wh"))
+        .agg(min(struct(col("doc_id"), col("p"))).as("f"),
+          count(lit(1)).as("n_occ"))
+      val dupOcc = wins.join(first, "wh")
+        .filter(col("n_occ") > 1 &&
+          !(col("doc_id") === col("f.doc_id") && col("p") === col("f.p")))
+        .select(col("doc_id"), col("p"))
+      val covered = dupOcc
+        .select(col("doc_id"), explode(expr(s"sequence(p, p + ${W - 1})")).as("idx"))
+        .distinct()
+      val kept = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(
+            expr("transform(array_sort(collect_list(struct(idx, tok)))," +
+              " x -> x.tok)"),
+            " ")).as("scrub_md5"))
+      toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+        .join(rebuilt, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("scrub_md5"), md5(lit(""))).as("scrub_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Containment dedup — the ASYMMETRIC overlap Jaccard misses: a
     // short doc quoted wholesale inside a long one has containment
     // |A∩B|/|A| near 1 but low Jaccard (the union is dominated by
@@ -1035,6 +1086,48 @@ object Dedup {
     // gram order) — the shared oracle is a proof-backed identity, not
     // a recall argument.
     "q135_containment_prefix" -> containmentOracle,
+
+    // Alignment-free first-occurrence-keeps: rn>1 over (doc_id, pos)
+    // per window hash IS Spark's min-struct rule.
+    "q139_substring_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |), tok AS (
+        |  SELECT doc_id, i - 1 AS idx, ws[i] AS tok
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        |        FROM t)
+        |), win AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |         md5(array_to_string(ws[i : i + 7], ' ')) AS wh
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+        |        FROM t)
+        |  WHERE len(ws) >= 8
+        |), dup AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p,
+        |           row_number() OVER (PARTITION BY wh ORDER BY doc_id, p) AS rn,
+        |           count(*) OVER (PARTITION BY wh) AS n_occ
+        |    FROM win)
+        |  WHERE rn > 1
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, idx FROM (
+        |    SELECT doc_id, unnest(generate_series(p, p + 7)) AS idx FROM dup)
+        |), kept AS (
+        |  SELECT tok.doc_id, tok.idx, tok.tok FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |                    WHERE cov.doc_id = tok.doc_id AND cov.idx = tok.idx)
+        |), k AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         md5(string_agg(tok, ' ' ORDER BY idx)) AS scrub_md5
+        |  FROM kept GROUP BY 1
+        |), n AS (
+        |  SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1
+        |)
+        |SELECT n.doc_id, n.n_tok,
+        |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(k.scrub_md5, md5('')) AS scrub_md5
+        |FROM n LEFT JOIN k USING (doc_id)
+        |ORDER BY n.doc_id""".stripMargin,
 
     // The one-sided bottom-k estimator replayed move-for-move: same
     // md5 hashes, same prefix candidates, same all-integer basis

@@ -411,6 +411,38 @@ class DedupSpec extends SparkSpec {
     assert(prefix.nonEmpty, "sf0.001 must contain planted near-dup pairs")
   }
 
+  test("substring scrub removes any-alignment repeats that fixed segments miss, keeps first occurrences (q139)") {
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    def words(pfx: String, a: Int, b: Int) = (a to b).map(pfx + _).mkString(" ")
+    val run1 = words("r", 1, 8)
+    val run2 = words("s", 1, 8)
+    val selfRun = words("t", 1, 8)
+    Seq(
+      (10L, s"${words("a", 1, 4)} $run1 ${words("a", 13, 20)}"),   // first occurrence of run1
+      (11L, s"b1 b2 $run1 b3 b4"),                                 // later copy -> scrubbed
+      (30L, s"${words("c", 1, 6)} $run2 ${words("c", 7, 12)}"),    // run2 at 6..13: straddles the 10-token segment boundary
+      (31L, s"d1 d2 $run2 ${words("d", 3, 10)}"),                  // later copy, different alignment
+      (40L, s"${words("e", 1, 4)} $selfRun e5 e6 $selfRun e7"),    // self-repeat within one doc
+      (50L, "f1 f2 f3"))                                           // sub-window doc: untouched
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.queries("q139_substring_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(10L) === ((20L, 20L)), "first occurrence keeps everything")
+    assert(out(11L) === ((12L, 4L)), "the later copy loses exactly the 8 run tokens")
+    assert(out(31L) === ((18L, 10L)), "any-alignment repeat scrubbed in the later doc")
+    assert(out(30L) === ((20L, 20L)), "the straddling first occurrence is kept")
+    assert(out(40L) === ((23L, 15L)), "a self-repeat loses its second occurrence")
+    assert(out(50L) === ((3L, 3L)), "sub-window docs are untouched")
+    // the fixed-segment rewrite (q123) structurally MISSES the
+    // boundary-straddling repeat: doc 31 survives it intact
+    val seg = Dedup.queries("q123_segment_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(seg(31L)._1 === seg(31L)._2,
+      "q123 keeps the straddling repeat — the alignment gap q139 closes")
+  }
+
   test("audits over a MATERIALIZED canonical map equal the inline compositions (canonicalize once, audit many)") {
     // The 100 TB operating mode: canonicalizeLsh runs once, its tiny
     // (doc_id, canonical_id) relation is written out, and every audit
