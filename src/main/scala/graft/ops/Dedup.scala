@@ -488,6 +488,36 @@ object Dedup {
       TextSim.verifyJaccard(cand, sh, 0.8)
     }),
 
+    // Incremental containment — q101's delta discipline applied to
+    // the asymmetric tier: a nightly ingest only needs (new doc
+    // contained in ANY existing-or-new doc) and (existing doc
+    // contained in a new doc) — pairs with BOTH endpoints in the old
+    // corpus were audited in previous runs and are never re-paired.
+    // Prefix candidates are filtered to touch the delta before the
+    // verify ever runs, so per-ingest cost tracks delta collisions,
+    // not corpus². Same in-plan broadcast-scalar cut as q101 (newest
+    // fifth by id, exact integer so the oracle agrees).
+    "q140_incremental_containment" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val cutDf = docs.agg(expr("(4 * max(doc_id)) div 5").as("cut"))
+      val sh = TextSim.shingles(docs, 3)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val cand = prefixCandidates(sh, sizes, 9, 10)
+        .crossJoin(broadcast(cutDf))
+        .filter(col("id_a") > col("cut") || col("id_b") > col("cut"))
+        .drop("cut")
+      val inter = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("g")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .filter(col("inter") * 10 >= col("sz_a") * 9)
+        .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+          expr("(10000 * inter) div sz_a").as("cont_bp"))
+        .orderBy(col("contained_id"), col("container_id"))
+    }),
+
     // Cross-source leakage matrix: how many verified near-dup pairs
     // (Jaccard ≥ 0.8) cross each source-pair boundary — the provenance
     // audit run before mixing corpora (a high off-diagonal count means
@@ -1086,6 +1116,34 @@ object Dedup {
     // gram order) — the shared oracle is a proof-backed identity, not
     // a recall argument.
     "q135_containment_prefix" -> containmentOracle,
+
+    // The exact containment relation restricted to pairs touching the
+    // newest-fifth delta — q101's oracle discipline for the
+    // asymmetric tier.
+    "q140_incremental_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM (SELECT doc_id, ws,
+        |               unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        |        FROM t)
+        |  WHERE len(ws) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), ov AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |), cut AS (
+        |  SELECT (4 * max(doc_id)) // 5 AS c FROM documents
+        |)
+        |SELECT id_a AS contained_id, id_b AS container_id,
+        |       (10000 * n_inter) // sz AS cont_bp
+        |FROM ov JOIN sizes ON id_a = sizes.doc_id, cut
+        |WHERE n_inter * 10 >= sz * 9 AND (id_a > cut.c OR id_b > cut.c)
+        |ORDER BY contained_id, container_id""".stripMargin,
 
     // Alignment-free first-occurrence-keeps: rn>1 over (doc_id, pos)
     // per window hash IS Spark's min-struct rule.

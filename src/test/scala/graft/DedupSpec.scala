@@ -443,6 +443,19 @@ class DedupSpec extends SparkSpec {
       "q123 keeps the straddling repeat — the alignment gap q139 closes")
   }
 
+  test("incremental containment equals the full relation restricted to delta-touching pairs (q140)") {
+    val docs = graft.T.documents(spark, sf001)
+    val cut = docs.agg(expr("(4 * max(doc_id)) div 5")).head().getLong(0)
+    def rel(q: String) = SparkEntry.queries(q)(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = rel("q128_containment")
+      .filter(p => p._1 > cut || p._2 > cut)
+    assert(rel("q140_incremental_containment") === expected)
+    // old-old pairs really are excluded (the cost the delta run skips)
+    assert(rel("q128_containment").exists(p => p._1 <= cut && p._2 <= cut),
+      "sf0.001 must contain pairs fully inside the old corpus")
+  }
+
   test("audits over a MATERIALIZED canonical map equal the inline compositions (canonicalize once, audit many)") {
     // The 100 TB operating mode: canonicalizeLsh runs once, its tiny
     // (doc_id, canonical_id) relation is written out, and every audit
