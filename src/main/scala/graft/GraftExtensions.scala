@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, VectorKernels}
+import graft.functions.{BloomKit, DotProduct, VectorKernels}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Session-extension entry point (SURVEY.md §7.4's extension ladder):
   * lets any session pick up the engine's native functions at build
@@ -28,5 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // path) so SQL like graft_dot(v) fails analysis with the expected
       // signature, not an IndexOutOfBoundsException.
       (exprs: Seq[Expression]) => VectorKernels.dotBuilder(exprs)))
+    // Bloom build/probe (the runtime-filter machinery as a user
+    // surface — BloomKit's scaladoc has the scale argument; q142 the
+    // catalog application).
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => BloomKit.bloomAggBuilder(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (exprs: Seq[Expression]) => BloomKit.mightContainBuilder(exprs)))
   }
 }

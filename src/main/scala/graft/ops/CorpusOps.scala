@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.T
-import graft.functions.TextSim
+import graft.functions.{BloomKit, TextSim}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -263,6 +263,80 @@ object CorpusOps {
         .agg(countDistinct(col("g")).as("n_hit_shingles"),
              countDistinct(col("bench_id")).as("n_bench_docs"))
         .orderBy(col("doc_id"))
+    }),
+
+    // q87's scale tier for LARGE eval suites: when the union of every
+    // benchmark's n-grams is too big to broadcast as a hash relation
+    // (a full eval registry runs to 1e8-1e9 grams), sketch it into a
+    // Bloom filter (~1.2 bytes/item at 1% fpp vs ~50+ for a hash
+    // relation), broadcast the BITS, and prefilter the corpus stream
+    // through codegen'd graft_might_contain BEFORE the exact-verify
+    // join — which therefore only shuffles bloom survivors (true hits
+    // + the fpp sliver), not the 100 TB side. No false negatives, so
+    // survivors ⊇ true hits and the verify join restores exactness:
+    // output is IDENTICAL to q87 (the oracle is shared verbatim).
+    "q142_decontaminate_bloom" -> ((s, d) => {
+      BloomKit.ensureRegistered(s)
+      val sh = TextSim.shingles(T.documents(s, d), 5)
+      val bench = sh.filter(col("doc_id") < 20)
+        .select(col("g"), col("doc_id").as("bench_id"))
+      // Build once (one tiny job over the eval side), ship as a literal.
+      val bloom = bench.agg(expr("graft_bloom_agg(g, 65536)"))
+        .head().getAs[Array[Byte]](0)
+      sh.filter(col("doc_id") >= 20)
+        .filter(call_function("graft_might_contain", lit(bloom), col("g")))
+        .join(bench, "g") // post-bloom exact verify: survivor-sized, no broadcast needed
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_hit_shingles"),
+             countDistinct(col("bench_id")).as("n_bench_docs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Heavy-hitter n-grams without a vocabulary-sized shuffle: the
+    // distributed form of count-min — two independent bounded bucket
+    // rows (hash/xxhash64 mod 8192). A bucket's count is an OVERcount
+    // of every gram in it, so "both buckets heavy" is a superset of
+    // the true ≥ total/5000 heavy set (no false negatives); the exact
+    // per-gram count then runs over candidate occurrences only. The
+    // sketch shuffles ≤ 8192 rows per row-of-buckets after map-side
+    // partial agg — bounded at ANY corpus size — and the heavy-bucket
+    // sets broadcast (≤ 8192 rows by construction). The one
+    // gram-keyed shuffle left is over occurrences in heavy buckets:
+    // at 100 TB that's the heavy tail + collision sliver, not the
+    // ~corpus-sized gram vocabulary the naive groupBy(g) pays.
+    // Threshold is RELATIVE (share ≥ 1/5000 of occurrences, computed
+    // in-plan as a broadcast scalar) so the definition survives corpus
+    // growth; share_bp is exact integer (overflow bound: 10000·n fits
+    // int64 to n ≈ 9e14 — a petabyte of one gram).
+    "q141_heavy_hitters" -> ((s, d) => {
+      val B = 8192
+      val grams = T.documents(s, d)
+        .select(split(col("text"), " ").as("ws"))
+        .select(explode(expr(TextSim.gramArrayExpr(3))).as("g"))
+      def bucketCounts(bucket: org.apache.spark.sql.Column, name: String) =
+        grams.select(bucket.as(name))
+          .groupBy(col(name)).agg(count(lit(1)).as("bn"))
+      val c1 = bucketCounts(pmod(hash(col("g")), lit(B)), "b1")
+      val c2 = bucketCounts(pmod(xxhash64(col("g")), lit(B)), "b2")
+      // Total occurrences fall out of the first bucket row (≤ B rows)
+      // — no extra corpus pass for the threshold scalar.
+      val tot = c1.agg(sum(col("bn")).as("s"))
+      def heavy(c: DataFrame, name: String) = c
+        .crossJoin(broadcast(tot))
+        .filter(col("bn") * 5000 >= col("s"))
+        .select(col(name))
+      val h1 = heavy(c1, "b1")
+      val h2 = heavy(c2, "b2")
+      grams
+        .withColumn("b1", pmod(hash(col("g")), lit(B)))
+        .withColumn("b2", pmod(xxhash64(col("g")), lit(B)))
+        .join(broadcast(h1), Seq("b1"), "left_semi")
+        .join(broadcast(h2), Seq("b2"), "left_semi")
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n") * 5000 >= col("s"))
+        .select(col("g"), col("n"), expr("(10000 * n) div s").as("share_bp"))
+        .orderBy(col("g"))
     }),
 
     // Eval-integrity report — q87's flip side: per EVAL doc, what
@@ -1289,6 +1363,33 @@ object CorpusOps {
          |       count(DISTINCT b.doc_id) AS n_bench_docs
          |FROM sh c JOIN sh b ON c.g = b.g AND b.doc_id < 20 AND c.doc_id >= 20
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // The bloom tier is exact after its verify join — q87's oracle,
+    // verbatim (the q62/q138 oracle-sharing argument).
+    "q142_decontaminate_bloom" ->
+      s"""WITH $sh5
+         |SELECT c.doc_id,
+         |       count(DISTINCT c.g) AS n_hit_shingles,
+         |       count(DISTINCT b.doc_id) AS n_bench_docs
+         |FROM sh c JOIN sh b ON c.g = b.g AND b.doc_id < 20 AND c.doc_id >= 20
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // Heavy hitters are exact post-verify: the sketch path is invisible
+    // to the oracle, which states the definition directly.
+    "q141_heavy_hitters" ->
+      """WITH t AS (SELECT string_split(text,' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        |        FROM t)
+        |  WHERE len(ws) >= 3
+        |), c AS (
+        |  SELECT g, count(*) AS n FROM g GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS s FROM c
+        |)
+        |SELECT g, n, (10000 * n) // s AS share_bp
+        |FROM c, tot WHERE n * 5000 >= s ORDER BY g""".stripMargin,
 
     "q119_eval_overlap_report" ->
       s"""WITH $sh5,

@@ -509,4 +509,64 @@ class CorpusOpsSpec extends SparkSpec {
     assert(w5 >= 375 && w5 <= 457,
       s"weight-5 docs must win ~5/6 of 500 slots (E=416, sd~8), got $w5")
   }
+
+  test("q141 heavy hitters equal the naive vocabulary-shuffle answer, and the sketch prunes (q141)") {
+    // The bucket-sketch path must be invisible in the result: same
+    // relation as groupBy(g) + relative HAVING.
+    val grams = T.documents(spark, sf001)
+      .select(split(col("text"), " ").as("ws"))
+      .select(explode(expr(graft.functions.TextSim.gramArrayExpr(3))).as("g"))
+    val total = grams.count()
+    val exact = grams.groupBy("g").agg(count(lit(1)).as("n"))
+      .filter(col("n") * 5000 >= lit(total))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = CorpusOps.queries("q141_heavy_hitters")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === exact)
+    assert(got.nonEmpty, "sf0.001 must have relatively-heavy trigrams")
+    // The point of the sketch: candidate occurrences (what the exact
+    // count shuffles) are a small fraction of all occurrences.
+    val B = 8192
+    def heavySet(c: org.apache.spark.sql.Column) = {
+      val counts = grams.select(c.as("b")).groupBy("b").agg(count(lit(1)).as("bn"))
+      counts.filter(col("bn") * 5000 >= lit(total))
+        .collect().map(_.getAs[Number](0).longValue()).toSet
+    }
+    val h1 = heavySet(pmod(hash(col("g")), lit(B)))
+    val h2 = heavySet(pmod(xxhash64(col("g")), lit(B)))
+    val survivors = grams
+      .filter(pmod(hash(col("g")), lit(B)).isin(h1.toSeq: _*) &&
+              pmod(xxhash64(col("g")), lit(B)).isin(h2.toSeq: _*))
+      .count()
+    assert(survivors < total / 2,
+      s"sketch must prune the gram stream: $survivors of $total occurrences survived")
+  }
+
+  test("bloom decontamination tier equals q87 exactly, prunes before the verify join, and the filter is partitioning-invariant (q142)") {
+    val a = CorpusOps.queries("q87_decontaminate")(spark, sf001).collect().map(_.toSeq).toSeq
+    val b = CorpusOps.queries("q142_decontaminate_bloom")(spark, sf001).collect().map(_.toSeq).toSeq
+    assert(a === b, "bloom tier must reproduce q87's relation exactly")
+
+    graft.functions.BloomKit.ensureRegistered(spark)
+    val sh = graft.functions.TextSim.shingles(T.documents(spark, sf001), 5)
+    val bench = sh.filter(col("doc_id") < 20).select(col("g"))
+    // Build-side determinism: the serialized filter is bit-identical
+    // across partition counts (bit-OR merge is order-independent) —
+    // the property that makes the tier reproducible across clusters.
+    def build(parts: Int) = bench.repartition(parts)
+      .agg(expr("graft_bloom_agg(g, 65536)")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(build(1), build(16)),
+      "bloom bytes must not depend on partitioning")
+    // No false negatives, and the prefilter genuinely prunes: every
+    // true hit passes, survivors ≪ corpus shingles.
+    val bloom = build(4)
+    val corpus = sh.filter(col("doc_id") >= 20)
+    val survivors = corpus
+      .filter(call_function("graft_might_contain", lit(bloom), col("g"))).count()
+    val trueHits = corpus.join(
+      sh.filter(col("doc_id") < 20).select(col("g")).distinct(), "g").count()
+    assert(survivors >= trueHits, "bloom dropped a true hit (false negative)")
+    assert(survivors < corpus.count() / 10,
+      s"bloom must prune the corpus stream: $survivors survivors")
+  }
 }

@@ -30,6 +30,17 @@ class ExtensionsSpec extends SparkSpec {
       assert(got === 32.0)
       // visible in the function catalog, not just resolvable
       assert(ext.catalog.functionExists("graft_dot"))
+      // the bloom build/probe pair rides the same injection: build a
+      // filter over 3 values in SQL, probe hits and a miss
+      val probes = ext.sql(
+        """WITH b AS (SELECT graft_bloom_agg(x, 1024) AS bf
+          |           FROM (VALUES ('a'), ('b'), ('c')) t(x))
+          |SELECT graft_might_contain((SELECT bf FROM b), y) AS hit
+          |FROM (VALUES ('a'), ('c'), ('zzz-not-inserted')) p(y)""".stripMargin)
+        .collect().map(_.getBoolean(0)).toSeq
+      assert(probes(0) && probes(1), "inserted values must probe true")
+      assert(ext.catalog.functionExists("graft_bloom_agg"))
+      assert(ext.catalog.functionExists("graft_might_contain"))
     } finally {
       ext.stop()
       SparkSession.clearActiveSession()

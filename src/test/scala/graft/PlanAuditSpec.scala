@@ -318,6 +318,39 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("heavy hitters: both sketch membership joins broadcast, the exact count shuffles partial-agg-fed, no sort-merge join (q141)") {
+    val p = physical("q141_heavy_hitters")
+    val semis = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.size == 2,
+      s"expected the two heavy-bucket membership joins as broadcast left-semi, got ${semis.size}")
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "no join in the sketch path may shuffle both sides")
+    // the one gram-keyed exchange (the exact count over survivors)
+    // must move partial rows, not raw occurrences
+    assertKeyedExchangesPartialAggFed("q141_heavy_hitters", "g")
+  }
+
+  test("bloom decontamination probes the filter BELOW the verify join — the corpus is pruned before any join sees it (q142)") {
+    val p = physical("q142_decontaminate_bloom")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected the exact-verify join")
+    def hasBloomProbe(n: SparkPlan): Boolean = n.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]) => f
+    }.nonEmpty
+    // every join must have the bloom probe strictly inside one of its
+    // subtrees (i.e. the prefilter runs before the join, not after)
+    assert(joins.forall(j => j.children.exists(hasBloomProbe)),
+      s"bloom probe not found below the verify join:\n$p")
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would
