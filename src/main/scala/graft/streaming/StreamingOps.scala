@@ -231,6 +231,35 @@ object StreamingOps {
         expr("(10000 * inter) div size(gs)").as("cont_bp"))
   }
 
+  /** Ingest-time exact-dup gate, bloom-tier: flag arriving docs whose
+    * text-hash already exists in the static corpus — the "don't
+    * re-ingest what we have" front door. The corpus side is sketched
+    * ONCE at stream construction (graft_bloom_agg over md5(text)) and
+    * probed per-row by the codegen'd graft_might_contain, so the
+    * overwhelming not-a-dup majority of the stream never reaches the
+    * stream-static join at all; only bloom survivors (true dups + the
+    * fpp sliver) pay the exact-verify join. No false negatives in the
+    * sketch + verify join = the flagged set is EXACT. At 100 TB the
+    * corpus hash relation is ~doc-count-sized — the bloom holds it in
+    * ~1.2 bytes/doc of executor memory vs ~50+ for the join hash map,
+    * and rebuilding it is one aggregate pass, amortized across every
+    * micro-batch.
+    *
+    * Emits (doc_id, corpus_id) per exact duplicate — append-pure, zero
+    * streaming state (same contract as [[containmentGateAgainst]]).
+    */
+  def bloomDedupGateAgainst(stream: DataFrame, corpus: DataFrame): DataFrame = {
+    graft.functions.BloomKit.ensureRegistered(corpus.sparkSession)
+    val keyed = corpus.select(col("doc_id").as("corpus_id"),
+      md5(col("text")).as("h"))
+    val bloom = keyed.agg(expr("graft_bloom_agg(h)")).head().getAs[Array[Byte]](0)
+    stream
+      .withColumn("h", md5(col("text")))
+      .filter(call_function("graft_might_contain", lit(bloom), col("h")))
+      .join(keyed, "h") // exact verify over bloom survivors only
+      .select(col("doc_id"), col("corpus_id"))
+  }
+
   // ---- custom keyed state via mapGroupsWithState ----
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

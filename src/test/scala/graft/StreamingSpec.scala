@@ -340,6 +340,38 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed.exists(_._1._1 == 101L), "the clean doc must pass")
   }
 
+  test("streaming bloom dedup gate flags exactly the already-ingested docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Corpus of 200 real docs; the stream re-sends 3 of them verbatim
+    // (must flag, with the right corpus_id) among 20 unseen docs (must
+    // pass, even if the bloom sliver lets one through to the verify).
+    val corpus = T.documents(spark, sf001).select(col("doc_id"), col("text")).limit(200)
+    val dupes = corpus.limit(3).collect().map(r => (r.getLong(0) + 5000L, r.getString(1)))
+    val fresh = (1 to 20).map(i => (9000L + i, s"unseen text number $i " + ("x" * i)))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.appendToMemory(
+      StreamingOps.bloomDedupGateAgainst(
+        mem.toDF().toDF("doc_id", "text"), corpus), "bloom_gate_out").start()
+    mem.addData((dupes.take(2) ++ fresh.take(10)).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData((dupes.drop(2) ++ fresh.drop(10)).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("bloom_gate_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact batch expectation: text-equality join (the corpus itself
+    // contains planted exact dups, so one re-sent text may legitimately
+    // match several corpus ids)
+    val expected = (dupes.toSeq ++ fresh).toDF("doc_id", "text")
+      .join(corpus.select(col("doc_id").as("corpus_id"), col("text")), "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(flagged === expected,
+      s"gate flagged $flagged, batch text-equality expects $expected")
+    assert(dupes.map(_._1).toSet.subsetOf(flagged.map(_._1)),
+      "every re-sent doc must be flagged")
+  }
+
   test("mapGroupsWithState accumulates per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
