@@ -669,23 +669,32 @@ object CorpusOps {
     // (source, word) counts FIRST — one vocab-keyed partial-agg
     // shuffle — so the pair join runs over |vocab|·|sources| rows and
     // emits ≤ |sources|² cells; the norms relation is |sources| rows
-    // and broadcasts. Dots are exact integers; only the final cosine
-    // is floating (round 4 of an irrational — engine-safe).
+    // and broadcasts. Count products run in DECIMAL(38,0) (HUGEINT in
+    // the oracle): at the 100 TB posture a stop-word count for a large
+    // source is ~1e12, so c² ~ 1e24 silently wraps int64 (the q129
+    // overflow class) — decimal sums stay exact to 1e38 and both
+    // engines then cast the identical exact integer to the DOUBLE
+    // output. Only the final cosine is floating (round 4 of an
+    // irrational — engine-safe).
     "q116_source_similarity" -> ((s, d) => {
       val counts = T.documents(s, d)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("cd", col("c").cast("decimal(19,0)"))
       val norms = counts.groupBy(col("source"))
-        .agg(sum(col("c") * col("c")).as("n2"))
-      counts.select(col("source").as("s1"), col("w"), col("c").as("c1"))
-        .join(counts.select(col("source").as("s2"), col("w"), col("c").as("c2")), Seq("w"))
+        .agg(sum(col("cd") * col("cd")).as("n2"))
+      counts.select(col("source").as("s1"), col("w"), col("cd").as("c1"))
+        .join(counts.select(col("source").as("s2"), col("w"), col("cd").as("c2")), Seq("w"))
         .filter(col("s1") < col("s2"))
         .groupBy(col("s1"), col("s2"))
         .agg(count(lit(1)).as("n_shared"), sum(col("c1") * col("c2")).as("dot"))
         .join(broadcast(norms.select(col("source").as("s1"), col("n2").as("n1sq"))), Seq("s1"))
         .join(broadcast(norms.select(col("source").as("s2"), col("n2").as("n2sq"))), Seq("s2"))
-        .select(col("s1"), col("s2"), col("n_shared"), col("dot"),
-          round(col("dot") / (sqrt(col("n1sq")) * sqrt(col("n2sq"))), 4).as("cos4"))
+        .select(col("s1"), col("s2"), col("n_shared"),
+          col("dot").cast("double").as("dot"),
+          round(col("dot").cast("double") /
+            (sqrt(col("n1sq").cast("double")) * sqrt(col("n2sq").cast("double"))), 4)
+            .as("cos4"))
         .orderBy(col("s1"), col("s2"))
     }),
 
@@ -1016,15 +1025,16 @@ object CorpusOps {
         |  FROM (SELECT source, unnest(string_split(text,' ')) AS w FROM documents)
         |  GROUP BY 1, 2
         |), n AS (
-        |  SELECT source, CAST(sum(c * c) AS BIGINT) AS n2 FROM c GROUP BY 1
+        |  SELECT source, sum(CAST(c AS HUGEINT) * c) AS n2 FROM c GROUP BY 1
         |), p AS (
         |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared,
-        |         CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |         sum(CAST(a.c AS HUGEINT) * b.c) AS dot
         |  FROM c a JOIN c b ON a.w = b.w AND a.source < b.source
         |  GROUP BY 1, 2
         |)
-        |SELECT p.s1, p.s2, p.n_shared, p.dot,
-        |       round(CAST(p.dot AS DOUBLE) / (sqrt(n1.n2) * sqrt(n2.n2)), 4) AS cos4
+        |SELECT p.s1, p.s2, p.n_shared, CAST(p.dot AS DOUBLE) AS dot,
+        |       round(CAST(p.dot AS DOUBLE) /
+        |             (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))), 4) AS cos4
         |FROM p JOIN n n1 ON p.s1 = n1.source JOIN n n2 ON p.s2 = n2.source
         |ORDER BY p.s1, p.s2""".stripMargin,
 
