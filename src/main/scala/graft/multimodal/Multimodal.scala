@@ -10,13 +10,19 @@ import org.apache.spark.sql.types._
   * typed metadata struct beside it; decode / feature-extraction is a
   * per-partition batch stage.
   *
-  * No media decode libraries exist in this container, so the DECODE
-  * STEP IS A DETERMINISTIC STUB (clearly marked below): it derives fake
-  * dimensions/frame counts arithmetically from the payload bytes. The
+  * Decode tiers: the IMAGE modality decodes for real via the JDK's
+  * `javax.imageio` ([[ImageIoDecoder]] — PNG/JPEG/GIF/BMP header
+  * parse, no external library; MultimodalSpec drives it with real
+  * in-memory-encoded images). Audio/video have no JDK codec (env), so
+  * their decode remains a DETERMINISTIC STUB ([[StubMediaDecoder]],
+  * clearly marked): fake dimensions/frame counts derived
+  * arithmetically from payload bytes. The stub also remains the
+  * CATALOG default because the testdata payloads are text bytes, not
+  * media (TESTDATA.md forbids synthesizing new input tables). The
   * Spark-side plumbing — schema, binary handling, batch-shaped
-  * mapPartitions, frame-index explosion, partition sizing — is real and
-  * tested; swapping the stub for a JNI/JavaCV decode keeps every plan
-  * shape identical.
+  * mapPartitions, frame-index explosion, partition sizing — is
+  * identical for every decoder: the swap is one argument
+  * (MultimodalSpec pins the same-plan property).
   *
   * Scale posture: payloads ride as parquet binary chunks; metadata
   * extraction is a projection (no shuffle); feature extraction is
@@ -53,8 +59,10 @@ object Multimodal {
 
   /** ---- STUB DECODE ----
     * Deterministic fake metadata derived arithmetically from payload
-    * length (no codec libraries exist in this container). Int
-    * arithmetic mirrors the SQL oracle exactly.
+    * length (the testdata payloads are text bytes, not media). Int
+    * arithmetic mirrors the SQL oracle exactly. This remains the
+    * catalog default because q80/q81's inputs are not images; REAL
+    * image decode is [[ImageIoDecoder]] below.
     */
   object StubMediaDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): MediaMeta = {
@@ -63,6 +71,39 @@ object Multimodal {
       // arithmetic, and Int would overflow (negative height) past
       // ~306 MB payloads.
       MediaMeta(n % 640 + 16, (n.toLong * 7 % 480).toInt + 16, n % 30 + 1)
+    }
+  }
+
+  /** ---- REAL IMAGE DECODE (pure JDK, headless) ----
+    * Container/header parse via `javax.imageio` — PNG/JPEG/GIF/BMP
+    * ship with the JDK's `java.desktop` module, so no external codec
+    * library is needed for the image modality. Header-only: the
+    * reader yields width/height (and GIF frame count) WITHOUT
+    * decoding pixel data — exactly what a 100 TB metadata pass wants
+    * (IO-bound on the payload column, no decode CPU). Unrecognized
+    * containers throw; pair with [[decodeMetaLenient]] to quarantine
+    * instead of failing the stage. Audio/video remain stub-only — the
+    * JDK has no codecs for them (env).
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): MediaMeta = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException("unrecognized image container")
+        val r = readers.next()
+        try {
+          r.setInput(iis, false, true)
+          // allowSearch=true: exact frame count (GIF animations); still
+          // formats report 1. Some readers refuse the search — treat
+          // as a single frame rather than failing the metadata pass.
+          val n = try math.max(r.getNumImages(true), 1)
+                  catch { case _: Exception => 1 }
+          MediaMeta(r.getWidth(0), r.getHeight(0), n)
+        } finally r.dispose()
+      } finally iis.close()
     }
   }
 
@@ -76,6 +117,25 @@ object Multimodal {
     // table) yields NULL metadata like the native expressions would,
     // instead of an NPE inside the decoder.
     val dec = udf((p: Array[Byte]) => Option(p).map(decoder.decode))
+    withBytes
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("m", dec(col("payload")))
+      .withColumn("width", col("m.width"))
+      .withColumn("height", col("m.height"))
+      .withColumn("n_frames", col("m.n_frames"))
+      .drop("m")
+  }
+
+  /** [[decodeMeta]] with per-payload quarantine: a corrupt blob yields
+    * NULL metadata (the row survives, flaggable downstream) instead of
+    * failing the whole stage — the operational contract a 100 TB media
+    * pass needs, where some sliver of payloads is always damaged.
+    */
+  def decodeMetaLenient(withBytes: DataFrame,
+                        decoder: MediaDecoder): DataFrame = {
+    val dec = udf((p: Array[Byte]) => Option(p).flatMap { bytes =>
+      try Some(decoder.decode(bytes)) catch { case _: Exception => None }
+    })
     withBytes
       .withColumn("n_bytes", length(col("payload")))
       .withColumn("m", dec(col("payload")))

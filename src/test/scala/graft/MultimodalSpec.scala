@@ -80,6 +80,62 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(alt).count() > 0)
   }
 
+  test("REAL image decode: ImageIoDecoder reads actual PNG/JPEG/GIF dimensions through the same plan") {
+    import spark.implicits._
+    System.setProperty("java.awt.headless", "true")
+    // Real encoded images, produced in memory by the same JDK codecs
+    // the decoder parses — no fixture files, no external library.
+    def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(w / 2, h / 2, 0x336699)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK lacks $fmt writer")
+      out.toByteArray
+    }
+    val payloads = Seq(
+      (1L, encoded("png", 640, 480), "image/png"),
+      (2L, encoded("jpg", 97, 31), "image/jpeg"),
+      (3L, encoded("gif", 16, 16), "image/gif"),
+      (4L, encoded("bmp", 8, 250), "image/bmp"))
+    val df = payloads.toDF("doc_id", "payload", "media_type")
+    val out = Multimodal.decodeMeta(df, Multimodal.ImageIoDecoder)
+      .select("doc_id", "width", "height", "n_frames")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((640, 480, 1)))
+    assert(out(2L) == ((97, 31, 1)))
+    assert(out(3L) == ((16, 16, 1)))
+    assert(out(4L) == ((8, 250, 1)))
+    // Identical plumbing to the stub path: same schema, still a
+    // shuffle-free projection.
+    val viaStub = Multimodal.decodeMeta(df)
+    assert(Multimodal.decodeMeta(df, Multimodal.ImageIoDecoder).schema == viaStub.schema)
+  }
+
+  test("REAL image decode: corrupt payloads quarantine as NULL metadata under decodeMetaLenient") {
+    import spark.implicits._
+    System.setProperty("java.awt.headless", "true")
+    val img = new java.awt.image.BufferedImage(
+      5, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val ok = { val o = new java.io.ByteArrayOutputStream()
+               javax.imageio.ImageIO.write(img, "png", o); o.toByteArray }
+    val corrupt = "this is not an image".getBytes("UTF-8")
+    val truncated = ok.take(9) // magic survives, header does not
+    val df = Seq((1L, ok), (2L, corrupt), (3L, truncated))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeMetaLenient(df, Multimodal.ImageIoDecoder)
+      .select("doc_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!out(1L), "valid image must decode")
+    assert(out(2L), "non-image bytes must quarantine to NULL, not fail the stage")
+    assert(out(3L), "truncated header must quarantine to NULL, not fail the stage")
+    // the strict path DOES fail on the same input — the contract
+    // difference is the point
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeMeta(df, Multimodal.ImageIoDecoder).collect()
+    }
+  }
+
   test("feature extraction yields NULL features for a NULL payload") {
     import spark.implicits._
     val feats = Multimodal.extractFeatures(spark,
