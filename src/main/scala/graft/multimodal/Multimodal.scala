@@ -126,6 +126,51 @@ object Multimodal {
       .drop("m")
   }
 
+  /** Decoded audio metadata: the container-header facts an audio
+    * corpus pass indexes (duration = n_frames / sample_rate).
+    */
+  final case class AudioMeta(sample_rate: Int, channels: Int, n_frames: Long)
+
+  trait AudioDecoder extends Serializable {
+    def decode(payload: Array[Byte]): AudioMeta
+  }
+
+  /** ---- REAL AUDIO DECODE (pure JDK, headless) ----
+    * WAV/AIFF/AU container-header parse via `javax.sound.sampled`
+    * (`java.desktop` again — no external library, no audio device
+    * needed). Header-only like [[ImageIoDecoder]]: sample rate,
+    * channel count and frame length come back without touching the
+    * PCM body. Compressed codecs (MP3/AAC/OGG) have no JDK decoder
+    * (env) — those payloads throw and quarantine under the lenient
+    * path.
+    */
+  object JdkAudioDecoder extends AudioDecoder {
+    def decode(payload: Array[Byte]): AudioMeta = {
+      val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      AudioMeta(ff.getFormat.getSampleRate.toInt, ff.getFormat.getChannels,
+        ff.getFrameLength.toLong)
+    }
+  }
+
+  /** Audio metadata extraction, quarantine semantics built in: NULL
+    * payloads and undecodable containers yield NULL metadata rows.
+    * Same shuffle-free projection shape as [[decodeMeta]].
+    */
+  def decodeAudioMeta(withBytes: DataFrame,
+                      decoder: AudioDecoder = JdkAudioDecoder): DataFrame = {
+    val dec = udf((p: Array[Byte]) => Option(p).flatMap { bytes =>
+      try Some(decoder.decode(bytes)) catch { case _: Exception => None }
+    })
+    withBytes
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("m", dec(col("payload")))
+      .withColumn("sample_rate", col("m.sample_rate"))
+      .withColumn("channels", col("m.channels"))
+      .withColumn("n_frames", col("m.n_frames"))
+      .drop("m")
+  }
+
   /** [[decodeMeta]] with per-payload quarantine: a corrupt blob yields
     * NULL metadata (the row survives, flaggable downstream) instead of
     * failing the whole stage — the operational contract a 100 TB media

@@ -136,6 +136,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("REAL audio decode: JdkAudioDecoder reads actual WAV/AU headers; non-audio quarantines") {
+    import spark.implicits._
+    System.setProperty("java.awt.headless", "true")
+    def encodedAudio(tpe: javax.sound.sampled.AudioFileFormat.Type,
+                     rate: Float, ch: Int, frames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, ch, true, tpe ne
+        javax.sound.sampled.AudioFileFormat.Type.WAVE) // AU is big-endian
+      val pcm = new Array[Byte](frames * ch * 2)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, tpe, out)
+      out.toByteArray
+    }
+    val W = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val U = javax.sound.sampled.AudioFileFormat.Type.AU
+    val df = Seq(
+      (1L, encodedAudio(W, 22050f, 2, 4410)),
+      (2L, encodedAudio(U, 8000f, 1, 16000)),
+      (3L, "definitely not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudioMeta(df)
+      .select("doc_id", "sample_rate", "channels", "n_frames").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2), r.getLong(3))))).toMap
+    assert(out(1L).contains((22050, 2, 4410L)))
+    assert(out(2L).contains((8000, 1, 16000L)))
+    assert(out(3L).isEmpty, "non-audio bytes must quarantine to NULL metadata")
+  }
+
   test("feature extraction yields NULL features for a NULL payload") {
     import spark.implicits._
     val feats = Multimodal.extractFeatures(spark,
