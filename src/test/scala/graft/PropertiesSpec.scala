@@ -122,4 +122,23 @@ class PropertiesSpec extends AnyFunSuite {
       }
     })
   }
+
+  test("BloomKit never false-negatives: every inserted value probes true, for arbitrary string sets") {
+    // The guarantee q142 and the streaming dedup gate lean on: a
+    // candidate set that MISSES a true member silently loses data.
+    // Probed through the same sketch classes the SQL functions build
+    // (XxHash64 value path), driverside — no Spark session needed.
+    val setGen = Gen.nonEmptyListOf(Gen.asciiPrintableStr).map(_.toSet)
+    check(Prop.forAll(setGen) { items =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(
+        math.max(items.size.toLong, 8L), 0.03)
+      items.foreach(s => bf.putLong(xx64(s)))
+      items.forall(s => bf.mightContainLong(xx64(s)))
+    })
+  }
+
+  private def xx64(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      s.getBytes("UTF-8").length, 42L)
 }
