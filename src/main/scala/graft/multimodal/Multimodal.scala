@@ -171,6 +171,115 @@ object Multimodal {
       .drop("m")
   }
 
+  /** Decoded video metadata: the ISO-BMFF container facts a video
+    * corpus pass indexes without any codec (duration in millis from
+    * mvhd timescale; presentation dimensions from the first video
+    * tkhd). Frame-accurate counts need the sample tables + codec —
+    * out of scope for a header pass.
+    */
+  final case class VideoMeta(width: Int, height: Int, duration_ms: Long)
+
+  trait VideoDecoder extends Serializable {
+    def decode(payload: Array[Byte]): VideoMeta
+  }
+
+  /** ---- REAL VIDEO CONTAINER PARSE (pure Scala, no codec) ----
+    * Minimal ISO-BMFF (MP4/MOV) box walk: `moov/mvhd` for
+    * timescale+duration, `moov/trak/tkhd` for track dimensions (16.16
+    * fixed point; the first track with nonzero width wins — audio
+    * tracks carry 0×0). Handles 32-bit and 64-bit (`largesize`) box
+    * sizes and v0/v1 full-box layouts. This is the standard
+    * codec-free metadata pass (what ffprobe does for these fields);
+    * PIXEL decode stays env-blocked (no JDK video codec). Malformed
+    * containers throw — pair with quarantine like the other tiers.
+    */
+  object Mp4HeaderDecoder extends VideoDecoder {
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "ISO-8859-1")
+
+    /** Walk the boxes in [from, to); call f(type, payloadFrom, payloadTo). */
+    private def walk(b: Array[Byte], from: Int, to: Int)
+                    (f: (String, Int, Int) => Unit): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val size32 = u32(b, o)
+        val typ = fourcc(b, o + 4)
+        val (payload, end) =
+          if (size32 == 1L) { // 64-bit largesize follows the type
+            if (o + 16 > to) throw new IllegalArgumentException("truncated largesize box")
+            val sz = u64(b, o + 8)
+            if (sz < 16 || o + sz > to) throw new IllegalArgumentException("bad largesize")
+            (o + 16, o + sz.toInt)
+          } else if (size32 == 0L) { // box runs to end of enclosing space
+            (o + 8, to)
+          } else {
+            if (size32 < 8 || o + size32 > to) throw new IllegalArgumentException("bad box size")
+            (o + 8, o + size32.toInt)
+          }
+        f(typ, payload, end)
+        o = end
+      }
+    }
+
+    def decode(payload: Array[Byte]): VideoMeta = {
+      var sawFtyp = false
+      var timescale = 0L; var duration = -1L
+      var width = 0; var height = 0
+      walk(payload, 0, payload.length) {
+        case ("ftyp", _, _) => sawFtyp = true
+        case ("moov", mFrom, mTo) =>
+          walk(payload, mFrom, mTo) {
+            case ("mvhd", o, _) =>
+              val v = payload(o) & 0xFF
+              if (v == 1) { timescale = u32(payload, o + 20); duration = u64(payload, o + 24) }
+              else        { timescale = u32(payload, o + 12); duration = u32(payload, o + 16) }
+            case ("trak", tFrom, tTo) =>
+              walk(payload, tFrom, tTo) {
+                case ("tkhd", o, _) if width == 0 =>
+                  val v = payload(o) & 0xFF
+                  // v0: 1+3 ver/flags, 4+4 times, 4 id, 4 res, 4 dur;
+                  // v1 widens times+duration to 8 bytes. Then 8 res,
+                  // 2+2+2+2 layer/group/volume/res, 36 matrix.
+                  val base = o + (if (v == 1) 4 + 8 + 8 + 4 + 4 + 8 else 4 + 4 + 4 + 4 + 4 + 4)
+                  val dimOff = base + 8 + 2 + 2 + 2 + 2 + 36
+                  width = (u32(payload, dimOff) >> 16).toInt      // 16.16 fixed
+                  height = (u32(payload, dimOff + 4) >> 16).toInt
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (!sawFtyp || timescale == 0L || duration < 0L || width == 0)
+        throw new IllegalArgumentException(
+          s"not a video ISO-BMFF container (ftyp=$sawFtyp ts=$timescale dur=$duration w=$width)")
+      VideoMeta(width, height, duration * 1000 / timescale)
+    }
+  }
+
+  /** Video metadata extraction with quarantine (same contract as
+    * [[decodeAudioMeta]]): NULL payloads and non-ISO-BMFF containers
+    * yield NULL metadata rows; one shuffle-free projection.
+    */
+  def decodeVideoMeta(withBytes: DataFrame,
+                      decoder: VideoDecoder = Mp4HeaderDecoder): DataFrame = {
+    val dec = udf((p: Array[Byte]) => Option(p).flatMap { bytes =>
+      try Some(decoder.decode(bytes)) catch { case _: Exception => None }
+    })
+    withBytes
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("m", dec(col("payload")))
+      .withColumn("width", col("m.width"))
+      .withColumn("height", col("m.height"))
+      .withColumn("duration_ms", col("m.duration_ms"))
+      .drop("m")
+  }
+
   /** [[decodeMeta]] with per-payload quarantine: a corrupt blob yields
     * NULL metadata (the row survives, flaggable downstream) instead of
     * failing the whole stage — the operational contract a 100 TB media

@@ -165,6 +165,52 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).isEmpty, "non-audio bytes must quarantine to NULL metadata")
   }
 
+  test("REAL video container parse: MP4 box walk yields dimensions + duration, no codec") {
+    import spark.implicits._
+    // Hand-assembled ISO-BMFF per the box grammar: size(u32) type(4cc)
+    // payload, nested. Exercises v0 and v1 full boxes, a 64-bit
+    // largesize moov, and an audio (0x0) track that must be skipped.
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+            ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ payload
+    def largeBox(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(1L) ++ typ.getBytes("ISO-8859-1") ++ be64(payload.length + 16L) ++ payload
+    def fixed1616(v: Int): Array[Byte] = be32(v.toLong << 16)
+    def mvhdV0(timescale: Long, duration: Long): Array[Byte] =
+      box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration))
+    def mvhdV1(timescale: Long, duration: Long): Array[Byte] =
+      box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(timescale) ++ be64(duration))
+    def tkhdV0(w: Int, h: Int): Array[Byte] =
+      box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(0) ++
+        be64(0) ++ Array.fill[Byte](2 + 2 + 2 + 2 + 36)(0) ++ fixed1616(w) ++ fixed1616(h))
+    def tkhdV1(w: Int, h: Int): Array[Byte] =
+      box("tkhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(1) ++ be32(0) ++
+        be64(0) ++ be64(0) ++ Array.fill[Byte](2 + 2 + 2 + 2 + 36)(0) ++
+        fixed1616(w) ++ fixed1616(h))
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "isomiso2".getBytes)
+    val mp4v0 = ftyp ++ box("moov",
+      mvhdV0(1000, 5000) ++
+        box("trak", tkhdV0(0, 0)) ++      // audio track: 0x0, must skip
+        box("trak", tkhdV0(640, 360)))
+    val mp4v1 = ftyp ++ largeBox("moov",
+      mvhdV1(90000, 90000L * 7) ++ box("trak", tkhdV1(1920, 1080)))
+    val junk = "not remotely an mp4 container".getBytes("UTF-8")
+    val truncated = mp4v0.take(40)
+    val df = Seq((1L, mp4v0), (2L, mp4v1), (3L, junk), (4L, truncated))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeVideoMeta(df)
+      .select("doc_id", "width", "height", "duration_ms").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2), r.getLong(3))))).toMap
+    assert(out(1L).contains((640, 360, 5000L)), "v0 boxes, audio track skipped")
+    assert(out(2L).contains((1920, 1080, 7000L)), "v1 full boxes under a largesize moov")
+    assert(out(3L).isEmpty, "non-container bytes must quarantine")
+    assert(out(4L).isEmpty, "truncated container must quarantine")
+  }
+
   test("feature extraction yields NULL features for a NULL payload") {
     import spark.implicits._
     val feats = Multimodal.extractFeatures(spark,
