@@ -318,6 +318,42 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("substring scrub shuffles partial rows on the window hash, never raw windows (q139)") {
+    // The wh-keyed first-occurrence aggregation is the corpus-wide
+    // stage; shuffling raw stride-1 windows would move ~token-count
+    // rows. Map-side partial min/count collapses each task to its
+    // distinct hashes first.
+    assertKeyedExchangesPartialAggFed("q139_substring_scrub", "wh")
+  }
+
+  test("incremental containment applies the delta cut below the verify aggregation (q140)") {
+    // The whole point of the delta tier: candidates are cut to
+    // delta-touching pairs BEFORE the intersection count, so the
+    // verify stage never sees old-old pairs. The cut comparison must
+    // appear in a Filter strictly below the (id_a, id_b) aggregate.
+    val p = physical("q140_incremental_containment")
+    // target the VERIFY aggregate specifically (it emits "inter");
+    // prefixCandidates' own (id_a, id_b) dedup agg legitimately sits
+    // below the cut
+    val aggs = p.collect {
+      case a: BaseAggregateExec
+          if a.groupingExpressions.map(_.name).toSet == Set("id_a", "id_b") &&
+            a.resultExpressions.exists(_.name == "inter") => a
+    }
+    assert(aggs.nonEmpty, "expected the (id_a, id_b) intersection aggregate emitting inter")
+    // Catalyst folds the crossJoin+filter into the broadcast
+    // nested-loop join's condition — accept the cut comparison either
+    // as a standalone Filter or as a join condition.
+    def hasCutFilter(n: SparkPlan): Boolean = n.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.references.exists(_.name == "cut") => f
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.condition.exists(_.references.exists(_.name == "cut")) => j
+    }.nonEmpty
+    assert(aggs.forall(hasCutFilter),
+      s"delta cut filter not found below the verify aggregate:\n$p")
+  }
+
   test("heavy hitters: both sketch membership joins broadcast, the exact count shuffles partial-agg-fed, no sort-merge join (q141)") {
     val p = physical("q141_heavy_hitters")
     val semis = p.collect {
