@@ -41,5 +41,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
       (exprs: Seq[Expression]) => BloomKit.mightContainBuilder(exprs)))
+    // Text sketch kernels (same builders as the per-session
+    // TextKernels.ensureRegistered path) — a cluster configuring
+    // spark.sql.extensions gets the whole graft_ function surface.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[graft.functions.MinHashWords].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) => graft.functions.TextKernels.minhashBuilder(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[graft.functions.SimHashWords].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => graft.functions.TextKernels.simhashBuilder(exprs)))
   }
 }

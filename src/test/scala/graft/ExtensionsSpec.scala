@@ -41,6 +41,14 @@ class ExtensionsSpec extends SparkSpec {
       assert(probes(0) && probes(1), "inserted values must probe true")
       assert(ext.catalog.functionExists("graft_bloom_agg"))
       assert(ext.catalog.functionExists("graft_might_contain"))
+      // the text sketch kernels ride the same injection
+      val sig = ext.sql(
+        "SELECT graft_minhash(array('a','b','c','d')) AS s, " +
+        "graft_simhash(array('a','b','c','d')) AS h")
+        .collect().head
+      assert(sig.getSeq[Long](0).length == 128)
+      assert(ext.catalog.functionExists("graft_minhash"))
+      assert(ext.catalog.functionExists("graft_simhash"))
     } finally {
       ext.stop()
       SparkSession.clearActiveSession()
