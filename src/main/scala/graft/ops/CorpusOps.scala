@@ -869,8 +869,51 @@ object CorpusOps {
                expr("transform(array_sort(collect_list(struct(doc_id, p)))," +
                  " x -> concat(x.doc_id, ':', x.p))"), ",")).as("postings_md5"))
         .orderBy(col("w"), col("blk"))
-    })
+    }),
+
+    // Positional phrase search — the retrieval query the q122 index
+    // exists to serve. Relational phrase match by EVIDENCE
+    // AGGREGATION, not a k-way postings self-join: each corpus token
+    // probes a broadcast (term, slot) table (k rows for a k-word
+    // phrase) and emits the phrase-start position it would witness
+    // (start = p − slot); a start with all k distinct slots witnessed
+    // is a match. One corpus tokenize, one map-side broadcast probe
+    // that CUTS the stream to Σ df(term) rows before any exchange,
+    // then one (doc, start)-keyed shuffle of those survivors — vs the
+    // naive k-way self-join's k corpus scans and k−1 joins. Handles
+    // repeated terms in the phrase (a token fans out to every slot it
+    // could fill) and overlapping matches for free. The per-doc
+    // rollup (count + first hit position) is what a snippet fetch
+    // consumes. At 100 TB: nothing wider than the phrase terms'
+    // posting lists ever shuffles.
+    "q143_phrase_search" -> ((s, d) =>
+      phraseHits(s, T.documents(s, d), Seq("slow", "hash", "batch")))
   )
+
+  /** Positional phrase match by evidence aggregation (q143's engine).
+    * Each token probes the broadcast (term, slot) table and emits the
+    * phrase-start it would witness; a start witnessing all |phrase|
+    * DISTINCT slots is a match (countDistinct, so a phrase with
+    * repeated terms — where one token legitimately fans out to several
+    * slots — still needs every slot filled, and overlapping matches
+    * fall out naturally). Per-doc rollup: hit count + first position.
+    */
+  def phraseHits(s: SparkSession, docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    import s.implicits._
+    val slots = broadcast(phrase.zipWithIndex.toDF("w", "i"))
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("w"))
+    tok.join(slots, "w")
+      .select(col("doc_id"), (col("p") - col("i")).as("st"), col("i"))
+      .filter(col("st") >= 1)
+      .groupBy(col("doc_id"), col("st"))
+      .agg(countDistinct(col("i")).as("k"))
+      .filter(col("k") === phrase.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("st")).cast("long").as("first_p"))
+      .orderBy(col("doc_id"))
+  }
 
   /** DuckDB 5-gram shingle CTE (distinct per doc), mirroring
     * TextSim.shingles(_, 5).
@@ -1415,6 +1458,25 @@ object CorpusOps {
          |SELECT t.bench_id, t.n_sh,
          |       CAST(coalesce(hc.n_hit, 0) AS BIGINT) AS n_hit,
          |       (10000 * CAST(coalesce(hc.n_hit, 0) AS BIGINT)) // t.n_sh AS contam_bp
-         |FROM t LEFT JOIN hc USING (bench_id) ORDER BY bench_id""".stripMargin
+         |FROM t LEFT JOIN hc USING (bench_id) ORDER BY bench_id""".stripMargin,
+
+    "q143_phrase_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, p, ws[p] AS w
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p
+        |        FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents))
+        |), slot AS (
+        |  SELECT * FROM (VALUES ('slow', 0), ('hash', 1), ('batch', 2)) AS t(w, i)
+        |), ev AS (
+        |  SELECT tok.doc_id, tok.p - slot.i AS st, slot.i
+        |  FROM tok JOIN slot USING (w)
+        |  WHERE tok.p - slot.i >= 1
+        |), m AS (
+        |  SELECT doc_id, st FROM ev GROUP BY doc_id, st
+        |  HAVING count(DISTINCT i) = 3
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |       CAST(min(st) AS BIGINT) AS first_p
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

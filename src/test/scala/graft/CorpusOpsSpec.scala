@@ -569,4 +569,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(survivors < corpus.count() / 10,
       s"bloom must prune the corpus stream: $survivors survivors")
   }
+
+  test("phrase search handles overlapping matches and repeated-term phrases (q143)") {
+    import spark.implicits._
+    // "a b a b a" contains "a b a" at positions 1 and 3 (overlapping);
+    // doc 2 has the terms but never the phrase; doc 3 is a boundary
+    // case (phrase at position 1 and nothing else).
+    val docs = Seq(
+      (1L, "a b a b a"),
+      (2L, "a a b b a x a"),
+      (3L, "a b a")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.phraseHits(spark, docs, Seq("a", "b", "a")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (2L, 1L), 3L -> (1L, 1L)),
+      s"evidence aggregation must find exactly the overlapping matches: $out")
+
+    // A phrase none of the docs contain yields an empty relation, and
+    // a single-term phrase degenerates to per-doc term positions.
+    assert(CorpusOps.phraseHits(spark, docs, Seq("b", "x")).count() == 0)
+    val single = CorpusOps.phraseHits(spark, docs, Seq("x")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(single == Map(2L -> (1L, 6L)))
+  }
 }
