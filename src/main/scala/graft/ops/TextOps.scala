@@ -269,8 +269,66 @@ object TextOps {
           sum(col("n_bpe")).as("bpe_tokens"))
         .withColumn("fertility_permille",
           floor(lit(1000.0) * col("bpe_tokens") / col("ws_tokens")).cast("int"))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    // Interpolated Kneser-Ney bigram scoring — the properly-smoothed
+    // LM quality filter (the CCNet/wiki-LM component q107's raw MLE
+    // stands in for): P(w2|w1) = (c(w1w2) − D)/c(w1·)
+    // + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··), D = 0.75 (exactly
+    // representable in binary — no decimal-literal drift). What KN
+    // adds over MLE: unseen-context mass goes to words in proportion
+    // to how many DISTINCT contexts they follow (continuation count),
+    // not raw frequency — the difference that separates fluent novel
+    // text from stuffed high-frequency tokens. Every mass term is an
+    // exact integer count; the only floats are the per-bigram p and
+    // the final avg(ln p), rounded 4 (q107's discipline). Plan: the
+    // bigram-type relation bc is built ONCE, and c1/N1+(w1·),
+    // N1+(·w2), N1+(··) all DERIVE from it (three vocabulary-sized
+    // aggs of an already-aggregated relation — nothing re-reads the
+    // corpus); the per-token joins are vocabulary-keyed, exactly
+    // q107's shape, and the grand total crosses in as one broadcast
+    // row. Every bigram appears in bc so c2 ≥ 1 > D — the max(·,0)
+    // clamp in the textbook form is vacuous and omitted on both
+    // engines.
+    "q144_kneser_ney" -> ((s, d) => {
+      val big = bigrams(T.documents(s, d))
+      big.join(knSeenProbs(big), Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(log(col("p"))), 4).as("kn_lp4"))
+        .orderBy(col("doc_id"))
+    })
   )
+
+  /** Per-token bigram relation (doc_id, w1, w2) — doc-keyed lead
+    * window, doc-sized partitions (q107's extraction).
+    */
+  def bigrams(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    tok.withColumn("w2", lead(col("w"), 1).over(wd))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+  }
+
+  /** KN model over the SEEN bigram types: one row per (w1, w2) with
+    * the exact integer masses (c2, c1, n1f, n1b, nt) and the smoothed
+    * p. Unseen-pair mass is the closed form λ(w1)·Pcont(w2) =
+    * (D·n1f/c1)·(n1b/nt) over the same masses — KNSpec uses it to
+    * assert Σ_w2 P(w2|w1) = 1 per context, the property that makes
+    * this a probability model and not a score.
+    */
+  def knSeenProbs(big: DataFrame): DataFrame = {
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uc = bc.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val tot = broadcast(bc.agg(count(lit(1)).as("nt")))
+    bc.join(uc, Seq("w1")).join(cont, Seq("w2")).crossJoin(tot)
+      .withColumn("p",
+        (col("c2").cast("double") - 0.75) / col("c1") +
+          (lit(0.75) * col("n1f") / col("c1")) * (col("n1b").cast("double") / col("nt")))
+  }
 
   val oracle: Map[String, String] = Map(
     "q70_lang_id" -> langIdSql,
@@ -366,6 +424,28 @@ object TextOps {
     "q78_token_histogram" ->
       """SELECT w, count(*) AS n, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
-        |GROUP BY w ORDER BY w""".stripMargin
+        |GROUP BY w ORDER BY w""".stripMargin,
+
+    "q144_kneser_ney" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |         generate_subscripts(string_split(text,' '),1) AS i
+        |  FROM documents
+        |), big AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |), bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+        |uc AS (
+        |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1f
+        |  FROM bc GROUP BY 1
+        |), cont AS (SELECT w2, count(*) AS n1b FROM bc GROUP BY 1),
+        |tot AS (SELECT count(*) AS nt FROM bc)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(ln(
+        |         (CAST(c2 AS DOUBLE) - 0.75) / c1 +
+        |         (0.75 * CAST(n1f AS DOUBLE) / c1) * (CAST(n1b AS DOUBLE) / nt))), 4) AS kn_lp4
+        |FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1)
+        |     JOIN cont USING (w2) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -570,6 +570,48 @@ class CorpusOpsSpec extends SparkSpec {
       s"bloom must prune the corpus stream: $survivors survivors")
   }
 
+  test("Kneser-Ney is a proper probability model and ranks by context diversity, not frequency (q144)") {
+    import spark.implicits._
+    // "the" is the most frequent token but ONLY ever follows "of";
+    // "x" is rarer but follows many distinct contexts. KN's
+    // continuation counts must give Pcont(x) > Pcont(the) even though
+    // freq(the) > freq(x) — the property raw MLE (q107) lacks.
+    val docs = Seq(
+      (1L, "of the of the of the of the a x b x c x"),
+      (2L, "of the of the d x e x of the f g")
+    ).toDF("doc_id", "text")
+    val big = graft.ops.TextOps.bigrams(docs)
+    val model = graft.ops.TextOps.knSeenProbs(big).collect()
+    val nt = model.head.getAs[Long]("nt").toDouble
+    def pcont(w: String) =
+      model.filter(_.getAs[String]("w2") == w)
+        .map(_.getAs[Long]("n1b")).headOption.getOrElse(0L) / nt
+    val freq = big.groupBy(col("w2")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq("the") > freq("x"), "fixture must make 'the' more frequent")
+    assert(pcont("x") > pcont("the"),
+      "continuation probability must reward context diversity over raw frequency")
+
+    // Σ_{w2 ∈ V} P(w2|w1) = 1 exactly, per context: seen pairs carry
+    // the discounted MLE + interpolation, unseen pairs the closed
+    // form λ(w1)·Pcont(w2). This is what separates a probability
+    // model from a score, and no SQL oracle can assert it.
+    val byW1 = model.groupBy(_.getAs[String]("w1"))
+    val contOf = model.map(r => r.getAs[String]("w2") -> r.getAs[Long]("n1b")).toMap
+    byW1.foreach { case (w1, rows) =>
+      val c1 = rows.head.getAs[Long]("c1").toDouble
+      val n1f = rows.head.getAs[Long]("n1f").toDouble
+      val lambda = 0.75 * n1f / c1
+      val seenW2 = rows.map(_.getAs[String]("w2")).toSet
+      val seenMass = rows.map(_.getAs[Double]("p")).sum
+      val unseenMass = contOf.collect {
+        case (w2, n1b) if !seenW2.contains(w2) => lambda * n1b / nt
+      }.sum
+      assert(math.abs(seenMass + unseenMass - 1.0) < 1e-9,
+        s"P(.|$w1) sums to ${seenMass + unseenMass}, not 1")
+    }
+  }
+
   test("phrase search handles overlapping matches and repeated-term phrases (q143)") {
     import spark.implicits._
     // "a b a b a" contains "a b a" at positions 1 and 3 (overlapping);
