@@ -333,6 +333,36 @@ object Multimodal {
     }(enc)
   }
 
+  /** Cross-modal pair audit — the LAION-style image-text-pair hygiene
+    * pass: (a) `image_dup` — the same payload bytes uploaded under
+    * more than one pair, with the count of DISTINCT captions attached
+    * (n_alt > 1 is a caption conflict: one image, contradictory
+    * supervision); (b) `caption_reuse` — one caption string attached
+    * to more than one distinct payload (stock alt-text spam, the
+    * dominant noise mode in crawled pairs). Keys are md5 of the modal
+    * content, so the audit never shuffles payload bytes — each side is
+    * ONE hash-keyed partial agg over the pairs relation, and rows with
+    * nothing to report never leave the map side (HAVING-style filters
+    * sit on the aggregate). At 100 TB the relation shuffled is
+    * (128-bit key, counts), not media.
+    *
+    * `pairs` schema: (pair_id, payload binary, caption string).
+    */
+  def crossModalAudit(pairs: DataFrame): DataFrame = {
+    val keyed = pairs.select(md5(col("payload")).as("img"), md5(col("caption")).as("cap"))
+    val imgDup = keyed.groupBy(col("img"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("cap")).as("n_alt"))
+      .filter(col("n_pairs") > 1)
+      .select(lit("image_dup").as("kind"), col("img").as("k"),
+        col("n_pairs"), col("n_alt"))
+    val capReuse = keyed.groupBy(col("cap"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("img")).as("n_alt"))
+      .filter(col("n_pairs") > 1 && col("n_alt") > 1)
+      .select(lit("caption_reuse").as("kind"), col("cap").as("k"),
+        col("n_pairs"), col("n_alt"))
+    imgDup.unionByName(capReuse).orderBy(col("kind"), col("k"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -346,7 +376,23 @@ object Multimodal {
     "q81_frame_sample" -> ((s, d) =>
       sampleFrames(decodeMeta(withPayload(T.documents(s, d).filter(col("doc_id") < 50))))
         .select(col("doc_id"), col("n_frames"), col("frame_idx"))
-        .orderBy(col("doc_id"), col("frame_idx")))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // Cross-modal pair audit over documents-as-pairs: caption = the
+    // first 8 tokens (the alt-text region), payload = the remaining
+    // tokens' bytes (the content region). On this corpus the planted
+    // near-dups mutate the content region too, so image_dup groups are
+    // structurally absent (the audit correctly reports none) and the
+    // caption_reuse side is live — near-dups share their alt-text
+    // region while their content bytes differ. MultimodalSpec plants
+    // the image_dup + caption-conflict cases the testdata can't.
+    "q145_cross_modal_audit" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      crossModalAudit(T.documents(s, d).select(
+        col("doc_id").as("pair_id"),
+        encode(array_join(slice(ws, lit(9), size(ws)), " "), "UTF-8").as("payload"),
+        array_join(slice(ws, 1, 8), " ").as("caption")))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -368,6 +414,23 @@ object Multimodal {
         |  FROM m
         |)
         |SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, stride)) AS INT) AS frame_idx
-        |FROM s ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q145_cross_modal_audit" ->
+      """WITH p AS (
+        |  SELECT md5(array_to_string(list_slice(ws, 9, len(ws)), ' ')) AS img,
+        |         md5(array_to_string(list_slice(ws, 1, 8), ' ')) AS cap
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+        |), i AS (
+        |  SELECT 'image_dup' AS kind, img AS k, count(*) AS n_pairs,
+        |         CAST(count(DISTINCT cap) AS BIGINT) AS n_alt
+        |  FROM p GROUP BY img HAVING count(*) > 1
+        |), c AS (
+        |  SELECT 'caption_reuse' AS kind, cap AS k, count(*) AS n_pairs,
+        |         CAST(count(DISTINCT img) AS BIGINT) AS n_alt
+        |  FROM p GROUP BY cap HAVING count(*) > 1 AND count(DISTINCT img) > 1
+        |)
+        |SELECT * FROM (SELECT * FROM i UNION ALL SELECT * FROM c)
+        |ORDER BY kind, k""".stripMargin
   )
 }

@@ -263,4 +263,31 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.nonEmpty)
     joined.foreach(r => assert(r.getLong(1) == r.getLong(2)))
   }
+
+  test("cross-modal audit: caption conflicts, benign dups, stock-caption reuse, singleton exclusion (q145)") {
+    import spark.implicits._
+    val img = Array[Byte](1, 2, 3)
+    val img2 = Array[Byte](9, 9)
+    val pairs = Seq(
+      // same image, two DIFFERENT captions → image_dup, n_alt=2 (conflict)
+      (1L, img, "a cat"),
+      (2L, img, "a dog"),
+      // same image, same caption twice → image_dup, n_alt=1 (benign);
+      // this caption also reuses across a distinct image below
+      (3L, img2, "stock alt text"),
+      (4L, img2, "stock alt text"),
+      // stock caption on a different image → caption_reuse n_alt=2
+      (5L, Array[Byte](7), "stock alt text"),
+      // singletons: contribute to no audit row
+      (6L, Array[Byte](8), "unique caption")
+    ).toDF("pair_id", "payload", "caption")
+    val out = Multimodal.crossModalAudit(pairs).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(out.count(_._1 == "image_dup") == 2)
+    assert(out.contains(("image_dup", 2L, 2L)), "caption conflict must surface n_alt=2")
+    assert(out.contains(("image_dup", 2L, 1L)), "benign exact re-upload is n_alt=1")
+    assert(out.filter(_._1 == "caption_reuse") sameElements
+      Array(("caption_reuse", 3L, 2L)),
+      "one stock caption across 2 distinct images, 3 pairs; unique captions excluded")
+  }
 }
