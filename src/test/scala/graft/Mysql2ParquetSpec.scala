@@ -49,6 +49,30 @@ class Mysql2ParquetSpec extends SparkSpec {
     assert(rows(0) == (("1", "a", "2.5")))
   }
 
+  test("snapshotMerge: latest version wins, deletes drop, inserts add, delete-then-reinsert survives (q146)") {
+    import spark.implicits._
+    // Planted CDC history over 5 keys; (pk, version) unique per contract.
+    val base = Seq(
+      (1L, "a0", 0L, "I"),   // untouched — passes through
+      (2L, "b0", 0L, "I"),   // updated twice — v2 payload must win
+      (3L, "c0", 0L, "I"),   // deleted — must vanish
+      (4L, "d0", 0L, "I")    // deleted at v1, reinserted at v2 — must survive as d2
+    ).toDF("pk", "v", "version", "op")
+    val delta = Seq(
+      (2L, "b1", 1L, "U"), (2L, "b2", 2L, "U"),
+      (3L, "gone", 1L, "D"),
+      (4L, "x", 1L, "D"), (4L, "d2", 2L, "I"),
+      (5L, "e1", 1L, "I")    // fresh key, insert only
+    ).toDF("pk", "v", "version", "op")
+    val out = graft.ops.Relational.snapshotMerge(base, delta, "pk", "version", "op")
+      .orderBy("pk").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a0"), (2L, "b2"), (4L, "d2"), (5L, "e1")))
+    // Empty delta is the no-op compaction: output == base payload.
+    val noop = graft.ops.Relational.snapshotMerge(base, delta.limit(0), "pk", "version", "op")
+      .orderBy("pk").as[(Long, String)].collect().toSeq
+    assert(noop == Seq((1L, "a0"), (2L, "b0"), (3L, "c0"), (4L, "d0")))
+  }
+
   test("run writes parquet; compat+singleFile yields one data file like the reference") {
     val out = java.nio.file.Files.createTempDirectory("m2p").toString + "/out"
     val src = T.customer(spark, sf001)

@@ -318,6 +318,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("snapshot merge shuffles one candidate per pk per mapper — partial max_by below the exchange (q146)") {
+    // CDC compaction must NOT shuffle the full base snapshot: the
+    // pk-keyed exchange is fed by a map-side partial max_by, so each
+    // mapper emits at most one candidate row per pk it saw. (The agg is
+    // a SortAggregate — the struct payload buffer isn't UnsafeRow-
+    // mutable — but the sort is partition-local; volume, not plan name,
+    // is the 100 TB contract.) Also: no Window — merge-on-read as a
+    // row_number window would shuffle every raw row.
+    assertKeyedExchangesPartialAggFed("q146_snapshot_merge", "pk")
+    assert(!plan("q146_snapshot_merge").contains("Window"),
+      "snapshot merge must be an aggregate, not a window")
+  }
+
   test("substring scrub shuffles partial rows on the window hash, never raw windows (q139)") {
     // The wh-keyed first-occurrence aggregation is the corpus-wide
     // stage; shuffling raw stride-1 windows would move ~token-count
