@@ -18,7 +18,58 @@ import org.apache.spark.sql.functions._
 object Aggregates {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Mergeable per-key aggregate state — the incremental-materialized-
+    * view pattern (dbt incremental models / DBSP): keep (n, sx, mn, mx)
+    * per key; a new batch is aggregated ALONE and merged into the
+    * summary with a second |keys|-sized aggregation. The 100 TB base is
+    * read once ever; each refresh shuffles O(summary + delta-keys)
+    * partial rows, not the base. avg/derived stats come off the state
+    * (sx/n), which is exactly why the state carries sums, not avgs —
+    * avgs don't merge.
+    */
+  def aggState(df: DataFrame, key: String, x: String): DataFrame =
+    df.groupBy(col(key)).agg(
+      count(lit(1)).as("n"), sum(col(x)).as("sx"),
+      min(col(x)).as("mn"), max(col(x)).as("mx"))
+
+  /** Merge any number of aggState relations: union + one keyed agg.
+    * Each state component has a merge that is its own combine (sum/sum/
+    * min/max), so the merged state is bit-identical in SHAPE to a
+    * from-scratch aggState — the equality q148's oracle asserts.
+    */
+  def mergeAggStates(key: String, states: DataFrame*): DataFrame =
+    states.reduce(_.unionByName(_))
+      .groupBy(col(key))
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+           min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+
   val queries: Map[String, Q] = Map(
+    // Incremental aggregate maintenance: the summary of a pre-cutoff
+    // base merged with a post-cutoff delta batch must equal the full
+    // recompute — and the ORACLE IS the full recompute, so the gate
+    // asserts incremental ≡ recompute on real data, not just shape.
+    // The measure is carried as exact integer CENTS: the state is then
+    // bit-exact however it is split/merged (no float-sum drift between
+    // refresh cadences), and the derived average is an exact integer
+    // floor-division both engines replay identically — the same
+    // integer-arithmetic oracle discipline as q136/q137.
+    "q148_incremental_agg" -> ((s, d) => {
+      val orders = T.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      val cut = lit("1996-01-01").cast("timestamp")
+      val base  = orders.filter(col("o_orderdate") <  cut)
+      val delta = orders.filter(col("o_orderdate") >= cut)
+      mergeAggStates("o_custkey",
+          aggState(base,  "o_custkey", "cents"),
+          aggState(delta, "o_custkey", "cents"))
+        .select(col("o_custkey"), col("n"),
+          (col("sx") / lit(100.0)).as("sum_price"),
+          (col("mn") / lit(100.0)).as("min_price"),
+          (col("mx") / lit(100.0)).as("max_price"),
+          expr("CAST((sx * 100) DIV n AS BIGINT)").as("avg_price_4dp"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // COUNT(DISTINCT) — expands to a two-shuffle plan (distinct then
     // count). The approx_ variant is the 100 TB path: single pass, HLL
     // sketch, mergeable. Both exercised; only exact ones oracle-compared.
@@ -150,6 +201,18 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q148_incremental_agg" ->
+      """WITH c AS (
+        |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |)
+        |SELECT o_custkey, count(*) AS n,
+        | CAST(sum(cents) AS BIGINT) / 100.0 AS sum_price,
+        | min(cents) / 100.0 AS min_price,
+        | max(cents) / 100.0 AS max_price,
+        | CAST((CAST(sum(cents) AS BIGINT) * 100) // count(*) AS BIGINT) AS avg_price_4dp
+        |FROM c GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     "q21_count_distinct" ->
       """SELECT l_returnflag,
         | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,

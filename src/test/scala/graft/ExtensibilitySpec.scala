@@ -32,6 +32,33 @@ class ExtensibilitySpec extends SparkSpec {
     assert(agg(one) == Seq(1L, 1L))
   }
 
+  test("aggState merge equals from-scratch aggregation for ANY split, and chains across batches (q148)") {
+    import spark.implicits._
+    import graft.ops.Aggregates.{aggState, mergeAggStates}
+    val rows = (1 to 500).map(i => (s"k${i % 37}", (i * 31 % 113).toDouble))
+    val df = rows.toDF("k", "x")
+    val full = aggState(df, "k", "x")
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    // 3-way arbitrary split, merged pairwise THEN with the third —
+    // associativity is what lets a nightly job fold batch after batch.
+    val (a, b, c) = (df.filter($"x" < 30), df.filter($"x" >= 30 && $"x" < 80), df.filter($"x" >= 80))
+    val chained = mergeAggStates("k",
+      mergeAggStates("k", aggState(a, "k", "x"), aggState(b, "k", "x")),
+      aggState(c, "k", "x"))
+    assert(chained.orderBy("k").collect().map(_.toSeq).toSeq == full)
+    // Distinct-count state merges the same way via Spark's HLL sketch
+    // functions (DataSketches): union-of-sketches == whole-data sketch,
+    // EXACTLY (the sketch union is deterministic), not just within ε.
+    val sk = (d: org.apache.spark.sql.DataFrame) =>
+      d.groupBy($"k").agg(expr("hll_sketch_agg(CAST(x AS BIGINT))").as("sk"))
+    val merged = sk(a).unionByName(sk(b)).unionByName(sk(c))
+      .groupBy($"k").agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("nd"))
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    val whole = df.groupBy($"k").agg(expr("hll_sketch_estimate(hll_sketch_agg(CAST(x AS BIGINT)))").as("nd"))
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    assert(merged == whole)
+  }
+
   test("slugify scalar udf registers and runs through Spark SQL") {
     Extensibility.register(spark)
     val got = spark.sql("SELECT slugify('  Hello, World! 42 ') AS s").collect()(0).getString(0)

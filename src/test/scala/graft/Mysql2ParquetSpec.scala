@@ -73,6 +73,32 @@ class Mysql2ParquetSpec extends SparkSpec {
     assert(noop == Seq((1L, "a0"), (2L, "b0"), (3L, "c0"), (4L, "d0")))
   }
 
+  test("scdHistory: intervals chain, deletes close without emitting, reinsert opens a new interval (q147)") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "a0", 0L, "I"),                         // lone insert — current
+      (2L, "b0", 0L, "I"), (2L, "b1", 1L, "U"),    // chain: [0,1), [1,∞) current
+      (3L, "c0", 0L, "I"), (3L, "x", 1L, "D"),     // delete closes [0,1), no row after
+      (4L, "d0", 0L, "I"), (4L, "x", 1L, "D"), (4L, "d2", 2L, "I") // reinsert: [0,1), [2,∞)
+    ).toDF("pk", "v", "version", "op")
+    val h = graft.ops.Relational.scdHistory(events, "pk", "version", "op")
+      .select("pk", "v", "valid_from", "valid_to", "is_current")
+      .orderBy("pk", "valid_from")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(h == Seq(
+      (1L, "a0", 0L, None, true),
+      (2L, "b0", 0L, Some(1L), false), (2L, "b1", 1L, None, true),
+      (3L, "c0", 0L, Some(1L), false),
+      (4L, "d0", 0L, Some(1L), false), (4L, "d2", 2L, None, true)))
+    // Invariant tying the pair together: is_current SCD2 rows == the
+    // q146 compaction of the same event stream (payload equality).
+    val current = h.filter(_._5).map(r => (r._1, r._2))
+    val merged = graft.ops.Relational
+      .snapshotMerge(events.limit(0), events, "pk", "version", "op")
+      .orderBy("pk").as[(Long, String)].collect().toSeq
+    assert(current == merged)
+  }
+
   test("run writes parquet; compat+singleFile yields one data file like the reference") {
     val out = java.nio.file.Files.createTempDirectory("m2p").toString + "/out"
     val src = T.customer(spark, sf001)
