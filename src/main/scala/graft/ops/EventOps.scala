@@ -135,6 +135,32 @@ object EventOps {
     // truncates toward zero, DuckDB `//` floors — they only agree on
     // non-negative distances, so both sides floor a double ratio and
     // pre-epoch events land in negative weeks identically).
+    // Time-series resample + gap-fill (the metric-dashboard / feature-
+    // engineering regularizer): per-user DAILY series over the user's
+    // own [first,last] observed span, missing days LINEARLY interpolated
+    // between the neighboring observed days. All values ride as exact
+    // integers (avg-of-cents ×100 → 4 implied decimals) so the
+    // interpolation numerator pv·(nd-day)+nv·(day-pd) is integer and
+    // non-negative (events.value >= 0 at every SF) — Spark's truncating
+    // DIV and DuckDB's flooring // then agree exactly, the q148
+    // discipline. Scale: the grid explode is |span| rows per user
+    // (bounded by the calendar, not the event count); one (user,day)
+    // join exchange + one user-hash window exchange — user_id is HIGH-
+    // cardinality (millions in production), so Window.partitionBy is
+    // the right tool (CLAUDE.md's low-card rule doesn't apply); both
+    // fill directions share one sort (two frames, same ordering).
+    // Endpoints are observed by construction, so every interior gap has
+    // both neighbors and the interpolation is total.
+    "q149_resample_interpolate" -> ((s, d) => {
+      val daily = T.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(expr("CAST((sum(cents) * 100) DIV count(*) AS BIGINT)").as("v"))
+      resampleInterpolate(daily).orderBy(col("user_id"), col("day"))
+    }),
+
     "q132_cohort_retention" -> ((s, d) => {
       val act = T.events(s, d)
         .select(col("user_id"),
@@ -192,6 +218,31 @@ object EventOps {
   /** Per-user ordered stage times (the funnel's keyed intermediate —
     * one user-keyed shuffle, windows reuse the partitioning).
     */
+  /** Grid + linear-fill stage of q149: `daily` is (user_id, day, v)
+    * with v an exact integer measure; returns the dense per-user
+    * [min,max] day grid with interior gaps integer-interpolated.
+    * Requires v >= 0 (keeps truncating DIV ≡ floor; asserted by the
+    * planted spec together with the fill values).
+    */
+  def resampleInterpolate(daily: DataFrame): DataFrame = {
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(daily, Seq("user_id", "day"), "left_outer")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("day"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(expr("(pv * (nd - day) + nv * (day - pd)) DIV (nd - pd)")).as("v_4dp"),
+        when(col("v").isNotNull, lit("obs")).otherwise(lit("interp")).as("src"))
+  }
+
   def userStages(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     ev
@@ -308,6 +359,40 @@ object EventOps {
         |    AS n_affected,
         |  count(DISTINCT scrubbed) AS n_distinct_scrubbed
         |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q149_resample_interpolate" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), daily AS (
+        |  SELECT user_id, day,
+        |         CAST((CAST(sum(cents) AS BIGINT) * 100) // count(*) AS BIGINT) AS v
+        |  FROM e GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span
+        |), f AS (
+        |  SELECT g.user_id, g.day, d.v,
+        |    last_value(d.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS)
+        |      OVER (PARTITION BY g.user_id ORDER BY g.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(d.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS)
+        |      OVER (PARTITION BY g.user_id ORDER BY g.day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |)
+        |SELECT user_id, day,
+        |  CAST(CASE WHEN v IS NOT NULL THEN v
+        |            ELSE (pv * (nd - day) + nv * (day - pd)) // (nd - pd) END AS BIGINT) AS v_4dp,
+        |  CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+        |FROM f ORDER BY user_id, day""".stripMargin,
 
     "q132_cohort_retention" ->
       """WITH a AS (

@@ -87,6 +87,29 @@ class EventOpsSpec extends SparkSpec {
       s"audit miscounted: ${row.mkString(",")}")
   }
 
+  test("resampleInterpolate fills interior gaps linearly, truncates fractions, leaves spans dense (q149)") {
+    import spark.implicits._
+    // user 1: days 0,3 observed at 100→400: gap days 1,2 must read 200,300.
+    // user 2: days 5,8 at 10→20: step 10/3 — integer-truncated 13,16.
+    // user 3: single day — no gaps, passes through.
+    val daily = Seq(
+      (1L, 0L, 100L), (1L, 3L, 400L),
+      (2L, 5L, 10L), (2L, 8L, 20L),
+      (3L, 2L, 7L)
+    ).toDF("user_id", "day", "v")
+    val out = EventOps.resampleInterpolate(daily)
+      .orderBy("user_id", "day")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 100L, "obs"), (1L, 1L, 200L, "interp"), (1L, 2L, 300L, "interp"), (1L, 3L, 400L, "obs"),
+      (2L, 5L, 10L, "obs"), (2L, 6L, 13L, "interp"), (2L, 7L, 16L, "interp"), (2L, 8L, 20L, "obs"),
+      (3L, 2L, 7L, "obs")))
+    // The q149 catalog feed keeps v non-negative (events.value >= 0),
+    // the precondition for DIV ≡ floor-div cross-engine.
+    val ev = graft.T.events(spark, sf001)
+    assert(ev.filter($"value" < 0).isEmpty)
+  }
+
   test("cohort retention attributes each user to its first-seen week (q132)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("events").toString
