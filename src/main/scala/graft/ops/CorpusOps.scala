@@ -887,8 +887,46 @@ object CorpusOps {
     // consumes. At 100 TB: nothing wider than the phrase terms'
     // posting lists ever shuffles.
     "q143_phrase_search" -> ((s, d) =>
-      phraseHits(s, T.documents(s, d), Seq("slow", "hash", "batch")))
+      phraseHits(s, T.documents(s, d), Seq("slow", "hash", "batch"))),
+
+    // Pareto-frontier data selection: the docs no other doc beats on
+    // BOTH objectives (here: longer AND lexically richer) — the
+    // quality-diversity frontier a curriculum/selection pass keeps when
+    // no single blended score is trusted. Objectives are q92's exact
+    // integers (n_tok, ttr_bp), so dominance is integer comparison.
+    "q150_pareto_frontier" -> ((s, d) => {
+      val cw = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cw"))
+      val feats = cw.groupBy(col("doc_id"))
+        .agg(sum(col("cw")).cast("long").as("n_tok"), count(lit(1)).as("n_types"))
+        .select(col("doc_id"), col("n_tok"),
+          expr("(10000 * n_types) div n_tok").as("ttr_bp"))
+      paretoFrontier(feats, "n_tok", "ttr_bp")
+        .orderBy(col("n_tok"), col("doc_id"))
+    })
   )
+
+  /** 2-D Pareto frontier, both objectives maximized: keep rows no other
+    * row weakly dominates (x' >= x, y' >= y, one strict); exact (x,y)
+    * duplicates dominate neither way and are all kept. Scale shape: the
+    * raw relation is NEVER globally sorted — dominance collapses to the
+    * per-x maxima relation (bounded by |distinct x|, e.g. token counts
+    * ≤ max doc length at ANY corpus size), one single-partition running
+    * max over those bounded rows (the deliberate empty-partition window,
+    * DESIGN ground rule 4), then a BROADCAST join back: a row survives
+    * iff y beats the best y at any strictly-greater x (strict, else that
+    * row dominates) and ties its own x-group's max.
+    */
+  def paretoFrontier(feats: DataFrame, x: String, y: String): DataFrame = {
+    val g = feats.groupBy(col(x)).agg(max(col(y)).as("__my"))
+    val w = Window.orderBy(col(x).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gm = g.withColumn("__m", max(col("__my")).over(w))
+    feats.join(broadcast(gm), x)
+      .filter((col("__m").isNull || col("__m") < col(y)) && col("__my") <= col(y))
+      .drop("__my", "__m")
+  }
 
   /** Positional phrase match by evidence aggregation (q143's engine).
     * Each token probes the broadcast (term, slot) table and emits the
@@ -928,6 +966,28 @@ object CorpusOps {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q150_pareto_frontier" ->
+      """WITH cw AS (
+        |  SELECT doc_id, w, count(*) AS cw
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2
+        |), f AS (
+        |  SELECT doc_id, CAST(sum(cw) AS BIGINT) AS n_tok,
+        |         (10000 * count(*)) // CAST(sum(cw) AS BIGINT) AS ttr_bp
+        |  FROM cw GROUP BY doc_id
+        |), g AS (
+        |  SELECT n_tok, max(ttr_bp) AS my FROM f GROUP BY 1
+        |), gm AS (
+        |  SELECT n_tok, my,
+        |         max(my) OVER (ORDER BY n_tok DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+        |  FROM g
+        |)
+        |SELECT f.doc_id, f.n_tok, f.ttr_bp
+        |FROM f JOIN gm ON f.n_tok = gm.n_tok
+        |WHERE (gm.m IS NULL OR gm.m < f.ttr_bp) AND gm.my <= f.ttr_bp
+        |ORDER BY f.n_tok, f.doc_id""".stripMargin,
+
     "q104_bpe_pair_stats" ->
       """WITH wc AS (
         |  SELECT w, count(*) AS c

@@ -542,6 +542,31 @@ class CorpusOpsSpec extends SparkSpec {
       s"sketch must prune the gram stream: $survivors of $total occurrences survived")
   }
 
+  test("paretoFrontier keeps exactly the undominated set; ties and duplicates follow weak dominance (q150)") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 10L, 100L),  // frontier (best y overall)
+      (2L, 20L, 90L),   // frontier
+      (3L, 20L, 80L),   // same x, lower y → dominated by id 2
+      (4L, 15L, 95L),   // interior: dominated by id 1? x=15>10... no — dominated by nobody? (20,90): y 95>90 no; (10,100): x 15>10 no → frontier
+      (5L, 30L, 50L),   // frontier (best x at its y level)
+      (6L, 25L, 50L),   // dominated by id 5 (30≥25, 50≥50, x strict)
+      (7L, 30L, 50L),   // exact duplicate of id 5 — BOTH kept (weak dominance)
+      (8L, 5L, 100L)    // dominated by id 1 (10>5, 100>=100)
+    ).toDF("doc_id", "n_tok", "ttr_bp")
+    val out = CorpusOps.paretoFrontier(pts, "n_tok", "ttr_bp")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 4L, 5L, 7L))
+    // Mergeability — the 100 TB argument: frontier(S) ==
+    // frontier(frontier(S1) ∪ frontier(S2)) for any split.
+    val s1 = pts.filter($"doc_id" <= 4); val s2 = pts.filter($"doc_id" > 4)
+    val merged = CorpusOps.paretoFrontier(
+      CorpusOps.paretoFrontier(s1, "n_tok", "ttr_bp")
+        .unionByName(CorpusOps.paretoFrontier(s2, "n_tok", "ttr_bp")),
+      "n_tok", "ttr_bp").select("doc_id").as[Long].collect().toSet
+    assert(merged == out)
+  }
+
   test("bloom decontamination tier equals q87 exactly, prunes before the verify join, and the filter is partitioning-invariant (q142)") {
     val a = CorpusOps.queries("q87_decontaminate")(spark, sf001).collect().map(_.toSeq).toSeq
     val b = CorpusOps.queries("q142_decontaminate_bloom")(spark, sf001).collect().map(_.toSeq).toSeq
