@@ -248,6 +248,43 @@ class StreamingSpec extends SparkSpec {
       s"resumed output must equal the uninterrupted union exactly once, got $got")
   }
 
+  test("streaming CDC apply equals batch compaction and is redelivery-idempotent (q146's streaming twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val snap = java.nio.file.Files.createTempDirectory("cdc_snap").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt").toString
+    val mem = MemoryStream[(Long, String, Long, String)]
+    val changes = mem.toDF().toDF("pk", "v", "version", "op")
+    val q = StreamingOps.cdcApply(changes, snap, ckpt)
+    mem.addData((1L, "a0", 0L, "I"), (2L, "b0", 0L, "I"), (3L, "c0", 0L, "I"))
+    q.processAllAvailable()
+    mem.addData((2L, "b1", 1L, "U"), (3L, "x", 1L, "D"), (4L, "d1", 1L, "I"))
+    q.processAllAvailable(); q.stop()
+
+    def snapRows = spark.read.parquet(snap).orderBy("pk")
+      .select("pk", "v", "version").as[(Long, String, Long)].collect().toSeq
+    val applied = snapRows
+    assert(applied == Seq((1L, "a0", 0L), (2L, "b1", 1L), (4L, "d1", 1L)))
+
+    // Invariant: streamed apply == one-shot batch compaction of the log.
+    val log = Seq((1L, "a0", 0L, "I"), (2L, "b0", 0L, "I"), (3L, "c0", 0L, "I"),
+      (2L, "b1", 1L, "U"), (3L, "x", 1L, "D"), (4L, "d1", 1L, "I"))
+      .toDF("pk", "v", "version", "op")
+    val compacted = graft.ops.Relational
+      .snapshotMerge(log.limit(0), log, "pk", "version", "op")
+      .orderBy("pk").as[(Long, String)].collect().toSeq
+    assert(applied.map(r => (r._1, r._2)) == compacted)
+
+    // Redelivery of an already-applied batch (at-least-once sink
+    // contract): merging it again must change nothing.
+    val mem2 = MemoryStream[(Long, String, Long, String)]
+    val q2 = StreamingOps.cdcApply(mem2.toDF().toDF("pk", "v", "version", "op"),
+      snap, java.nio.file.Files.createTempDirectory("cdc_ckpt2").toString)
+    mem2.addData((2L, "b1", 1L, "U"), (3L, "x", 1L, "D"), (4L, "d1", 1L, "I"))
+    q2.processAllAvailable(); q2.stop()
+    assert(snapRows == applied, "redelivered batch must be a no-op")
+  }
+
   test("stream-stream join pairs purchases with in-window clicks only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
