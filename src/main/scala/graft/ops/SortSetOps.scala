@@ -96,10 +96,79 @@ object SortSetOps {
       val b = T.orders(s, d).filter(col("o_orderstatus") === "F")
         .select(col("o_custkey").as("ck"))
       a.intersectAll(b).orderBy(col("ck"))
+    }),
+
+    // Z-order (Morton) clustering — the multi-dimensional LAYOUT sort
+    // behind Delta/Iceberg OPTIMIZE ZORDER: writing in z order gives
+    // every parquet row group a bounded min/max envelope on BOTH
+    // dimensions, so scans filtering on EITHER column prune row groups
+    // (a single-column sort prunes only its own column). Buckets are
+    // exact integer scalings (256 bins via DIV against in-plan
+    // broadcast maxima, q101's discipline), the interleave is pure bit
+    // arithmetic — both engines replay z bit-exactly. The sort itself
+    // is Spark's sampled range partitioning: the 100 TB write path is
+    // repartitionByRange(z) + sortWithinPartitions(z), no single-task
+    // stage. ZOrderSpec proves the pruning claim: on a full 256×256
+    // grid every 256-row chunk of the z order is a 16×16 tile (span 15
+    // on both dims), where a one-dim sort leaves the other dim at full
+    // 255 span.
+    "q151_zorder_layout" -> ((s, d) => {
+      val o = T.orders(s, d)
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      val maxes = o.agg(max(col("o_custkey")).as("mc"), max(col("cents")).as("mp"))
+      o.crossJoin(broadcast(maxes))
+        .select(col("o_orderkey"),
+          expr("(o_custkey * 256) DIV (mc + 1)").as("b_cust"),
+          expr("(cents * 256) DIV (mp + 1)").as("b_price"))
+        .withColumn("z", mortonInterleave(col("b_cust"), col("b_price")))
+        .orderBy(col("z"), col("o_orderkey"))
     })
   )
 
+  /** Morton interleave of two 8-bit buckets (z = y7x7…y1x1y0x0) via the
+    * standard bit-spreading ladder — pure codegen'd integer ops, no UDF.
+    */
+  def mortonInterleave(bx: org.apache.spark.sql.Column,
+                       by: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def spread8(c: org.apache.spark.sql.Column) = {
+      val s1 = (c.bitwiseOR(shiftleft(c, 4))).bitwiseAND(lit(0x0F0FL))
+      val s2 = (s1.bitwiseOR(shiftleft(s1, 2))).bitwiseAND(lit(0x3333L))
+      (s2.bitwiseOR(shiftleft(s2, 1))).bitwiseAND(lit(0x5555L))
+    }
+    spread8(bx).bitwiseOR(shiftleft(spread8(by), 1))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q151_zorder_layout" ->
+      """WITH m AS (
+        |  SELECT max(o_custkey) AS mc,
+        |         max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mp
+        |  FROM orders
+        |), b AS (
+        |  SELECT o_orderkey,
+        |         (o_custkey * 256) // (mc + 1) AS b_cust,
+        |         (CAST(round(o_totalprice * 100) AS BIGINT) * 256) // (mp + 1) AS b_price
+        |  FROM orders, m
+        |), s1 AS (
+        |  SELECT o_orderkey, b_cust, b_price,
+        |         ((b_cust | (b_cust << 4)) & 3855) AS x1,
+        |         ((b_price | (b_price << 4)) & 3855) AS y1
+        |  FROM b
+        |), s2 AS (
+        |  SELECT o_orderkey, b_cust, b_price,
+        |         ((x1 | (x1 << 2)) & 13107) AS x2,
+        |         ((y1 | (y1 << 2)) & 13107) AS y2
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT o_orderkey, b_cust, b_price,
+        |         ((x2 | (x2 << 1)) & 21845) AS x3,
+        |         ((y2 | (y2 << 1)) & 21845) AS y3
+        |  FROM s2
+        |)
+        |SELECT o_orderkey, b_cust, b_price,
+        |       CAST(x3 | (y3 << 1) AS BIGINT) AS z
+        |FROM s3 ORDER BY z, o_orderkey""".stripMargin,
+
     "q40_order_limit" ->
       """SELECT o_orderkey, round(o_totalprice,2) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
