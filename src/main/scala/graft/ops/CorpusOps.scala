@@ -904,8 +904,62 @@ object CorpusOps {
           expr("(10000 * n_types) div n_tok").as("ttr_bp"))
       paretoFrontier(feats, "n_tok", "ttr_bp")
         .orderBy(col("n_tok"), col("doc_id"))
+    }),
+
+    // Per-source OLS (ttr_bp ~ n_tok): the does-quality-decay-with-
+    // length diagnostic, as closed-form regression over MERGEABLE
+    // moment sums — the same one-pass shape as q148's state, so the
+    // 100 TB path is one (source)-keyed partial agg, never an iterative
+    // solver. Moments run in DECIMAL(38,0)/HUGEINT (q116's overflow
+    // class: Σx² at corpus scale wraps int64); outputs are floors of
+    // doubles derived from IDENTICAL exact integers in both engines, so
+    // no rounding-tie hazard (and floor, not DIV — cov is negative when
+    // quality decays, where truncation and floor disagree).
+    "q152_group_ols" -> ((s, d) => {
+      val cw = T.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("source"), col("w")).agg(count(lit(1)).as("cw"))
+      val feats = cw.groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("cw")).cast("long").as("x"), count(lit(1)).as("n_types"))
+        .select(col("source"), col("x"), expr("(10000 * n_types) div x").as("y"))
+      groupOls(feats, "source", "x", "y").orderBy(col("source"))
     })
   )
+
+  /** Closed-form per-group OLS of y on x from one aggregation pass:
+    * slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and friends, every moment an
+    * exact DECIMAL(38,0) integer. Emits fixed-point integers
+    * (slope_e6, intercept_e2, r2_e6) via floor of deterministic double
+    * ratios; degenerate groups (zero x-variance) emit NULLs.
+    */
+  def groupOls(feats: DataFrame, g: String, x: String, y: String): DataFrame =
+    feats
+      .select(col(g), col(x).cast("decimal(19,0)").as("__x"),
+        col(y).cast("decimal(19,0)").as("__y"))
+      .groupBy(col(g))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+      .select(col(g), col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy").as("cov_lift"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx").as("varx_lift"),
+        expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy").as("vary_lift"),
+        col("sx"), col("sy"))
+      .select(col(g), col("n"),
+        expr("""CASE WHEN varx_lift = 0 THEN NULL
+                ELSE CAST(floor(CAST(cov_lift AS DOUBLE) * 1000000
+                     / CAST(varx_lift AS DOUBLE)) AS BIGINT) END""").as("slope_e6"),
+        expr("""CASE WHEN varx_lift = 0 THEN NULL
+                ELSE CAST(floor((CAST(sy AS DOUBLE) * CAST(varx_lift AS DOUBLE)
+                       - CAST(cov_lift AS DOUBLE) * CAST(sx AS DOUBLE)) * 100
+                     / (CAST(n AS DOUBLE) * CAST(varx_lift AS DOUBLE))) AS BIGINT) END""")
+          .as("intercept_e2"),
+        expr("""CASE WHEN varx_lift = 0 OR vary_lift = 0 THEN NULL
+                ELSE CAST(floor(CAST(cov_lift AS DOUBLE) * CAST(cov_lift AS DOUBLE) * 1000000
+                     / (CAST(varx_lift AS DOUBLE) * CAST(vary_lift AS DOUBLE))) AS BIGINT) END""")
+          .as("r2_e6"))
 
   /** 2-D Pareto frontier, both objectives maximized: keep rows no other
     * row weakly dominates (x' >= x, y' >= y, one strict); exact (x,y)
@@ -966,6 +1020,43 @@ object CorpusOps {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q152_group_ols" ->
+      """WITH cw AS (
+        |  SELECT doc_id, source, w, count(*) AS cw
+        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2, 3
+        |), f AS (
+        |  SELECT source, CAST(sum(cw) AS BIGINT) AS x,
+        |         (10000 * count(*)) // CAST(sum(cw) AS BIGINT) AS y
+        |  FROM cw GROUP BY doc_id, source
+        |), m AS (
+        |  SELECT source, count(*) AS n,
+        |         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM f GROUP BY source
+        |), l AS (
+        |  SELECT source, n,
+        |         CAST(n AS HUGEINT) * sxy - sx * sy AS cov_lift,
+        |         CAST(n AS HUGEINT) * sxx - sx * sx AS varx_lift,
+        |         CAST(n AS HUGEINT) * syy - sy * sy AS vary_lift,
+        |         sx, sy
+        |  FROM m
+        |)
+        |SELECT source, n,
+        |  CASE WHEN varx_lift = 0 THEN NULL
+        |       ELSE CAST(floor(CAST(cov_lift AS DOUBLE) * 1000000
+        |            / CAST(varx_lift AS DOUBLE)) AS BIGINT) END AS slope_e6,
+        |  CASE WHEN varx_lift = 0 THEN NULL
+        |       ELSE CAST(floor((CAST(sy AS DOUBLE) * CAST(varx_lift AS DOUBLE)
+        |              - CAST(cov_lift AS DOUBLE) * CAST(sx AS DOUBLE)) * 100
+        |            / (CAST(n AS DOUBLE) * CAST(varx_lift AS DOUBLE))) AS BIGINT) END AS intercept_e2,
+        |  CASE WHEN varx_lift = 0 OR vary_lift = 0 THEN NULL
+        |       ELSE CAST(floor(CAST(cov_lift AS DOUBLE) * CAST(cov_lift AS DOUBLE) * 1000000
+        |            / (CAST(varx_lift AS DOUBLE) * CAST(vary_lift AS DOUBLE))) AS BIGINT) END AS r2_e6
+        |FROM l ORDER BY source""".stripMargin,
+
     "q150_pareto_frontier" ->
       """WITH cw AS (
         |  SELECT doc_id, w, count(*) AS cw

@@ -567,6 +567,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(merged == out)
   }
 
+  test("groupOls recovers exact lines (sign included), flat fits, and degenerate groups (q152)") {
+    import spark.implicits._
+    val feats = Seq(
+      // g1: exact line y = 2x + 3 → slope 2e6, intercept 300, r² = 1e6
+      ("g1", 1L, 5L), ("g1", 2L, 7L), ("g1", 3L, 9L), ("g1", 10L, 23L),
+      // g2: exact NEGATIVE line y = -3x + 1000 (floor≠truncate territory)
+      ("g2", 10L, 970L), ("g2", 20L, 940L), ("g2", 30L, 910L),
+      // g3: symmetric tent (0,0),(1,1),(2,0) → cov 0 → slope 0, r² 0
+      ("g3", 0L, 0L), ("g3", 1L, 1L), ("g3", 2L, 0L),
+      // g4: zero x-variance → NULLs
+      ("g4", 7L, 1L), ("g4", 7L, 9L)
+    ).toDF("source", "x", "y")
+    val out = CorpusOps.groupOls(feats, "source", "x", "y")
+      .orderBy("source")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      ("g1", 4L, Some(2000000L), Some(300L), Some(1000000L)),
+      ("g2", 3L, Some(-3000000L), Some(100000L), Some(1000000L)),
+      ("g3", 3L, Some(0L), Some(33L), Some(0L)),
+      ("g4", 2L, None, None, None)))
+  }
+
   test("bloom decontamination tier equals q87 exactly, prunes before the verify join, and the filter is partitioning-invariant (q142)") {
     val a = CorpusOps.queries("q87_decontaminate")(spark, sf001).collect().map(_.toSeq).toSeq
     val b = CorpusOps.queries("q142_decontaminate_bloom")(spark, sf001).collect().map(_.toSeq).toSeq
