@@ -161,6 +161,16 @@ object EventOps {
       resampleInterpolate(daily).orderBy(col("user_id"), col("day"))
     }),
 
+    // Markov transition matrix (the path-analysis op next to funnel/
+    // retention): per-user event sequences → (from_type, to_type)
+    // counts + outflow permille. One user-keyed window (high-card) for
+    // lead(); the matrix is ≤ |types|² rows so outflow totals come
+    // back as a BROADCAST join, never a window over the ~5-value
+    // from_type (the q31/q35 low-cardinality rule). Permille is exact
+    // integer division.
+    "q153_event_transitions" -> ((s, d) =>
+      transitions(T.events(s, d)).orderBy(col("from_type"), col("to_type"))),
+
     "q132_cohort_retention" -> ((s, d) => {
       val act = T.events(s, d)
         .select(col("user_id"),
@@ -218,6 +228,25 @@ object EventOps {
   /** Per-user ordered stage times (the funnel's keyed intermediate —
     * one user-keyed shuffle, windows reuse the partitioning).
     */
+  /** Markov transition matrix (q153's engine): consecutive-event
+    * (from_type, to_type) counts per user stream with exact-integer
+    * outflow permille. The totals relation is ≤ |types| rows and comes
+    * back as a broadcast — no window ever partitions on the low-card
+    * event_type.
+    */
+  def transitions(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = ev
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = t.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    t.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000 * n) DIV tot").as("permille"))
+  }
+
   /** Grid + linear-fill stage of q149: `daily` is (user_id, day, v)
     * with v an exact integer measure; returns the dense per-user
     * [min,max] day grid with interior gaps integer-interpolated.
@@ -359,6 +388,21 @@ object EventOps {
         |    AS n_affected,
         |  count(DISTINCT scrubbed) AS n_distinct_scrubbed
         |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q153_event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events
+        |), t AS (
+        |  SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+        |  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM t GROUP BY 1
+        |)
+        |SELECT t.from_type, t.to_type, t.n, (1000 * t.n) // tot.tot AS permille
+        |FROM t JOIN tot ON t.from_type = tot.from_type
+        |ORDER BY t.from_type, t.to_type""".stripMargin,
 
     "q149_resample_interpolate" ->
       """WITH e AS (

@@ -151,10 +151,76 @@ object Joins {
         .groupBy(col("custkey"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("custkey"))
-    })
+    }),
+
+    // Referential-integrity audit — the post-export data-quality gate a
+    // mysql2parquet run should end with: per FK edge, child rows and
+    // orphan rows (non-null child keys with no parent, SQL MATCH SIMPLE
+    // semantics — NULL FKs are not violations; planted orphans/NULLs
+    // are pinned in JoinsSpec). Each edge is one left_anti join whose
+    // parent side Spark broadcasts when dim-sized and shuffles when
+    // not; counts collapse to one row per edge before the union, so the
+    // result is |edges| rows whatever the data size.
+    "q154_fk_audit" -> ((s, d) =>
+      fkEdgeAudit("events.user_id->customer", T.events(s, d), "user_id",
+          T.customer(s, d), "c_custkey")
+        .unionByName(fkEdgeAudit("lineitem.l_orderkey->orders", T.lineitem(s, d), "l_orderkey",
+          T.orders(s, d), "o_orderkey"))
+        .unionByName(fkEdgeAudit("lineitem.l_partkey->part", T.lineitem(s, d), "l_partkey",
+          T.part(s, d), "p_partkey"))
+        .unionByName(fkEdgeAudit("lineitem.l_suppkey->supplier", T.lineitem(s, d), "l_suppkey",
+          T.supplier(s, d), "s_suppkey"))
+        .unionByName(fkEdgeAudit("orders.o_custkey->customer", T.orders(s, d), "o_custkey",
+          T.customer(s, d), "c_custkey"))
+        .orderBy(col("fk")))
   )
 
+  /** One FK edge of q154: (fk, n_child, n_orphans) as a 1-row frame.
+    * n_child counts every child row; n_orphans counts non-null child
+    * keys absent from the parent (NULL FK is valid, MATCH SIMPLE).
+    */
+  def fkEdgeAudit(name: String, child: DataFrame, ck: String,
+                  parent: DataFrame, pk: String): DataFrame =
+    child.select(col(ck).as("k")).filter(col("k").isNotNull)
+      .join(parent.select(col(pk).as("p")).distinct(),
+        col("k") === col("p"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .crossJoin(child.agg(count(lit(1)).as("n_child")))
+      .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
+
   val oracle: Map[String, String] = Map(
+    "q154_fk_audit" ->
+      """SELECT 'events.user_id->customer' AS fk,
+        |  (SELECT count(*) FROM events) AS n_child,
+        |  (SELECT count(*) FROM events e
+        |   WHERE e.user_id IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey->orders',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE l.l_orderkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE l.l_partkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE l.l_suppkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY fk""".stripMargin,
+
     "q10_join_inner" ->
       """SELECT o_orderpriority,
         | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,

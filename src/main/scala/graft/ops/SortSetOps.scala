@@ -98,6 +98,22 @@ object SortSetOps {
       a.intersectAll(b).orderBy(col("ck"))
     }),
 
+    // Keyset pagination — the 100 TB replacement for OFFSET (q41):
+    // OFFSET n scans and discards n rows per page, so deep pages cost
+    // O(page·n); a keyset cursor turns the same page fetch into a
+    // PUSHED-DOWN range predicate + TakeOrderedAndProject — row groups
+    // before the cursor never leave the scan (PlanAuditSpec pins both
+    // the pushed filter and the top-k plan). The cursor is the last
+    // row of the previous page under the total order
+    // (o_totalprice DESC, o_orderkey).
+    "q155_keyset_page" -> ((s, d) =>
+      T.orders(s, d)
+        .filter(col("o_totalprice") < 150000.0 ||
+          (col("o_totalprice") === 150000.0 && col("o_orderkey") > 0))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))),
+
     // Z-order (Morton) clustering — the multi-dimensional LAYOUT sort
     // behind Delta/Iceberg OPTIMIZE ZORDER: writing in z order gives
     // every parquet row group a bounded min/max envelope on BOTH
@@ -139,6 +155,12 @@ object SortSetOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q155_keyset_page" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_totalprice < 150000 OR (o_totalprice = 150000 AND o_orderkey > 0)
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
     "q151_zorder_layout" ->
       """WITH m AS (
         |  SELECT max(o_custkey) AS mc,

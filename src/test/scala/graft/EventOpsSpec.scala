@@ -110,6 +110,25 @@ class EventOpsSpec extends SparkSpec {
     assert(ev.filter($"value" < 0).isEmpty)
   }
 
+  test("transitions pair consecutive events per user only, with exact outflow permille (q153)") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 path: a→b→a→c; user 2 path: a→b. No cross-user pairs:
+    // user 2's first event is later than user 1's last.
+    val ev = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, "a"),
+      (2L, t("2024-01-01 00:01:00"), 1L, "b"),
+      (3L, t("2024-01-01 00:02:00"), 1L, "a"),
+      (4L, t("2024-01-01 00:03:00"), 1L, "c"),
+      (5L, t("2024-01-02 00:00:00"), 2L, "a"),
+      (6L, t("2024-01-02 00:01:00"), 2L, "b")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.transitions(ev).orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // from a: a→b twice (both users), a→c once → 666 / 333 permille.
+    assert(out == Seq(("a", "b", 2L, 666L), ("a", "c", 1L, 333L), ("b", "a", 1L, 1000L)))
+  }
+
   test("cohort retention attributes each user to its first-seen week (q132)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("events").toString

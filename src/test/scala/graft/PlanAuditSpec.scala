@@ -98,6 +98,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q41_offset").contains("TakeOrderedAndProject"))
   }
 
+  test("keyset pagination pushes the cursor predicate into the scan AND plans top-k (q155)") {
+    // The whole point vs OFFSET: the cursor is a scan-level range
+    // filter (row groups before the cursor are skipped via min/max
+    // stats) and the page fetch is a top-k, not a global sort.
+    val p = plan("q155_keyset_page")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      "cursor predicate must reach the parquet scan")
+    assert(p.contains("Or("), "the composite keyset predicate (Or) must be pushed")
+  }
+
   test("star join broadcasts every dimension (q18)") {
     val p = plan("q18_join_star")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
