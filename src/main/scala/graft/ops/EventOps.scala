@@ -171,6 +171,18 @@ object EventOps {
     "q153_event_transitions" -> ((s, d) =>
       transitions(T.events(s, d)).orderBy(col("from_type"), col("to_type"))),
 
+    // Path-pattern matching (MATCH_RECOGNIZE-lite): users whose event
+    // path contains click IMMEDIATELY followed by purchase — adjacency
+    // is what the ordered funnel (q85) structurally cannot express.
+    // Each user's path is one deterministic string (sorted by ts,
+    // event_id), built in a single user-keyed aggregation — the
+    // sequence never leaves its group, so the 100 TB cost is one
+    // user-hash shuffle of (type, ts) pairs; the regex runs per USER
+    // row, not per event. Count is non-overlapping scan order —
+    // identical in both engines for a literal pattern.
+    "q156_path_pattern" -> ((s, d) =>
+      pathPattern(T.events(s, d), "click,purchase").orderBy(col("user_id"))),
+
     "q132_cohort_retention" -> ((s, d) => {
       val act = T.events(s, d)
         .select(col("user_id"),
@@ -228,6 +240,22 @@ object EventOps {
   /** Per-user ordered stage times (the funnel's keyed intermediate —
     * one user-keyed shuffle, windows reuse the partitioning).
     */
+  /** Path-pattern matching (q156's engine): each user's event path is
+    * one deterministic comma-joined string (sorted by ts, event_id),
+    * built in a single user-keyed aggregation; the regex `pattern` runs
+    * per USER row, not per event, and its count is non-overlapping
+    * scan order. Emits users with ≥1 match.
+    */
+  def pathPattern(ev: DataFrame, pattern: String): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"), ",")
+          .as("path"))
+      .select(col("user_id"), col("n_events"),
+        size(expr(s"regexp_extract_all(path, '$pattern', 0)")).cast("long")
+          .as("n_adjacent"))
+      .filter(col("n_adjacent") >= 1)
+
   /** Markov transition matrix (q153's engine): consecutive-event
     * (from_type, to_type) counts per user stream with exact-integer
     * outflow permille. The totals relation is ≤ |types| rows and comes
@@ -403,6 +431,18 @@ object EventOps {
         |SELECT t.from_type, t.to_type, t.n, (1000 * t.n) // tot.tot AS permille
         |FROM t JOIN tot ON t.from_type = tot.from_type
         |ORDER BY t.from_type, t.to_type""".stripMargin,
+
+    "q156_path_pattern" ->
+      """WITH p AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, n_events,
+        |       CAST(len(regexp_extract_all(path, 'click,purchase')) AS BIGINT) AS n_adjacent
+        |FROM p
+        |WHERE len(regexp_extract_all(path, 'click,purchase')) >= 1
+        |ORDER BY user_id""".stripMargin,
 
     "q149_resample_interpolate" ->
       """WITH e AS (

@@ -129,6 +129,28 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Seq(("a", "b", 2L, 666L), ("a", "c", 1L, 333L), ("b", "a", 1L, 1000L)))
   }
 
+  test("pathPattern matches ADJACENT pairs only, in timestamp order, per user (q156)") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: click,view,purchase — click→purchase NOT adjacent → no row
+      (1L, t("2024-01-01 00:00:00"), 1L, "click"),
+      (2L, t("2024-01-01 00:01:00"), 1L, "view"),
+      (3L, t("2024-01-01 00:02:00"), 1L, "purchase"),
+      // user 2: view,click,purchase,click,purchase — 2 adjacent matches;
+      // events arrive OUT OF ORDER to prove the sort inside the agg
+      (7L, t("2024-01-02 00:04:00"), 2L, "purchase"),
+      (4L, t("2024-01-02 00:00:00"), 2L, "view"),
+      (6L, t("2024-01-02 00:03:00"), 2L, "click"),
+      (5L, t("2024-01-02 00:01:00"), 2L, "click"),
+      (8L, t("2024-01-02 00:02:00"), 2L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.pathPattern(ev, "click,purchase")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 5L, 2L)),
+      "only user 2, with exactly 2 adjacent click→purchase pairs")
+  }
+
   test("cohort retention attributes each user to its first-seen week (q132)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("events").toString

@@ -99,6 +99,22 @@ class Mysql2ParquetSpec extends SparkSpec {
     assert(current == merged)
   }
 
+  test("snapshotDiff classifies added/removed/changed/same; NULL payload flips are changed, not same (q157)") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, Option("c")), (4L, Option.empty[String])
+    ).toDF("pk", "v")
+    val after = Seq(
+      (1L, Option("a")),          // same
+      (2L, Option.empty[String]), // changed (value → NULL must not read as same)
+      (4L, Option.empty[String]), // same (NULL <=> NULL)
+      (5L, Option("e"))           // added; pk 3 removed
+    ).toDF("pk", "v")
+    val out = graft.ops.Relational.snapshotDiff(before, after, "pk", Seq("v"))
+      .orderBy("change_kind").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("added", 1L), ("changed", 1L), ("removed", 1L), ("same", 2L)))
+  }
+
   test("run writes parquet; compat+singleFile yields one data file like the reference") {
     val out = java.nio.file.Files.createTempDirectory("m2p").toString + "/out"
     val src = T.customer(spark, sf001)
