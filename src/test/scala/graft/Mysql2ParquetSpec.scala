@@ -115,6 +115,26 @@ class Mysql2ParquetSpec extends SparkSpec {
     assert(out == Seq(("added", 1L), ("changed", 1L), ("removed", 1L), ("same", 2L)))
   }
 
+  test("asOf(history, v) equals compacting only events with version <= v, for every v (q158)") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "a0", 0L, "I"),
+      (2L, "b0", 0L, "I"), (2L, "b1", 1L, "U"),
+      (3L, "c0", 0L, "I"), (3L, "x", 1L, "D"),
+      (4L, "d0", 0L, "I"), (4L, "x", 1L, "D"), (4L, "d2", 2L, "I"),
+      (5L, "e1", 1L, "I")
+    ).toDF("pk", "v", "version", "op")
+    val history = graft.ops.Relational.scdHistory(events, "pk", "version", "op")
+    for (ver <- 0L to 2L) {
+      val travel = graft.ops.Relational.asOf(history, ver)
+        .orderBy("pk").as[(Long, String)].collect().toSeq
+      val compact = graft.ops.Relational
+        .snapshotMerge(events.limit(0), events.filter($"version" <= ver), "pk", "version", "op")
+        .orderBy("pk").as[(Long, String)].collect().toSeq
+      assert(travel == compact, s"AS OF $ver must equal prefix compaction")
+    }
+  }
+
   test("run writes parquet; compat+singleFile yields one data file like the reference") {
     val out = java.nio.file.Files.createTempDirectory("m2p").toString + "/out"
     val src = T.customer(spark, sf001)
