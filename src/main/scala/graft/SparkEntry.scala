@@ -27,6 +27,7 @@ object SparkEntry {
       (ops.CorpusOps.queries, ops.CorpusOps.oracle),
       (ops.VectorOps.queries, ops.VectorOps.oracle),
       (ops.EventOps.queries, ops.EventOps.oracle),
+      (ops.LinkageOps.queries, ops.LinkageOps.oracle),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracle)
     )
 
