@@ -175,6 +175,56 @@ object ScalableRank {
       .drop("__pid", "__lrs", "__off")
   }
 
+  /** Appends, per key over `order` (ROWS UNBOUNDED PRECEDING .. CURRENT
+    * ROW), the running sum of `value` (`rsum`) AND the running min/max
+    * of that running sum (`rmin`/`rmax`) — the drawdown primitive:
+    * max(rsum - rmin) is the maximum drawup (≡ maximum-subarray sum of
+    * the deltas), max(rmax - rsum) the maximum drawdown. Same two-phase
+    * decomposition as [[withRunningSum]], still ONE pass over the data:
+    * the nested "running min of a running sum" folds into the tiny
+    * offsets relation because a range partition's contribution to the
+    * global prefix extremum is just (its exclusive sum offset + its
+    * local extremum of the local running sum), prefix-min/maxed in pid
+    * order over ≤ P×|k| rows. `order` must be a unique total order per
+    * key (running extrema of tied rows are otherwise arbitrary).
+    */
+  def withRunningSumMinMax(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                           value: Column, numPartitions: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    val parted = df
+      .repartitionByRange(numPartitions, (keyCols ++ order): _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLoc = Window.partitionBy(col("__pid") +: keyCols: _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one ordered window feeds all three locals; same single-
+    // materialization requirement as withRanks (offsets re-consume __pid)
+    val local = parted
+      .withColumn("__lrs", sum(value).over(wLoc))
+      .withColumn("__lrm", min(col("__lrs")).over(wLoc))
+      .withColumn("__lrx", max(col("__lrs")).over(wLoc))
+      .localCheckpoint(false)
+    val wOff = Window.partitionBy(keyCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col("__pid") +: keyCols: _*)
+      .agg(sum(value).as("__t"), min(col("__lrs")).as("__pmin"),
+        max(col("__lrs")).as("__pmax"))
+      .coalesce(1) // ≤ P×|k| rows; SinglePartition, no key-only exchange
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .withColumn("__moff", min(col("__off") + col("__pmin")).over(wOff))
+      .withColumn("__xoff", max(col("__off") + col("__pmax")).over(wOff))
+      .select((col("__pid") +: keyCols) ++
+        Seq(col("__off"), col("__moff"), col("__xoff")): _*)
+    local
+      .join(broadcast(offsets), "__pid" +: keys)
+      .withColumn("rsum", col("__off") + col("__lrs"))
+      // least/greatest skip NULLs (first partition has no predecessor)
+      .withColumn("rmin", least(col("__moff"), col("__off") + col("__lrm")))
+      .withColumn("rmax", greatest(col("__xoff"), col("__off") + col("__lrx")))
+      .drop("__pid", "__lrs", "__lrm", "__lrx", "__off", "__moff", "__xoff")
+  }
+
   /** Column `/` is double division in Spark — ranking arithmetic needs
     * floor division. floor over doubles is exact below 2^53, far above
     * any real row count (2^53 rows ≈ 9e15).

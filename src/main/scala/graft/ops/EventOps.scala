@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.T
+import graft.functions.ScalableRank
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -223,6 +224,77 @@ object EventOps {
           expr("(1000 * n_click) div greatest(n_signup, 1)").as("click_pm"),
           expr("(1000 * n_purchase) div greatest(n_click, 1)").as("purchase_pm"))
         .orderBy(col("cohort_wk"))
+    }),
+
+    // Last-touch conversion attribution (7-day lookback): every
+    // purchase credits the user's most recent marketing touch
+    // (click/view/signup) strictly before it, or 'direct' if the last
+    // touch is absent/stale. ONE user-keyed shuffle; both window
+    // columns share the same running ROWS frame so the sort is done
+    // once. The (latest-touch channel, latest-touch time) pair stays
+    // consistent because the frame is ordered by (ep, event_id) and ep
+    // is monotone in that order: max(touch ep) IS the ep of the last
+    // non-null touch. Lag is reported as an exact integer-seconds sum
+    // (never a rounded float ratio), NULL for the 'direct' bucket in
+    // both engines (sum over empty set).
+    "q160_attribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ep"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T.events(s, d)
+        .withColumn("ep", unix_timestamp(col("ts")))
+        .withColumn("chan",
+          expr("CASE WHEN event_type IN ('click','view','signup') THEN event_type END"))
+        .withColumn("t_ep", max(when(col("chan").isNotNull, col("ep"))).over(w))
+        .withColumn("t_chan", last(col("chan"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("attributed",
+          expr("CASE WHEN t_ep IS NOT NULL AND ep - t_ep <= 604800 THEN t_chan ELSE 'direct' END"))
+        .groupBy(col("attributed"))
+        .agg(count(lit(1)).as("n_conv"),
+          round(sum(col("value")), 2).as("attr_value"),
+          sum(when(col("attributed") =!= "direct", col("ep") - col("t_ep")))
+            .as("total_lag_s"))
+        .orderBy(col("attributed"))
+    }),
+
+    // CUSUM-style drift detection: per event_type, the cumulative sum
+    // of centered metric deviations; its maximum drawup (rise from the
+    // running minimum) is evidence of an upward mean shift, the
+    // drawdown of a downward one — the classic change-point statistic,
+    // reported exactly. Everything is exact integer arithmetic: the
+    // metric is floored cents (identical IEEE double→floor in both
+    // engines), and centering multiplies through by the group count
+    // (dev = n·x − Σx) instead of subtracting a fractional mean, so
+    // the cumulative series is a BIGINT (scale posture: |cum| ≤ n²·max
+    // cents ≈ 2^63 at ~3e9 rows/group; beyond that the state widens to
+    // DECIMAL(38,0) — same pattern as q152's moments). event_type has
+    // 5 values, so the ordered scan rides the ScalableRank
+    // decomposition (one range shuffle, never 5 single-key tasks);
+    // running min/max of the cumulative sum fold into the tiny offsets
+    // relation (withRunningSumMinMax), still one pass.
+    "q161_cusum_drift" -> ((s, d) => {
+      val ev = T.events(s, d)
+        .withColumn("ep", unix_timestamp(col("ts")))
+        .select(col("event_type"), col("event_id"), col("ep"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("x"))
+      val g = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val dev = ev.join(broadcast(g), "event_type")
+        .withColumn("dev", col("n") * col("x") - col("sx"))
+      ScalableRank
+        .withRunningSumMinMax(dev, Seq("event_type"),
+          Seq(col("ep"), col("event_id")), col("dev"), 32)
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(col("rsum") - col("rmin")).as("max_drawup"),
+          max(col("rmax") - col("rsum")).as("max_drawdown"))
+        .select(col("event_type"), col("n"), col("max_drawup"), col("max_drawdown"),
+          // per-row-mean cents: cum is in units of n·cents and spans
+          // up to n rows, so /n² yields the average per-event shift
+          expr("max_drawup div (n * n)").as("drawup_cents"),
+          expr("max_drawdown div (n * n)").as("drawdown_cents"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -526,6 +598,62 @@ object EventOps {
         |SELECT cohort_wk, n_signup, n_click, n_purchase,
         |       (1000 * n_click) // greatest(n_signup, 1) AS click_pm,
         |       (1000 * n_purchase) // greatest(n_click, 1) AS purchase_pm
-        |FROM g ORDER BY cohort_wk""".stripMargin
+        |FROM g ORDER BY cohort_wk""".stripMargin,
+
+    "q160_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events
+        |), m AS (
+        |  SELECT *, CASE WHEN event_type IN ('click','view','signup')
+        |                 THEN event_type END AS chan
+        |  FROM e
+        |), t AS (
+        |  SELECT user_id, event_id, event_type, value, ep,
+        |    max(CASE WHEN chan IS NOT NULL THEN ep END) OVER w AS t_ep,
+        |    last_value(chan IGNORE NULLS) OVER w AS t_chan
+        |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), p AS (
+        |  SELECT CASE WHEN t_ep IS NOT NULL AND ep - t_ep <= 604800
+        |              THEN t_chan ELSE 'direct' END AS attributed,
+        |         value, ep, t_ep
+        |  FROM t WHERE event_type = 'purchase'
+        |)
+        |SELECT attributed, count(*) AS n_conv,
+        |       round(sum(value), 2) AS attr_value,
+        |       CAST(sum(CASE WHEN attributed <> 'direct' THEN ep - t_ep END) AS BIGINT)
+        |         AS total_lag_s
+        |FROM p GROUP BY 1 ORDER BY attributed""".stripMargin,
+
+    "q161_cusum_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+        |         CAST(floor(value * 100) AS BIGINT) AS x
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx
+        |  FROM e GROUP BY 1
+        |), c AS (
+        |  SELECT e.event_type, e.event_id, e.ep, g.n,
+        |         CAST(sum(g.n * e.x - g.sx) OVER (
+        |           PARTITION BY e.event_type ORDER BY e.ep, e.event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM e JOIN g USING (event_type)
+        |), d AS (
+        |  SELECT event_type, n, cum,
+        |         min(cum) OVER w AS rmin, max(cum) OVER w AS rmax
+        |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY ep, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, max(n) AS n,
+        |       max(cum - rmin) AS max_drawup,
+        |       max(rmax - cum) AS max_drawdown,
+        |       max(cum - rmin) // (max(n) * max(n)) AS drawup_cents,
+        |       max(rmax - cum) // (max(n) * max(n)) AS drawdown_cents
+        |FROM d GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 }

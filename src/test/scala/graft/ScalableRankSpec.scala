@@ -86,6 +86,30 @@ class ScalableRankSpec extends SparkSpec {
     }
   }
 
+  test("withRunningSumMinMax matches nested plain windows across partition counts") {
+    // signed values so the cumulative series genuinely oscillates and
+    // the prefix extrema change hands across range partitions
+    val sdf = (1 to 600).map { i =>
+      (s"k${i % 3}", (i % 11).toLong - 5L, i.toLong)
+    }.toDF("key", "v", "id")
+    val wc = Window.partitionBy(col("key")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = sdf
+      .withColumn("c", sum(col("v")).over(wc))
+      .select(col("key"), col("id"), col("c"),
+        min(col("c")).over(wc).as("m"), max(col("c")).over(wc).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = ScalableRank.withRunningSumMinMax(
+          sdf, Seq("key"), Seq(col("id")), col("v"), parts)
+        .select(col("key"), col("id"), col("rsum"), col("rmin"), col("rmax"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == exp, s"parts=$parts")
+    }
+  }
+
   test("descending order and single-row keys are handled") {
     val gotDesc = twoPhase(desc = true, 7)
       .select(col("key"), col("id"), col("rn")).collect()
