@@ -28,6 +28,7 @@ object SparkEntry {
       (ops.VectorOps.queries, ops.VectorOps.oracle),
       (ops.EventOps.queries, ops.EventOps.oracle),
       (ops.LinkageOps.queries, ops.LinkageOps.oracle),
+      (ops.GraphOps.queries, ops.GraphOps.oracle),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracle)
     )
 

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.T
-import graft.functions.{BloomKit, TextSim}
+import graft.functions.{BloomKit, ScalableRank, TextSim}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -923,8 +923,40 @@ object CorpusOps {
         .agg(sum(col("cw")).cast("long").as("x"), count(lit(1)).as("n_types"))
         .select(col("source"), col("x"), expr("(10000 * n_types) div x").as("y"))
       groupOls(feats, "source", "x", "y").orderBy(col("source"))
-    })
+    }),
+
+    // Size-concentration diagnostic: per-source Gini coefficient of
+    // document sizes plus the top-decile share — the "is this source a
+    // few megadocs or many uniform pages?" signal that decides chunking
+    // and sampling strategy before training. Entirely exact integer
+    // moments over the rank-weighted closed form
+    //   G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx),  x ascending,
+    // reported in ppm via truncating division (numerator ≥ 0 always, so
+    // Spark div ≡ DuckDB //). source is a 20-value key → the ascending
+    // rank rides ScalableRank, never a per-source single task; the
+    // moments then fold in one source-keyed partial agg.
+    "q162_gini_concentration" -> ((s, d) =>
+      giniReport(T.documents(s, d).select(col("source"), col("doc_id"), col("n_chars")))
+        .orderBy(col("source")))
   )
+
+  /** Per-source Gini + top-decile share over (source, doc_id, n_chars)
+    * — see the q162 entry comment for the closed form and exactness
+    * argument. Public so specs can plant extremal distributions.
+    */
+  def giniReport(docs: DataFrame): DataFrame =
+    ScalableRank
+      .withRanks(docs, Seq("source"),
+        Seq(col("n_chars"), col("doc_id")),
+        Seq(col("n_chars"), col("doc_id")), 32)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("rn") * col("n_chars")).as("s1"),
+        sum(expr("CASE WHEN rn > ntot - ntot div 10 THEN n_chars ELSE 0 END")).as("topx"))
+      .select(col("source"), col("n"), col("sx"),
+        expr("(1000000 * (2 * s1 - (n + 1) * sx)) div (n * sx)").as("gini_ppm"),
+        expr("(10000 * topx) div sx").as("top_decile_bp"))
 
   /** Closed-form per-group OLS of y on x from one aggregation pass:
     * slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and friends, every moment an
@@ -1628,6 +1660,24 @@ object CorpusOps {
         |)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
         |       CAST(min(st) AS BIGINT) AS first_p
-        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q162_gini_concentration" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS ntot
+        |  FROM documents
+        |), g AS (
+        |  SELECT source, count(*) AS n,
+        |         CAST(sum(n_chars) AS BIGINT) AS sx,
+        |         CAST(sum(rn * n_chars) AS BIGINT) AS s1,
+        |         CAST(sum(CASE WHEN rn > ntot - ntot // 10 THEN n_chars ELSE 0 END) AS BIGINT) AS topx
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT source, n, sx,
+        |       (1000000 * (2 * s1 - (n + 1) * sx)) // (n * sx) AS gini_ppm,
+        |       (10000 * topx) // sx AS top_decile_bp
+        |FROM g ORDER BY source""".stripMargin
   )
 }

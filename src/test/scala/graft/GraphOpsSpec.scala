@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.{CorpusOps, GraphOps}
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank (q163) and the Gini concentration report
+  * (q162): both are exact-integer operators, so their specs are
+  * hand-computable closed cases plus partition-count invariance (the
+  * determinism claim that justifies oracle-checking them at all).
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("2-cycle is stationary at 1.0; star graph matches hand arithmetic") {
+    // u↔v, deg 1 each: r' = 150000 + 850·1e6/1000 = 1e6 — exact fixpoint.
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("u", "v")
+    val rc = GraphOps.integerPagerank(cyc, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rc === Map(1L -> 1000000L, 2L -> 1000000L))
+
+    // Star: center 0 — leaves 1,2,3 (undirected). After one step:
+    //   r(center) = 150000 + 850·(3·1e6) div 1000          = 2 700 000
+    //   r(leaf)   = 150000 + 850·(1e6 div 3) div 1000      =   433 333
+    // (1e6 div 3 = 333333; 850·333333 = 283333050; div 1000 = 283333)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L))
+      .toDF("u", "v")
+    val r1 = GraphOps.integerPagerank(star, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(0L -> 2700000L, 1L -> 433333L, 2L -> 433333L, 3L -> 433333L))
+  }
+
+  test("pagerank is bit-identical across shuffle-partition counts") {
+    val edges = (0L until 300L).flatMap { i =>
+      val a = i; val b = (i * 7 + 3) % 300
+      Seq((a, b), (b, a))
+    }.toDF("u", "v").distinct()
+    def run() = GraphOps.integerPagerank(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = run()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      assert(run() === base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(base.values.forall(r => r >= 150000L), "teleport mass is a floor")
+  }
+
+  test("gini: uniform source scores 0, winner-take-all scores (n-1)/n") {
+    val uniform = (0L until 40L).map(i => ("u", i, 500L))
+    val skewed = ("w", 100L, 10000L) +: (101L until 140L).map(i => ("w", i, 0L))
+    val docs = (uniform ++ skewed).toDF("source", "doc_id", "n_chars")
+    val got = CorpusOps.giniReport(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got("u")._1 === 0L)
+    // n = 40: G = 39/40 = 0.975 → 975000 ppm; top decile holds all chars
+    assert(got("w") === ((975000L, 10000L)))
+  }
+}
