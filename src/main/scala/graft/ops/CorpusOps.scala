@@ -937,7 +937,41 @@ object CorpusOps {
     // moments then fold in one source-keyed partial agg.
     "q162_gini_concentration" -> ((s, d) =>
       giniReport(T.documents(s, d).select(col("source"), col("doc_id"), col("n_chars")))
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // Quantile normalization across sources (the batch-effect
+    // correction genomics calls quantile normalization and data-mixing
+    // pipelines use to make per-source quality scores comparable): each
+    // doc's size is replaced by the GLOBAL value at its within-source
+    // quantile, via the exact integer midpoint rank map
+    //   R = ((2·r_s − 1)·N + n_s) div (2·n_s)  ∈ [1, N]
+    // — no fractional quantiles, no float interpolation, so both
+    // engines agree bit-exactly. Scale shape: the within-source rank
+    // rides ScalableRank over the 20-value source key; the global rank
+    // is the constant-key extreme of the same decomposition (q98's
+    // pattern); the final lookup is an equi-join on the target rank —
+    // at 100 TB that is 3 range/hash shuffles, never a single-task
+    // window.
+    "q165_quantile_normalize" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      val total = docs.agg(count(lit(1)).as("nn"))
+      // target rank is computed entirely on the probe side (nn arrives
+      // as a broadcast scalar), keeping the lookup a pure equi-join
+      val bySrc = ScalableRank.withRanks(docs, Seq("source"),
+        Seq(col("n_chars"), col("doc_id")), Seq(col("n_chars"), col("doc_id")), 32)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("rn").as("rs"), col("ntot").as("ns"))
+        .crossJoin(broadcast(total))
+        .withColumn("rg", expr("((2 * rs - 1) * nn + ns) div (2 * ns)"))
+      val global = ScalableRank.withRanks(
+        docs.withColumn("g", lit(1)), Seq("g"),
+        Seq(col("n_chars"), col("doc_id")), Seq(col("n_chars"), col("doc_id")), 32)
+        .select(col("rn").as("rg"), col("n_chars").as("norm_chars"))
+      bySrc
+        .join(global, Seq("rg"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("norm_chars"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Per-source Gini + top-decile share over (source, doc_id, n_chars)
@@ -1678,6 +1712,22 @@ object CorpusOps {
         |SELECT source, n, sx,
         |       (1000000 * (2 * s1 - (n + 1) * sx)) // (n * sx) AS gini_ppm,
         |       (10000 * topx) // sx AS top_decile_bp
-        |FROM g ORDER BY source""".stripMargin
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q165_quantile_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rs,
+        |         count(*) OVER (PARTITION BY source) AS ns
+        |  FROM documents
+        |), g AS (
+        |  SELECT n_chars AS norm_chars,
+        |         row_number() OVER (ORDER BY n_chars, doc_id) AS rg
+        |  FROM documents
+        |), n AS (SELECT count(*) AS nn FROM documents)
+        |SELECT r.doc_id, r.source, r.n_chars, g.norm_chars
+        |FROM r CROSS JOIN n
+        |JOIN g ON g.rg = ((2 * r.rs - 1) * n.nn + r.ns) // (2 * r.ns)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -295,6 +295,29 @@ object EventOps {
           expr("max_drawup div (n * n)").as("drawup_cents"),
           expr("max_drawdown div (n * n)").as("drawdown_cents"))
         .orderBy(col("event_type"))
+    }),
+
+    // Gaps-and-islands: per-user consecutive-day activity streaks via
+    // the classic day − row_number() island key (consecutive days share
+    // it; any gap shifts it). One user-keyed shuffle for the window;
+    // the island rollup reuses the same (user, grp) clustering and the
+    // final per-user report is a second keyed agg — day math is all
+    // exact integer epoch days.
+    "q167_activity_streaks" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val days = T.events(s, d)
+        .select(col("user_id"),
+          expr("CAST(datediff(to_date(ts), DATE'1970-01-01') AS BIGINT)").as("day"))
+        .distinct()
+      days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("max_streak"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -654,6 +677,23 @@ object EventOps {
         |       max(cum - rmin) // (max(n) * max(n)) AS drawup_cents,
         |       max(rmax - cum) // (max(n) * max(n)) AS drawdown_cents
         |FROM d GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q167_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+        |  FROM events
+        |), isl AS (
+        |  SELECT user_id,
+        |         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days
+        |), runs AS (
+        |  SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+        |       count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak
+        |FROM runs GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
   )
 }

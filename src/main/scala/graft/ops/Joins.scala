@@ -172,7 +172,41 @@ object Joins {
           T.supplier(s, d), "s_suppkey"))
         .unionByName(fkEdgeAudit("orders.o_custkey->customer", T.orders(s, d), "o_custkey",
           T.customer(s, d), "c_custkey"))
-        .orderBy(col("fk")))
+        .orderBy(col("fk"))),
+
+    // Market-basket association rules (support / confidence / lift)
+    // over order baskets — the classic co-occurrence miner, kept exact:
+    // all three metrics are integer ratios via truncating division of
+    // non-negative counts. The pair generation is a basket-keyed
+    // self-join (co-partitioned on l_orderkey, pairs bounded by
+    // basket-size² per order — baskets are small by construction, so
+    // the blow-up is a constant, not data-scaled); item totals join
+    // back BROADCAST (item vocabulary ≪ fact table). A min-support
+    // floor keeps the output the interesting rules, applied on the
+    // exact pair counts. Lift is scaled ×1000; at 100 TB the
+    // n_ab·N product widens to DECIMAL(38,0) (same posture as q152's
+    // moments).
+    "q166_market_basket" -> ((s, d) => {
+      val items = T.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct()
+      val n = items.select(countDistinct(col("ok")).as("nb"))
+      val itemCnt = items.groupBy(col("item")).agg(count(lit(1)).as("ni"))
+      val pairs = items.as("x")
+        .join(items.as("y"), col("x.ok") === col("y.ok") && col("x.item") < col("y.item"))
+        .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pairs
+        .join(broadcast(itemCnt.select(col("item").as("a"), col("ni").as("n_a"))), Seq("a"))
+        .join(broadcast(itemCnt.select(col("item").as("b"), col("ni").as("n_b"))), Seq("b"))
+        .crossJoin(broadcast(n))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("(1000000 * n_ab) div nb").as("support_ppm"),
+          expr("(1000000 * n_ab) div n_a").as("conf_ppm"),
+          expr("(1000 * n_ab * nb) div (n_a * n_b)").as("lift_milli"))
+        .orderBy(col("a"), col("b"))
+    })
   )
 
   /** One FK edge of q154: (fk, n_child, n_orphans) as a 1-row frame.
@@ -300,6 +334,26 @@ object Joins {
         |FROM orders a JOIN orders b
         |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
         |GROUP BY a.o_custkey
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+
+    "q166_market_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+        |), nb AS (SELECT count(DISTINCT ok) AS nb FROM items),
+        |ic AS (SELECT item, count(*) AS ni FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.item AS a, y.item AS b, count(*) AS n_ab
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |)
+        |SELECT p.a, p.b, p.n_ab, ia.ni AS n_a, ib.ni AS n_b,
+        |       (1000000 * p.n_ab) // nb.nb AS support_ppm,
+        |       (1000000 * p.n_ab) // ia.ni AS conf_ppm,
+        |       (1000 * p.n_ab * nb.nb) // (ia.ni * ib.ni) AS lift_milli
+        |FROM pairs p
+        |JOIN ic ia ON ia.item = p.a
+        |JOIN ic ib ON ib.item = p.b
+        |CROSS JOIN nb
+        |ORDER BY p.a, p.b""".stripMargin
   )
 }

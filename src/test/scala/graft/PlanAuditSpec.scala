@@ -411,6 +411,47 @@ class PlanAuditSpec extends SparkSpec {
       s"bloom probe not found below the verify join:\n$p")
   }
 
+  test("fuzzy linkage joins only on equi keys — fan-out stays bounded (q159)") {
+    // The whole point of deletion-neighborhood blocking is that the
+    // fuzzy match becomes an EQUI join on the variant hash; a nested-
+    // loop anywhere means the blocking degenerated to all-pairs.
+    val p = plan("q159_fuzzy_linkage")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q159 must never plan a non-equi join:\n$p")
+  }
+
+  test("quantile normalization's rank lookup is an equi-join on the target rank (q165)") {
+    // The target rank must be computed probe-side (total count arrives
+    // as a broadcast scalar); if the rank map referenced both sides the
+    // LOOKUP itself would fall back to a nested loop over N x N ranks.
+    // Allowed: exactly one BroadcastNestedLoopJoin — the bounded 1-row
+    // scalar attach. Required: an equi-join (hash or sort-merge) that
+    // carries the rg lookup.
+    val p = physical("q165_quantile_normalize")
+    val bnl = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.size <= 1, s"q165: only the 1-row scalar attach may nested-loop:\n$p")
+    val equi = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec     => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec  => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(equi.exists(_.exists(_.references.exists(_.name == "rg"))),
+      s"q165 rank lookup must be an equi-join on rg:\n$p")
+    assert(!p.toString.contains("CartesianProduct"))
+  }
+
+  test("market-basket dimension joins broadcast; the only big join is basket-keyed (q166)") {
+    val p = physical("q166_market_basket")
+    val bhj = p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.size >= 2,
+      s"q166 item-count joins must broadcast (vocabulary ≪ facts); got ${bhj.size}")
+    assert(!p.toString.contains("CartesianProduct"))
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would
