@@ -971,6 +971,31 @@ object CorpusOps {
         .join(global, Seq("rg"))
         .select(col("doc_id"), col("source"), col("n_chars"), col("norm_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Winsorization report: per source, clamp sizes to the exact
+    // rank-defined p05/p95 values and account for what was clipped —
+    // the outlier-capping step run before any mean-based mixing
+    // weight. Percentile VALUES are defined by integer rank positions
+    // (rank = max(1, (k·n) div 100)) rather than interpolation, so
+    // everything stays exact BIGINT. One ScalableRank pass (20-value
+    // key), bounds come back as a broadcast 20-row relation, and the
+    // ranked relation is consumed twice off its one materialization.
+    "q170_winsorize" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("source"), col("doc_id"), col("n_chars"))
+      val ranked = ScalableRank.withRanks(docs, Seq("source"),
+        Seq(col("n_chars"), col("doc_id")), Seq(col("n_chars"), col("doc_id")), 32)
+      val bounds = ranked.groupBy(col("source")).agg(
+        max(when(col("rn") === expr("greatest(1, (5 * ntot) div 100)"), col("n_chars"))).as("lo"),
+        max(when(col("rn") === expr("greatest(1, (95 * ntot) div 100)"), col("n_chars"))).as("hi"))
+      ranked.join(broadcast(bounds), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+          sum(when(col("n_chars") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+          sum(least(greatest(col("n_chars"), col("lo")), col("hi"))).as("sum_winsorized"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1728,6 +1753,27 @@ object CorpusOps {
         |SELECT r.doc_id, r.source, r.n_chars, g.norm_chars
         |FROM r CROSS JOIN n
         |JOIN g ON g.rg = ((2 * r.rs - 1) * n.nn + r.ns) // (2 * r.ns)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q170_winsorize" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS ntot
+        |  FROM documents
+        |), b AS (
+        |  SELECT source,
+        |         max(CASE WHEN rn = greatest(1, (5 * ntot) // 100) THEN n_chars END) AS lo,
+        |         max(CASE WHEN rn = greatest(1, (95 * ntot) // 100) THEN n_chars END) AS hi
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT r.source, count(*) AS n,
+        |       CAST(max(b.lo) AS BIGINT) AS lo, CAST(max(b.hi) AS BIGINT) AS hi,
+        |       CAST(sum(CASE WHEN r.n_chars < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |       CAST(sum(CASE WHEN r.n_chars > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |       CAST(sum(least(greatest(r.n_chars, b.lo), b.hi)) AS BIGINT) AS sum_winsorized
+        |FROM r JOIN b USING (source)
+        |GROUP BY r.source
+        |ORDER BY source""".stripMargin
   )
 }

@@ -318,6 +318,37 @@ object EventOps {
           count(lit(1)).as("n_streaks"),
           max(col("len")).as("max_streak"))
         .orderBy(col("user_id"))
+    }),
+
+    // Robust pointwise outlier detection (median/MAD, the robust
+    // z-score): per event_type, |x − median| > 3·MAD flags spikes the
+    // mean/stddev rule would let a single extreme value mask. The q161
+    // CUSUM complement: pointwise anomalies vs sustained mean shift.
+    // Exactness: x is floored cents; exact percentile(…, 0.5) of
+    // integers is either an integer or a half-integer, so medians are
+    // reported ×2 as exact BIGINTs and every comparison is between
+    // exactly-representable doubles — no rounding anywhere. Two
+    // percentile passes are inherent to MAD (the deviation needs the
+    // median first); medians arrive back as broadcast 5-row relations.
+    // Scale dial: exact percentile buffers each group's values — at
+    // 100 TB swap both passes to approx_percentile (q29's documented
+    // tiering) and the shape is unchanged.
+    "q169_mad_outliers" -> ((s, d) => {
+      val ev = T.events(s, d).select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("x"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(x, 0.5)").as("m"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("x") - col("m")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(expr("CAST(2 * m AS BIGINT)")).as("med_halfcents"),
+          max(expr("CAST(2 * mad AS BIGINT)")).as("mad_halfcents"),
+          sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -694,6 +725,25 @@ object EventOps {
         |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
         |       count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak
         |FROM runs GROUP BY user_id
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q169_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS x FROM events
+        |), med AS (
+        |  SELECT event_type, median(x) AS m FROM e GROUP BY 1
+        |), dev AS (
+        |  SELECT e.event_type, e.x, abs(e.x - med.m) AS ad, med.m
+        |  FROM e JOIN med USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, median(ad) AS mad FROM dev GROUP BY 1
+        |)
+        |SELECT dev.event_type, count(*) AS n,
+        |       CAST(max(2 * dev.m) AS BIGINT) AS med_halfcents,
+        |       CAST(max(2 * mad.mad) AS BIGINT) AS mad_halfcents,
+        |       CAST(sum(CASE WHEN dev.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY dev.event_type
+        |ORDER BY event_type""".stripMargin
   )
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.T
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join operator family. The reference can only exercise joins through
@@ -191,23 +192,57 @@ object Joins {
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
         .distinct()
       val n = items.select(countDistinct(col("ok")).as("nb"))
-      val itemCnt = items.groupBy(col("item")).agg(count(lit(1)).as("ni"))
-      val pairs = items.as("x")
-        .join(items.as("y"), col("x.ok") === col("y.ok") && col("x.item") < col("y.item"))
-        .groupBy(col("x.item").as("a"), col("y.item").as("b"))
-        .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 3)
-      pairs
-        .join(broadcast(itemCnt.select(col("item").as("a"), col("ni").as("n_a"))), Seq("a"))
-        .join(broadcast(itemCnt.select(col("item").as("b"), col("ni").as("n_b"))), Seq("b"))
+      basketPairCounts(items, 3)
         .crossJoin(broadcast(n))
         .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
           expr("(1000000 * n_ab) div nb").as("support_ppm"),
           expr("(1000000 * n_ab) div n_a").as("conf_ppm"),
           expr("(1000 * n_ab * nb) div (n_a * n_b)").as("lift_milli"))
         .orderBy(col("a"), col("b"))
+    }),
+
+    // Item-kNN collaborative filtering on the same basket substrate:
+    // per item, its top-3 neighbors by co-occurrence cosine
+    // n_ab / √(n_a·n_b). The cosine is a floor of IEEE-identical
+    // doubles (sqrt and division are correctly rounded, inputs are
+    // exact integers), so the ranking key is engine-deterministic with
+    // an explicit (cos, b) tiebreak. Pair relation symmetrizes (each
+    // direction once); the per-item window partitions on the item
+    // VOCABULARY (high-cardinality — Window.partitionBy is the right
+    // tool here, the opposite of the 5-value q31 case).
+    "q168_item_similarity" -> ((s, d) => {
+      val items = T.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct()
+      val p = basketPairCounts(items, 2)
+      val sym = p.select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"))
+        .unionByName(p.select(col("b").as("a"), col("a").as("b"),
+          col("n_ab"), col("n_b").as("n_a"), col("n_a").as("n_b")))
+        .withColumn("cos_ppm",
+          expr("CAST(floor(1000000 * n_ab / sqrt(CAST(n_a * n_b AS DOUBLE))) AS BIGINT)"))
+      val w = Window.partitionBy(col("a")).orderBy(col("cos_ppm").desc, col("b"))
+      sym.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("a"), col("rnk"), col("b"), col("n_ab"), col("cos_ppm"))
+        .orderBy(col("a"), col("rnk"))
     })
   )
+
+  /** Distinct co-occurrence pair counts over (ok, item) baskets with a
+    * min-support floor: (a, b, n_ab, n_a, n_b), a < b. The self-join is
+    * basket-keyed (co-partitioned, bounded by basket size² per basket);
+    * item totals join back broadcast (vocabulary ≪ facts).
+    */
+  def basketPairCounts(items: DataFrame, minSupport: Long): DataFrame = {
+    val itemCnt = items.groupBy(col("item")).agg(count(lit(1)).as("ni"))
+    items.as("x")
+      .join(items.as("y"), col("x.ok") === col("y.ok") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+      .join(broadcast(itemCnt.select(col("item").as("a"), col("ni").as("n_a"))), Seq("a"))
+      .join(broadcast(itemCnt.select(col("item").as("b"), col("ni").as("n_b"))), Seq("b"))
+  }
 
   /** One FK edge of q154: (fk, n_child, n_orphans) as a 1-row frame.
     * n_child counts every child row; n_orphans counts non-null child
@@ -354,6 +389,34 @@ object Joins {
         |JOIN ic ia ON ia.item = p.a
         |JOIN ic ib ON ib.item = p.b
         |CROSS JOIN nb
-        |ORDER BY p.a, p.b""".stripMargin
+        |ORDER BY p.a, p.b""".stripMargin,
+
+    "q168_item_similarity" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+        |), ic AS (SELECT item, count(*) AS ni FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.item AS a, y.item AS b, count(*) AS n_ab
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), pc AS (
+        |  SELECT p.a, p.b, p.n_ab, ia.ni AS n_a, ib.ni AS n_b
+        |  FROM pairs p JOIN ic ia ON ia.item = p.a JOIN ic ib ON ib.item = p.b
+        |), sym AS (
+        |  SELECT a, b, n_ab, n_a, n_b FROM pc
+        |  UNION ALL
+        |  SELECT b AS a, a AS b, n_ab, n_b AS n_a, n_a AS n_b FROM pc
+        |), scored AS (
+        |  SELECT a, b, n_ab,
+        |         CAST(floor(1000000 * n_ab / sqrt(CAST(n_a * n_b AS DOUBLE))) AS BIGINT) AS cos_ppm
+        |  FROM sym
+        |), ranked AS (
+        |  SELECT a, b, n_ab, cos_ppm,
+        |         row_number() OVER (PARTITION BY a ORDER BY cos_ppm DESC, b) AS rnk
+        |  FROM scored
+        |)
+        |SELECT a, rnk, b, n_ab, cos_ppm
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY a, rnk""".stripMargin
   )
 }
