@@ -332,6 +332,50 @@ object StreamingOps {
       }
   }
 
+  final case class TouchState(ep: Long, chan: String)
+  final case class Attribution(user_id: Long, event_id: Long, attributed: String)
+
+  /** Streaming last-touch attribution — the keyed-state twin of batch
+    * q160: per user, remember the most recent marketing touch
+    * (click/view/signup); every purchase emits the touch's channel if
+    * it is within the 7-day lookback, else 'direct'. The state is ONE
+    * (epoch, channel) pair per user — O(users), not O(events) — and
+    * purchases are attributed strictly by the stream order (events
+    * sorted by (ts, event_id) within each micro-batch; cross-batch
+    * late data is the watermarked operators' domain, as with
+    * streamingFunnel). Append-mode output: one row per purchase.
+    */
+  def streamingAttribution(events: Dataset[Ev]): Dataset[Attribution] = {
+    implicit val enc = Encoders.product[Attribution]
+    implicit val stEnc = Encoders.product[TouchState]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[TouchState]) =>
+          var st = state.getOption.getOrElse(TouchState(Long.MinValue, ""))
+          val out = Seq.newBuilder[Attribution]
+          // order by (whole-second epoch, event_id) — the exact total
+          // order the batch twin's window uses, so ties inside one
+          // second resolve identically in both formulations
+          for (e <- evs.toSeq.sortBy(e => (Math.floorDiv(e.ts.getTime, 1000L), e.event_id))) {
+            val ep = Math.floorDiv(e.ts.getTime, 1000L)
+            e.event_type match {
+              case "click" | "view" | "signup" =>
+                st = TouchState(ep, e.event_type)
+              case "purchase" =>
+                val attributed =
+                  if (st.ep != Long.MinValue && ep - st.ep <= 604800L) st.chan
+                  else "direct"
+                out += Attribution(user, e.event_id, attributed)
+              case _ => ()
+            }
+          }
+          if (st.ep != Long.MinValue) state.update(st)
+          out.result().iterator
+      }
+  }
+
   // ---- arbitrary state via transformWithState (Spark 4 API) ----
 
   final case class FunnelState(stage: Int, since: java.sql.Timestamp)

@@ -409,6 +409,45 @@ class StreamingSpec extends SparkSpec {
       "every re-sent doc must be flagged")
   }
 
+  test("streaming attribution equals the batch per-purchase relation (stream twin of q160)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real sf0.001 events fed in global (ep, event_id) order across
+    // several micro-batches, so touch state must survive batch
+    // boundaries to attribute later purchases
+    val evs = T.events(spark, sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect()
+      .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000L), e.event_id))
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.streamingAttribution(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+    for (chunk <- evs.grouped(evs.length / 3 + 1)) {
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("attr_out").collect()
+      .map(r => r.getLong(1) -> r.getString(2)).toMap
+
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val exp = T.events(spark, sf001)
+      .withColumn("ep", unix_timestamp(col("ts")))
+      .withColumn("chan",
+        expr("CASE WHEN event_type IN ('click','view','signup') THEN event_type END"))
+      .withColumn("t_ep", max(when(col("chan").isNotNull, col("ep"))).over(w))
+      .withColumn("t_chan", last(col("chan"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        expr("CASE WHEN t_ep IS NOT NULL AND ep - t_ep <= 604800 THEN t_chan ELSE 'direct' END")
+          .as("attributed"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(exp.nonEmpty, "sf0.001 must contain purchases")
+    assert(got === exp)
+  }
+
   test("mapGroupsWithState accumulates per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
