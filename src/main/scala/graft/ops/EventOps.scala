@@ -349,6 +349,35 @@ object EventOps {
           max(expr("CAST(2 * mad AS BIGINT)")).as("mad_halfcents"),
           sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
         .orderBy(col("event_type"))
+    }),
+
+    // Exponential smoothing (trailing EWMA, α = 1/2, depth 8): the
+    // weighted trailing mean every monitoring pipeline keeps per
+    // entity, made EXACT by using power-of-two integer weights
+    // (2^7..2^0 over the last 8 cents values) and a rank-derived
+    // integer denominator (256 − 2^(7−k) for k available lags) — no
+    // float recursion, no cross-engine drift. One user-keyed window
+    // supplies all 7 lags and the row number; the report is the final
+    // smoothed value per user.
+    "q171_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
+      val lagged = T.events(s, d)
+        .withColumn("ep", unix_timestamp(col("ts")))
+        .select(col("user_id"), col("ep"), col("event_id"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("x"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("num",
+          col("x") * 128 +
+            (1 to 7).map(i => coalesce(lag(col("x"), i).over(w), lit(0L)) *
+              lit(1L << (7 - i))).reduce(_ + _))
+        .withColumn("den",
+          lit(256L) - expr("CAST(shiftleft(1, CAST(7 - least(rn - 1, 7) AS INT)) AS BIGINT)"))
+      lagged
+        .groupBy(col("user_id"))
+        .agg(max(col("rn")).as("n_events"),
+          max(struct(col("rn"), expr("num div den").as("e"))).as("last"))
+        .select(col("user_id"), col("n_events"), col("last.e").as("ewma_cents"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -744,6 +773,32 @@ object EventOps {
         |       CAST(sum(CASE WHEN dev.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev JOIN mad USING (event_type)
         |GROUP BY dev.event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q171_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+        |         CAST(floor(value * 100) AS BIGINT) AS x
+        |  FROM events
+        |), l AS (
+        |  SELECT user_id, x, row_number() OVER w AS rn,
+        |         lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2,
+        |         lag(x, 3) OVER w AS l3, lag(x, 4) OVER w AS l4,
+        |         lag(x, 5) OVER w AS l5, lag(x, 6) OVER w AS l6,
+        |         lag(x, 7) OVER w AS l7
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+        |), s AS (
+        |  SELECT user_id, rn,
+        |         x * 128 + COALESCE(l1, 0) * 64 + COALESCE(l2, 0) * 32
+        |           + COALESCE(l3, 0) * 16 + COALESCE(l4, 0) * 8
+        |           + COALESCE(l5, 0) * 4 + COALESCE(l6, 0) * 2
+        |           + COALESCE(l7, 0) AS num,
+        |         256 - (1 << CAST(7 - least(rn - 1, 7) AS INT)) AS den
+        |  FROM l
+        |)
+        |SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+        |       CAST(max_by(num // den, rn) AS BIGINT) AS ewma_cents
+        |FROM s GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -225,6 +225,35 @@ object Joins {
         .filter(col("rnk") <= 3)
         .select(col("a"), col("rnk"), col("b"), col("n_ab"), col("cos_ppm"))
         .orderBy(col("a"), col("rnk"))
+    }),
+
+    // Frequent triples with Apriori candidate pruning: a triple can
+    // only reach min-support if all three of its pairs do, so the pair
+    // expansion is semi-joined against the (tiny, broadcast) frequent-
+    // pair set BEFORE the third basket join — the candidate explosion
+    // is cut at the earliest point in the plan, which is the entire
+    // content of Apriori at scale. The oracle is the NAIVE unpruned
+    // triple count, so the gate proves the pruning loses nothing
+    // (downward-closure made executable). Joins stay basket-keyed
+    // (bounded by basket size³ per basket only for survivors).
+    "q172_frequent_triples" -> ((s, d) => {
+      val items = T.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct()
+      val fp = basketPairCounts(items, 2).select(col("a"), col("b"))
+      val xy = items.as("x")
+        .join(items.as("y"), col("x.ok") === col("y.ok") && col("x.item") < col("y.item"))
+        .select(col("x.ok").as("ok"), col("x.item").as("a"), col("y.item").as("b"))
+        .join(broadcast(fp), Seq("a", "b"), "left_semi")
+      items.as("z")
+        .join(xy.as("w"), col("w.ok") === col("z.ok") && col("w.b") < col("z.item"))
+        .select(col("w.a").as("a"), col("w.b").as("b"), col("z.item").as("c"))
+        .join(broadcast(fp.select(col("a"), col("b").as("c"))), Seq("a", "c"), "left_semi")
+        .join(broadcast(fp.select(col("a").as("b"), col("b").as("c"))), Seq("b", "c"), "left_semi")
+        .groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("n_abc"))
+        .filter(col("n_abc") >= 2)
+        .orderBy(col("a"), col("b"), col("c"))
     })
   )
 
@@ -417,6 +446,19 @@ object Joins {
         |)
         |SELECT a, rnk, b, n_ab, cos_ppm
         |FROM ranked WHERE rnk <= 3
-        |ORDER BY a, rnk""".stripMargin
+        |ORDER BY a, rnk""".stripMargin,
+
+    "q172_frequent_triples" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+        |), t AS (
+        |  SELECT x.item AS a, y.item AS b, z.item AS c
+        |  FROM items x
+        |  JOIN items y ON x.ok = y.ok AND x.item < y.item
+        |  JOIN items z ON x.ok = z.ok AND y.item < z.item
+        |)
+        |SELECT a, b, c, count(*) AS n_abc
+        |FROM t GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY a, b, c""".stripMargin
   )
 }

@@ -452,6 +452,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toString.contains("CartesianProduct"))
   }
 
+  test("Apriori prunes candidates with broadcast semi-joins before counting (q172)") {
+    val p = physical("q172_frequent_triples")
+    val semis = p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if b.joinType.toString == "LeftSemi" => b
+    }
+    assert(semis.size >= 3,
+      s"q172 must semi-prune against the frequent-pair set on all three pair slots; got ${semis.size}")
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would
