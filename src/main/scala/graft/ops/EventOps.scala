@@ -378,6 +378,89 @@ object EventOps {
           max(struct(col("rn"), expr("num div den").as("e"))).as("last"))
         .select(col("user_id"), col("n_events"), col("last.e").as("ewma_cents"))
         .orderBy(col("user_id"))
+    }),
+
+    // Discrete survival analysis (churn hazard): users' observed
+    // lifetimes in whole weeks (first→last event), then per week k the
+    // hazard = users ending at k / users still at risk at k — the
+    // Kaplan-Meier denominators, exactly. One user-keyed rollup; the
+    // week relation is bounded by the calendar (≤ ~54 rows), so its
+    // ordered at-risk suffix sum is deliberately a bounded-relation
+    // window (DESIGN ground rule 4). Hazard in exact ppm; the survival
+    // CURVE is a cumulative float product and is deliberately left to
+    // the caller (exactness over floats, as everywhere in this repo).
+    "q173_survival_hazard" -> ((s, d) => {
+      val life = T.events(s, d)
+        .withColumn("ep", unix_timestamp(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(expr("(max(ep) - min(ep)) div 604800").as("wk"))
+      val ends = life.groupBy(col("wk")).agg(count(lit(1)).as("n_end"))
+      val w = Window.orderBy(col("wk")).rowsBetween(Window.unboundedPreceding, -1)
+      val n = life.agg(count(lit(1)).as("n_users"))
+      ends.crossJoin(broadcast(n))
+        .withColumn("at_risk", col("n_users") - coalesce(sum(col("n_end")).over(w), lit(0L)))
+        .select(col("wk"), col("n_end"), col("at_risk"),
+          expr("(1000000 * n_end) div at_risk").as("hazard_ppm"))
+        .orderBy(col("wk"))
+    }),
+
+    // RFM segmentation: per-user recency/frequency/monetary quintiles
+    // (ascending rank order; monetary in exact cents) and the composite
+    // r·100+f·10+m segment code. Each quintile is a GLOBAL ranking over
+    // the per-user rollup — the constant-key ScalableRank shape (q98),
+    // never a single-task ntile window; quintile assignment is the
+    // exact closed-form ntileFrom (bit-equal to SQL NTILE, proven in
+    // ScalableRankSpec).
+    "q174_rfm_segments" -> ((s, d) => {
+      val u = T.events(s, d)
+        .withColumn("ep", unix_timestamp(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(max(col("ep")).as("rec"), count(lit(1)).as("freq"),
+          sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("mon"))
+      def quintile(df: DataFrame, met: String, out: String): DataFrame =
+        ScalableRank.withRanks(df.withColumn("g", lit(1)), Seq("g"),
+          Seq(col(met), col("user_id")), Seq(col(met), col("user_id")), 32)
+          .withColumn(out, ScalableRank.ntileFrom(col("rn"), col("ntot"), 5))
+          .drop("rn", "rnk", "drnk", "cume", "ntot", "g")
+      val scored = quintile(quintile(quintile(u, "rec", "r_q"), "freq", "f_q"), "mon", "m_q")
+      scored.select(col("user_id"), col("r_q"), col("f_q"), col("m_q"),
+          (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A/B experiment readout: deterministic 50/50 assignment by the
+    // engine-neutral md5 user hash (q86's split machinery), per-variant
+    // user conversion to purchase, and the pooled two-proportion
+    // z-statistic. The z is a floor of doubles derived from exact
+    // integer counts through the identical IEEE expression in both
+    // engines (sqrt and division are correctly rounded) — floor, not
+    // truncation, because z is signed.
+    "q176_ab_test" -> ((s, d) => {
+      // conversion = "power purchaser" (≥14 purchases): in this data
+      // every user purchases at least once, so the any-purchase rate is
+      // 1.0 and the pooled z degenerates (p0(1−p0) = 0); a thresholded
+      // conversion keeps both rates interior
+      val u = T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14, 1L)
+          .otherwise(0L).as("conv"))
+        .withColumn("variant",
+          expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+      u.agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+          sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+        .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+          expr("(1000000 * conv_a) div n_a").as("rate_a_ppm"),
+          expr("(1000000 * conv_b) div n_b").as("rate_b_ppm"),
+          // CAST(1 AS DOUBLE) everywhere: a bare 1.0 literal is DECIMAL
+          // in Spark SQL and its division rules diverge from DuckDB's
+          expr("""CAST(floor(1000 * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))) AS BIGINT)""")
+            .as("z_milli"))
     })
   )
 
@@ -799,6 +882,68 @@ object EventOps {
         |SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
         |       CAST(max_by(num // den, rn) AS BIGINT) AS ewma_cents
         |FROM s GROUP BY user_id
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q173_survival_hazard" ->
+      """WITH life AS (
+        |  SELECT user_id,
+        |         (max(CAST(floor(epoch(ts)) AS BIGINT))
+        |          - min(CAST(floor(epoch(ts)) AS BIGINT))) // 604800 AS wk
+        |  FROM events GROUP BY 1
+        |), ends AS (
+        |  SELECT wk, count(*) AS n_end FROM life GROUP BY 1
+        |), n AS (SELECT count(*) AS n_users FROM life),
+        |risk AS (
+        |  SELECT wk, n_end,
+        |         (SELECT n_users FROM n)
+        |           - COALESCE(sum(n_end) OVER (ORDER BY wk
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+        |  FROM ends
+        |)
+        |SELECT wk, n_end, CAST(at_risk AS BIGINT) AS at_risk,
+        |       (1000000 * n_end) // at_risk AS hazard_ppm
+        |FROM risk ORDER BY wk""".stripMargin,
+
+    "q174_rfm_segments" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CAST(floor(epoch(ts)) AS BIGINT)) AS rec,
+        |         count(*) AS freq,
+        |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS mon
+        |  FROM events GROUP BY 1
+        |), q AS (
+        |  SELECT user_id,
+        |         CAST(ntile(5) OVER (ORDER BY rec, user_id) AS BIGINT) AS r_q,
+        |         CAST(ntile(5) OVER (ORDER BY freq, user_id) AS BIGINT) AS f_q,
+        |         CAST(ntile(5) OVER (ORDER BY mon, user_id) AS BIGINT) AS m_q
+        |  FROM u
+        |)
+        |SELECT user_id, r_q, f_q, m_q,
+        |       r_q * 100 + f_q * 10 + m_q AS segment
+        |FROM q ORDER BY user_id""".stripMargin,
+
+    "q176_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |              THEN 1 ELSE 0 END AS conv,
+        |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS variant
+        |  FROM events GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |         CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM u
+        |)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |       (1000000 * conv_a) // n_a AS rate_a_ppm,
+        |       (1000000 * conv_b) // n_b AS rate_b_ppm,
+        |       CAST(floor(1000 * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |            / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |                   * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |                   * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))) AS BIGINT)
+        |         AS z_milli
+        |FROM g""".stripMargin
   )
 }
