@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.T
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relations — link-authority scoring of the kind
@@ -62,6 +63,34 @@ object GraphOps {
     r
   }
 
+  /** Bounded-hop single-source-set shortest paths (Bellman-Ford
+    * supersteps on the min-plus semiring): dist' (v) = min(dist(v),
+    * min over edges u→v of dist(u) + w(u,v)), iterated `hops` times
+    * from a seed relation (node, d). Integer weights keep every
+    * distance exact — min-plus needs no division at all, so unlike
+    * [[integerPagerank]] there is not even truncation shedding. Each
+    * superstep is one join of the frontier-bearing dist relation
+    * against the stationary edge relation plus one node-keyed min
+    * partial agg; unreached nodes simply never enter the relation
+    * (no ∞ sentinels to carry).
+    */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame, hops: Int,
+                    reliable: Boolean = false): DataFrame = {
+    def ck(df: DataFrame, eager: Boolean): DataFrame =
+      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    val ed = ck(edges.repartition(col("u")), eager = true)
+    var dist = seeds.select(col("node"), col("d"))
+    for (_ <- 1 to hops) {
+      dist = ck(
+        dist.unionByName(
+          ed.join(dist, ed("u") === dist("node"))
+            .select(col("v").as("node"), (col("d") + col("w")).as("d")))
+          .groupBy(col("node")).agg(min(col("d")).as("d")),
+        eager = false)
+    }
+    dist
+  }
+
   val queries: Map[String, Q] = Map(
     // Authority scores on the undirected bipartite customer↔supplier
     // trade graph (distinct trading pairs via orders ⋈ lineitem).
@@ -76,6 +105,47 @@ object GraphOps {
       val edges = co.select(col("cu").as("u"), col("sv").as("v"))
         .union(co.select(col("sv").as("u"), col("cu").as("v")))
       integerPagerank(edges, 3).orderBy(col("node"))
+    }),
+
+    // 4-hop shortest paths from the sub-10 customers over the weighted
+    // trade graph: edge cost = 1e6 div (trades on the edge), so heavily
+    // traded links are "close" — the supply-chain-proximity query.
+    // Node encoding as in q163.
+    "q177_shortest_paths" -> ((s, d) => {
+      val co = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(T.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("cu"), (col("l_suppkey") * 2 + 1).as("sv"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w", expr("1000000 div n"))
+      val edges = co.select(col("cu").as("u"), col("sv").as("v"), col("w"))
+        .unionByName(co.select(col("sv").as("u"), col("cu").as("v"), col("w")))
+      val seeds = T.customer(s, d).filter(col("c_custkey") < 10)
+        .select((col("c_custkey") * 2).as("node"), lit(0L).as("d"))
+      shortestPaths(edges, seeds, 4).orderBy(col("node"))
+    }),
+
+    // TextRank-style keyword scoring: q163's power iteration run over
+    // the word-adjacency graph of the corpus (consecutive-token pairs,
+    // both directions) — graph and text families composing, which is
+    // the point of operators as library functions. Top 20 keywords by
+    // authority; deterministic (cos-free integer ranks, (r, word)
+    // tiebreak), so the LIMIT is a TakeOrderedAndProject.
+    "q178_textrank_keywords" -> ((s, d) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "wd")))
+      val adj = toks
+        .withColumn("nx", lead(col("wd"), 1).over(w))
+        .filter(col("nx").isNotNull)
+        .select(col("wd").as("a"), col("nx").as("b"))
+        .distinct()
+      val edges = adj.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(adj.select(col("b").as("u"), col("a").as("v")))
+        .distinct()
+      integerPagerank(edges, 3)
+        .orderBy(col("r").desc, col("node"))
+        .limit(20)
     })
   )
 
@@ -104,6 +174,77 @@ object GraphOps {
         |  SELECT v AS node, CAST(150000 + (850 * sum(r // d)) // 1000 AS BIGINT) AS r
         |  FROM ed JOIN i2 ON ed.u = i2.node GROUP BY v
         |)
-        |SELECT node, r FROM i3 ORDER BY node""".stripMargin
+        |SELECT node, r FROM i3 ORDER BY node""".stripMargin,
+
+    "q177_shortest_paths" ->
+      """WITH co AS (
+        |  SELECT o_custkey * 2 AS cu, l_suppkey * 2 + 1 AS sv, count(*) AS n
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2
+        |), cw AS (SELECT cu, sv, 1000000 // n AS w FROM co),
+        |e AS (
+        |  SELECT cu AS u, sv AS v, w FROM cw
+        |  UNION ALL
+        |  SELECT sv AS u, cu AS v, w FROM cw
+        |), d0 AS (
+        |  SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS d
+        |  FROM customer WHERE c_custkey < 10
+        |), d1 AS (
+        |  SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+        |    SELECT node, d FROM d0
+        |    UNION ALL
+        |    SELECT e.v AS node, d0.d + e.w AS d FROM e JOIN d0 ON e.u = d0.node
+        |  ) GROUP BY node
+        |), d2 AS (
+        |  SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+        |    SELECT node, d FROM d1
+        |    UNION ALL
+        |    SELECT e.v AS node, d1.d + e.w AS d FROM e JOIN d1 ON e.u = d1.node
+        |  ) GROUP BY node
+        |), d3 AS (
+        |  SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+        |    SELECT node, d FROM d2
+        |    UNION ALL
+        |    SELECT e.v AS node, d2.d + e.w AS d FROM e JOIN d2 ON e.u = d2.node
+        |  ) GROUP BY node
+        |), d4 AS (
+        |  SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+        |    SELECT node, d FROM d3
+        |    UNION ALL
+        |    SELECT e.v AS node, d3.d + e.w AS d FROM e JOIN d3 ON e.u = d3.node
+        |  ) GROUP BY node
+        |)
+        |SELECT node, d FROM d4 ORDER BY node""".stripMargin,
+
+    "q178_textrank_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), tok AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS p FROM t
+        |), adj AS (
+        |  SELECT DISTINCT ws[p] AS a, ws[p + 1] AS b FROM tok
+        |), e AS (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT a AS u, b AS v FROM adj
+        |    UNION ALL
+        |    SELECT b AS u, a AS v FROM adj
+        |  )
+        |), deg AS (
+        |  SELECT u, count(*) AS d FROM e GROUP BY 1
+        |), ed AS (
+        |  SELECT e.u, e.v, d.d FROM e JOIN deg d USING (u)
+        |), r0 AS (
+        |  SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg
+        |), i1 AS (
+        |  SELECT v AS node, CAST(150000 + (850 * sum(r // d)) // 1000 AS BIGINT) AS r
+        |  FROM ed JOIN r0 ON ed.u = r0.node GROUP BY v
+        |), i2 AS (
+        |  SELECT v AS node, CAST(150000 + (850 * sum(r // d)) // 1000 AS BIGINT) AS r
+        |  FROM ed JOIN i1 ON ed.u = i1.node GROUP BY v
+        |), i3 AS (
+        |  SELECT v AS node, CAST(150000 + (850 * sum(r // d)) // 1000 AS BIGINT) AS r
+        |  FROM ed JOIN i2 ON ed.u = i2.node GROUP BY v
+        |)
+        |SELECT node, r FROM i3 ORDER BY r DESC, node LIMIT 20""".stripMargin
   )
 }

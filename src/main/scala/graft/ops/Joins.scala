@@ -254,6 +254,25 @@ object Joins {
         .agg(count(lit(1)).as("n_abc"))
         .filter(col("n_abc") >= 2)
         .orderBy(col("a"), col("b"), col("c"))
+    }),
+
+    // Join-skew diagnostic: before running a fan-out join, report the
+    // top-20 keys by output contribution (|left|·|right| per key) and
+    // their share of total join output in basis points — the "why is
+    // this join 100× its input" tool, and the input to a salting or
+    // skew-hint decision. Both sides collapse to per-key counts FIRST
+    // (partial-aggregable), so the diagnostic costs two keyed rollups
+    // + a count-sized join, never the fan-out it predicts.
+    "q179_join_skew_report" -> ((s, d) => {
+      val l = T.events(s, d).groupBy(col("user_id").as("k")).agg(count(lit(1)).as("nl"))
+      val r = T.orders(s, d).groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("nr"))
+      val m = l.join(r, "k").withColumn("blowup", col("nl") * col("nr"))
+      val tot = m.agg(sum(col("blowup")).as("tot"))
+      m.crossJoin(broadcast(tot))
+        .select(col("k"), col("nl"), col("nr"), col("blowup"),
+          expr("(10000 * blowup) div tot").as("share_bp"))
+        .orderBy(col("blowup").desc, col("k"))
+        .limit(20)
     })
   )
 
@@ -459,6 +478,21 @@ object Joins {
         |)
         |SELECT a, b, c, count(*) AS n_abc
         |FROM t GROUP BY 1, 2, 3 HAVING count(*) >= 2
-        |ORDER BY a, b, c""".stripMargin
+        |ORDER BY a, b, c""".stripMargin,
+
+    "q179_join_skew_report" ->
+      """WITH l AS (
+        |  SELECT user_id AS k, count(*) AS nl FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT o_custkey AS k, count(*) AS nr FROM orders GROUP BY 1
+        |), m AS (
+        |  SELECT l.k, l.nl, r.nr, l.nl * r.nr AS blowup
+        |  FROM l JOIN r USING (k)
+        |), t AS (SELECT CAST(sum(blowup) AS BIGINT) AS tot FROM m)
+        |SELECT k, nl, nr, blowup,
+        |       (10000 * blowup) // tot AS share_bp
+        |FROM m CROSS JOIN t
+        |ORDER BY blowup DESC, k
+        |LIMIT 20""".stripMargin
   )
 }

@@ -46,6 +46,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(base.values.forall(r => r >= 150000L), "teleport mass is a floor")
   }
 
+  test("shortest paths relax exactly k hops and keep the cheaper route") {
+    // 1 →(5) 2 →(1) 3 and the direct 1 →(10) 3: the two-hop route
+    // (cost 6) must beat the one-hop (10) once hops ≥ 2; node 4 is
+    // reachable only at hop 3; node 5 is disconnected.
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 2L),
+      (5L, 6L, 1L)).toDF("u", "v", "w")
+    val seeds = Seq((1L, 0L)).toDF("node", "d")
+    def run(h: Int) = GraphOps.shortestPaths(edges, seeds, h).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) === Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+    assert(run(2) === Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 12L))
+    assert(run(3) === Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 8L))
+    assert(!run(4).contains(5L) && !run(4).contains(6L), "disconnected stays absent")
+  }
+
   test("gini: uniform source scores 0, winner-take-all scores (n-1)/n") {
     val uniform = (0L until 40L).map(i => ("u", i, 500L))
     val skewed = ("w", 100L, 10000L) +: (101L until 140L).map(i => ("w", i, 0L))
