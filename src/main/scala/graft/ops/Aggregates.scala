@@ -197,7 +197,55 @@ object Aggregates {
           round(element_at(col("pq"), 1), 4).as("p50_qty"),
           round(element_at(col("pq"), 2), 4).as("p90_qty"),
           col("p25_price"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // Period-over-period report: monthly revenue with month-over-month
+    // and year-over-year deltas in basis points. Revenue is exact
+    // floored cents; the month relation is calendar-bounded (≤ ~84
+    // rows), so its lag window is a deliberate bounded-relation window
+    // (DESIGN ground rule 4). Deltas can be NEGATIVE, so they use
+    // floor(double ratio) — never truncating div, which disagrees with
+    // DuckDB's flooring // below zero. Lags are positional on the
+    // observed months (documented; a gapless calendar spine is q09's
+    // recursive-CTE pattern if months can be absent).
+    "q181_period_over_period" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ym"))
+      T.orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("rev"))
+        .withColumn("prev_m", lag(col("rev"), 1).over(w))
+        .withColumn("prev_y", lag(col("rev"), 12).over(w))
+        .select(col("ym"), col("rev"),
+          expr("CAST(floor(CAST(10000 * (rev - prev_m) AS DOUBLE) / prev_m) AS BIGINT)").as("mom_bp"),
+          expr("CAST(floor(CAST(10000 * (rev - prev_y) AS DOUBLE) / prev_y) AS BIGINT)").as("yoy_bp"))
+        .orderBy(col("ym"))
+    }),
+
+    // ABC (Pareto) classification: parts ranked by revenue, cumulative
+    // share cut at 80/95% — the inventory-analytics classic. The
+    // descending cumulative revenue rides the constant-key
+    // ScalableRank running sum (the q98/q117 shape — parts are a
+    // vocabulary, the ranking must not be one task); class totals are
+    // a 3-row rollup. Revenue is the floor of an IEEE-identical double
+    // product (price × (1−discount)), exact thereafter.
+    "q182_abc_classification" -> ((s, d) => {
+      val parts = T.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr(
+          "CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * 100) AS BIGINT)"))
+          .as("rev"))
+        .withColumn("g", lit(1))
+      val tot = parts.agg(sum(col("rev")).as("tot"))
+      graft.functions.ScalableRank
+        .withRunningSum(parts, Seq("g"), Seq(col("rev").desc, col("l_partkey")), col("rev"), 32)
+        .crossJoin(broadcast(tot))
+        .withColumn("share_bp", expr("(10000 * rsum) div tot"))
+        .withColumn("abc", expr(
+          "CASE WHEN share_bp <= 8000 THEN 'A' WHEN share_bp <= 9500 THEN 'B' ELSE 'C' END"))
+        .groupBy(col("abc"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_cents"))
+        .orderBy(col("abc"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -282,6 +330,42 @@ object Aggregates {
         | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
         | round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
         | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q181_period_over_period" ->
+      """WITH m AS (
+        |  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1
+        |), l AS (
+        |  SELECT ym, rev,
+        |         lag(rev, 1) OVER (ORDER BY ym) AS prev_m,
+        |         lag(rev, 12) OVER (ORDER BY ym) AS prev_y
+        |  FROM m
+        |)
+        |SELECT ym, rev,
+        |       CAST(floor(CAST(10000 * (rev - prev_m) AS DOUBLE) / prev_m) AS BIGINT) AS mom_bp,
+        |       CAST(floor(CAST(10000 * (rev - prev_y) AS DOUBLE) / prev_y) AS BIGINT) AS yoy_bp
+        |FROM l ORDER BY ym""".stripMargin,
+
+    "q182_abc_classification" ->
+      """WITH parts AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(floor(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * 100)
+        |                       AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1
+        |), t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM parts),
+        |r AS (
+        |  SELECT l_partkey, rev,
+        |         CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum
+        |  FROM parts
+        |), c AS (
+        |  SELECT rev, (10000 * rsum) // tot AS share_bp FROM r CROSS JOIN t
+        |)
+        |SELECT CASE WHEN share_bp <= 8000 THEN 'A'
+        |            WHEN share_bp <= 9500 THEN 'B' ELSE 'C' END AS abc,
+        |       count(*) AS n_parts, CAST(sum(rev) AS BIGINT) AS rev_cents
+        |FROM c GROUP BY 1 ORDER BY abc""".stripMargin
   )
 }

@@ -996,6 +996,23 @@ object CorpusOps {
           sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
           sum(least(greatest(col("n_chars"), col("lo")), col("hi"))).as("sum_winsorized"))
         .orderBy(col("source"))
+    }),
+
+    // Top-k-with-OTHER rollup (the standard report shape: top 3 tokens
+    // per source, everything else folded into one OTHER row so shares
+    // still total 100%). Token counts are one (source, w) partial agg;
+    // the per-source ranking over the vocabulary-sized relation rides
+    // ScalableRank (20-value key); the fold is a second keyed agg.
+    "q180_topk_others" -> ((s, d) => {
+      val wc = T.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+      ScalableRank.withRanks(wc, Seq("source"),
+          Seq(col("n").desc, col("w")), Seq(col("n"), col("w")), 32)
+        .withColumn("label", when(col("rn") <= 3, col("w")).otherwise(lit("OTHER")))
+        .groupBy(col("source"), col("label"))
+        .agg(sum(col("n")).as("n_tok"), count(lit(1)).as("n_words"))
+        .orderBy(col("source"), col("n_tok").desc, col("label"))
     })
   )
 
@@ -1774,6 +1791,22 @@ object CorpusOps {
         |       CAST(sum(least(greatest(r.n_chars, b.lo), b.hi)) AS BIGINT) AS sum_winsorized
         |FROM r JOIN b USING (source)
         |GROUP BY r.source
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    "q180_topk_others" ->
+      """WITH wc AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        |), c AS (
+        |  SELECT source, w, count(*) AS n FROM wc GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, w, n,
+        |         row_number() OVER (PARTITION BY source ORDER BY n DESC, w) AS rn
+        |  FROM c
+        |), lab AS (
+        |  SELECT source, CASE WHEN rn <= 3 THEN w ELSE 'OTHER' END AS label, n FROM r
+        |)
+        |SELECT source, label, CAST(sum(n) AS BIGINT) AS n_tok, count(*) AS n_words
+        |FROM lab GROUP BY 1, 2
+        |ORDER BY source, n_tok DESC, label""".stripMargin
   )
 }
