@@ -245,6 +245,28 @@ object Aggregates {
         .groupBy(col("abc"))
         .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_cents"))
         .orderBy(col("abc"))
+    }),
+
+    // Equi-depth histogram (the ANALYZE-statistics builder a
+    // cost-based optimizer consumes): 10 buckets of equal row count
+    // over order value, each reporting its exact [lo, hi] cents
+    // envelope and row count. Bucket assignment is the closed-form
+    // ntileFrom over a constant-key ScalableRank ranking (the whole
+    // table is one "group" — exactly the regime the two-phase
+    // decomposition exists for); the rollup is 10 rows.
+    "q183_equidepth_histogram" -> ((s, d) => {
+      val o = T.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("g", lit(1))
+      graft.functions.ScalableRank
+        .withRanks(o, Seq("g"), Seq(col("cents"), col("o_orderkey")),
+          Seq(col("cents"), col("o_orderkey")), 32)
+        .withColumn("bucket",
+          graft.functions.ScalableRank.ntileFrom(col("rn"), col("ntot"), 10))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -366,6 +388,19 @@ object Aggregates {
         |SELECT CASE WHEN share_bp <= 8000 THEN 'A'
         |            WHEN share_bp <= 9500 THEN 'B' ELSE 'C' END AS abc,
         |       count(*) AS n_parts, CAST(sum(rev) AS BIGINT) AS rev_cents
-        |FROM c GROUP BY 1 ORDER BY abc""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY abc""".stripMargin,
+
+    "q183_equidepth_histogram" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), b AS (
+        |  SELECT cents,
+        |         CAST(ntile(10) OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS bucket
+        |  FROM o
+        |)
+        |SELECT bucket, count(*) AS n,
+        |       CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

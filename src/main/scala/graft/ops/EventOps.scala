@@ -461,6 +461,37 @@ object EventOps {
                         * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                         * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))) AS BIGINT)""")
             .as("z_milli"))
+    }),
+
+    // Decile lift / gains chart (the standard scored-model evaluation
+    // readout): users ranked by an engagement score (click count) into
+    // deciles, per-decile conversion rate and CUMULATIVE share of all
+    // conversions captured — "the top 20% of scores capture X% of
+    // converters". Ranking rides constant-key ScalableRank + closed-
+    // form ntileFrom; cumulative gains run on the 10-row decile
+    // relation (bounded-relation window). All rates exact ppm/bp.
+    // Decile 10 = highest score (ascending rank).
+    "q184_lift_chart" -> ((s, d) => {
+      val u = T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("score"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14, 1L)
+            .otherwise(0L).as("conv"))
+        .withColumn("g", lit(1))
+      val ranked = ScalableRank.withRanks(u, Seq("g"),
+          Seq(col("score"), col("user_id")), Seq(col("score"), col("user_id")), 32)
+        .withColumn("decile", ScalableRank.ntileFrom(col("rn"), col("ntot"), 10))
+      val per = ranked.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      val tot = per.agg(sum(col("n_conv")).as("tot_conv"))
+      val w = Window.orderBy(col("decile").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.crossJoin(broadcast(tot))
+        .withColumn("cum_conv", sum(col("n_conv")).over(w))
+        .select(col("decile"), col("n_users"), col("n_conv"),
+          expr("(1000000 * n_conv) div n_users").as("rate_ppm"),
+          expr("(10000 * cum_conv) div tot_conv").as("cum_gain_bp"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -944,6 +975,33 @@ object EventOps {
         |                   * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
         |                   * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))) AS BIGINT)
         |         AS z_milli
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    "q184_lift_chart" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS score,
+        |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |              THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT score, conv,
+        |         CAST(ntile(10) OVER (ORDER BY score, user_id) AS BIGINT) AS decile
+        |  FROM u
+        |), per AS (
+        |  SELECT decile, count(*) AS n_users, CAST(sum(conv) AS BIGINT) AS n_conv
+        |  FROM r GROUP BY 1
+        |), t AS (SELECT CAST(sum(n_conv) AS BIGINT) AS tot_conv FROM per),
+        |c AS (
+        |  SELECT decile, n_users, n_conv,
+        |         CAST(sum(n_conv) OVER (ORDER BY decile DESC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_conv
+        |  FROM per
+        |)
+        |SELECT decile, n_users, n_conv,
+        |       (1000000 * n_conv) // n_users AS rate_ppm,
+        |       (10000 * cum_conv) // tot_conv AS cum_gain_bp
+        |FROM c CROSS JOIN t
+        |ORDER BY decile""".stripMargin
   )
 }
