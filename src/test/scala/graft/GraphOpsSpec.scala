@@ -71,4 +71,39 @@ class GraphOpsSpec extends SparkSpec {
     // n = 40: G = 39/40 = 0.975 → 975000 ppm; top decile holds all chars
     assert(got("w") === ((975000L, 10000L)))
   }
+
+  test("triangles: K4 counts each node in 3 triangles at lcc 10000; paths score 0") {
+    // K4 ∪ path 10-11-12 ∪ a triangle with a pendant (20-21-22, 22-23).
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val path = Seq((10L, 11L), (11L, 12L))
+    val tripend = Seq((20L, 21L), (20L, 22L), (21L, 22L), (22L, 23L))
+    val edges = (k4 ++ path ++ tripend).toDF("a", "b")
+    val got = GraphOps.triangleStats(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // K4: deg 3, C(3,2)=3 neighbor pairs all connected → tri 3, lcc 1.
+    (1L to 4L).foreach(n => assert(got(n) === ((3L, 3L, 10000L)), s"node $n"))
+    // Path interior: deg 2, no closing edge → tri 0, lcc 0.
+    assert(got(11L) === ((2L, 0L, 0L)))
+    assert(got(10L) === ((1L, 0L, 0L)))
+    // Pendant triangle: 22 has deg 3 but only 1 of its 3 neighbor
+    // pairs closes → lcc = 2·1·10000 div (3·2) = 3333.
+    assert(got(22L) === ((3L, 1L, 3333L)))
+    assert(got(23L) === ((1L, 0L, 0L)))
+    assert(got(20L) === ((2L, 1L, 10000L)))
+  }
+
+  test("triangles are orientation-invariant: hub graph counts once per closing edge") {
+    // Hub 0 connected to 1..30; extra edges (1,2) and (3,4) → exactly
+    // 2 triangles; hub participates in both. Degree ordering must not
+    // double- or zero-count regardless of which endpoint is the apex.
+    val hub = (1L to 30L).map(i => (0L, i))
+    val extra = Seq((1L, 2L), (3L, 4L))
+    val edges = (hub ++ extra).toDF("a", "b")
+    val got = GraphOps.triangleStats(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(0L) === 2L)
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L && got(4L) === 1L)
+    assert(got(5L) === 0L)
+    assert(got.values.sum === 6L, "each triangle counted exactly 3 node-times")
+  }
 }
