@@ -37,6 +37,40 @@ object CorpusOps {
   private def h32(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Engine-neutral 40-bit hash (md5 prefix) — the KMV sketch domain.
+    * 2^40 ≫ any per-key distinct count we estimate, so the k-th
+    * minimum stays well inside the domain and the (k−1)·2^40/h_k
+    * estimator's numerator fits int64 (127·2^40 ≈ 1.4e14).
+    */
+  private def h40(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 10), 16, 10).cast("long")
+
+  /** Bottom-k rows per key of a distinct (keys, h) hash relation — the
+    * KMV (k-minimum-values) sketch. Implemented as a rank-limit window
+    * so Spark's WindowGroupLimit rewrite prunes EVERY map partition to
+    * its local bottom-k BEFORE the exchange: the shuffle carries at
+    * most P·k rows per key no matter how many distinct values exist —
+    * the two-phase bottom-k merge (bottom-k of a union ≡ bottom-k of
+    * the per-partition bottom-k's), planned automatically. That bound
+    * is also why the low-cardinality partition key is safe here
+    * (CLAUDE ground rule: bounded-relation windows only).
+    */
+  def kmvSketch(hs: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("h"))
+    hs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Distinct (source, 3-gram shingle) relation — the per-source
+    * content-set the KMV sketches summarize. array_distinct runs
+    * per-doc map-side; the global distinct is one keyed shuffle.
+    */
+  private def sourceShingles(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .select(col("source"),
+        explode(array_distinct(expr(TextSim.gramArrayExpr(3)))).as("g"))
+      .distinct()
+
   val queries: Map[String, Q] = Map(
     // Winnowing fingerprints (MOSS-style): positional 3-word grams,
     // engine-neutral hash, min over each sliding window of 4 grams,
@@ -1013,6 +1047,84 @@ object CorpusOps {
         .groupBy(col("source"), col("label"))
         .agg(sum(col("n")).as("n_tok"), count(lit(1)).as("n_words"))
         .orderBy(col("source"), col("n_tok").desc, col("label"))
+    }),
+
+    // KMV (k-minimum-values) distinct-count sketch per source, audited
+    // against the exact count — the mergeable cardinality summary a
+    // catalog keeps per partition/source (the deterministic,
+    // oracle-replayable cousin of q21's HLL). est = (k−1)·2^40/h_k
+    // where h_k is the k-th smallest 40-bit hash; when fewer than k
+    // distinct hashes exist the sketch IS the set and est is exact.
+    // Scale: the only full-relation shuffles are the distinct; the
+    // sketch build itself ships ≤ P·k rows per source thanks to the
+    // WindowGroupLimit partial prune (see kmvSketch) — at 100 TB the
+    // sketch relation is 20·128 rows regardless of corpus size.
+    "q186_kmv_distinct" -> ((s, d) => {
+      val k = 128
+      val sh = sourceShingles(s, d)
+      val hs = sh.select(col("source"), h40(col("g")).as("h")).distinct()
+      val est = kmvSketch(hs, Seq("source"), k)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sk"), max(col("h")).as("hk"))
+        .select(col("source"),
+          expr(s"CAST(CASE WHEN n_sk >= $k THEN ${(k - 1).toLong * (1L << 40)} div hk ELSE n_sk END AS BIGINT)")
+            .as("est_kmv"))
+      val exact = sh.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+      exact.join(est, "source")
+        .select(col("source"), col("n_exact"), col("est_kmv"),
+          expr("CAST(abs(est_kmv - n_exact) * 10000 div n_exact AS BIGINT)")
+            .as("err_bp"))
+        .orderBy(col("source"))
+    }),
+
+    // Sketched cross-source content overlap: merge two per-source KMV
+    // sketches (bottom-k of S1 ∪ S2 ≡ bottom-k of the two sketches'
+    // union — the closure property that makes KMV mergeable), read
+    // Jaccard off the union sketch (fraction of its members present in
+    // both sides), and scale to an intersection estimate. The exact
+    // overlap columns are the audit tier (one gram-keyed pair join,
+    // q116's shape); the sketch tier touches only |sources|·k rows —
+    // at 100 TB you ship the 20·128-row sketch relation to one
+    // executor, never re-scan the corpus per pair.
+    "q187_kmv_overlap" -> ((s, d) => {
+      val k = 128
+      val sh = sourceShingles(s, d)
+      val hs = sh.select(col("source"), h40(col("g")).as("h")).distinct()
+      val sk = kmvSketch(hs, Seq("source"), k).select(col("source"), col("h"))
+      val srcs = sk.select(col("source")).distinct()
+      val pairs = broadcast(srcs.select(col("source").as("s1"))
+        .crossJoin(srcs.select(col("source").as("s2")))
+        .filter(col("s1") < col("s2")))
+      val pa = pairs.join(sk.withColumnRenamed("source", "s1"), Seq("s1"))
+        .select(col("s1"), col("s2"), col("h"),
+          lit(1).as("ia"), lit(0).as("ib"))
+      val pb = pairs.join(sk.withColumnRenamed("source", "s2"), Seq("s2"))
+        .select(col("s1"), col("s2"), col("h"),
+          lit(0).as("ia"), lit(1).as("ib"))
+      val merged = pa.unionByName(pb)
+        .groupBy(col("s1"), col("s2"), col("h"))
+        .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      val est = kmvSketch(merged, Seq("s1", "s2"), k)
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("kk"), max(col("h")).as("hk"),
+          sum(col("ia") * col("ib")).cast("long").as("nboth"))
+        .select(col("s1"), col("s2"),
+          expr("CAST(nboth * 10000 div kk AS BIGINT)").as("est_j_bp"),
+          expr(s"CAST(CASE WHEN kk >= $k THEN nboth * (${(k - 1).toLong * (1L << 40)} div hk) div kk ELSE nboth END AS BIGINT)")
+            .as("est_inter"))
+      val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("source").as("s1"), col("g"))
+        .join(sh.select(col("source").as("s2"), col("g")), Seq("g"))
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("ni"))
+      est.join(inter, Seq("s1", "s2"), "left")
+        .join(broadcast(sz.select(col("source").as("s1"), col("n").as("n1"))), Seq("s1"))
+        .join(broadcast(sz.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("est_j_bp"), col("est_inter"),
+          coalesce(col("ni"), lit(0L)).as("n_inter"),
+          expr("CAST(coalesce(ni, 0) * 10000 div (n1 + n2 - coalesce(ni, 0)) AS BIGINT)")
+            .as("exact_j_bp"))
+        .orderBy(col("s1"), col("s2"))
     })
   )
 
@@ -1807,6 +1919,90 @@ object CorpusOps {
         |)
         |SELECT source, label, CAST(sum(n) AS BIGINT) AS n_tok, count(*) AS n_words
         |FROM lab GROUP BY 1, 2
-        |ORDER BY source, n_tok DESC, label""".stripMargin
+        |ORDER BY source, n_tok DESC, label""".stripMargin,
+
+    "q186_kmv_distinct" ->
+      """WITH t AS (SELECT source, string_split(text,' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM (SELECT source, ws,
+        |               unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        |        FROM t)
+        |  WHERE len(ws) >= 3
+        |), hs AS (
+        |  SELECT DISTINCT source, CAST(('0x' || substr(md5(g),1,10)) AS BIGINT) AS h
+        |  FROM sh
+        |), rk AS (
+        |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM hs
+        |), sk AS (
+        |  SELECT source, count(*) AS n_sk, max(h) AS hk
+        |  FROM rk WHERE rn <= 128 GROUP BY 1
+        |), ex AS (
+        |  SELECT source, count(*) AS n_exact FROM sh GROUP BY 1
+        |), es AS (
+        |  SELECT ex.source, ex.n_exact,
+        |         CAST(CASE WHEN sk.n_sk >= 128 THEN 139637976727552 // sk.hk
+        |              ELSE sk.n_sk END AS BIGINT) AS est_kmv
+        |  FROM ex JOIN sk ON ex.source = sk.source
+        |)
+        |SELECT source, n_exact, est_kmv,
+        |       CAST(abs(est_kmv - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
+        |FROM es ORDER BY source""".stripMargin,
+
+    "q187_kmv_overlap" ->
+      """WITH t AS (SELECT source, string_split(text,' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM (SELECT source, ws,
+        |               unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        |        FROM t)
+        |  WHERE len(ws) >= 3
+        |), hs AS (
+        |  SELECT DISTINCT source, CAST(('0x' || substr(md5(g),1,10)) AS BIGINT) AS h
+        |  FROM sh
+        |), rk AS (
+        |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM hs
+        |), sk AS (SELECT source, h FROM rk WHERE rn <= 128),
+        |srcs AS (SELECT DISTINCT source FROM sk),
+        |pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2
+        |  FROM srcs a JOIN srcs b ON a.source < b.source
+        |), m AS (
+        |  SELECT s1, s2, h, max(ia) AS ia, max(ib) AS ib FROM (
+        |    SELECT p.s1, p.s2, k.h, 1 AS ia, 0 AS ib
+        |    FROM pairs p JOIN sk k ON k.source = p.s1
+        |    UNION ALL
+        |    SELECT p.s1, p.s2, k.h, 0 AS ia, 1 AS ib
+        |    FROM pairs p JOIN sk k ON k.source = p.s2
+        |  ) GROUP BY 1, 2, 3
+        |), mr AS (
+        |  SELECT s1, s2, h, ia, ib,
+        |         row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn
+        |  FROM m
+        |), es AS (
+        |  SELECT s1, s2, count(*) AS kk, max(h) AS hk,
+        |         CAST(sum(ia * ib) AS BIGINT) AS nboth
+        |  FROM mr WHERE rn <= 128 GROUP BY 1, 2
+        |), sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        |iv AS (
+        |  SELECT a.source AS s1, b.source AS s2, count(*) AS ni
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT es.s1, es.s2,
+        |       CAST(es.nboth * 10000 // es.kk AS BIGINT) AS est_j_bp,
+        |       CAST(CASE WHEN es.kk >= 128
+        |            THEN es.nboth * (139637976727552 // es.hk) // es.kk
+        |            ELSE es.nboth END AS BIGINT) AS est_inter,
+        |       CAST(coalesce(iv.ni, 0) AS BIGINT) AS n_inter,
+        |       CAST(coalesce(iv.ni, 0) * 10000
+        |            // (z1.n + z2.n - coalesce(iv.ni, 0)) AS BIGINT) AS exact_j_bp
+        |FROM es
+        |LEFT JOIN iv ON es.s1 = iv.s1 AND es.s2 = iv.s2
+        |JOIN sz z1 ON es.s1 = z1.source
+        |JOIN sz z2 ON es.s2 = z2.source
+        |ORDER BY es.s1, es.s2""".stripMargin
   )
 }

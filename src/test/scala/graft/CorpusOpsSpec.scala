@@ -681,4 +681,39 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(single == Map(2L -> (1L, 6L)))
   }
+
+  test("kmv sketch: exact bottom-k, small-set degeneracy, merge closure, layout invariance") {
+    import spark.implicits._
+    // Deterministic pseudo-hashes from an LCG — distinct positive longs.
+    def vals(seed: Long, n: Int): Seq[Long] = {
+      var x = seed
+      (1 to n).map { _ => x = (x * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffffL; x }.distinct
+    }
+    val a = vals(7L, 500)
+    val b = vals(99L, 60) ++ a.take(40) // overlap with a
+    val hs = (a.map(("a", _)) ++ b.distinct.map(("b", _))).toDF("source", "h")
+    val k = 128
+
+    val sk = CorpusOps.kmvSketch(hs, Seq("source"), k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    // Operator output IS the true bottom-k (JVM recompute).
+    assert(sk("a") === a.sorted.take(k))
+    // |b| < k: the sketch is the whole set — estimates degenerate to exact.
+    assert(sk("b") === b.distinct.sorted)
+
+    // Merge closure: bottom-k of (A ∪ B) == bottom-k of (sk(A) ∪ sk(B)) —
+    // the property that makes q187's pair phase correct from sketches alone.
+    val unionTrue = (a ++ b).distinct.sorted.take(k)
+    val unionFromSketches = (sk("a") ++ sk("b")).distinct.sorted.take(k)
+    assert(unionFromSketches === unionTrue)
+
+    // Physical-layout invariance: the partial WindowGroupLimit prune must
+    // not change the result for any partitioning of the input.
+    val sk13 = CorpusOps.kmvSketch(hs.repartition(13), Seq("source"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+    val sk1 = CorpusOps.kmvSketch(hs.repartition(1), Seq("source"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(sk13 === sk1)
+  }
 }

@@ -462,6 +462,27 @@ class PlanAuditSpec extends SparkSpec {
       s"q172 must semi-prune against the frequent-pair set on all three pair slots; got ${semis.size}")
   }
 
+  test("KMV sketch build prunes map-side via partial WindowGroupLimit (q186)") {
+    // The scale claim of kmvSketch: the rank-limit window compiles to
+    // WindowGroupLimit(Partial) BELOW the source-keyed exchange, so
+    // each map task ships at most k rows per source — the two-phase
+    // bottom-k merge. If a Spark upgrade stops planning the partial
+    // prune, the sketch build silently degrades to shuffling the whole
+    // distinct-hash relation; this assertion turns that into a failure.
+    val p = physical("q186_kmv_distinct")
+    val partials = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.mode.toString == "Partial" => w
+    }
+    assert(partials.nonEmpty, "no partial WindowGroupLimit in the sketch build")
+    val prunedExchange = shuffles(p).exists(e => e.child.collectFirst {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.mode.toString == "Partial" => w
+    }.nonEmpty)
+    assert(prunedExchange,
+      "the partial WindowGroupLimit must sit below an exchange (map-side prune)")
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would
