@@ -25,15 +25,31 @@ object T {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS,false) in the parquet footer, which
-    * Spark's vectorized reader refuses; sessions set
-    * spark.sql.legacy.parquet.nanosAsLong=true and the nanos→micros
-    * conversion happens here so every consumer sees a real TimestampType
-    * `ts` (micro truncation only — the generator emits µs resolution).
+  /** events.ts has shipped under two different parquet footers across
+    * testdata generations: TIMESTAMP(NANOS,false) (which Spark's
+    * vectorized reader only loads as BIGINT under
+    * spark.sql.legacy.parquet.nanosAsLong=true) and
+    * TIMESTAMP(MICROS,false) (which loads as TIMESTAMP_NTZ under the
+    * default NTZ inference). Branch on the loaded dtype so every
+    * consumer sees a real TimestampType `ts` regardless of footer:
+    * BIGINT → nanos→micros conversion; any temporal type → cast to
+    * session-local timestamp (identity under the UTC session pin both
+    * entrypoints and SparkSpec set).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.expr
-    load(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventsTs(load(s, d, "events"))
+
+  /** The dtype branch itself, shared with the streaming path (a
+    * readStream carries the same footer-dependent `ts` type and needs
+    * the identical normalization — StreamingSpec's file-source test).
+    */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.LongType
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -475,19 +475,28 @@ object CorpusOps {
     // corpus already has elsewhere". Unlike q94 (distinct grams,
     // first-occurrence attribution), this scores every position, so
     // within-doc repeats of a cross-doc gram all count as covered.
-    // Shapes: positional gram generate (projection), gram-keyed
-    // distinct-doc count (partial-aggregable), gram-keyed join back,
-    // doc rollup — the q94 cost envelope.
+    // Shapes: the positional explode is collapsed to (doc_id, g,
+    // positions) IMMEDIATELY (partial-aggregable, map-side combine
+    // inside the scan stage), so nothing downstream ever carries
+    // per-position rows; doc frequency is then a count over a
+    // g-partitioned window on that collapsed relation — one shuffle by
+    // g replaces the old gram-keyed agg + join-back pair, and the only
+    // other shuffle is the final doc rollup. (The old per-position
+    // join-back spilled at the positional explode and swung 7→92 s on
+    // identical sf0.1 runs; the collapsed shape is both smaller and
+    // stable — measured in DESIGN.md.)
     "q97_dup_span_coverage" -> ((s, d) => {
-      val grams = T.documents(s, d)
+      val gd = T.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"),
-          posexplode(expr(TextSim.gramArrayExpr(3))).as(Seq("pos", "g")))
-      val dfreq = grams.groupBy(col("g")).agg(countDistinct(col("doc_id")).as("df"))
-      grams.join(dfreq, "g")
+        .select(col("doc_id"), explode(expr(TextSim.gramArrayExpr(3))).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("n_gpos"))
+      val perGram = gd.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("g"))))
+      perGram
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_pos"),
-             sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_pos"))
+        .agg(sum(col("n_gpos")).as("n_pos"),
+             sum(when(col("df") >= 2, col("n_gpos")).otherwise(0L)).as("n_dup_pos"))
         .select(col("doc_id"), col("n_pos"), col("n_dup_pos"),
           expr("(10000 * n_dup_pos) div n_pos").as("dup_bp"))
         .orderBy(col("doc_id"))

@@ -129,8 +129,9 @@ object GraphOps {
         when(lt, col("db")).otherwise(col("da")).as("dv"))
     // The oriented relation feeds three consumers (wedge left, wedge
     // right, semi probe). A localCheckpoint here was MEASURED SLOWER
-    // (6.0 s vs 5.4 s at sf0.1 — materialization cost exceeds the
-    // recompute; same verdict as the q63 shingle subtree, DESIGN.md).
+    // on round-6 data (6.0 vs 5.4 s) AND no better on round-7 data
+    // (27.5 vs 24.9 s min) — the wedge subtree, not the edge build,
+    // dominates; recompute beats materialization again (DESIGN.md).
     val o2 = o.select(col("u").as("u2"), col("v").as("w"), col("dv").as("dw"))
     val wed = o.join(o2,
       col("u") === col("u2") &&
@@ -138,7 +139,11 @@ object GraphOps {
           (col("dv") === col("dw") && col("v") < col("w"))))
       .select(col("u").as("x"), col("v").as("y"), col("w").as("z"))
     val probe = o.select(col("u").as("y2"), col("v").as("z2"))
-    val tri = wed.join(probe,
+    // LEFT SEMI probes O(m^1.5) wedge rows against O(m) edges: a
+    // sort-merge join pays an O(W log W) sort of the WEDGE side, a
+    // shuffled-hash join only hashes the edge side and streams wedges
+    // through it — the hint is what keeps the big side sort-free.
+    val tri = wed.join(probe.hint("shuffle_hash"),
       col("y") === col("y2") && col("z") === col("z2"), "left_semi")
     val perNode = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
@@ -223,6 +228,38 @@ object GraphOps {
           col("o") === col("o2") && col("a") < col("b"))
         .select(col("a"), col("b")).distinct()
       triangleStats(e)
+    }),
+
+    // Approximate triangle census — the production dial next to q185's
+    // exact tier (the q61→q62 tiering pattern). DOULION (Tsourakakis
+    // et al., KDD'09): keep each edge independently with probability
+    // p = 1/4, count triangles exactly on the sparsified graph, scale
+    // by 1/p³ = 64 for an unbiased global estimate. Sampling is a
+    // DETERMINISTIC md5 coin on the edge key (not rand()), so the
+    // result is reproducible and the DuckDB oracle replays the exact
+    // same subgraph — an approximate operator with a bit-exact oracle.
+    // Scale posture: wedge fan-out scales ~p² (16× fewer wedges than
+    // exact at p=1/4) and the sparsified graph reuses the same
+    // degree-ordered O(m^1.5) kernel, so this is the dial to turn when
+    // the exact census dominates a run; variance is Θ(1/(p³·T))-tight
+    // for triangle-rich graphs so the estimate tightens as data grows.
+    "q185b_triangles_sampled" -> ((s, d) => {
+      val op = T.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val keep = conv(substring(md5(concat_ws(",", col("a"), col("b"))), 1, 8), 16, 10)
+        .cast("long") % 4 === 0
+      val e = op.select(col("o"), col("p").as("a"))
+        .join(op.select(col("o").as("o2"), col("p").as("b")),
+          col("o") === col("o2") && col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+        .filter(keep)
+      triangleStats(e)
+        .agg(count(lit(1)).as("n_nodes"),
+             expr("CAST(sum(deg) div 2 AS BIGINT)").as("n_edges"),
+             expr("CAST(sum(tri) div 3 AS BIGINT)").as("n_tri_sampled"),
+             expr("CAST((sum(tri) div 3) * 64 AS BIGINT)").as("est_tri"))
+        .orderBy(col("n_nodes"))
     })
   )
 
@@ -359,6 +396,30 @@ object GraphOps {
         |            THEN (2 * coalesce(tn.t, 0) * 10000) // (deg.d * (deg.d - 1))
         |            ELSE 0 END AS BIGINT) AS lcc_bp
         |FROM deg LEFT JOIN tn ON deg.n = tn.n
-        |ORDER BY node""".stripMargin
+        |ORDER BY node""".stripMargin,
+
+    "q185b_triangles_sampled" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |), e AS (
+        |  SELECT a, b FROM e0
+        |  WHERE CAST(('0x' || substr(md5(CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 0
+        |), tri AS (
+        |  SELECT count(*) AS t
+        |  FROM e ab JOIN e bc ON ab.b = bc.a
+        |            JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+        |), stats AS (
+        |  SELECT count(DISTINCT n) AS n_nodes FROM (
+        |    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        |), ne AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        |       CAST(n_edges AS BIGINT) AS n_edges,
+        |       CAST(t AS BIGINT) AS n_tri_sampled,
+        |       CAST(t * 64 AS BIGINT) AS est_tri
+        |FROM stats, tri, ne
+        |ORDER BY n_nodes""".stripMargin
   )
 }

@@ -92,6 +92,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(20L) === ((2L, 1L, 10000L)))
   }
 
+  test("sampled triangle tier: subgraph of the exact tier, estimator algebra holds") {
+    val sf = sf001
+    val exact = graft.ops.GraphOps.queries("q185_triangles")(spark, sf)
+    val sampled = graft.ops.GraphOps.queries("q185b_triangles_sampled")(spark, sf)
+      .collect()(0)
+    val exactTri = exact.agg(expr("CAST(sum(tri) div 3 AS BIGINT)")).collect()(0).getLong(0)
+    val exactNodes = exact.count()
+    // The md5 coin keeps ~1/4 of edges: the sampled node set is a
+    // subset and the sampled exact count cannot exceed the full count.
+    assert(sampled.getAs[Long]("n_nodes") <= exactNodes)
+    assert(sampled.getAs[Long]("n_tri_sampled") <= exactTri)
+    // est = 64 × sampled count, by construction (1/p³ at p=1/4).
+    assert(sampled.getAs[Long]("est_tri") === sampled.getAs[Long]("n_tri_sampled") * 64)
+  }
+
+  test("sampled triangle tier is deterministic across shuffle-partition counts") {
+    val a = graft.ops.GraphOps.queries("q185b_triangles_sampled")(spark, sf001).collect().toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = graft.ops.GraphOps.queries("q185b_triangles_sampled")(spark, sf001).collect().toSeq
+      assert(a === b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("triangles are orientation-invariant: hub graph counts once per closing edge") {
     // Hub 0 connected to 1..30; extra edges (1,2) and (3,4) → exactly
     // 2 triangles; hub participates in both. Degree ordering must not

@@ -181,9 +181,10 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("file-source streaming over the real events table matches the batch aggregation") {
-    import org.apache.spark.sql.functions.expr
-    // readStream needs an explicit schema; ts arrives as long nanos
-    // (nanosAsLong) and is converted exactly as T.events does.
+    // readStream needs an explicit schema; ts arrives in whatever
+    // physical type the parquet footer dictates (long nanos under
+    // nanosAsLong, TIMESTAMP_NTZ for a MICROS footer) and is
+    // normalized by the same shared dtype branch T.events uses.
     // the file streaming source requires a directory: stage the
     // (unmodified) events file into one
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
@@ -191,9 +192,8 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf001/events.parquet"),
       dir.resolve("events.parquet"))
     val raw = spark.read.parquet(s"$sf001/events.parquet")
-    val stream = spark.readStream.schema(raw.schema)
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = T.normalizeEventsTs(
+      spark.readStream.schema(raw.schema).parquet(dir.toString))
     val q = StreamingOps.completeToMemory(
       StreamingOps.tumblingCounts(stream), "file_out").start()
     q.processAllAvailable(); q.stop()
