@@ -431,6 +431,30 @@ object CorpusOps {
         .orderBy(col("source"))
     }),
 
+    // Temperature-scaled source mixing weights — the α-sampling op
+    // every multi-source pretraining mix runs (mC4/GPT-3 style:
+    // sample source s proportional to n_s^α, α=1/2, so head sources
+    // are flattened and tail sources up-weighted). Exactness: the
+    // only float op is sqrt, which IEEE 754 requires to be correctly
+    // rounded — identical in any engine — and floor() lands it back
+    // in exact BIGINT before any sum, so the ppm shares are integer
+    // arithmetic end to end (never a float sum whose order could
+    // drift). Shapes: one source-keyed partial agg over the corpus +
+    // a broadcast 1-row totals join — |sources| rows after the scan,
+    // nothing else moves at 100 TB.
+    "q188_mix_weights" -> ((s, d) => {
+      val counts = T.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tok"))
+        .withColumn("w", expr("CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT)"))
+      val tot = counts.agg(sum(col("n_tok")).as("tot_tok"), sum(col("w")).as("tot_w"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tok"),
+          expr("(1000000 * n_tok) div tot_tok").as("raw_ppm"),
+          expr("(1000000 * w) div tot_w").as("alpha_ppm"))
+        .orderBy(col("source"))
+    }),
+
     // Per-doc n-gram novelty: the fraction of a doc's distinct
     // 3-grams whose corpus-wide first occurrence (min doc_id over docs
     // containing the gram) is this doc — the curation signal for "how
@@ -1501,6 +1525,24 @@ object CorpusOps {
         |       CAST(sum(CASE WHEN f_short + f_ttr + f_longword = 0 THEN 1 ELSE 0 END)
         |            AS BIGINT) AS n_pass
         |FROM gates GROUP BY source ORDER BY source""".stripMargin,
+
+    "q188_mix_weights" ->
+      """WITH c AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT source, n_tok,
+        |         CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS w
+        |  FROM c
+        |), t AS (
+        |  SELECT CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+        |         CAST(sum(w) AS BIGINT) AS tot_w
+        |  FROM w
+        |)
+        |SELECT source, n_tok,
+        |       (1000000 * n_tok) // tot_tok AS raw_ppm,
+        |       (1000000 * w) // tot_w AS alpha_ppm
+        |FROM w, t ORDER BY source""".stripMargin,
 
     "q93_domain_mix" ->
       """WITH c AS (

@@ -574,6 +574,30 @@ object Dedup {
       sourceDupRateFrom(docs, canonicalizeLsh(docs))
     }),
 
+    // Token-weighted dedup savings — the number the pipeline owner
+    // actually budgets with: q120 counts duplicate DOCS, this weighs
+    // them by token count ("canonicalization frees N training tokens
+    // from source S"). Rides the production canonicalization; beyond
+    // canonicalizeLsh's keyed stages this is one |sources|-row rollup
+    // of per-doc token counts computed in the scan projection.
+    "q189_dedup_token_savings" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(canonicalizeLsh(docs), Seq("doc_id"), "left_outer")
+        .withColumn("dup_tok",
+          when(col("canonical_id").isNotNull &&
+               col("canonical_id") =!= col("doc_id"), col("n_tok"))
+            .otherwise(0L))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("tok_total"),
+             sum(col("dup_tok")).as("tok_saved"))
+        .select(col("source"), col("tok_total"), col("tok_saved"),
+          (col("tok_total") - col("tok_saved")).as("tok_kept"),
+          expr("(10000 * tok_saved) div tok_total").as("saved_bp"))
+        .orderBy(col("source"))
+    }),
+
     // Dedup audit: the cluster-size histogram a dedup run reports
     // (how much mass sits in how-deep duplicate clusters). Rides the
     // PRODUCTION canonicalization; unclustered docs are size-1
@@ -949,6 +973,34 @@ object Dedup {
          |                         THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS dup_bp
          |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q189_dedup_token_savings" ->
+      s"""WITH RECURSIVE pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |), e(a, b) AS (
+         |  SELECT id1, id2 FROM pr UNION SELECT id2, id1 FROM pr
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+         |), lab AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+         |  FROM reach GROUP BY a
+         |), dt AS (
+         |  SELECT d.source,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+         |         CASE WHEN l.canonical_id IS NOT NULL
+         |               AND l.canonical_id <> d.doc_id
+         |              THEN CAST(len(string_split(d.text, ' ')) AS BIGINT)
+         |              ELSE 0 END AS dup_tok
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |)
+         |SELECT source,
+         |       CAST(sum(n_tok) AS BIGINT) AS tok_total,
+         |       CAST(sum(dup_tok) AS BIGINT) AS tok_saved,
+         |       CAST(sum(n_tok) - sum(dup_tok) AS BIGINT) AS tok_kept,
+         |       (10000 * CAST(sum(dup_tok) AS BIGINT)) // CAST(sum(n_tok) AS BIGINT) AS saved_bp
+         |FROM dt GROUP BY source ORDER BY source""".stripMargin,
 
     "q115_dedup_cluster_histogram" ->
       s"""WITH RECURSIVE pr AS (

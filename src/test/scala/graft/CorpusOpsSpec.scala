@@ -716,4 +716,29 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
     assert(sk13 === sk1)
   }
+
+  test("mix weights: α=1/2 flattens the mix toward uniform, integer-exact (q188)") {
+    val rows = CorpusOps.queries("q188_mix_weights")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // floor-division shares: each Σ ∈ (1e6 - |sources|, 1e6]
+    val n = rows.length
+    Seq(rows.map(_._3).sum, rows.map(_._4).sum).foreach { tot =>
+      assert(tot <= 1000000L && tot > 1000000L - n, s"share sum $tot out of range")
+    }
+    // temperature scaling flattens: the largest source loses share,
+    // the smallest gains (strictly, unless the mix is already uniform)
+    val byTok = rows.sortBy(_._2)
+    val (small, big) = (byTok.head, byTok.last)
+    if (small._2 < big._2) {
+      assert(big._4 < big._3, s"head source not flattened: $big")
+      assert(small._4 > small._3, s"tail source not up-weighted: $small")
+    }
+    // exactness: w = floor(sqrt(n_tok)) recomputed in the JVM
+    val recomputed = rows.map { case (_, tok, _, _) => math.sqrt(tok.toDouble).toLong }
+    val totW = recomputed.sum
+    rows.zip(recomputed).foreach { case ((_, _, _, alpha), w) =>
+      assert(alpha === 1000000L * w / totW)
+    }
+  }
 }

@@ -502,4 +502,25 @@ class DedupSpec extends SparkSpec {
     // the card partitions the corpus
     assert(card.values.map(_._1).sum === T.documents(spark, sf001).count())
   }
+
+  test("token savings reconcile with the dup-rate audit and partition the corpus (q189)") {
+    val sav = Dedup.queries("q189_dedup_token_savings")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val dup = Dedup.queries("q120_source_dup_rate")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    sav.foreach { case (s, (total, saved, kept, bp)) =>
+      assert(kept === total - saved, s"source $s: kept+saved != total")
+      assert(bp === (10000L * saved) / total)
+      // a source saves tokens iff q120 counts duplicate docs there
+      assert((saved > 0) === (dup(s) > 0),
+        s"source $s: token savings disagree with q120 on dup presence")
+    }
+    // Σ tok_total over sources = corpus token count
+    val corpusTok = T.documents(spark, sf001)
+      .select(org.apache.spark.sql.functions.expr(
+        "CAST(sum(size(split(text, ' '))) AS BIGINT)").as("t"))
+      .collect()(0).getLong(0)
+    assert(sav.values.map(_._1).sum === corpusTok)
+  }
 }
