@@ -483,6 +483,44 @@ class PlanAuditSpec extends SparkSpec {
       "the partial WindowGroupLimit must sit below an exchange (map-side prune)")
   }
 
+  test("triangle closure probes by shuffled hash — the wedge side never sorts (q185/q185b)") {
+    // The round-7 3× win: a sort-merge LEFT SEMI pays an O(W log W)
+    // sort of the O(m^1.5) wedge relation; the hint keeps the big side
+    // streaming against a hashed O(m) edge side. If a Spark upgrade
+    // starts ignoring the hint, this fails instead of the bench
+    // silently tripling.
+    Seq("q185_triangles", "q185b_triangles_sampled").foreach { q =>
+      val semis = physical(q).collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+            if j.joinType.sql == "LEFT SEMI" => j
+      }
+      assert(semis.nonEmpty,
+        s"$q: triangle closure is not a shuffled-hash semi join")
+    }
+  }
+
+  test("dup-span coverage never shuffles per-position rows (q97)") {
+    // Round-7 reshape: positions collapse to (doc_id, g) partial aggs
+    // map-side; every exchange must be partial-agg-fed or the window/
+    // sort machinery over already-collapsed rows — a raw Generate
+    // feeding an exchange means the positional explode is back on the
+    // wire (the 7→92 s spill regression this reshape eliminated).
+    val p = physical("q97_dup_span_coverage")
+    shuffles(p).foreach { e =>
+      assert(!unwrap(e.child).isInstanceOf[org.apache.spark.sql.execution.GenerateExec],
+        s"q97: an exchange is fed directly by the positional Generate\n$e")
+    }
+    assertKeyedExchangesPartialAggFed("q97_dup_span_coverage", "doc_id")
+  }
+
+  test("mix weights broadcast the totals — the source rollup is partial-agg-fed (q188)") {
+    val p = physical("q188_mix_weights")
+    assert(p.collectFirst {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.nonEmpty, "q188: totals row is not broadcast")
+    assertKeyedExchangesPartialAggFed("q188_mix_weights", "source")
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would
