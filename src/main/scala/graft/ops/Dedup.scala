@@ -574,6 +574,29 @@ object Dedup {
       sourceDupRateFrom(docs, canonicalizeLsh(docs))
     }),
 
+    // Cluster representative selection — the consolidation step after
+    // canonicalization: real pipelines don't keep the min-id member,
+    // they keep the BEST one (here: longest text, the standard
+    // keep-most-content rule; doc_id breaks ties deterministically).
+    // The encoded max_by key n_tok·1e8 − doc_id makes the argmax a
+    // single partial-aggregable agg — no per-cluster window, no sort;
+    // one cluster-keyed shuffle of |docs| pre-reduced rows at any
+    // corpus size. Output: multi-member clusters with their chosen rep.
+    "q190_cluster_representatives" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(canonicalizeLsh(docs), Seq("doc_id"), "left_outer")
+        .select(coalesce(col("canonical_id"), col("doc_id")).as("cluster_id"),
+          col("doc_id"), col("n_tok"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+             expr("max_by(doc_id, n_tok * 100000000 - doc_id)").as("rep_doc_id"),
+             max(col("n_tok")).as("rep_n_tok"))
+        .filter(col("n_members") >= 2)
+        .orderBy(col("cluster_id"))
+    }),
+
     // Token-weighted dedup savings — the number the pipeline owner
     // actually budgets with: q120 counts duplicate DOCS, this weighs
     // them by token count ("canonicalization frees N training tokens
@@ -973,6 +996,29 @@ object Dedup {
          |                         THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS dup_bp
          |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q190_cluster_representatives" ->
+      s"""WITH RECURSIVE pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |), e(a, b) AS (
+         |  SELECT id1, id2 FROM pr UNION SELECT id2, id1 FROM pr
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+         |), lab AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+         |  FROM reach GROUP BY a
+         |), m AS (
+         |  SELECT coalesce(l.canonical_id, d.doc_id) AS cluster_id, d.doc_id,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |)
+         |SELECT cluster_id, count(*) AS n_members,
+         |       arg_max(doc_id, n_tok * 100000000 - doc_id) AS rep_doc_id,
+         |       CAST(max(n_tok) AS BIGINT) AS rep_n_tok
+         |FROM m GROUP BY cluster_id HAVING count(*) >= 2
+         |ORDER BY cluster_id""".stripMargin,
 
     "q189_dedup_token_savings" ->
       s"""WITH RECURSIVE pr AS (

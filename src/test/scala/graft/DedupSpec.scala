@@ -523,4 +523,33 @@ class DedupSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(sav.values.map(_._1).sum === corpusTok)
   }
+
+  test("cluster reps: rep belongs to its cluster with max tokens; cluster set = q115's multi-member clusters (q190)") {
+    import org.apache.spark.sql.functions.{coalesce, col, size, split}
+    val docs = T.documents(spark, sf001)
+    val members = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(Dedup.canonicalizeLsh(docs), Seq("doc_id"), "left_outer")
+      .select(coalesce(col("canonical_id"), col("doc_id")).as("cluster_id"),
+        col("doc_id"), col("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val reps = Dedup.queries("q190_cluster_representatives")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    reps.foreach { case (cid, n, rep, repTok) =>
+      val mem = members(cid)
+      assert(mem.size.toLong === n)
+      assert(mem.exists(m => m._2 == rep && m._3 == repTok), s"rep $rep not in cluster $cid")
+      assert(repTok === mem.map(_._3).max, s"cluster $cid rep is not max-token")
+      // deterministic tiebreak: among max-token members, the smallest id
+      assert(rep === mem.filter(_._3 == repTok).map(_._2).min)
+    }
+    // exactly the multi-member clusters, which q115's histogram also counts
+    val multi = members.filter(_._2.size >= 2).keySet
+    assert(reps.map(_._1).toSet === multi)
+    val histDocs = Dedup.queries("q115_dedup_cluster_histogram")(spark, sf001)
+      .filter(col("cluster_size") >= 2)
+      .collect().map(_.getLong(2)).sum
+    assert(reps.map(_._2).sum === histDocs, "member mass disagrees with q115")
+  }
 }
