@@ -455,6 +455,35 @@ object CorpusOps {
         .orderBy(col("source"))
     }),
 
+    // Token-budget mix allocation — the step after q188: given a
+    // total training-token budget (half the corpus here) and the
+    // α-tempered shares, how many tokens to draw from each source and
+    // how many EPOCHS of that source that means (the repeat factor
+    // data-constrained scaling work budgets with — >1 epoch = the
+    // source repeats, the up-weighted tail's usual fate). All integer,
+    // overflow-audited: the naive budget·w_s product is a
+    // corpus-global × per-source term that breaks int64 near 2e13
+    // tokens, so the target goes through q188's ppm share with the
+    // exact two-term decomposition floor(b·p/1e6) =
+    // (b div 1e6)·p + ((b mod 1e6)·p) div 1e6 — every intermediate
+    // ≤ max(budget, 1e12). Same shapes as q188: one source-keyed
+    // partial agg, one broadcast totals row.
+    "q191_mix_budget" -> ((s, d) => {
+      val counts = T.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tok"))
+        .withColumn("w", expr("CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT)"))
+      val tot = counts.agg(
+        expr("sum(n_tok) div 2").as("budget"), sum(col("w")).as("tot_w"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("alpha_ppm", expr("(1000000 * w) div tot_w"))
+        .withColumn("target_tok",
+          expr("(budget div 1000000) * alpha_ppm + ((budget % 1000000) * alpha_ppm) div 1000000"))
+        .select(col("source"), col("n_tok"), col("target_tok"),
+          expr("(10000 * target_tok) div n_tok").as("epochs_bp"))
+        .orderBy(col("source"))
+    }),
+
     // Per-doc n-gram novelty: the fraction of a doc's distinct
     // 3-grams whose corpus-wide first occurrence (min doc_id over docs
     // containing the gram) is this doc — the curation signal for "how
@@ -1525,6 +1554,28 @@ object CorpusOps {
         |       CAST(sum(CASE WHEN f_short + f_ttr + f_longword = 0 THEN 1 ELSE 0 END)
         |            AS BIGINT) AS n_pass
         |FROM gates GROUP BY source ORDER BY source""".stripMargin,
+
+    "q191_mix_budget" ->
+      """WITH c AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT source, n_tok,
+        |         CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS w
+        |  FROM c
+        |), t AS (
+        |  SELECT CAST(sum(n_tok) AS BIGINT) // 2 AS budget,
+        |         CAST(sum(w) AS BIGINT) AS tot_w
+        |  FROM w
+        |), a AS (
+        |  SELECT source, n_tok,
+        |         (budget // 1000000) * ((1000000 * w) // tot_w)
+        |         + ((budget % 1000000) * ((1000000 * w) // tot_w)) // 1000000 AS target_tok
+        |  FROM w, t
+        |)
+        |SELECT source, n_tok, target_tok,
+        |       (10000 * target_tok) // n_tok AS epochs_bp
+        |FROM a ORDER BY source""".stripMargin,
 
     "q188_mix_weights" ->
       """WITH c AS (

@@ -741,4 +741,30 @@ class CorpusOpsSpec extends SparkSpec {
       assert(alpha === 1000000L * w / totW)
     }
   }
+
+  test("mix budget: targets conserve the budget and epochs follow the flattening (q191)") {
+    val rows = CorpusOps.queries("q191_mix_budget")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val corpusTok = rows.map(_._2).sum
+    val budget = corpusTok / 2
+    // floor-division losses only: Σ target ∈ (budget - |sources| - 1e6-rounding, budget]
+    val tgt = rows.map(_._3).sum
+    assert(tgt <= budget && tgt > budget - rows.length * 2L - 1000000L,
+      s"targets $tgt do not conserve budget $budget")
+    rows.foreach { case (src, nTok, target, epochsBp) =>
+      assert(epochsBp === 10000L * target / nTok, s"$src epochs inconsistent")
+    }
+    // flattening ⇒ the SMALLEST source gets the deepest repeat factor
+    val bySize = rows.sortBy(_._2)
+    if (bySize.head._2 < bySize.last._2)
+      assert(bySize.head._4 >= bySize.last._4,
+        "tail source should repeat at least as deeply as the head source")
+    // cross-query consistency: target_tok = floor(budget · q188.alpha_ppm / 1e6)
+    val ppm = CorpusOps.queries("q188_mix_weights")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    rows.foreach { case (src, _, target, _) =>
+      val p = ppm(src)
+      assert(target === (budget / 1000000L) * p + (budget % 1000000L) * p / 1000000L)
+    }
+  }
 }
