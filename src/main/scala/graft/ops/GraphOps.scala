@@ -156,6 +156,35 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** Bounded k-core peeling: `rounds` rounds of "drop every node with
+    * degree < k, keep only edges between survivors", then report the
+    * surviving nodes with their post-peel degrees. Fixed round count
+    * (not peel-to-convergence) keeps the operator a finite declarative
+    * plan — the same bounded-superstep contract as [[integerPagerank]]
+    * / [[shortestPaths]]; survivors are an upper bound on the true
+    * k-core that tightens per round. Each round is one node-keyed
+    * degree agg + two keyed LEFT SEMI filters of the (shrinking) edge
+    * relation; lineage is cut per round (executor-local checkpoint,
+    * O(m) bound, never the driver).
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("n"))
+        .unionByName(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k)
+      e = e
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .select(col("n").as("node"), col("d").as("deg"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Authority scores on the undirected bipartite customer↔supplier
     // trade graph (distinct trading pairs via orders ⋈ lineitem).
@@ -228,6 +257,22 @@ object GraphOps {
           col("o") === col("o2") && col("a") < col("b"))
         .select(col("a"), col("b")).distinct()
       triangleStats(e)
+    }),
+
+    // Dense-core extraction on the co-purchase part graph (q185's
+    // edge relation): 3 rounds of 3-core peeling strip pendant and
+    // chain structure so what remains is the densely co-purchased
+    // "core catalog" — the graph-cleaning step run before community
+    // or embedding passes so hubs-by-accident don't pollute them.
+    "q192_kcore" -> ((s, d) => {
+      val op = T.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = op.select(col("o"), col("p").as("a"))
+        .join(op.select(col("o").as("o2"), col("p").as("b")),
+          col("o") === col("o2") && col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      kcorePeel(e, 3, 3)
     }),
 
     // Approximate triangle census — the production dial next to q185's
@@ -396,6 +441,38 @@ object GraphOps {
         |            THEN (2 * coalesce(tn.t, 0) * 10000) // (deg.d * (deg.d - 1))
         |            ELSE 0 END AS BIGINT) AS lcc_bp
         |FROM deg LEFT JOIN tn ON deg.n = tn.n
+        |ORDER BY node""".stripMargin,
+
+    "q192_kcore" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |), d1 AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1
+        |), k1 AS (SELECT n FROM d1 WHERE d >= 3),
+        |e1 AS (
+        |  SELECT a, b FROM e0
+        |  WHERE a IN (SELECT n FROM k1) AND b IN (SELECT n FROM k1)
+        |), d2 AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1
+        |), k2 AS (SELECT n FROM d2 WHERE d >= 3),
+        |e2 AS (
+        |  SELECT a, b FROM e1
+        |  WHERE a IN (SELECT n FROM k2) AND b IN (SELECT n FROM k2)
+        |), d3 AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1
+        |), k3 AS (SELECT n FROM d3 WHERE d >= 3),
+        |e3 AS (
+        |  SELECT a, b FROM e2
+        |  WHERE a IN (SELECT n FROM k3) AND b IN (SELECT n FROM k3)
+        |)
+        |SELECT n AS node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1
         |ORDER BY node""".stripMargin,
 
     "q185b_triangles_sampled" ->

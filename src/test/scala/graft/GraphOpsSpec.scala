@@ -117,6 +117,24 @@ class GraphOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("k-core peeling: K4 survives 3-core peeling, chains and pendants strip; dense graphs are fixed points") {
+    // K4 (every deg 3) ∪ a chain 10-11-12-13 hanging off node 1 via
+    // (1,10): the chain peels in waves — deg-1 endpoints go first —
+    // and K4 survives with its internal degrees intact.
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((1L, 10L), (10L, 11L), (11L, 12L), (12L, 13L))
+    val got = GraphOps.kcorePeel((k4 ++ chain).toDF("a", "b"), 3, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core of K4+chain must be exactly K4, got $got")
+    // Idempotence: peeling the surviving core again changes nothing.
+    val again = GraphOps.kcorePeel(k4.toDF("a", "b"), 3, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+    // k above the max degree empties the graph.
+    assert(GraphOps.kcorePeel(k4.toDF("a", "b"), 4, 3).count() === 0L)
+  }
+
   test("triangles are orientation-invariant: hub graph counts once per closing edge") {
     // Hub 0 connected to 1..30; extra edges (1,2) and (3,4) → exactly
     // 2 triangles; hub participates in both. Degree ordering must not
