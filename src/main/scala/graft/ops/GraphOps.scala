@@ -185,6 +185,61 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** Capped-neighborhood link prediction by the resource-allocation
+    * index (Zhou/Lü/Zhang 2009): for a non-adjacent pair (a, b),
+    * RA(a,b) = Σ_{c ∈ N(a)∩N(b)} 1/deg(c) — common neighbors weighted
+    * so that promiscuous hubs contribute little. Scores are exact
+    * integer ppm (1000000 div deg, truncating), so the sum is
+    * order-independent and engine-exact — the same
+    * exactness-over-floats trade as [[integerPagerank]] (and the
+    * reason RA was chosen over Adamic-Adar's 1/ln(deg), whose libm
+    * last-ulp differences could straddle a truncation boundary).
+    *
+    * Scale posture: candidate generation is the wedge self-join, and
+    * on a dense graph (this co-purchase graph: median degree ≈ 119,
+    * 148M unoriented wedges at sf0.1 — DuckDB recount) the full wedge
+    * set is the scale-killer. The dial is a DETERMINISTIC fan-out cap
+    * (GraphSAGE-style neighbor sampling): each node keeps only the
+    * `cap` neighbors with the smallest md5 coin on the directed
+    * (u,v) pair, bounding wedge volume by n·C(cap,2) — LINEAR in
+    * nodes regardless of degree skew (cap=32 ⇒ ≤ 496 wedges/node:
+    * ~9.9M at sf0.1 vs 148M uncapped). The md5 coin (not rand())
+    * means the DuckDB oracle replays the identical sampled
+    * neighborhood, so the approximate operator stays bit-exact-checked
+    * — the q185b discipline. Center weights use the TRUE degree (the
+    * RA semantics); only candidate enumeration is capped.
+    */
+  def linkPredictionRA(edges: DataFrame, cap: Int, topK: Int): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    // per-node fan-out cap: row_number over the md5 coin; u is
+    // node-cardinality (high), so Window.partitionBy(u) hash-spreads
+    // — not the low-cardinality regime that needs ScalableRank
+    val capped = und
+      .withColumn("h",
+        conv(substring(md5(concat_ws(":", col("u"), col("v"))), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("u")).orderBy(col("h"), col("v"))))
+      .filter(col("rn") <= cap)
+      .select(col("u").as("c"), col("v"))
+    // wedges centered at c — both endpoints drawn from the capped list
+    val cand = capped.select(col("c"), col("v").as("x"))
+      .join(capped.select(col("c").as("c2"), col("v").as("y")),
+        col("c") === col("c2") && col("x") < col("y"))
+      .select(col("c"), col("x").as("a"), col("y").as("b"))
+    val scored = cand
+      .join(deg.select(col("u").as("c"), col("d")), "c")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div d")).as("ra_ppm"))
+    scored
+      .join(edges, Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_ppm").desc, col("cn").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   val queries: Map[String, Q] = Map(
     // Authority scores on the undirected bipartite customer↔supplier
     // trade graph (distinct trading pairs via orders ⋈ lineitem).
@@ -305,6 +360,22 @@ object GraphOps {
              expr("CAST(sum(tri) div 3 AS BIGINT)").as("n_tri_sampled"),
              expr("CAST((sum(tri) div 3) * 64 AS BIGINT)").as("est_tri"))
         .orderBy(col("n_nodes"))
+    }),
+
+    // "Frequently bought together — but never yet in one basket":
+    // top-100 non-adjacent part pairs of the co-purchase graph ranked
+    // by the resource-allocation index over md5-capped neighborhoods
+    // (cap 32). The recommendation/link-prediction operator a catalog
+    // pipeline runs on the same edge relation q185/q192 analyze.
+    "q193_link_prediction" -> ((s, d) => {
+      val op = T.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = op.select(col("o"), col("p").as("a"))
+        .join(op.select(col("o").as("o2"), col("p").as("b")),
+          col("o") === col("o2") && col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      linkPredictionRA(e, cap = 32, topK = 100)
     })
   )
 
@@ -497,6 +568,36 @@ object GraphOps {
         |       CAST(t AS BIGINT) AS n_tri_sampled,
         |       CAST(t * 64 AS BIGINT) AS est_tri
         |FROM stats, tri, ne
-        |ORDER BY n_nodes""".stripMargin
+        |ORDER BY n_nodes""".stripMargin,
+
+    "q193_link_prediction" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |), und AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+        |), deg AS (
+        |  SELECT u, count(*) AS d FROM und GROUP BY 1
+        |), capped AS (
+        |  SELECT u AS c, v FROM (
+        |    SELECT u, v, row_number() OVER (
+        |      PARTITION BY u
+        |      ORDER BY CAST(('0x' || substr(md5(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 8)) AS BIGINT), v
+        |    ) AS rn FROM und)
+        |  WHERE rn <= 32
+        |), cand AS (
+        |  SELECT x.c AS c, x.v AS a, y.v AS b
+        |  FROM capped x JOIN capped y ON x.c = y.c AND x.v < y.v
+        |), scored AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+        |         CAST(sum(1000000 // d) AS BIGINT) AS ra_ppm
+        |  FROM cand JOIN deg ON cand.c = deg.u
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a, b, cn, ra_ppm FROM scored
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = scored.a AND e.b = scored.b)
+        |ORDER BY ra_ppm DESC, cn DESC, a, b LIMIT 100""".stripMargin
   )
 }

@@ -149,4 +149,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(5L) === 0L)
     assert(got.values.sum === 6L, "each triangle counted exactly 3 node-times")
   }
+
+  test("link prediction: path and cycle closed forms, existing edges excluded (q193)") {
+    // Path 1—3—2: the only candidate is (1,2) through center 3
+    // (deg 2) → cn=1, ra_ppm = 1000000 div 2 = 500000.
+    val path = Seq((1L, 3L), (2L, 3L)).toDF("a", "b")
+    val p = GraphOps.linkPredictionRA(path, cap = 32, topK = 10).collect()
+    assert(p.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      === Seq((1L, 2L, 1L, 500000L)))
+
+    // 4-cycle 1-2-3-4: both diagonals score through two deg-2 centers
+    // → cn=2, ra_ppm=1000000; adjacent pairs are edges and excluded.
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val c = GraphOps.linkPredictionRA(cyc, cap = 32, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(c === Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+  }
+
+  test("link prediction: fan-out cap bounds candidate volume deterministically (q193)") {
+    // Star center 0 with 5 leaves, all leaf pairs non-adjacent. With
+    // cap=5 every leaf pair is a candidate (C(5,2)=10, each cn=1,
+    // ra_ppm = 1000000 div 5); with cap=2 the center keeps exactly 2
+    // md5-chosen neighbors → exactly 1 candidate pair. Which leaves
+    // survive is the coin's choice; HOW MANY is the cap's contract.
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    val full = GraphOps.linkPredictionRA(star, cap = 5, topK = 100).collect()
+    assert(full.length === 10)
+    assert(full.forall(r => r.getLong(2) === 1L && r.getLong(3) === 200000L))
+    val capped = GraphOps.linkPredictionRA(star, cap = 2, topK = 100).collect()
+    assert(capped.length === 1)
+    // Determinism: the same coin picks the same pair on a rerun.
+    val again = GraphOps.linkPredictionRA(star, cap = 2, topK = 100).collect()
+    assert(capped.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
