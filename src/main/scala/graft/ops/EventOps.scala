@@ -492,6 +492,67 @@ object EventOps {
           expr("(1000000 * n_conv) div n_users").as("rate_ppm"),
           expr("(10000 * cum_conv) div tot_conv").as("cum_gain_bp"))
         .orderBy(col("decile"))
+    }),
+
+    // Rolling 7-day active users (the DAU/WAU/stickiness engagement
+    // triple): for every calendar day of the observed span, distinct
+    // users active that day and in the trailing 7-day window, plus
+    // DAU/WAU stickiness in exact ppm. Rolling DISTINCT does not
+    // decompose as a window aggregate; the distributed shape is the
+    // coverage expansion: each (user, active-day) covers the 7 window
+    // ends it contributes to (a bounded 7× map-side explode), then one
+    // (user, window-end) dedup and a day-keyed count — every stage
+    // partial-aggregable or keyed on high-cardinality (user, day). The
+    // calendar spine is one tiny sequence explode (|days| rows), so
+    // zero-activity days still report 0 rather than vanishing.
+    "q194_rolling_actives" -> ((s, d) => {
+      val ud = T.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      // sequence(day, day+6) is always ascending (stop ≥ start), so
+      // the Spark-descending / DuckDB-empty divergence (q99's trap)
+      // cannot trigger here.
+      val wau = ud
+        .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("wend"))
+        .distinct()
+        .groupBy(col("wend")).agg(count(lit(1)).as("wau"))
+      val cal = ud.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(expr("sequence(lo, hi)")).as("day"))
+      cal
+        .join(wau.withColumnRenamed("wend", "day"), Seq("day"), "left_outer")
+        .join(dau, Seq("day"), "left_outer")
+        .select(col("day"),
+          coalesce(col("dau"), lit(0L)).as("dau"),
+          coalesce(col("wau"), lit(0L)).as("wau"),
+          expr("CAST(CASE WHEN coalesce(wau, 0) > 0 THEN (1000000 * coalesce(dau, 0)) div wau ELSE 0 END AS BIGINT)")
+            .as("stickiness_ppm"))
+        .orderBy(col("day"))
+    }),
+
+    // Power-user curve (the L28-style engagement histogram): how many
+    // users were active on exactly k distinct days, with the
+    // heaviest-first cumulative share ("users with ≥ k active days").
+    // Two partial-aggregable keyed aggs (user-day dedup → per-user
+    // count → per-count histogram); the cumulative window runs over
+    // the ≤ |span| histogram rows, not users — the q184 discipline of
+    // windowing only post-rollup relations.
+    "q195_engagement_histogram" -> ((s, d) => {
+      val perUser = T.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_active_days"))
+      val hist = perUser.groupBy(col("n_active_days")).agg(count(lit(1)).as("n_users"))
+      val tot = hist.agg(sum(col("n_users")).as("tot"))
+      val w = Window.orderBy(col("n_active_days").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.crossJoin(broadcast(tot))
+        .withColumn("cum_users", sum(col("n_users")).over(w))
+        .select(col("n_active_days"), col("n_users"), col("cum_users"),
+          expr("(1000000 * cum_users) div tot").as("cum_share_ppm"))
+        .orderBy(col("n_active_days"))
     })
   )
 
@@ -1002,6 +1063,53 @@ object EventOps {
         |       (1000000 * n_conv) // n_users AS rate_ppm,
         |       (10000 * cum_conv) // tot_conv AS cum_gain_bp
         |FROM c CROSS JOIN t
-        |ORDER BY decile""".stripMargin
+        |ORDER BY decile""".stripMargin,
+
+    "q194_rolling_actives" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+        |  FROM events
+        |), dau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+        |), wau AS (
+        |  SELECT wend, CAST(count(*) AS BIGINT) AS wau FROM (
+        |    SELECT DISTINCT user_id, day + g.i AS wend
+        |    FROM ud, generate_series(0, 6) AS g(i))
+        |  GROUP BY 1
+        |), cal AS (
+        |  SELECT unnest(generate_series(min(day), max(day))) AS day FROM ud
+        |)
+        |SELECT cal.day AS day,
+        |       coalesce(dau.dau, 0) AS dau,
+        |       coalesce(wau.wau, 0) AS wau,
+        |       CAST(CASE WHEN coalesce(wau.wau, 0) > 0
+        |            THEN (1000000 * coalesce(dau.dau, 0)) // wau.wau
+        |            ELSE 0 END AS BIGINT) AS stickiness_ppm
+        |FROM cal
+        |LEFT JOIN wau ON wau.wend = cal.day
+        |LEFT JOIN dau ON dau.day = cal.day
+        |ORDER BY day""".stripMargin,
+
+    "q195_engagement_histogram" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), pu AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_active_days
+        |  FROM ud GROUP BY 1
+        |), hist AS (
+        |  SELECT n_active_days, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM pu GROUP BY 1
+        |), t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tot FROM hist),
+        |c AS (
+        |  SELECT n_active_days, n_users,
+        |         CAST(sum(n_users) OVER (ORDER BY n_active_days DESC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |  FROM hist
+        |)
+        |SELECT n_active_days, n_users, cum_users,
+        |       (1000000 * cum_users) // tot AS cum_share_ppm
+        |FROM c CROSS JOIN t
+        |ORDER BY n_active_days""".stripMargin
   )
 }

@@ -212,4 +212,39 @@ class EventOpsSpec extends SparkSpec {
     assert(cells.map(_.getLong(2)).sum === global.getLong(1))
     assert(cells.map(_.getLong(3)).sum === global.getLong(2))
   }
+
+  test("rolling actives: contiguous spine, WAU ≥ DAU, window equals brute-force recount (q194)") {
+    val rows = EventOps.queries("q194_rolling_actives")(spark, sf001).collect()
+    val days = rows.map(_.getLong(0))
+    // calendar spine is contiguous min..max even if some day had no events
+    assert(days.toSeq === (days.min to days.max).toSeq)
+    rows.foreach { r =>
+      val (dau, wau, st) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(wau >= dau, s"day ${r.getLong(0)}: wau $wau < dau $dau")
+      assert(st >= 0L && st <= 1000000L)
+      if (wau > 0) assert(st === 1000000L * dau / wau) else assert(st === 0L)
+    }
+    // brute-force recount of one interior window end straight off the table
+    val mid = days.min + 10
+    val expect = graft.T.events(spark, sf001)
+      .selectExpr("user_id",
+        "CAST(datediff(to_date(ts), date'2024-01-01') AS BIGINT) AS day")
+      .where(s"day BETWEEN ${mid - 6} AND $mid")
+      .select("user_id").distinct().count()
+    assert(rows.find(_.getLong(0) == mid).get.getLong(2) === expect)
+  }
+
+  test("engagement histogram: user totals conserve, cumulative runs heaviest-first (q195)") {
+    val rows = EventOps.queries("q195_engagement_histogram")(spark, sf001).collect()
+    val totalUsers = graft.T.events(spark, sf001)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === totalUsers)
+    // cum_users accumulates from the HIGHEST n_active_days bucket down,
+    // so in ascending output order it is non-increasing and the first
+    // row (lowest bucket) carries the full population.
+    val cums = rows.map(_.getLong(2))
+    assert(cums.head === totalUsers)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a >= b })
+    assert(rows.head.getLong(3) === 1000000L)
+  }
 }
