@@ -410,6 +410,40 @@ object VectorOps {
         .select(col("q_id"), col("rn"), col("id2").as("neg_id"),
                 round(col("cos"), 4).as("cos_sim"))
         .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // Embedding dimension health audit (the drift/collapse diagnostic
+    // run before training on an embedding column): per-dimension mean,
+    // spread, exact envelope, and share of total variance — a
+    // near-zero sigma flags a dead dimension, a dominant var_share
+    // flags anisotropic collapse. Plan: posexplode is a projection
+    // (no shuffle) and the agg keys on the 64-value dim — but unlike
+    // a window, a LOW-CARDINALITY GROUP BY is scale-safe: partial
+    // aggregation collapses each map partition to ≤64 cells before
+    // the exchange, so the shuffle carries P·64 partials, never rows.
+    // mu/sigma are order-dependent double sums → rounded (the
+    // documented noisy-double discipline); min/max are exact data
+    // values and ship unrounded.
+    "q196_embedding_dim_stats" -> ((s, d) => {
+      val e = T.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("p", "vf")))
+        .select((col("p") + 1).as("dim"), col("vf").cast("double").as("v"))
+      val st = e.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n_vals"),
+             avg(col("v")).as("mu0"),
+             avg(col("v") * col("v")).as("m2"),
+             min(col("v")).as("v_min"),
+             max(col("v")).as("v_max"))
+        .withColumn("var0",
+          greatest(col("m2") - col("mu0") * col("mu0"), lit(0.0)))
+      val tot = st.agg(sum(col("var0")).as("tvar"))
+      st.crossJoin(broadcast(tot))
+        .select(col("dim"), col("n_vals"),
+          round(col("mu0"), 5).as("mu"),
+          round(sqrt(col("var0")), 5).as("sigma"),
+          col("v_min"), col("v_max"),
+          round(col("var0") / col("tvar") * 100, 2).as("var_share_pct"))
+        .orderBy(col("dim"))
     })
   )
 
@@ -539,7 +573,27 @@ object VectorOps {
         |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id2) AS rn
         |      FROM c)
         |SELECT q_id, rn, id2 AS neg_id, round(cos, 4) AS cos_sim
-        |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+        |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+
+    "q196_embedding_dim_stats" ->
+      """WITH e AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                  generate_subscripts(embedding, 1) AS dim FROM embeddings),
+        |st AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n_vals,
+        |         avg(v) AS mu0, avg(v * v) AS m2,
+        |         min(v) AS v_min, max(v) AS v_max
+        |  FROM e GROUP BY 1
+        |), sv AS (
+        |  SELECT dim, n_vals, mu0,
+        |         greatest(m2 - mu0 * mu0, CAST(0 AS DOUBLE)) AS var0,
+        |         v_min, v_max
+        |  FROM st
+        |), t AS (SELECT sum(var0) AS tvar FROM sv)
+        |SELECT dim, n_vals, round(mu0, 5) AS mu,
+        |       round(sqrt(var0), 5) AS sigma, v_min, v_max,
+        |       round(var0 / tvar * 100, 2) AS var_share_pct
+        |FROM sv CROSS JOIN t
+        |ORDER BY dim""".stripMargin
     // q66_ann_topk_ivf: no SQL oracle (probe-dependent approximate
     // result); recall vs q65 asserted in VectorOpsSpec.
   )

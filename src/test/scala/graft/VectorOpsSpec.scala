@@ -253,4 +253,21 @@ class VectorOpsSpec extends SparkSpec {
       ids.foreach(id => assert(labOf(id) != labOf(q), s"$id shares label with query $q"))
     }
   }
+
+  test("dimension health audit: one row per dim, envelopes hold, variance shares conserve (q196)") {
+    val rows = VectorOps.queries("q196_embedding_dim_stats")(spark, sf001).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 64))
+    val nVecs = graft.T.embeddings(spark, sf001).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) === nVecs)
+      val (mu, sigma, vmin, vmax) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(sigma >= 0.0)
+      // the mean lies inside the exact envelope (5e-6 rounding slack)
+      assert(mu >= vmin - 5e-6 && mu <= vmax + 5e-6)
+    }
+    // rounded per-dim variance shares re-assemble ~100% of the total
+    val share = rows.map(_.getDouble(6)).sum
+    assert(math.abs(share - 100.0) < 1.0, s"variance shares sum to $share")
+  }
 }
