@@ -296,8 +296,48 @@ object TextOps {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), round(avg(log(col("p"))), 4).as("kn_lp4"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Zipf rank–frequency fit — the corpus-naturalness diagnostic
+    // (natural language follows f ∝ r^s with s ≈ −1; machine-generated
+    // or templated corpora bend the log-log line): OLS of ln(f) on
+    // ln(rank) over the top-1000 tokens, with R². The global ranking
+    // of the token vocabulary is exactly the constant-key regime
+    // ScalableRank exists for (q182/q183's shape — one key, the whole
+    // vocabulary must not sort on one task); after the rank filter the
+    // relation is ≤1000 rows and the fit is one closed-form agg. The
+    // only floats are ln() of exact integer ranks/counts summed then
+    // rounded 4 — q107/q144's discipline.
+    "q197_zipf_fit" -> ((s, d) =>
+      zipfFit(T.documents(s, d).select(explode(split(col("text"), " ")).as("w"))))
   )
+
+  /** OLS of ln(frequency) on ln(rank) over the top-1000 tokens of a
+    * one-column (`w`) token relation — see the q197 entry above for
+    * the operator rationale and scale notes.
+    */
+  def zipfFit(tokens: DataFrame): DataFrame = {
+    val freq = tokens
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .withColumn("g", lit(1))
+    graft.functions.ScalableRank
+      .withRanks(freq, Seq("g"), Seq(col("f").desc, col("w")),
+        Seq(col("f"), col("w")), 32)
+      .filter(col("rn") <= 1000)
+      .select(log(col("rn").cast("double")).as("x"),
+              log(col("f").cast("double")).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_top"),
+        round(expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)"), 4).as("slope"),
+        round(expr("(sy * sxx - sx * sxy) / (n * sxx - sx * sx)"), 4).as("intercept"),
+        round(expr("(n * sxy - sx * sy) * (n * sxy - sx * sy)" +
+          " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"), 4).as("r2"))
+      .orderBy(col("n_top"))
+  }
 
   /** Per-token bigram relation (doc_id, w1, w2) — doc-keyed lead
     * window, doc-sized partitions (q107's extraction).
@@ -446,6 +486,30 @@ object TextOps {
         |         (0.75 * CAST(n1f AS DOUBLE) / c1) * (CAST(n1b AS DOUBLE) / nt))), 4) AS kn_lp4
         |FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1)
         |     JOIN cont USING (w2) CROSS JOIN tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q197_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |), freq AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1
+        |), rk AS (
+        |  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM freq
+        |), top AS (
+        |  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+        |  FROM rk WHERE r <= 1000
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |         sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM top
+        |)
+        |SELECT n AS n_top,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+        |       round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 4) AS intercept,
+        |       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+        |FROM s
+        |ORDER BY n_top""".stripMargin
   )
 }

@@ -767,4 +767,19 @@ class CorpusOpsSpec extends SparkSpec {
       assert(target === (budget / 1000000L) * p + (budget % 1000000L) * p / 1000000L)
     }
   }
+
+  test("Zipf fit recovers an exact power law: slope −1, R² 1, intercept ln C (q197)") {
+    import spark.implicits._
+    // frequencies f(r) = 12/r for ranks 1..4 (12, 6, 4, 3): a perfect
+    // power law with exponent −1 and C = 12, so the OLS in log-log
+    // space must recover it to rounding precision.
+    val tokens = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).toDF("w")
+    val r = graft.ops.TextOps.zipfFit(tokens).collect().head
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === -1.0)
+    assert(r.getDouble(2) === BigDecimal(math.log(12.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(3) === 1.0)
+  }
 }
