@@ -60,6 +60,26 @@ object CorpusOps {
     hs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Linear quality-classifier logits over the 64-bin hashed
+    * bag-of-words — the shared inference relation behind q121 (scoring)
+    * and q198 (calibration). Deterministic integer weight table
+    * (dim·2654435761 mod 1997 − 998) keeps the logit exact-integer end
+    * to end; the corpus pass is a partial-aggregable (doc, dim) count
+    * joined against the broadcast 64-row weight table.
+    */
+  def qualityLogits(s: SparkSession, d: String): DataFrame = {
+    val dims = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), (h32(col("w")) % 64).as("dim"))
+      .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("c"))
+    val weights = broadcast(
+      s.range(64).select(col("id").as("dim"),
+        (pmod(col("id") * 2654435761L, lit(1997L)) - 998L).as("w")))
+    dims.join(weights, "dim")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nnz"), sum(col("c") * col("w")).as("logit"))
+  }
+
   /** Distinct (source, 3-gram shingle) relation — the per-source
     * content-set the KMV sketches summarize. array_distinct runs
     * per-doc map-side; the global distinct is one keyed shuffle.
@@ -890,20 +910,42 @@ object CorpusOps {
     // this is the projection-shaped classifier pass (fastText-style
     // quality gate): even a 2^20-dim model broadcasts; the corpus
     // never shuffles anything wider than its per-doc sparse vector.
-    "q121_quality_classifier" -> ((s, d) => {
-      val dims = T.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .select(col("doc_id"), (h32(col("w")) % 64).as("dim"))
-        .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("c"))
-      val weights = broadcast(
-        s.range(64).select(col("id").as("dim"),
-          (pmod(col("id") * 2654435761L, lit(1997L)) - 998L).as("w")))
-      dims.join(weights, "dim")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("nnz"), sum(col("c") * col("w")).as("logit"))
+    "q121_quality_classifier" -> ((s, d) =>
+      qualityLogits(s, d)
         .withColumn("keep", when(col("logit") >= 0, 1).otherwise(0))
         .select(col("doc_id"), col("nnz"), col("logit"), col("keep"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // Calibration / reliability bins for q121's classifier — the
+    // model-evaluation readout that decides whether a score threshold
+    // is trustworthy: logits ranked into deciles, each bin reporting
+    // its exact logit envelope and the observed rate of an INDEPENDENT
+    // outcome proxy (document length ≥ 300 chars — a signal the hashed
+    // bag-of-words model never sees directly). A well-calibrated
+    // scorer shows monotone rates across bins. Ranking is the
+    // constant-key ScalableRank + closed-form ntile (q183/q184's
+    // shape); rates are exact integer ppm; the envelope ships as exact
+    // min/max rather than a mean because integer division of a
+    // possibly-negative sum truncates toward zero in Spark but floors
+    // in DuckDB (the q132 pre-epoch trap).
+    "q198_calibration_bins" -> ((s, d) => {
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val scored = qualityLogits(s, d)
+        .join(T.documents(s, d).select(col("doc_id"),
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("pos")), "doc_id")
+        .withColumn("g", lit(1))
+      graft.functions.ScalableRank
+        .withRanks(scored, Seq("g"), Seq(col("logit"), col("doc_id")),
+          Seq(col("logit"), col("doc_id")), p)
+        .withColumn("decile",
+          graft.functions.ScalableRank.ntileFrom(col("rn"), col("ntot"), 10))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+             min(col("logit")).as("lo_logit"), max(col("logit")).as("hi_logit"))
+        .select(col("decile").cast("long").as("decile"), col("n_docs"), col("n_pos"),
+          expr("(1000000 * n_pos) div n_docs").as("pos_ppm"),
+          col("lo_logit"), col("hi_logit"))
+        .orderBy(col("decile"))
     }),
 
     // Curriculum interleave — the deterministic round-robin training
@@ -1470,6 +1512,35 @@ object CorpusOps {
         |       CASE WHEN sum(c.c * wt.w) >= 0 THEN 1 ELSE 0 END AS keep
         |FROM c JOIN wt USING (dim)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q198_calibration_bins" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 64 AS dim
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |), c AS (
+        |  SELECT doc_id, dim, count(*) AS c FROM dims GROUP BY 1, 2
+        |), wt AS (
+        |  SELECT CAST(t.dim AS BIGINT) AS dim,
+        |         (t.dim * 2654435761) % 1997 - 998 AS w
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS dim) t
+        |), lg AS (
+        |  SELECT doc_id, CAST(sum(c.c * wt.w) AS BIGINT) AS logit
+        |  FROM c JOIN wt USING (dim) GROUP BY doc_id
+        |), sc AS (
+        |  SELECT lg.doc_id, logit,
+        |         CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS pos
+        |  FROM lg JOIN documents d ON lg.doc_id = d.doc_id
+        |), b AS (
+        |  SELECT logit, pos,
+        |         CAST(ntile(10) OVER (ORDER BY logit, doc_id) AS BIGINT) AS decile
+        |  FROM sc
+        |)
+        |SELECT decile, count(*) AS n_docs, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |       (1000000 * CAST(sum(pos) AS BIGINT)) // count(*) AS pos_ppm,
+        |       CAST(min(logit) AS BIGINT) AS lo_logit,
+        |       CAST(max(logit) AS BIGINT) AS hi_logit
+        |FROM b GROUP BY 1 ORDER BY decile""".stripMargin,
 
     "q125_curriculum_interleave" ->
       """WITH r AS (

@@ -553,6 +553,61 @@ object EventOps {
         .select(col("n_active_days"), col("n_users"), col("cum_users"),
           expr("(1000000 * cum_users) div tot").as("cum_share_ppm"))
         .orderBy(col("n_active_days"))
+    }),
+
+    // Inter-event gap distribution per event type — the arrival-rate
+    // profile behind session-timeout and anomaly thresholds (q74's 30
+    // min cutoff is exactly a quantile of this distribution). One
+    // user-keyed window (high-cardinality — Window.partitionBy is
+    // right here) computes integer gap seconds via lag; the rollup is
+    // a |types|-row exact-percentile agg whose one buffer per group is
+    // the q29 discipline (at 100 TB swap percentile for the mergeable
+    // approx_percentile, the documented trade). Gaps are exact
+    // non-negative integers, so div ≡ floor in both engines.
+    "q200_interevent_gaps" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .select(col("event_type"),
+          expr("CAST((unix_micros(ts) - prev_us) div 1000000 AS BIGINT)").as("gap_s"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap_s, 0.5)"), 4).as("p50_s"),
+          round(expr("percentile(gap_s, 0.9)"), 4).as("p90_s"),
+          max(col("gap_s")).as("max_s"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Mann–Kendall trend statistic per event type ("is this metric
+    // drifting?" without assuming normality): S = Σ_{i<j}
+    // sign(c_j − c_i) over the daily-count series. The corpus
+    // collapses to a (type, day) pre-aggregate FIRST, so the pairwise
+    // stage is |types|·C(days,2) rows — calendar-bounded, never
+    // corpus-bounded. All-integer concordance algebra; the sign is a
+    // CASE expression because DuckDB's sign() returns INT while
+    // Spark's signum() returns DOUBLE.
+    "q201_trend_mk" -> ((s, d) => {
+      val daily = T.events(s, d)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+      val a = daily.select(col("event_type").as("et"), col("day").as("d1"), col("c").as("c1"))
+      val b = daily.select(col("event_type").as("et2"), col("day").as("d2"), col("c").as("c2"))
+      a.join(b, col("et") === col("et2") && col("d1") < col("d2"))
+        .select(col("et").as("event_type"),
+          when(col("c2") > col("c1"), 1L)
+            .when(col("c2") < col("c1"), -1L).otherwise(0L).as("sgn"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("sgn")).as("s_stat"),
+          sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n_up"),
+          sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n_down"))
+        .withColumn("trend", expr(
+          "CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down' ELSE 'flat' END"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1110,6 +1165,40 @@ object EventOps {
         |SELECT n_active_days, n_users, cum_users,
         |       (1000000 * cum_users) // tot AS cum_share_ppm
         |FROM c CROSS JOIN t
-        |ORDER BY n_active_days""".stripMargin
+        |ORDER BY n_active_days""".stripMargin,
+
+    "q200_interevent_gaps" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       round(quantile_cont(gap_us // 1000000, 0.5), 4) AS p50_s,
+        |       round(quantile_cont(gap_us // 1000000, 0.9), 4) AS p90_s,
+        |       CAST(max(gap_us // 1000000) AS BIGINT) AS max_s
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q201_trend_mk" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT a.event_type,
+        |         CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(sgn) AS BIGINT) AS s_stat,
+        |       CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+        |       CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+        |       CASE WHEN sum(sgn) > 0 THEN 'up'
+        |            WHEN sum(sgn) < 0 THEN 'down' ELSE 'flat' END AS trend
+        |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -240,6 +240,42 @@ object GraphOps {
       .limit(topK)
   }
 
+  /** Bounded label-propagation community detection (Raghavan et al.
+    * 2007, made deterministic): every node starts labeled with its own
+    * id; each round it adopts the most frequent label among its
+    * neighbors, ties to the SMALLEST label — a pure function of the
+    * graph, so the rounds are replayable in any engine (the classic
+    * formulation's random tie-break and visit order are exactly what
+    * an oracle cannot replay). Fixed round count, not
+    * run-to-convergence — the bounded-superstep contract of
+    * [[integerPagerank]]/[[kcorePeel]] (LPA on a bipartite-ish graph
+    * can oscillate forever; k rounds of strictly-defined updates are a
+    * well-defined operator regardless).
+    *
+    * Scale posture per round: one edge⋈labels join keyed on the node
+    * id, one (v, label) partial-aggregable count, one argmax via
+    * row_number over the HIGH-cardinality v — never a driver
+    * collection, never a low-card window; lineage cut per round.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false)
+    var lab = und.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to rounds) {
+      val cnt = und.join(lab, und("u") === lab("node"))
+        .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("cnt"))
+      lab = cnt
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("v")).orderBy(col("cnt").desc, col("lab"))))
+        .filter(col("rn") === 1)
+        .select(col("v").as("node"), col("lab"))
+        .localCheckpoint(false)
+    }
+    lab.select(col("node"), col("lab").as("comm")).orderBy(col("node"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Authority scores on the undirected bipartite customer↔supplier
     // trade graph (distinct trading pairs via orders ⋈ lineitem).
@@ -376,6 +412,21 @@ object GraphOps {
           col("o") === col("o2") && col("a") < col("b"))
         .select(col("a"), col("b")).distinct()
       linkPredictionRA(e, cap = 32, topK = 100)
+    }),
+
+    // Community assignment on the co-purchase part graph: 3 rounds of
+    // deterministic neighbor-majority label propagation — the
+    // community-structure pass run after q192's core cleaning, before
+    // per-community mixing/curation decisions.
+    "q199_label_propagation" -> ((s, d) => {
+      val op = T.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = op.select(col("o"), col("p").as("a"))
+        .join(op.select(col("o").as("o2"), col("p").as("b")),
+          col("o") === col("o2") && col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      labelPropagation(e, 3)
     })
   )
 
@@ -598,6 +649,43 @@ object GraphOps {
         |)
         |SELECT a, b, cn, ra_ppm FROM scored
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = scored.a AND e.b = scored.b)
-        |ORDER BY ra_ppm DESC, cn DESC, a, b LIMIT 100""".stripMargin
+        |ORDER BY ra_ppm DESC, cn DESC, a, b LIMIT 100""".stripMargin,
+
+    "q199_label_propagation" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |), und AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+        |), l0 AS (
+        |  SELECT DISTINCT u AS node, u AS lab FROM und
+        |), c1 AS (
+        |  SELECT v, lab, count(*) AS cnt FROM und JOIN l0 ON und.u = l0.node
+        |  GROUP BY 1, 2
+        |), l1 AS (
+        |  SELECT v AS node, lab FROM (
+        |    SELECT v, lab, row_number() OVER (
+        |      PARTITION BY v ORDER BY cnt DESC, lab) AS rn FROM c1)
+        |  WHERE rn = 1
+        |), c2 AS (
+        |  SELECT v, lab, count(*) AS cnt FROM und JOIN l1 ON und.u = l1.node
+        |  GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT v AS node, lab FROM (
+        |    SELECT v, lab, row_number() OVER (
+        |      PARTITION BY v ORDER BY cnt DESC, lab) AS rn FROM c2)
+        |  WHERE rn = 1
+        |), c3 AS (
+        |  SELECT v, lab, count(*) AS cnt FROM und JOIN l2 ON und.u = l2.node
+        |  GROUP BY 1, 2
+        |), l3 AS (
+        |  SELECT v AS node, lab FROM (
+        |    SELECT v, lab, row_number() OVER (
+        |      PARTITION BY v ORDER BY cnt DESC, lab) AS rn FROM c3)
+        |  WHERE rn = 1
+        |)
+        |SELECT node, lab AS comm FROM l3 ORDER BY node""".stripMargin
   )
 }

@@ -782,4 +782,22 @@ class CorpusOpsSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(r.getDouble(3) === 1.0)
   }
+
+  test("calibration bins: balanced deciles, conserved population, disjoint monotone envelopes (q198)") {
+    val rows = CorpusOps.queries("q198_calibration_bins")(spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, "equi-depth deciles")
+    val nDocs = graft.T.documents(spark, sf001).count()
+    assert(sizes.sum === nDocs)
+    rows.foreach { r =>
+      assert(r.getLong(3) === 1000000L * r.getLong(2) / r.getLong(1))
+      assert(r.getLong(4) <= r.getLong(5), "lo_logit ≤ hi_logit")
+    }
+    // deciles partition the score axis: envelopes never overlap
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(5) <= b.getLong(4),
+        s"decile ${a.getLong(0)} hi ${a.getLong(5)} overlaps ${b.getLong(0)} lo ${b.getLong(4)}")
+    }
+  }
 }

@@ -247,4 +247,34 @@ class EventOpsSpec extends SparkSpec {
     assert(cums.zip(cums.tail).forall { case (a, b) => a >= b })
     assert(rows.head.getLong(3) === 1000000L)
   }
+
+  test("inter-event gaps: ordered quantiles, gap count conserves N − U (q200)") {
+    val rows = EventOps.queries("q200_interevent_gaps")(spark, sf001).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3), "p50 must not exceed p90")
+      assert(r.getDouble(3) <= r.getLong(4).toDouble, "p90 must not exceed max")
+    }
+    // every user's k events yield k−1 gaps, so gaps sum to N − U
+    val ev = graft.T.events(spark, sf001)
+    val n = ev.count()
+    val u = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === n - u)
+  }
+
+  test("Mann–Kendall: pair counts are C(days,2) per type, S = up − down (q201)") {
+    val rows = EventOps.queries("q201_trend_mk")(spark, sf001).collect()
+    val daysPerType = graft.T.events(spark, sf001)
+      .selectExpr("event_type", "to_date(ts) AS day").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val d = daysPerType(t)
+      assert(r.getLong(1) === d * (d - 1) / 2, s"$t pair count")
+      assert(r.getLong(2) === r.getLong(3) - r.getLong(4), s"$t S = up − down")
+      assert(math.abs(r.getLong(2)) <= r.getLong(1))
+      val trend = r.getString(5)
+      assert(trend === (if (r.getLong(2) > 0) "up" else if (r.getLong(2) < 0) "down" else "flat"))
+    }
+  }
 }

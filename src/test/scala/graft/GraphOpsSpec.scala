@@ -182,4 +182,25 @@ class GraphOpsSpec extends SparkSpec {
     val again = GraphOps.linkPredictionRA(star, cap = 2, topK = 100).collect()
     assert(capped.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("label propagation: disjoint cliques converge to their min id; star oscillation is pinned (q199)") {
+    // Two disjoint triangles: after round 1 every node carries the min
+    // OTHER member's id; rounds 2-3 settle on the clique minimum.
+    val tris = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+                   (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val got = GraphOps.labelPropagation(tris, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                       10L -> 10L, 11L -> 10L, 12L -> 10L))
+
+    // Star 0–{1..4} is bipartite, so strict synchronous LPA oscillates
+    // (center and leaves swap labels each round). The bounded-round
+    // operator's value after exactly 3 rounds is a pinned closed form:
+    // r1: center→1 (tie min of leaf ids), leaves→0; r2: center→0,
+    // leaves→1; r3: center→1, leaves→0.
+    val star = (1L to 4L).map(i => (0L, i)).toDF("a", "b")
+    val s3 = GraphOps.labelPropagation(star, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s3 === Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
 }
