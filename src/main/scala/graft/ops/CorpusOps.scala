@@ -67,6 +67,38 @@ object CorpusOps {
     * to end; the corpus pass is a partial-aggregable (doc, dim) count
     * joined against the broadcast 64-row weight table.
     */
+  /** Per-source Kolmogorov–Smirnov statistic vs the pooled corpus over
+    * a (source, len) relation — see the q203 entry for rationale and
+    * the ppm-quantization determinism note.
+    */
+  def ksDrift(docs: DataFrame): DataFrame = {
+    val cnt = docs.groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
+    val lens = docs.select(col("len")).distinct()
+    val srcTot = cnt.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val tot = srcTot.agg(sum(col("ns")).as("n"))
+    val grid = srcTot.crossJoin(lens)
+      .join(cnt, Seq("source", "len"), "left_outer")
+      .select(col("source"), col("ns"), col("len"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wS = Window.partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gcum = cnt.groupBy(col("len")).agg(sum(col("c")).as("gc"))
+      .withColumn("gcum", sum(col("gc")).over(wG))
+      .select(col("len"), col("gcum"))
+    val dd = grid.withColumn("scum", sum(col("c")).over(wS))
+      .join(gcum, "len").crossJoin(broadcast(tot))
+      .select(col("source"), col("ns"), col("len"),
+        abs(expr("(1000000 * scum) div ns - (1000000 * gcum) div n")).as("d_ppm"))
+    dd.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("d_ppm").desc, col("len"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("ns").as("n_docs"),
+        col("d_ppm").as("ks_ppm"), col("len").as("at_len"))
+      .orderBy(col("source"))
+  }
+
   def qualityLogits(s: SparkSession, d: String): DataFrame = {
     val dims = T.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -948,6 +980,23 @@ object CorpusOps {
         .orderBy(col("decile"))
     }),
 
+    // Kolmogorov–Smirnov drift audit: per source, the KS statistic
+    // D = max_x |F_source(x) − F_corpus(x)| over the document-length
+    // distribution — the nonparametric "did this source's shape drift
+    // from the corpus" gate (schema-free twin of q129's KL on token
+    // mixes). The corpus collapses FIRST to (source, length) counts,
+    // so everything after runs on a ≤ |sources|·|lengths| pre-rollup
+    // (lengths are value-bounded, never corpus-bounded) — the tiny
+    // grid is cross-joined so each source ECDF is evaluated wherever
+    // the GLOBAL ECDF steps (D can peak at a length the source never
+    // emits). ECDFs compare in exact-integer ppm: each cum is
+    // ppm-quantized BEFORE the difference (≤1 ppm quantization, but
+    // deterministic and int64-safe — cum·N products would overflow at
+    // corpus scale); windows run only over the post-rollup grid (the
+    // q184 discipline).
+    "q203_ks_drift" -> ((s, d) =>
+      ksDrift(T.documents(s, d).select(col("source"), col("n_chars").as("len")))),
+
     // Curriculum interleave — the deterministic round-robin training
     // order across sources (one doc per source per round, the mixing
     // stride a multi-source training run feeds the loader): rank docs
@@ -1541,6 +1590,41 @@ object CorpusOps {
         |       CAST(min(logit) AS BIGINT) AS lo_logit,
         |       CAST(max(logit) AS BIGINT) AS hi_logit
         |FROM b GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    "q203_ks_drift" ->
+      """WITH docs AS (
+        |  SELECT source, n_chars AS len FROM documents
+        |), cnt AS (
+        |  SELECT source, len, CAST(count(*) AS BIGINT) AS c FROM docs GROUP BY 1, 2
+        |), lens AS (SELECT DISTINCT len FROM docs),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cnt GROUP BY 1),
+        |t AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM st),
+        |grid AS (
+        |  SELECT st.source, st.ns, lens.len, coalesce(cnt.c, 0) AS c
+        |  FROM st CROSS JOIN lens
+        |  LEFT JOIN cnt ON cnt.source = st.source AND cnt.len = lens.len
+        |), sc AS (
+        |  SELECT source, ns, len,
+        |         CAST(sum(c) OVER (PARTITION BY source ORDER BY len
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scum
+        |  FROM grid
+        |), g AS (SELECT len, CAST(sum(c) AS BIGINT) AS gc FROM cnt GROUP BY 1),
+        |g2 AS (
+        |  SELECT len, CAST(sum(gc) OVER (ORDER BY len
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gcum
+        |  FROM g
+        |), dd AS (
+        |  SELECT sc.source, sc.ns, sc.len,
+        |         abs((1000000 * scum) // ns - (1000000 * gcum) // n) AS d_ppm
+        |  FROM sc JOIN g2 ON sc.len = g2.len CROSS JOIN t
+        |), r AS (
+        |  SELECT source, ns, len, d_ppm,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY d_ppm DESC, len) AS rn
+        |  FROM dd
+        |)
+        |SELECT source, ns AS n_docs, d_ppm AS ks_ppm, len AS at_len
+        |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
 
     "q125_curriculum_interleave" ->
       """WITH r AS (

@@ -608,7 +608,28 @@ object EventOps {
         .withColumn("trend", expr(
           "CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down' ELSE 'flat' END"))
         .orderBy(col("event_type"))
-    })
+    }),
+
+    // Time-to-convert distribution — the latency companion to q85's
+    // ordered funnel: among users who completed signup → … → purchase
+    // (stage times conditional on the previous stage, q85's exact
+    // semantics via the shared userStages), the distribution of
+    // signup→purchase delay in integer seconds. One user-keyed stage
+    // relation, then a single-row exact-percentile rollup (q29/q200's
+    // one-buffer discipline). Deltas are strictly positive by the
+    // stage-ordering construction, so div ≡ floor in both engines.
+    "q204_time_to_convert" -> ((s, d) =>
+      userStages(T.events(s, d))
+        .filter(col("t_signup").isNotNull && col("t_purchase").isNotNull)
+        .select(expr(
+          "CAST((unix_micros(t_purchase) - unix_micros(t_signup)) div 1000000 AS BIGINT)")
+          .as("delta_s"))
+        .agg(count(lit(1)).as("n_conv"),
+          min(col("delta_s")).as("min_s"),
+          round(expr("percentile(delta_s, 0.5)"), 4).as("p50_s"),
+          round(expr("percentile(delta_s, 0.9)"), 4).as("p90_s"),
+          max(col("delta_s")).as("max_s"))
+        .orderBy(col("n_conv")))
   )
 
   /** Ordered signup → click → purchase funnel over an events relation
@@ -1199,6 +1220,34 @@ object EventOps {
         |       CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
         |       CASE WHEN sum(sgn) > 0 THEN 'up'
         |            WHEN sum(sgn) < 0 THEN 'down' ELSE 'flat' END AS trend
-        |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q204_time_to_convert" ->
+      """WITH w1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_signup
+        |  FROM events
+        |), w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_signup THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_click
+        |  FROM w1
+        |), w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_purchase
+        |  FROM w2
+        |), u AS (
+        |  SELECT user_id, max(t_signup) AS t_signup, max(t_purchase) AS t_purchase
+        |  FROM w3 GROUP BY user_id
+        |), dl AS (
+        |  SELECT (epoch_us(t_purchase) - epoch_us(t_signup)) // 1000000 AS delta_s
+        |  FROM u WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_conv,
+        |       CAST(min(delta_s) AS BIGINT) AS min_s,
+        |       round(quantile_cont(delta_s, 0.5), 4) AS p50_s,
+        |       round(quantile_cont(delta_s, 0.9), 4) AS p90_s,
+        |       CAST(max(delta_s) AS BIGINT) AS max_s
+        |FROM dl ORDER BY n_conv""".stripMargin
   )
 }

@@ -309,8 +309,44 @@ object TextOps {
     // only floats are ln() of exact integer ranks/counts summed then
     // rounded 4 — q107/q144's discipline.
     "q197_zipf_fit" -> ((s, d) =>
-      zipfFit(T.documents(s, d).select(explode(split(col("text"), " ")).as("w"))))
+      zipfFit(T.documents(s, d).select(explode(split(col("text"), " ")).as("w")))),
+
+    // Heaps'-law fit — q197's companion corpus-naturalness diagnostic
+    // on the GROWTH axis: vocabulary size follows V(N) ≈ K·N^β
+    // (β ≈ 0.4–0.6 for natural text; templated corpora saturate, raw
+    // noise stays near β = 1). Each token's first-occurrence doc is one
+    // vocabulary-keyed agg; per-doc token/new-type counts then ride TWO
+    // constant-key ScalableRank running sums (cumulative tokens N and
+    // cumulative types V in doc order — the whole corpus is one "key",
+    // exactly the regime the two-phase decomposition exists for), and
+    // the log-log OLS is the same closed-form aggregate as q197.
+    "q202_heaps_fit" -> ((s, d) =>
+      heapsFit(T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))))
   )
+
+  /** Heaps'-law growth fit over a (doc_id, w) token relation — see the
+    * q202 entry above for the operator rationale and scale notes.
+    */
+  def heapsFit(toks: DataFrame): DataFrame = {
+    val per = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val nw = toks.groupBy(col("w")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+    val base = per.join(nw, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("g", lit(1))
+    val c1 = graft.functions.ScalableRank
+      .withRunningSum(base, Seq("g"), Seq(col("doc_id")), col("n_tok"), 32)
+      .withColumnRenamed("rsum", "cn")
+    val c2 = graft.functions.ScalableRank
+      .withRunningSum(c1, Seq("g"), Seq(col("doc_id")), col("n_new"), 32)
+      .withColumnRenamed("rsum", "cv")
+    olsFit(c2.select(log(col("cn").cast("double")).as("x"),
+                     log(col("cv").cast("double")).as("y")))
+      .withColumnRenamed("n_pts", "n_docs")
+      .orderBy(col("n_docs"))
+  }
 
   /** OLS of ln(frequency) on ln(rank) over the top-1000 tokens of a
     * one-column (`w`) token relation — see the q197 entry above for
@@ -320,24 +356,31 @@ object TextOps {
     val freq = tokens
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .withColumn("g", lit(1))
-    graft.functions.ScalableRank
+    olsFit(graft.functions.ScalableRank
       .withRanks(freq, Seq("g"), Seq(col("f").desc, col("w")),
         Seq(col("f"), col("w")), 32)
       .filter(col("rn") <= 1000)
       .select(log(col("rn").cast("double")).as("x"),
-              log(col("f").cast("double")).as("y"))
-      .agg(count(lit(1)).as("n"),
+              log(col("f").cast("double")).as("y")))
+      .withColumnRenamed("n_pts", "n_top")
+      .orderBy(col("n_top"))
+  }
+
+  /** Closed-form simple OLS over an (x, y) point relation: one
+    * partial-aggregable moment pass, then slope/intercept/R² by the
+    * normal equations — shared by the q197/q202 log-log fits.
+    */
+  def olsFit(xy: DataFrame): DataFrame =
+    xy.agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
-      .select(col("n").as("n_top"),
+      .select(col("n").as("n_pts"),
         round(expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)"), 4).as("slope"),
         round(expr("(sy * sxx - sx * sxy) / (n * sxx - sx * sx)"), 4).as("intercept"),
         round(expr("(n * sxy - sx * sy) * (n * sxy - sx * sy)" +
           " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"), 4).as("r2"))
-      .orderBy(col("n_top"))
-  }
 
   /** Per-token bigram relation (doc_id, w1, w2) — doc-keyed lead
     * window, doc-sized partitions (q107's extraction).
@@ -510,6 +553,38 @@ object TextOps {
         |       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
         |FROM s
-        |ORDER BY n_top""".stripMargin
+        |ORDER BY n_top""".stripMargin,
+
+    "q202_heaps_fit" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1
+        |), fd AS (
+        |  SELECT w, min(doc_id) AS doc_id FROM tok GROUP BY 1
+        |), nw AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new FROM fd GROUP BY 1
+        |), cum AS (
+        |  SELECT p.doc_id,
+        |         CAST(sum(p.n_tok) OVER (ORDER BY p.doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |         CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY p.doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cv
+        |  FROM per p LEFT JOIN nw USING (doc_id)
+        |), pts AS (
+        |  SELECT ln(CAST(cn AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y FROM cum
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |         sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM pts
+        |)
+        |SELECT n AS n_docs,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+        |       round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 4) AS intercept,
+        |       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+        |FROM s
+        |ORDER BY n_docs""".stripMargin
   )
 }

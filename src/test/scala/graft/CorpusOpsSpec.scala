@@ -800,4 +800,35 @@ class CorpusOpsSpec extends SparkSpec {
         s"decile ${a.getLong(0)} hi ${a.getLong(5)} overlaps ${b.getLong(0)} lo ${b.getLong(4)}")
     }
   }
+
+  test("Heaps fit: all-new-token corpus gives V = N exactly — slope 1, intercept 0, R² 1 (q202)") {
+    import spark.implicits._
+    // three docs, two tokens each, every token globally new:
+    // (N, V) = (2,2), (4,4), (6,6) → y = x exactly in log space.
+    val toks = Seq((1L, "a"), (1L, "b"), (2L, "c"), (2L, "d"),
+                   (3L, "e"), (3L, "f")).toDF("doc_id", "w")
+    val r = graft.ops.TextOps.heapsFit(toks).collect().head
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getDouble(2) === 0.0)
+    assert(r.getDouble(3) === 1.0)
+  }
+
+  test("KS drift: identical sources score 0, disjoint sources score the gap, at the right length (q203)") {
+    import spark.implicits._
+    // s1 and s2 have the SAME length multiset → both ECDFs equal the
+    // pooled ECDF → D = 0.
+    val same = Seq(("s1", 10L), ("s1", 20L), ("s2", 10L), ("s2", 20L))
+      .toDF("source", "len")
+    CorpusOps.ksDrift(same).collect().foreach(r => assert(r.getLong(2) === 0L))
+
+    // disjoint: s1 all at len 10, s2 all at len 20. At x=10:
+    // F_s1 = 1, F_s2 = 0, F = 1/2 → D = 500000 ppm for both, attained
+    // at len 10 (the earliest maximizing step).
+    val disj = Seq(("s1", 10L), ("s1", 10L), ("s2", 20L), ("s2", 20L))
+      .toDF("source", "len")
+    val got = CorpusOps.ksDrift(disj).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(("s1", 2L, 500000L, 10L), ("s2", 2L, 500000L, 10L)))
+  }
 }

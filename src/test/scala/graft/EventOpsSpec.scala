@@ -277,4 +277,14 @@ class EventOpsSpec extends SparkSpec {
       assert(trend === (if (r.getLong(2) > 0) "up" else if (r.getLong(2) < 0) "down" else "flat"))
     }
   }
+
+  test("time-to-convert: ordered quantiles over exactly the full-funnel population (q204)") {
+    val r = EventOps.queries("q204_time_to_convert")(spark, sf001).collect().head
+    assert(r.getLong(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3) &&
+      r.getDouble(3) <= r.getLong(4).toDouble, "min ≤ p50 ≤ p90 ≤ max")
+    assert(r.getLong(1) > 0L, "stage ordering makes every delta strictly positive")
+    // population = q85's full-funnel converters exactly
+    val funnel = EventOps.queries("q85_event_funnel")(spark, sf001).collect().head
+    assert(r.getLong(0) === funnel.getLong(2))
+  }
 }
