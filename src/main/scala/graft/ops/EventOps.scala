@@ -629,8 +629,72 @@ object EventOps {
           round(expr("percentile(delta_s, 0.5)"), 4).as("p50_s"),
           round(expr("percentile(delta_s, 0.9)"), 4).as("p90_s"),
           max(col("delta_s")).as("max_s"))
-        .orderBy(col("n_conv")))
+        .orderBy(col("n_conv"))),
+
+    // Session bounce/entry-exit segmentation — see sessionBounce below.
+    "q205_session_bounce" -> ((s, d) => sessionBounce(T.events(s, d))),
+
+    // New-vs-returning daily split (the acquisition/retention lens on
+    // q194's activity spine): a user counts as NEW on their first-ever
+    // active day, RETURNING on every later one. One (user, day) dedup
+    // + one user-keyed min + a day-keyed rollup — all partial-
+    // aggregable or keyed high-cardinality; exact ppm share.
+    "q206_new_vs_returning" -> ((s, d) => {
+      val ud = T.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .distinct()
+      val fd = ud.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+      ud.join(fd, "user_id")
+        .groupBy(col("day"))
+        .agg(sum(when(col("day") === col("fday"), 1L).otherwise(0L)).as("n_new"),
+             sum(when(col("day") =!= col("fday"), 1L).otherwise(0L)).as("n_returning"))
+        .select(col("day"), col("n_new"), col("n_returning"),
+          expr("(1000000 * n_new) div (n_new + n_returning)").as("new_share_ppm"))
+        .orderBy(col("day"))
+    })
   )
+
+  /** Entry/exit segmentation of q74's sessions plus the bounce-rate
+    * and dwell rollup per entry type — the landing-page diagnostic
+    * next to sessionize/funnel. Same 30-min-gap session assignment as
+    * q74 (user-keyed windows — high-cardinality, partitionBy is
+    * right); entry/exit come from one more full-frame window over the
+    * SAME (user, session) ordering, so the three windows share a
+    * single sort; the rollup is ≤ |types| rows of exact-integer rates.
+    */
+  private def sessionBounce(ev: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = ev
+      .withColumn("ep", unix_timestamp(col("ts")))
+      .withColumn("new_s",
+        when(lag(col("ep"), 1).over(wOrd).isNull ||
+             col("ep") - lag(col("ep"), 1).over(wOrd) > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(wRun))
+    val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ep"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tagged
+      .withColumn("entry_type", first(col("event_type")).over(wSess))
+      .withColumn("exit_type", last(col("event_type")).over(wSess))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(max(col("entry_type")).as("entry_type"),
+           max(col("exit_type")).as("exit_type"),
+           count(lit(1)).as("n_events"),
+           (max(col("ep")) - min(col("ep"))).as("dur_s"))
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+           sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+           sum(col("dur_s")).as("sum_dur"),
+           sum(when(col("exit_type") === "purchase", 1L).otherwise(0L)).as("n_exit_purchase"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounce"),
+        expr("(1000000 * n_bounce) div n_sessions").as("bounce_ppm"),
+        expr("sum_dur div n_sessions").as("mean_dur_s"),
+        expr("(1000000 * n_exit_purchase) div n_sessions").as("exit_purchase_ppm"))
+      .orderBy(col("entry_type"))
+  }
 
   /** Ordered signup → click → purchase funnel over an events relation
     * with (user_id, event_type, ts). Stage times are conditional on the
@@ -1248,6 +1312,58 @@ object EventOps {
         |       round(quantile_cont(delta_s, 0.5), 4) AS p50_s,
         |       round(quantile_cont(delta_s, 0.9), 4) AS p90_s,
         |       CAST(max(delta_s) AS BIGINT) AS max_s
-        |FROM dl ORDER BY n_conv""".stripMargin
+        |FROM dl ORDER BY n_conv""".stripMargin,
+
+    "q205_session_bounce" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, event_type, ep,
+        |    CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, event_type, ep,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ep, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM m
+        |), fx AS (
+        |  SELECT user_id, session_id, ep,
+        |    first_value(event_type) OVER ws AS entry_type,
+        |    last_value(event_type) OVER ws AS exit_type
+        |  FROM s WINDOW ws AS (PARTITION BY user_id, session_id
+        |    ORDER BY ep, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |), sess AS (
+        |  SELECT user_id, session_id,
+        |         max(entry_type) AS entry_type, max(exit_type) AS exit_type,
+        |         count(*) AS n_events, max(ep) - min(ep) AS dur_s
+        |  FROM fx GROUP BY 1, 2
+        |)
+        |SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        |       (1000000 * CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT))
+        |         // count(*) AS bounce_ppm,
+        |       CAST(sum(dur_s) AS BIGINT) // count(*) AS mean_dur_s,
+        |       (1000000 * CAST(sum(CASE WHEN exit_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT))
+        |         // count(*) AS exit_purchase_ppm
+        |FROM sess GROUP BY 1 ORDER BY entry_type""".stripMargin,
+
+    "q206_new_vs_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+        |  FROM events
+        |), fd AS (
+        |  SELECT user_id, min(day) AS fday FROM ud GROUP BY 1
+        |)
+        |SELECT day,
+        |       CAST(sum(CASE WHEN day = fday THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |       CAST(sum(CASE WHEN day <> fday THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+        |       (1000000 * CAST(sum(CASE WHEN day = fday THEN 1 ELSE 0 END) AS BIGINT))
+        |         // count(*) AS new_share_ppm
+        |FROM ud JOIN fd USING (user_id)
+        |GROUP BY 1 ORDER BY day""".stripMargin
   )
 }

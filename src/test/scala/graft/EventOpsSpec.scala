@@ -287,4 +287,32 @@ class EventOpsSpec extends SparkSpec {
     val funnel = EventOps.queries("q85_event_funnel")(spark, sf001).collect().head
     assert(r.getLong(0) === funnel.getLong(2))
   }
+
+  test("session bounce: session population equals q74's, bounces bounded, rates exact (q205)") {
+    val rows = EventOps.queries("q205_session_bounce")(spark, sf001).collect()
+    val q74Sessions = EventOps.queries("q74_sessionize")(spark, sf001).count()
+    assert(rows.map(_.getLong(1)).sum === q74Sessions,
+      "every session appears in exactly one entry-type bucket")
+    rows.foreach { r =>
+      val (n, b) = (r.getLong(1), r.getLong(2))
+      assert(b <= n)
+      assert(r.getLong(3) === 1000000L * b / n)
+      assert(r.getLong(4) >= 0L)
+      assert(r.getLong(5) <= 1000000L)
+    }
+  }
+
+  test("new vs returning: day-0 all new, each user new exactly once, splits sum to DAU (q206)") {
+    val rows = EventOps.queries("q206_new_vs_returning")(spark, sf001).collect()
+    assert(rows.head.getLong(2) === 0L, "earliest day has no returning users")
+    val totalUsers = graft.T.events(spark, sf001).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === totalUsers,
+      "every user is new on exactly one day")
+    // per-day split sums to that day's DAU from q194
+    val dau = EventOps.queries("q194_rolling_actives")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === dau(r.getLong(0)))
+    }
+  }
 }
