@@ -234,8 +234,10 @@ object GraphOps {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("cn"),
         sum(expr("1000000 div d")).as("ra_ppm"))
+    // hash only the O(m) edge side (q185's measured shuffled-hash win);
+    // a sort-merge anti would sort the larger candidate-pair side
     scored
-      .join(edges, Seq("a", "b"), "left_anti")
+      .join(edges.hint("shuffle_hash"), Seq("a", "b"), "left_anti")
       .orderBy(col("ra_ppm").desc, col("cn").desc, col("a"), col("b"))
       .limit(topK)
   }

@@ -521,6 +521,43 @@ class PlanAuditSpec extends SparkSpec {
     assertKeyedExchangesPartialAggFed("q188_mix_weights", "source")
   }
 
+  test("embedding dim stats shuffle partial cells only — never exploded rows (q196)") {
+    // posexplode is a projection; the 64-key GROUP BY must collapse
+    // map-side so the exchange carries P×64 partial cells, not the
+    // dim-exploded corpus.
+    assertKeyedExchangesPartialAggFed("q196_embedding_dim_stats", "dim")
+  }
+
+  test("link prediction's edge exclusion is a hashed anti join, never nested-loop (q193)") {
+    val antis = physical("q193_link_prediction").collect {
+      case j: org.apache.spark.sql.execution.joins.HashJoin
+          if j.joinType.sql == "LEFT ANTI" => j
+    }
+    assert(antis.nonEmpty, "q193: existing-edge exclusion is not a hashed LEFT ANTI join")
+  }
+
+  test("label propagation never hash-partitions on the label alone (q199)") {
+    // per-round exchanges key on v or (v, lab) — hashing on lab alone
+    // would funnel a converged community onto one task.
+    val offenders = shuffles(physical("q199_label_propagation"))
+      .filter(e => hashKeys(e) == Seq("lab"))
+    assert(offenders.isEmpty,
+      s"q199: exchange hash-partitioned on the label alone\n$offenders")
+  }
+
+  test("growth fits never hash-partition on the constant group key (q197/q202)") {
+    // the q108/q31 constant-key discipline: ScalableRank range-
+    // partitions; a hash exchange on g alone is the single-task sort.
+    Seq("q197_zipf_fit", "q202_heaps_fit").foreach { q =>
+      val offenders = shuffles(physical(q)).filter(e => hashKeys(e) == Seq("g"))
+      assert(offenders.isEmpty, s"$q: exchange hashed on the constant key\n$offenders")
+    }
+  }
+
+  test("rolling actives shuffle partial day cells after the coverage dedup (q194)") {
+    assertKeyedExchangesPartialAggFed("q194_rolling_actives", "wend")
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would
