@@ -653,6 +653,35 @@ object EventOps {
         .select(col("day"), col("n_new"), col("n_returning"),
           expr("(1000000 * n_new) div (n_new + n_returning)").as("new_share_ppm"))
         .orderBy(col("day"))
+    }),
+
+    // Day-of-week seasonality profile per event type (the STL-lite
+    // decomposition a capacity planner reads before q201's trend
+    // call): mean daily volume per weekday vs the type's overall mean,
+    // as an exact-integer ratio. The corpus collapses to (type, day)
+    // counts FIRST (q201's pre-agg discipline); everything downstream
+    // is ≤ |types|·7 cells. 2024-01-01 is a Monday, so dow 0 = Monday.
+    // Ratio is computed between x100-scaled integer means — per-mean
+    // quantization, never a product of raw sums, so every intermediate
+    // stays int64 at 100 TB event counts.
+    "q209_dow_profile" -> ((s, d) => {
+      val daily = T.events(s, d)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+      val perDow = daily.withColumn("dow", pmod(col("day"), lit(7L)))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n_events"))
+        .withColumn("mean_x100", expr("(100 * n_events) div n_days"))
+      val overall = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd_all"), sum(col("c")).as("s_all"))
+        .select(col("event_type"), expr("(100 * s_all) div nd_all").as("mean_all_x100"))
+      perDow.join(broadcast(overall), "event_type")
+        .select(col("event_type"), col("dow"), col("n_days"), col("n_events"),
+          col("mean_x100"),
+          expr("(1000000 * mean_x100) div mean_all_x100").as("ratio_ppm"))
+        .orderBy(col("event_type"), col("dow"))
     })
   )
 
@@ -1364,6 +1393,28 @@ object EventOps {
         |       (1000000 * CAST(sum(CASE WHEN day = fday THEN 1 ELSE 0 END) AS BIGINT))
         |         // count(*) AS new_share_ppm
         |FROM ud JOIN fd USING (user_id)
-        |GROUP BY 1 ORDER BY day""".stripMargin
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q209_dow_profile" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), pd AS (
+        |  SELECT event_type, day % 7 AS dow,
+        |         CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(c) AS BIGINT) AS n_events
+        |  FROM daily GROUP BY 1, 2
+        |), pa AS (
+        |  SELECT event_type,
+        |         (100 * CAST(sum(c) AS BIGINT)) // count(*) AS mean_all_x100
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT pd.event_type, pd.dow, pd.n_days, pd.n_events,
+        |       (100 * pd.n_events) // pd.n_days AS mean_x100,
+        |       (1000000 * ((100 * pd.n_events) // pd.n_days)) // pa.mean_all_x100 AS ratio_ppm
+        |FROM pd JOIN pa ON pd.event_type = pa.event_type
+        |ORDER BY pd.event_type, pd.dow""".stripMargin
   )
 }

@@ -322,7 +322,51 @@ object TextOps {
     // the log-log OLS is the same closed-form aggregate as q197.
     "q202_heaps_fit" -> ((s, d) =>
       heapsFit(T.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w")))),
+
+    // Cross-source LM transfer matrix — the mixture-design tool one
+    // level above q116/q129's lexical-overlap diagnostics: train an
+    // add-one-smoothed bigram model on EACH source, score EVERY
+    // source's bigram stream under it (avg ln p per bigram token), and
+    // report the |S|² matrix. A low off-diagonal cell means the
+    // train-source's LM transfers poorly to the eval source — the
+    // signal behind "does adding source T help modeling source E".
+    // Plan: everything derives from ONE (source, w1, w2, count)
+    // bigram-type relation (vocab²-bounded, never corpus-bounded);
+    // the eval×train expansion is a broadcast cross join against the
+    // |S|-row source list; per-cell scoring joins are bigram-type-
+    // keyed. Add-one (not KN) because its unseen-pair form
+    // (c+1)/(c1+V) is total without per-model continuation mass —
+    // smoothing quality is q144's concern, transfer GEOMETRY is this
+    // one's. Floats: only the final ln, summed then rounded 4
+    // (q144's discipline).
+    "q208_crosssource_perplexity" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val src = docs.select(col("doc_id"), col("source"))
+      val big = bigrams(docs).join(src, "doc_id")
+      val ebc = big.groupBy(col("source"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("ce"))
+        .withColumnRenamed("source", "src_e")
+      val tbc = big.groupBy(col("source"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("ct"))
+        .withColumnRenamed("source", "src_t")
+      val tuc = tbc.groupBy(col("src_t"), col("w1")).agg(sum(col("ct")).as("c1"))
+      val tv = big.select(col("source"), col("w1").as("w"))
+        .unionByName(big.select(col("source"), col("w2").as("w")))
+        .distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("v"))
+        .withColumnRenamed("source", "src_t")
+      ebc.crossJoin(broadcast(tv))
+        .join(tbc, Seq("src_t", "w1", "w2"), "left_outer")
+        .join(tuc, Seq("src_t", "w1"), "left_outer")
+        .select(col("src_e"), col("src_t"), col("ce"),
+          ((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v"))).as("p"))
+        .groupBy(col("src_e"), col("src_t"))
+        .agg(sum(col("ce")).as("n_bigrams"),
+             round(sum(col("ce") * log(col("p"))) / sum(col("ce")), 4).as("avg_lp"))
+        .orderBy(col("src_e"), col("src_t"))
+    })
   )
 
   /** Heaps'-law growth fit over a (doc_id, w) token relation — see the
@@ -585,6 +629,41 @@ object TextOps {
         |       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
         |FROM s
-        |ORDER BY n_docs""".stripMargin
+        |ORDER BY n_docs""".stripMargin,
+
+    "q208_crosssource_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w,
+        |         generate_subscripts(string_split(text, ' '), 1) AS i
+        |  FROM documents
+        |), big0 AS (
+        |  SELECT a.source, a.w AS w1, b.w AS w2
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |), ebc AS (
+        |  SELECT source AS src_e, w1, w2, CAST(count(*) AS BIGINT) AS ce
+        |  FROM big0 GROUP BY 1, 2, 3
+        |), tbc AS (
+        |  SELECT source AS src_t, w1, w2, CAST(count(*) AS BIGINT) AS ct
+        |  FROM big0 GROUP BY 1, 2, 3
+        |), tuc AS (
+        |  SELECT src_t, w1, CAST(sum(ct) AS BIGINT) AS c1 FROM tbc GROUP BY 1, 2
+        |), tv AS (
+        |  SELECT source AS src_t, CAST(count(*) AS BIGINT) AS v FROM (
+        |    SELECT DISTINCT source, w FROM (
+        |      SELECT source, w1 AS w FROM big0
+        |      UNION ALL SELECT source, w2 AS w FROM big0))
+        |  GROUP BY 1
+        |), cell AS (
+        |  SELECT ebc.src_e, tv.src_t, ebc.ce,
+        |         CAST(coalesce(tbc.ct, 0) + 1 AS DOUBLE)
+        |           / (coalesce(tuc.c1, 0) + tv.v) AS p
+        |  FROM ebc CROSS JOIN tv
+        |  LEFT JOIN tbc ON tbc.src_t = tv.src_t AND tbc.w1 = ebc.w1 AND tbc.w2 = ebc.w2
+        |  LEFT JOIN tuc ON tuc.src_t = tv.src_t AND tuc.w1 = ebc.w1
+        |)
+        |SELECT src_e, src_t, CAST(sum(ce) AS BIGINT) AS n_bigrams,
+        |       round(sum(ce * ln(p)) / sum(ce), 4) AS avg_lp
+        |FROM cell GROUP BY 1, 2
+        |ORDER BY src_e, src_t""".stripMargin
   )
 }

@@ -412,6 +412,38 @@ object VectorOps {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // Embedding neighborhood purity — the label-agreement@k quality
+    // metric for an embedding space (the "is this embedding worth
+    // clustering on" gate run before semantic dedup / mixing): for a
+    // deterministic ~2% probe sample (md5 coin — the oracle replays
+    // it), the fraction of each probe's 5 nearest neighbors (exact
+    // cosine) sharing its label, rolled up per label. Same
+    // broadcast-probes shape as q65: cost is |probes|·n dot products
+    // with NO corpus shuffle — the probe rate is the dial (at 100 TB
+    // you also swap the exact scan for the q66 IVF tier; the metric's
+    // estimator is unchanged).
+    "q207_embedding_purity" -> ((s, d) => {
+      val e = emb(s, d)
+      val probes = broadcast(e
+        .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_lab"),
+                col("v").as("qv"), col("nrm").as("qn")))
+      val c = e.select(col("vec_id").as("id2"), col("label").as("lab2"),
+                       col("v").as("v2"), col("nrm").as("n2"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id2"))
+      probes.join(c, col("q_id") =!= col("id2"))
+        .withColumn("cos", dot("qv", "v2") / (col("qn") * col("n2")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("q_lab"))
+        .agg(countDistinct(col("q_id")).as("n_probes"),
+             sum(when(col("lab2") === col("q_lab"), 1L).otherwise(0L)).as("n_hits"))
+        .select(col("q_lab").as("label"), col("n_probes"), col("n_hits"),
+          expr("(1000000 * n_hits) div (5 * n_probes)").as("purity_ppm"))
+        .orderBy(col("label"))
+    }),
+
     // Embedding dimension health audit (the drift/collapse diagnostic
     // run before training on an embedding column): per-dimension mean,
     // spread, exact envelope, and share of total variance — a
@@ -574,6 +606,33 @@ object VectorOps {
         |      FROM c)
         |SELECT q_id, rn, id2 AS neg_id, round(cos, 4) AS cos_sim
         |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+
+    "q207_embedding_purity" ->
+      s"""$embCte,
+        |p AS (
+        |  SELECT vec_id AS q_id, label AS q_lab FROM embeddings
+        |  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 50 = 0
+        |), d AS (
+        |  SELECT p.q_id, p.q_lab, b.vec_id AS id2, b.label AS lab2,
+        |         sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+        |  FROM p JOIN e a ON a.vec_id = p.q_id
+        |         JOIN e b ON a.i = b.i AND b.vec_id <> p.q_id
+        |  GROUP BY 1, 2, 3, 4
+        |), cs AS (
+        |  SELECT q_id, q_lab, id2, lab2, dot / (n1.nrm * n2.nrm) AS cos
+        |  FROM d JOIN n n1 ON q_id = n1.vec_id JOIN n n2 ON id2 = n2.vec_id
+        |), r AS (
+        |  SELECT q_id, q_lab, lab2,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id2) AS rn
+        |  FROM cs
+        |)
+        |SELECT q_lab AS label,
+        |       CAST(count(DISTINCT q_id) AS BIGINT) AS n_probes,
+        |       CAST(sum(CASE WHEN lab2 = q_lab THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |       (1000000 * CAST(sum(CASE WHEN lab2 = q_lab THEN 1 ELSE 0 END) AS BIGINT))
+        |         // (5 * count(DISTINCT q_id)) AS purity_ppm
+        |FROM r WHERE rn <= 5
+        |GROUP BY 1 ORDER BY label""".stripMargin,
 
     "q196_embedding_dim_stats" ->
       """WITH e AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,

@@ -831,4 +831,24 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got === Seq(("s1", 2L, 500000L, 10L), ("s2", 2L, 500000L, 10L)))
   }
+
+  test("cross-source LM matrix: full grid, self-trained diagonal dominates its row, p ≤ 1 (q208)") {
+    val rows = graft.ops.TextOps.queries("q208_crosssource_perplexity")(spark, sf001)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val sources = rows.keys.map(_._1).toSet
+    assert(rows.size === sources.size * sources.size, "matrix covers every (eval, train) pair")
+    sources.foreach { e =>
+      // the eval stream is fixed per row: every train column scores the
+      // same bigram-token count
+      val counts = sources.toSeq.map(t => rows((e, t))._1)
+      assert(counts.size === sources.size && counts.distinct.size === 1)
+      // add-one p ≤ 1 ⇒ avg ln p ≤ 0
+      sources.foreach(t => assert(rows((e, t))._2 <= 0.0))
+      // the model trained on the eval source itself fits it best
+      val diag = rows((e, e))._2
+      sources.foreach(t => assert(diag >= rows((e, t))._2,
+        s"eval $e: train $t (${rows((e, t))._2}) beats self ($diag)"))
+    }
+  }
 }

@@ -315,4 +315,20 @@ class EventOpsSpec extends SparkSpec {
       assert(r.getLong(1) + r.getLong(2) === dau(r.getLong(0)))
     }
   }
+
+  test("dow profile: weekday cells conserve each type's days and events, means exact (q209)") {
+    val rows = EventOps.queries("q209_dow_profile")(spark, sf001).collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 6))
+    val byType = rows.groupBy(_.getString(0))
+    val daily = graft.T.events(spark, sf001)
+      .selectExpr("event_type", "to_date(ts) AS day").groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("day").as("nd"),
+           org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    byType.foreach { case (t, rs) =>
+      assert(rs.map(_.getLong(2)).sum === daily(t)._1, s"$t day conservation")
+      assert(rs.map(_.getLong(3)).sum === daily(t)._2, s"$t event conservation")
+      rs.foreach(r => assert(r.getLong(4) === 100L * r.getLong(3) / r.getLong(2)))
+    }
+  }
 }

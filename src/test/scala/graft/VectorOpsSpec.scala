@@ -270,4 +270,17 @@ class VectorOpsSpec extends SparkSpec {
     val share = rows.map(_.getDouble(6)).sum
     assert(math.abs(share - 100.0) < 1.0, s"variance shares sum to $share")
   }
+
+  test("embedding purity: probe sample non-empty, hit algebra exact, rates bounded (q207)") {
+    val rows = VectorOps.queries("q207_embedding_purity")(spark, sf001).collect()
+    assert(rows.nonEmpty, "md5 probe sample selected no vectors")
+    rows.foreach { r =>
+      val (np, nh, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(np > 0 && nh >= 0 && nh <= 5 * np)
+      assert(ppm === 1000000L * nh / (5 * np))
+    }
+    // determinism: the md5 coin re-selects the identical probes
+    val again = VectorOps.queries("q207_embedding_purity")(spark, sf001).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
