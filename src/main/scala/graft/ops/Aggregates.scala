@@ -267,6 +267,31 @@ object Aggregates {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"), max(col("cents")).as("hi"))
         .orderBy(col("bucket"))
+    }),
+
+    // Benford first-digit audit over order values — the classic
+    // fabricated-data / unit-mix forensic: observed leading-digit
+    // shares vs Benford's log10(1+1/d) expectation. The expectation
+    // ships as a LITERAL ppm table (not computed) so no libm log sits
+    // under an integer comparison; observed shares are exact integer
+    // ppm of a 9-row rollup. One partial-aggregable digit count over
+    // the scan — nothing else touches the table.
+    "q212_benford_audit" -> ((s, d) => {
+      val digits = T.orders(s, d)
+        .select(substring(expr("CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING)"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("t"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("obs_ppm", expr("(1000000 * n) div t"))
+        .withColumn("exp_ppm", expr(
+          """CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+            | WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+            | WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END""".stripMargin))
+        .select(col("digit").cast("long").as("digit"), col("n"),
+          col("obs_ppm"), col("exp_ppm").cast("long").as("exp_ppm"),
+          abs(col("obs_ppm") - col("exp_ppm")).cast("long").as("dev_ppm"))
+        .orderBy(col("digit"))
     })
   )
 
@@ -401,6 +426,26 @@ object Aggregates {
         |)
         |SELECT bucket, count(*) AS n,
         |       CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi
-        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q212_benford_audit" ->
+      """WITH dg AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+        |              AS INTEGER) AS digit
+        |  FROM orders
+        |), c AS (
+        |  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1
+        |), t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+        |SELECT CAST(digit AS BIGINT) AS digit, n,
+        |       (1000000 * n) // t AS obs_ppm,
+        |       CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+        |            WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+        |            WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END AS BIGINT) AS exp_ppm,
+        |       CAST(abs((1000000 * n) // t -
+        |            CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+        |            WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+        |            WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END) AS BIGINT) AS dev_ppm
+        |FROM c CROSS JOIN t
+        |ORDER BY digit""".stripMargin
   )
 }

@@ -99,6 +99,28 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** Median/MAD robust outlier flags over a (source, len) relation —
+    * see the q210 entry for rationale and the exact-halves note.
+    */
+  def lengthOutliers(docs: DataFrame): DataFrame = {
+    val med = docs.groupBy(col("source"))
+      .agg(expr("percentile(len, 0.5)").as("med"))
+    val mad = docs.join(broadcast(med), "source")
+      .select(col("source"), abs(col("len") - col("med")).as("dev"))
+      .groupBy(col("source"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    docs.join(broadcast(med), "source").join(broadcast(mad), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           max(col("med")).as("med"), max(col("mad")).as("mad"),
+           sum(when(abs(col("len") - col("med")) > lit(3.0) * col("mad"), 1L)
+             .otherwise(0L)).as("n_outliers"))
+      .select(col("source"), col("n_docs"), col("med"), col("mad"),
+        col("n_outliers"),
+        expr("(1000000 * n_outliers) div n_docs").as("outlier_ppm"))
+      .orderBy(col("source"))
+  }
+
   def qualityLogits(s: SparkSession, d: String): DataFrame = {
     val dims = T.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -997,6 +1019,19 @@ object CorpusOps {
     "q203_ks_drift" -> ((s, d) =>
       ksDrift(T.documents(s, d).select(col("source"), col("n_chars").as("len")))),
 
+    // Robust length-outlier audit per source (median/MAD, the
+    // document-side twin of q169's event MAD gate): docs with
+    // |len − median| > 3·MAD are flagged — the truncation/
+    // concatenation-artifact detector a curation pass runs before
+    // training. Two grouped exact-percentile aggs (source is
+    // low-cardinality, but percentile GROUP BY is one buffer per
+    // group map-side — the q29 discipline, NOT a window) + one
+    // broadcast join back for the flag pass. Lengths are integers so
+    // every interpolated median lands on a binary-exact half — the
+    // 3·MAD comparison never sits on a float boundary.
+    "q210_length_outliers" -> ((s, d) =>
+      lengthOutliers(T.documents(s, d).select(col("source"), col("n_chars").as("len")))),
+
     // Curriculum interleave — the deterministic round-robin training
     // order across sources (one doc per source per round, the mixing
     // stride a multi-source training run feeds the loader): rank docs
@@ -1625,6 +1660,24 @@ object CorpusOps {
         |)
         |SELECT source, ns AS n_docs, d_ppm AS ks_ppm, len AS at_len
         |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
+
+    "q210_length_outliers" ->
+      """WITH docs AS (
+        |  SELECT source, n_chars AS len FROM documents
+        |), med AS (
+        |  SELECT source, quantile_cont(len, 0.5) AS med FROM docs GROUP BY 1
+        |), mad AS (
+        |  SELECT d.source, quantile_cont(abs(d.len - m.med), 0.5) AS mad
+        |  FROM docs d JOIN med m USING (source) GROUP BY 1
+        |)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       max(m.med) AS med, max(a.mad) AS mad,
+        |       CAST(sum(CASE WHEN abs(d.len - m.med) > 3 * a.mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       (1000000 * CAST(sum(CASE WHEN abs(d.len - m.med) > 3 * a.mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS outlier_ppm
+        |FROM docs d JOIN med m USING (source) JOIN mad a USING (source)
+        |GROUP BY 1 ORDER BY d.source""".stripMargin,
 
     "q125_curriculum_interleave" ->
       """WITH r AS (

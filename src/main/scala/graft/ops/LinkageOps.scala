@@ -96,8 +96,45 @@ object LinkageOps {
       val master = T.customer(s, d).select(col("c_custkey"), col("c_name"))
       val dirtyFeed = master.select(col("c_custkey").as("link_id"), expr(dirtySql).as("nm"))
       fuzzyLink(master, dirtyFeed).orderBy(col("link_id"))
-    })
+    }),
+
+    // Sorted-neighborhood blocking (Hernández/Stolfo) — the OTHER
+    // classic linkage blocking family next to q159's deletion-
+    // neighborhood: sort all records by the blocking key, compare only
+    // records within a fixed rank window (w = 3), verify with exact
+    // Levenshtein ≤ 4. Candidate volume is EXACTLY (w−1)·n regardless
+    // of key skew — the property that makes the method a standard
+    // dial when hash blocks explode. The global sort is the
+    // constant-key ScalableRank regime (never one task); window
+    // pairing is a bounded explode of rank+1..rank+w−1 probe keys →
+    // one rank-keyed equi-join (no banded inequality join, no BNL).
+    "q211_sorted_neighborhood" -> ((s, d) =>
+      sortedNeighborhood(
+        T.part(s, d).select(col("p_partkey").as("key"), col("p_name").as("nm")),
+        w = 3, maxDist = 4))
   )
+
+  /** Sorted-neighborhood candidate generation + Levenshtein verify over
+    * a (key, nm) relation — see the q211 entry for rationale. `w` is
+    * the number of FOLLOWING ranks each record is compared against.
+    */
+  def sortedNeighborhood(records: DataFrame, w: Int, maxDist: Int): DataFrame = {
+    val ranked = graft.functions.ScalableRank
+      .withRanks(records.withColumn("g", lit(1)), Seq("g"),
+        Seq(col("nm"), col("key")), Seq(col("nm"), col("key")), 32)
+      .select(col("key"), col("nm"), col("rn"))
+    val probes = ranked
+      .withColumn("rn2", explode(expr(s"sequence(rn + 1, rn + $w)")))
+      .select(col("key").as("a_key"), col("nm").as("a_nm"), col("rn2"))
+    probes.join(ranked
+        .select(col("key").as("b_key"), col("nm").as("b_nm"),
+                col("rn").as("rn2")), "rn2")
+      .withColumn("dist", levenshtein(col("a_nm"), col("b_nm")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_key"), col("b_key"), col("a_nm"), col("b_nm"),
+              col("dist").cast("long").as("dist"))
+      .orderBy(col("a_key"), col("b_key"), col("a_nm"), col("b_nm"), col("dist"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q159_fuzzy_linkage" ->
@@ -126,6 +163,21 @@ object LinkageOps {
         |            WHEN a.n_match = 1 THEN 'unique'
         |            ELSE 'ambiguous' END AS status
         |FROM dirty d LEFT JOIN agg a USING (link_id)
-        |ORDER BY link_id""".stripMargin
+        |ORDER BY link_id""".stripMargin,
+
+    "q211_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT p_partkey, p_name,
+        |         CAST(row_number() OVER (ORDER BY p_name, p_partkey) AS BIGINT) AS rn
+        |  FROM part
+        |), pr AS (
+        |  SELECT a.p_partkey AS a_key, a.p_name AS a_nm,
+        |         b.p_partkey AS b_key, b.p_name AS b_nm
+        |  FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+        |)
+        |SELECT a_key, b_key, a_nm, b_nm,
+        |       CAST(levenshtein(a_nm, b_nm) AS BIGINT) AS dist
+        |FROM pr WHERE levenshtein(a_nm, b_nm) <= 4
+        |ORDER BY a_key, b_key, a_nm, b_nm, dist""".stripMargin
   )
 }

@@ -851,4 +851,32 @@ class CorpusOpsSpec extends SparkSpec {
         s"eval $e: train $t (${rows((e, t))._2}) beats self ($diag)"))
     }
   }
+
+  test("length outliers: MAD flags the planted spike, uniform sources are clean (q210)") {
+    import spark.implicits._
+    // s1: median 10, MAD 0 → the single 100 is an outlier (|90| > 0);
+    // the 10s are not (|0| > 0 is false). s2: perfectly uniform → MAD
+    // 0 and zero outliers.
+    val docs = Seq(("s1", 10L), ("s1", 10L), ("s1", 10L), ("s1", 100L),
+                   ("s2", 7L), ("s2", 7L)).toDF("source", "len")
+    val got = CorpusOps.lengthOutliers(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got("s1") === ((4L, 10.0, 0.0, 1L)))
+    assert(got("s2") === ((2L, 7.0, 0.0, 0L)))
+  }
+
+  test("Benford audit: digits partition the table, ppm algebra exact, expectation sums to ~1 (q212)") {
+    val rows = graft.ops.Aggregates.queries("q212_benford_audit")(spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
+    val nOrders = graft.T.orders(spark, sf001).count()
+    assert(rows.map(_.getLong(1)).sum === nOrders, "every order has one leading digit")
+    val tot = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      assert(r.getLong(2) === 1000000L * r.getLong(1) / tot)
+      assert(r.getLong(4) === math.abs(r.getLong(2) - r.getLong(3)))
+    }
+    // the hardcoded Benford table itself is a probability distribution
+    assert(rows.map(_.getLong(3)).sum <= 1000000L &&
+           rows.map(_.getLong(3)).sum >= 999990L)
+  }
 }

@@ -78,4 +78,21 @@ class LinkageOpsSpec extends SparkSpec {
     assert(naive.nonEmpty, "planted universe must contain true fuzzy pairs")
     assert(fast === naive)
   }
+
+  test("sorted neighborhood: window pairs exactly, verify filters, w bounds candidates (q211)") {
+    import spark.implicits._
+    val recs = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "aaac"), (4L, "zzzz"))
+      .toDF("key", "nm")
+    // w=3 covers all C(4,2)=6 rank pairs; maxDist=2 keeps only the
+    // three distance-1 'aaa?' pairs, drops every pair with zzzz (4).
+    val got = graft.ops.LinkageOps.sortedNeighborhood(recs, w = 3, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(got === Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    // w=1 compares adjacent ranks only: the (1,3) pair disappears even
+    // though its distance qualifies — the window, not the verifier,
+    // bounds candidate volume.
+    val w1 = graft.ops.LinkageOps.sortedNeighborhood(recs, w = 1, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(w1 === Seq((1L, 2L), (2L, 3L)))
+  }
 }
