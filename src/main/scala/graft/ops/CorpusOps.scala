@@ -1032,6 +1032,44 @@ object CorpusOps {
     "q210_length_outliers" -> ((s, d) =>
       lengthOutliers(T.documents(s, d).select(col("source"), col("n_chars").as("len")))),
 
+    // Shard-rebalance audit: when a 16-shard corpus layout grows to
+    // 20 shards, what fraction of documents must MOVE under naive
+    // mod-N placement vs a consistent-hash ring? (mod-N reshuffles
+    // ~1−1/lcm ≈ 95% of 100 TB; the ring's contract is ≈ new/total
+    // = 20%.) Both placements are pure md5 functions, the ring is a
+    // broadcast boundary table (successor-boundary lookup = one
+    // grouped min over a doc × |shards| broadcast expansion), so the
+    // audit is one corpus pass and the oracle replays it bit-exactly —
+    // the operator a storage migration runs BEFORE committing to a
+    // topology change. One token per shard here; production rings add
+    // virtual nodes to tighten the variance around new/total — same
+    // algebra, a larger broadcast boundary table.
+    "q214_shard_rebalance" -> ((s, d) => {
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 10), 16, 10)
+        .cast("long")
+      val docs = T.documents(s, d).select(col("doc_id"), h.as("h"))
+      def ring(n: Int, cname: String): DataFrame = {
+        val b = broadcast(s.range(n).select(
+          conv(substring(md5(concat(lit("shard:"), col("id").cast("string"))), 1, 10), 16, 10)
+            .cast("long").as("b")))
+        docs.crossJoin(b)
+          .groupBy(col("doc_id"), col("h"))
+          .agg(coalesce(min(when(col("b") >= col("h"), col("b"))), min(col("b")))
+            .as(cname))
+      }
+      ring(16, "b16").join(ring(20, "b20"), Seq("doc_id", "h"))
+        .select(col("doc_id"),
+          when(col("b16") =!= col("b20"), 1L).otherwise(0L).as("mv_ring"),
+          when(col("h") % 16 =!= col("h") % 20, 1L).otherwise(0L).as("mv_mod"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("mv_ring")).as("moved_ring"),
+             sum(col("mv_mod")).as("moved_mod"))
+        .select(col("n_docs"), col("moved_ring"), col("moved_mod"),
+          expr("(1000000 * moved_ring) div n_docs").as("ring_ppm"),
+          expr("(1000000 * moved_mod) div n_docs").as("mod_ppm"))
+        .orderBy(col("n_docs"))
+    }),
+
     // Curriculum interleave — the deterministic round-robin training
     // order across sources (one doc per source per round, the mixing
     // stride a multi-source training run feeds the loader): rank docs
@@ -1678,6 +1716,38 @@ object CorpusOps {
         |                     THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS outlier_ppm
         |FROM docs d JOIN med m USING (source) JOIN mad a USING (source)
         |GROUP BY 1 ORDER BY d.source""".stripMargin,
+
+    "q214_shard_rebalance" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) AS h
+        |  FROM documents
+        |), bounds AS (
+        |  SELECT i AS shard,
+        |    CAST(('0x' || substr(md5('shard:' || CAST(i AS VARCHAR)), 1, 10)) AS BIGINT) AS b
+        |  FROM (SELECT unnest(generate_series(0, 19)) AS i)
+        |), a16 AS (
+        |  SELECT doc_id, h,
+        |    coalesce(min(CASE WHEN b >= h THEN b END), min(b)) AS b16
+        |  FROM docs CROSS JOIN (SELECT b FROM bounds WHERE shard < 16)
+        |  GROUP BY 1, 2
+        |), a20 AS (
+        |  SELECT doc_id,
+        |    coalesce(min(CASE WHEN b >= h THEN b END), min(b)) AS b20
+        |  FROM docs CROSS JOIN bounds
+        |  GROUP BY 1
+        |), mv AS (
+        |  SELECT a16.doc_id,
+        |    CASE WHEN b16 <> b20 THEN 1 ELSE 0 END AS mv_ring,
+        |    CASE WHEN h % 16 <> h % 20 THEN 1 ELSE 0 END AS mv_mod
+        |  FROM a16 JOIN a20 ON a16.doc_id = a20.doc_id
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(mv_ring) AS BIGINT) AS moved_ring,
+        |       CAST(sum(mv_mod) AS BIGINT) AS moved_mod,
+        |       (1000000 * CAST(sum(mv_ring) AS BIGINT)) // count(*) AS ring_ppm,
+        |       (1000000 * CAST(sum(mv_mod) AS BIGINT)) // count(*) AS mod_ppm
+        |FROM mv ORDER BY n_docs""".stripMargin,
 
     "q125_curriculum_interleave" ->
       """WITH r AS (

@@ -384,6 +384,65 @@ object Dedup {
     "q69_neardup_canonical_lsh" -> ((s, d) =>
       canonicalizeLsh(T.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Incremental connected components — the nightly-ingest path for
+    // canonicalization state: given yesterday's (doc → canonical) map
+    // and today's delta, recompute WITHOUT re-pairing the old corpus.
+    // Quotient-graph argument: old clusters contract to their
+    // canonical ids (one node per cluster), delta-touching verified
+    // pairs map through that contraction, and components of the
+    // contracted graph are exactly the components of the full graph
+    // (cluster minima are preserved, so canonical ids agree — the
+    // DuckDB oracle IS the from-scratch full-graph recompute, making
+    // the equivalence a checked theorem, not a comment). Cost shape:
+    // the only new pair work is shingles(all) ⋈ shingles(delta) —
+    // old×old never re-joins; the contracted relation the components
+    // run on is |delta pairs| + |touched clusters|, corpus-size-free.
+    "q213_incremental_components" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val cutDf = docs.agg(expr("(4 * max(doc_id)) div 5").as("cut"))
+      val oldDocs = docs.crossJoin(broadcast(cutDf))
+        .filter(col("doc_id") <= col("cut")).drop("cut")
+      // old state on the PRODUCTION substrate (exact-collapse + LSH +
+      // verify — q69's path, which shares q67's oracle): the exact
+      // all-pairs substrate here was measured 19.5 s at sf0.1 vs 7.6 s
+      // for this form, and its Σ m_g² term is the known 100 TB killer.
+      val oldLab = canonicalizeLsh(oldDocs)
+      val shAll = TextSim.shingles(docs, 3)
+      // delta candidates: q101's banded discipline — only the delta's
+      // bands probe the full corpus's bands, old×old never re-pairs
+      val bands = TextSim.lshBands(TextSim.minhashSignatureNative(docs, 128, 3), 32, 4)
+      val deltaBands = bands.crossJoin(broadcast(cutDf))
+        .filter(col("doc_id") > col("cut")).drop("cut")
+      val cand = bands.as("l")
+        .join(deltaBands.as("r"),
+          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+        .distinct()
+      val deltaPairs = TextSim.verifyJaccard(cand, shAll, 0.8)
+        .select(col("id1"), col("id2"))
+      val l1 = oldLab.select(col("doc_id").as("id1"), col("canonical_id").as("c1"))
+      val l2 = oldLab.select(col("doc_id").as("id2"), col("canonical_id").as("c2"))
+      val contracted = deltaPairs
+        .join(l1, Seq("id1"), "left_outer")
+        .join(l2, Seq("id2"), "left_outer")
+        .select(coalesce(col("c1"), col("id1")).as("id1"),
+                coalesce(col("c2"), col("id2")).as("id2"))
+        .filter(col("id1") =!= col("id2"))
+      val compM = Components.connectedComponents(contracted)
+        .select(col("doc_id").as("node"), col("canonical_id").as("cf"))
+      val parts = oldLab.select(col("doc_id"))
+        .unionByName(deltaPairs.select(col("id1").as("doc_id")))
+        .unionByName(deltaPairs.select(col("id2").as("doc_id")))
+        .distinct()
+      val withL0 = parts
+        .join(oldLab.withColumnRenamed("canonical_id", "l0"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("l0"), col("doc_id")).as("l0"))
+      withL0.join(compM, withL0("l0") === compM("node"), "left_outer")
+        .select(col("doc_id"), coalesce(col("cf"), col("l0")).as("canonical_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The capstone pipeline: corpus cleaning = quality gate + near-dup
     // removal. Now composed on the PRODUCTION canonicalization
     // (canonicalizeLsh — exact-first + LSH-fed components), not the
@@ -1088,6 +1147,21 @@ object Dedup {
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "q67_neardup_components" ->
+      s"""WITH RECURSIVE pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |), e(a, b) AS (
+         |  SELECT id1, id2 FROM pr UNION SELECT id2, id1 FROM pr
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+         |)
+         |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS canonical_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // The incremental path must equal the from-scratch full-graph
+    // recompute — so its oracle IS q67's, verbatim.
+    "q213_incremental_components" ->
       s"""WITH RECURSIVE pr AS (
          |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
          |), e(a, b) AS (

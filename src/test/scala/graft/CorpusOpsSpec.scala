@@ -879,4 +879,13 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum <= 1000000L &&
            rows.map(_.getLong(3)).sum >= 999990L)
   }
+
+  test("shard rebalance: the ring moves strictly less than mod-N, algebra exact (q214)") {
+    val r = CorpusOps.queries("q214_shard_rebalance")(spark, sf001).collect().head
+    val (n, ring, mod) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n > 0 && ring <= n && mod <= n)
+    assert(ring < mod, s"consistent hashing must beat mod-N: ring $ring vs mod $mod")
+    assert(r.getLong(3) === 1000000L * ring / n)
+    assert(r.getLong(4) === 1000000L * mod / n)
+  }
 }

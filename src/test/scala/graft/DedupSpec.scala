@@ -552,4 +552,17 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(2)).sum
     assert(reps.map(_._2).sum === histDocs, "member mass disagrees with q115")
   }
+
+  test("incremental components reproduce the from-scratch full-graph canonicalization exactly (q213)") {
+    // The quotient-graph theorem, checked in-engine (the DuckDB gate
+    // re-checks it against recursive SQL): contracting yesterday's
+    // clusters and running components over only delta-touching pairs
+    // must equal q67's full recompute row for row.
+    val inc = Dedup.queries("q213_incremental_components")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.queries("q67_neardup_components")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty, "full graph must contain near-dup pairs at sf0.001")
+    assert(inc === full)
+  }
 }
