@@ -1070,6 +1070,44 @@ object CorpusOps {
         .orderBy(col("n_docs"))
     }),
 
+    // Classifier threshold sweep — the tradeoff curve behind "where do
+    // we cut": docs ranked by quality logit (best first), with
+    // cumulative document and TOKEN mass at each decile boundary, so a
+    // curation run reads off "keeping the top 30% of docs keeps X% of
+    // tokens above logit ≥ T" without re-running the filter per
+    // candidate threshold. The global ranking + both cumulatives ride
+    // constant-key ScalableRank running sums (q202's chained shape);
+    // the decile rollup is 10 rows; every share is exact integer ppm.
+    "q215_threshold_sweep" -> ((s, d) => {
+      val scored = qualityLogits(s, d)
+        .join(T.documents(s, d)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok")),
+          "doc_id")
+        .withColumn("g", lit(1))
+      val c1 = graft.functions.ScalableRank
+        .withRunningSum(scored, Seq("g"), Seq(col("logit").desc, col("doc_id")),
+          col("n_tok"), 32)
+        .withColumnRenamed("rsum", "cum_tok")
+      val c2 = graft.functions.ScalableRank
+        .withRunningSum(c1, Seq("g"), Seq(col("logit").desc, col("doc_id")),
+          lit(1L), 32)
+        .withColumnRenamed("rsum", "cum_docs")
+      val tot = scored.agg(count(lit(1)).as("tot_docs"), sum(col("n_tok")).as("tot_tok"))
+      c2.crossJoin(broadcast(tot))
+        .withColumn("decile",
+          graft.functions.ScalableRank.ntileFrom(col("cum_docs"), col("tot_docs"), 10))
+        .groupBy(col("decile"))
+        .agg(min(col("logit")).as("thr_logit"),
+             max(col("cum_docs")).as("cum_docs"),
+             max(col("cum_tok")).as("cum_tokens"),
+             max(col("tot_docs")).as("td"), max(col("tot_tok")).as("tt"))
+        .select(col("decile").cast("long").as("decile"), col("thr_logit"),
+          col("cum_docs"), col("cum_tokens"),
+          expr("(1000000 * cum_docs) div td").as("doc_share_ppm"),
+          expr("(1000000 * cum_tokens) div tt").as("token_share_ppm"))
+        .orderBy(col("decile"))
+    }),
+
     // Curriculum interleave — the deterministic round-robin training
     // order across sources (one doc per source per round, the mixing
     // stride a multi-source training run feeds the loader): rank docs
@@ -1748,6 +1786,42 @@ object CorpusOps {
         |       (1000000 * CAST(sum(mv_ring) AS BIGINT)) // count(*) AS ring_ppm,
         |       (1000000 * CAST(sum(mv_mod) AS BIGINT)) // count(*) AS mod_ppm
         |FROM mv ORDER BY n_docs""".stripMargin,
+
+    "q215_threshold_sweep" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 64 AS dim
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |), c AS (
+        |  SELECT doc_id, dim, count(*) AS c FROM dims GROUP BY 1, 2
+        |), wt AS (
+        |  SELECT CAST(t.dim AS BIGINT) AS dim,
+        |         (t.dim * 2654435761) % 1997 - 998 AS w
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS dim) t
+        |), lg AS (
+        |  SELECT doc_id, CAST(sum(c.c * wt.w) AS BIGINT) AS logit
+        |  FROM c JOIN wt USING (dim) GROUP BY doc_id
+        |), j AS (
+        |  SELECT lg.doc_id, logit,
+        |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+        |  FROM lg JOIN documents d ON lg.doc_id = d.doc_id
+        |), r AS (
+        |  SELECT logit, n_tok,
+        |         CAST(row_number() OVER wd AS BIGINT) AS cum_docs,
+        |         CAST(sum(n_tok) OVER (wd ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND CURRENT ROW) AS BIGINT) AS cum_tok,
+        |         CAST(ntile(10) OVER wd AS BIGINT) AS decile
+        |  FROM j WINDOW wd AS (ORDER BY logit DESC, doc_id)
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS td, CAST(sum(n_tok) AS BIGINT) AS tt
+        |  FROM j
+        |)
+        |SELECT decile, CAST(min(logit) AS BIGINT) AS thr_logit,
+        |       max(cum_docs) AS cum_docs, max(cum_tok) AS cum_tokens,
+        |       (1000000 * max(cum_docs)) // max(td) AS doc_share_ppm,
+        |       (1000000 * max(cum_tok)) // max(tt) AS token_share_ppm
+        |FROM r CROSS JOIN t
+        |GROUP BY decile ORDER BY decile""".stripMargin,
 
     "q125_curriculum_interleave" ->
       """WITH r AS (

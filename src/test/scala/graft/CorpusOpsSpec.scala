@@ -888,4 +888,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getLong(3) === 1000000L * ring / n)
     assert(r.getLong(4) === 1000000L * mod / n)
   }
+
+  test("threshold sweep: monotone cumulatives, falling thresholds, last decile keeps everything (q215)") {
+    val rows = CorpusOps.queries("q215_threshold_sweep")(spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+    val thrs = rows.map(_.getLong(1))
+    assert(thrs.zip(thrs.tail).forall { case (a, b) => a >= b },
+      "decile thresholds must fall as more docs are kept")
+    val cd = rows.map(_.getLong(2)); val ct = rows.map(_.getLong(3))
+    assert(cd.zip(cd.tail).forall { case (a, b) => a < b })
+    assert(ct.zip(ct.tail).forall { case (a, b) => a <= b })
+    assert(rows.last.getLong(4) === 1000000L, "last decile covers all docs")
+    assert(rows.last.getLong(5) === 1000000L, "last decile covers all tokens")
+  }
+
+  test("deletion cascade: blast radius matches independent recounts down the FK chain (q216)") {
+    val rows = graft.ops.Relational.queries("q216_deletion_cascade")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    import org.apache.spark.sql.functions._
+    val cust = graft.T.customer(spark, sf001)
+    val del = cust.filter(
+      conv(substring(md5(col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10 === 0)
+    val delKeys = del.select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(rows("customer")._1 === cust.count())
+    assert(rows("customer")._2 === delKeys.size.toLong)
+    val ord = graft.T.orders(spark, sf001).select("o_orderkey", "o_custkey").collect()
+    val delOrd = ord.filter(r => delKeys.contains(r.getLong(1))).map(_.getLong(0)).toSet
+    assert(rows("orders")._2 === delOrd.size.toLong)
+    val liDel = graft.T.lineitem(spark, sf001).select("l_orderkey").collect()
+      .count(r => delOrd.contains(r.getLong(0)))
+    assert(rows("lineitem")._2 === liDel.toLong)
+    rows.values.foreach { case (tot, d, ppm) =>
+      assert(d <= tot && ppm === 1000000L * d / tot)
+    }
+  }
 }
