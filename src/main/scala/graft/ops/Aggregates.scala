@@ -269,6 +269,39 @@ object Aggregates {
         .orderBy(col("bucket"))
     }),
 
+    // Higher-moment shape statistics (skewness + excess kurtosis) per
+    // return flag — the distribution-shape profile q29's percentiles
+    // and q28's stddev don't capture. NOT Spark's skewness()/DuckDB's
+    // skewness(): their bias corrections differ (population g1 vs
+    // sample G1), so both engines compute the same explicit
+    // central-moment algebra from raw power sums. l_quantity is
+    // integer-valued ≤ 50, so s1..s4 are sums of exact integers in
+    // double — order-independent below 2^53, hence engine-exact (at
+    // 100 TB row counts the power sums exceed 2^53: aggregate per
+    // partition into HUGEINT-style split sums or center first — the
+    // documented trade, same family as q175's integer images).
+    "q219_moment_stats" -> ((s, d) =>
+      T.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").as("q"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).as("s1"),
+          sum(col("q") * col("q")).as("s2"),
+          sum(col("q") * col("q") * col("q")).as("s3"),
+          sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+        .select(col("l_returnflag"), col("n"),
+          round(expr("s1 / n"), 4).as("mean_q"),
+          round(expr("sqrt(s2 / n - (s1 / n) * (s1 / n))"), 4).as("sd_pop"),
+          round(expr(
+            """(s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+              | / pow(s2 / n - (s1 / n) * (s1 / n), 1.5)""".stripMargin), 4).as("skew_g1"),
+          round(expr(
+            """(s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              |  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+              | / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3""".stripMargin), 4)
+            .as("exkurt_g2"))
+        .orderBy(col("l_returnflag"))),
+
     // Benford first-digit audit over order values — the classic
     // fabricated-data / unit-mix forensic: observed leading-digit
     // shares vs Benford's log10(1+1/d) expectation. The expectation
@@ -427,6 +460,25 @@ object Aggregates {
         |SELECT bucket, count(*) AS n,
         |       CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi
         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q219_moment_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |         sum(l_quantity) AS s1,
+        |         sum(l_quantity * l_quantity) AS s2,
+        |         sum(l_quantity * l_quantity * l_quantity) AS s3,
+        |         sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, n,
+        |       round(s1 / n, 4) AS mean_q,
+        |       round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS sd_pop,
+        |       round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+        |             / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) AS skew_g1,
+        |       round((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+        |              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |             / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3, 4) AS exkurt_g2
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "q212_benford_audit" ->
       """WITH dg AS (

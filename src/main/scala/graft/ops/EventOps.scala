@@ -610,6 +610,56 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // Timeout-bounded funnel — q85's ordered funnel with the product
+    // question attached: of everyone who signed up, how many completed
+    // the full path WITHIN 72 h of signup (attribution windows and
+    // promo SLAs are exactly this shape)? Same shared userStages
+    // relation; the window test is exact integer microseconds, so no
+    // interval/timezone arithmetic can diverge between engines.
+    "q217_conversion_window" -> ((s, d) =>
+      userStages(T.events(s, d))
+        .select(
+          when(col("t_signup").isNotNull, 1L).otherwise(0L).as("su"),
+          when(col("t_purchase").isNotNull, 1L).otherwise(0L).as("cv"),
+          when(col("t_purchase").isNotNull &&
+            expr("unix_micros(t_purchase) - unix_micros(t_signup) <= 259200000000"),
+            1L).otherwise(0L).as("cv72"))
+        .agg(sum(col("su")).as("n_signup"),
+             sum(col("cv")).as("n_conv_any"),
+             sum(col("cv72")).as("n_conv_72h"))
+        .select(col("n_signup"), col("n_conv_any"), col("n_conv_72h"),
+          expr("(1000000 * n_conv_any) div greatest(n_signup, 1)").as("any_ppm"),
+          expr("(1000000 * n_conv_72h) div greatest(n_signup, 1)").as("conv72_ppm"))
+        .orderBy(col("n_signup"))),
+
+    // Cohort lifetime-value accumulation — q132's retention grid with
+    // revenue instead of presence: per signup-week cohort, purchase
+    // value by week offset and its running total ("when does a cohort
+    // pay back"). Corpus collapses to (cohort, offset) cells first;
+    // the cumulative window runs over that ≤ weeks² rollup only (the
+    // q184 discipline). Cents via the q149-proven round(value·100)
+    // idiom; everything after is exact integers.
+    "q218_cohort_ltv" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val cohort = ev
+        .select(col("user_id"),
+          expr("CAST(floor(datediff(to_date(ts), date'2024-01-01')" +
+            " / CAST(7 AS DOUBLE)) AS BIGINT)").as("wk"))
+        .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val cells = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("CAST(floor(datediff(to_date(ts), date'2024-01-01')" +
+            " / CAST(7 AS DOUBLE)) AS BIGINT)").as("wk"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("rev_cents"))
+      val w = Window.partitionBy(col("cohort_wk")).orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    }),
+
     // Time-to-convert distribution — the latency companion to q85's
     // ordered funnel: among users who completed signup → … → purchase
     // (stage times conditional on the previous stage, q85's exact
@@ -1314,6 +1364,60 @@ object EventOps {
         |       CASE WHEN sum(sgn) > 0 THEN 'up'
         |            WHEN sum(sgn) < 0 THEN 'down' ELSE 'flat' END AS trend
         |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q217_conversion_window" ->
+      """WITH w1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_signup
+        |  FROM events
+        |), w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_signup THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_click
+        |  FROM w1
+        |), w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_purchase
+        |  FROM w2
+        |), u AS (
+        |  SELECT user_id, max(t_signup) AS t_signup, max(t_purchase) AS t_purchase
+        |  FROM w3 GROUP BY user_id
+        |), f AS (
+        |  SELECT
+        |    CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS su,
+        |    CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS cv,
+        |    CASE WHEN t_purchase IS NOT NULL
+        |          AND epoch_us(t_purchase) - epoch_us(t_signup) <= 259200000000
+        |         THEN 1 ELSE 0 END AS cv72
+        |  FROM u
+        |)
+        |SELECT CAST(sum(su) AS BIGINT) AS n_signup,
+        |       CAST(sum(cv) AS BIGINT) AS n_conv_any,
+        |       CAST(sum(cv72) AS BIGINT) AS n_conv_72h,
+        |       (1000000 * CAST(sum(cv) AS BIGINT)) // greatest(CAST(sum(su) AS BIGINT), 1) AS any_ppm,
+        |       (1000000 * CAST(sum(cv72) AS BIGINT)) // greatest(CAST(sum(su) AS BIGINT), 1) AS conv72_ppm
+        |FROM f ORDER BY n_signup""".stripMargin,
+
+    "q218_cohort_ltv" ->
+      """WITH co AS (
+        |  SELECT user_id,
+        |         min(CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |             / CAST(7 AS DOUBLE)) AS BIGINT)) AS cohort_wk
+        |  FROM events GROUP BY 1
+        |), cells AS (
+        |  SELECT co.cohort_wk,
+        |         CAST(floor(datediff('day', DATE '2024-01-01', CAST(e.ts AS DATE))
+        |             / CAST(7 AS DOUBLE)) AS BIGINT) - co.cohort_wk AS week_offset,
+        |         CAST(count(*) AS BIGINT) AS n_purchases,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM events e JOIN co ON e.user_id = co.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cohort_wk, week_offset, n_purchases, rev_cents,
+        |       CAST(sum(rev_cents) OVER (PARTITION BY cohort_wk ORDER BY week_offset
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
+        |FROM cells ORDER BY cohort_wk, week_offset""".stripMargin,
 
     "q204_time_to_convert" ->
       """WITH w1 AS (

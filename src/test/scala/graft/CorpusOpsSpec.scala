@@ -924,4 +924,22 @@ class CorpusOpsSpec extends SparkSpec {
       assert(d <= tot && ppm === 1000000L * d / tot)
     }
   }
+
+  test("moment stats: mean matches direct average, spread positive, moments finite (q219)") {
+    val rows = graft.ops.Aggregates.queries("q219_moment_stats")(spark, sf001).collect()
+    val direct = graft.T.lineitem(spark, sf001)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.avg("l_quantity"), 4).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(2) === direct(r.getString(0)))
+      assert(r.getDouble(3) > 0.0)
+      assert(!r.getDouble(4).isNaN && !r.getDouble(5).isNaN)
+      // quantities are near-uniform on [1, 50]: flat distributions have
+      // negative excess kurtosis (uniform → −1.2); the sign is a real
+      // shape assertion, not a tautology
+      assert(r.getDouble(5) < 0.0)
+    }
+  }
 }

@@ -331,4 +331,31 @@ class EventOpsSpec extends SparkSpec {
       rs.foreach(r => assert(r.getLong(4) === 100L * r.getLong(3) / r.getLong(2)))
     }
   }
+
+  test("timeout funnel: 72h conversions nest inside q85's funnel population (q217)") {
+    val r = EventOps.queries("q217_conversion_window")(spark, sf001).collect().head
+    val (su, any, h72) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(h72 <= any && any <= su)
+    val funnel = EventOps.queries("q85_event_funnel")(spark, sf001).collect().head
+    assert(su === funnel.getLong(0) && any === funnel.getLong(2))
+    assert(r.getLong(3) === 1000000L * any / math.max(su, 1L))
+    assert(r.getLong(4) === 1000000L * h72 / math.max(su, 1L))
+  }
+
+  test("cohort LTV: running totals monotone per cohort, total mass conserves (q218)") {
+    val rows = EventOps.queries("q218_cohort_ltv")(spark, sf001).collect()
+    assert(rows.forall(_.getLong(1) >= 0L), "offsets are never negative")
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val cums = sorted.map(_.getLong(4))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+      assert(cums.last === sorted.map(_.getLong(3)).sum,
+        "cumulative ends at the cohort's total revenue")
+    }
+    val totalCents = graft.T.events(spark, sf001)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("CAST(round(value * 100) AS BIGINT) AS c")
+      .agg(org.apache.spark.sql.functions.sum("c")).collect().head.getLong(0)
+    assert(rows.map(_.getLong(3)).sum === totalCents)
+  }
 }
