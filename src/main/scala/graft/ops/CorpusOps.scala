@@ -1108,6 +1108,27 @@ object CorpusOps {
         .orderBy(col("decile"))
     }),
 
+    // Quota-stratified eval-set construction: exactly k=3 documents
+    // per (lang, source) cell, chosen by md5 rank — the "small but
+    // covers every stratum" eval corpus a training run holds out.
+    // (lang, source) is a LOW-cardinality key pair, so the per-cell
+    // ranking rides ScalableRank (the q31/q35 rule: a direct
+    // Window.partitionBy here would funnel 100 TB onto |cells| tasks);
+    // the md5 pick is the oracle-replayable coin.
+    "q220_eval_quota_sample" -> ((s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("lang"), col("source"), col("doc_id"))
+        .withColumn("h",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"))
+      graft.functions.ScalableRank
+        .withRanks(docs, Seq("lang", "source"), Seq(col("h"), col("doc_id")),
+          Seq(col("h"), col("doc_id")), 32)
+        .filter(col("rn") <= 3)
+        .select(col("lang"), col("source"), col("rn").as("pick"), col("doc_id"))
+        .orderBy(col("lang"), col("source"), col("pick"), col("doc_id"))
+    }),
+
     // Curriculum interleave — the deterministic round-robin training
     // order across sources (one doc per source per round, the mixing
     // stride a multi-source training run feeds the loader): rank docs
@@ -1822,6 +1843,20 @@ object CorpusOps {
         |       (1000000 * max(cum_tok)) // max(tt) AS token_share_ppm
         |FROM r CROSS JOIN t
         |GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q220_eval_quota_sample" ->
+      """WITH h AS (
+        |  SELECT lang, source, doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY h, doc_id) AS BIGINT) AS pick
+        |  FROM h
+        |)
+        |SELECT lang, source, pick, doc_id FROM r WHERE pick <= 3
+        |ORDER BY lang, source, pick, doc_id""".stripMargin,
 
     "q125_curriculum_interleave" ->
       """WITH r AS (

@@ -660,6 +660,53 @@ object EventOps {
         .orderBy(col("cohort_wk"), col("week_offset"))
     }),
 
+    // Time-decayed customer value with EXACT integer halving: each
+    // purchase's cents are divided by 2^(weeks-ago) — a geometric
+    // decay that is a pure bit shift, so unlike float λ^age there is
+    // no transcendental to disagree on and the sum is
+    // order-independent. Reference day is the corpus max (broadcast
+    // scalar); top-100 by decayed value plans as TakeOrdered, no
+    // global sort. The recency-weighted LTV ranking a retention team
+    // actions — q174's RFM with a principled decay instead of bins.
+    "q221_decayed_value" -> ((s, d) => {
+      val ev = T.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("CAST(datediff(to_date(ts), date'2024-01-01') AS BIGINT)").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val mx = ev.agg(max(col("day")).as("mxd"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("age_wk", expr("least((mxd - day) div 7, 62)"))
+        .withColumn("dec_cents", expr("cents div shiftleft(CAST(1 AS BIGINT), CAST(age_wk AS INT))"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+             sum(col("cents")).as("raw_cents"),
+             sum(col("dec_cents")).as("decayed_cents"))
+        .orderBy(col("decayed_cents").desc, col("user_id"))
+        .limit(100)
+    }),
+
+    // Top user journeys: the 20 most common first-5-event paths — the
+    // product question q153's pairwise transitions can't answer
+    // (pairs lose the full route). Per-user prefix cap BEFORE any
+    // string building (row_number over the user-keyed window — the
+    // path length is bounded by construction, the 100 TB contract),
+    // then q156's deterministic array_sort(collect_list(struct))
+    // path construction, then a path-keyed count and TakeOrdered.
+    "q222_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("user_id"))
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+          ",").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    }),
+
     // Time-to-convert distribution — the latency companion to q85's
     // ordered funnel: among users who completed signup → … → purchase
     // (stage times conditional on the previous stage, q85's exact
@@ -1418,6 +1465,38 @@ object EventOps {
         |       CAST(sum(rev_cents) OVER (PARTITION BY cohort_wk ORDER BY week_offset
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
         |FROM cells ORDER BY cohort_wk, week_offset""".stripMargin,
+
+    "q221_decayed_value" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |), mx AS (SELECT max(day) AS mxd FROM ev),
+        |dc AS (
+        |  SELECT user_id, cents,
+        |         cents // (CAST(1 AS BIGINT) << CAST(least((mxd - day) // 7, 62) AS INTEGER)) AS dec_cents
+        |  FROM ev CROSS JOIN mx
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(cents) AS BIGINT) AS raw_cents,
+        |       CAST(sum(dec_cents) AS BIGINT) AS decayed_cents
+        |FROM dc GROUP BY 1
+        |ORDER BY decayed_cents DESC, user_id LIMIT 100""".stripMargin,
+
+    "q222_top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id,
+        |         string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY 1
+        |)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     "q204_time_to_convert" ->
       """WITH w1 AS (

@@ -942,4 +942,19 @@ class CorpusOpsSpec extends SparkSpec {
       assert(r.getDouble(5) < 0.0)
     }
   }
+
+  test("quota sample: every populated stratum yields min(3, size) picks, ranks dense (q220)") {
+    val rows = CorpusOps.queries("q220_eval_quota_sample")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val cells = graft.T.documents(spark, sf001)
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = rows.groupBy(r => (r._1, r._2))
+    assert(got.keySet === cells.keySet, "every populated stratum is represented")
+    got.foreach { case (cell, picks) =>
+      assert(picks.length === math.min(3L, cells(cell)).toInt, s"$cell pick count")
+      assert(picks.map(_._3).sorted.toSeq === (1L to picks.length).toSeq, s"$cell ranks dense")
+      assert(picks.map(_._4).distinct.length === picks.length, s"$cell picks distinct")
+    }
+  }
 }

@@ -358,4 +358,25 @@ class EventOpsSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("c")).collect().head.getLong(0)
     assert(rows.map(_.getLong(3)).sum === totalCents)
   }
+
+  test("decayed value: halving never exceeds raw, ranking is by decayed cents (q221)") {
+    val rows = EventOps.queries("q221_decayed_value")(spark, sf001).collect()
+    assert(rows.length <= 100)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "decay can only shrink value")
+      assert(r.getLong(3) >= 0L && r.getLong(1) > 0L)
+    }
+    val dv = rows.map(_.getLong(3))
+    assert(dv.zip(dv.tail).forall { case (a, b) => a >= b }, "descending by decayed value")
+  }
+
+  test("top paths: bounded prefixes, counts cover at most the user population (q222)") {
+    val rows = EventOps.queries("q222_top_paths")(spark, sf001).collect()
+    assert(rows.length <= 20)
+    rows.foreach(r => assert(r.getString(0).split(",").length <= 5))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    val users = graft.T.events(spark, sf001).select("user_id").distinct().count()
+    assert(counts.sum <= users)
+  }
 }
