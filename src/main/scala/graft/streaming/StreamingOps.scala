@@ -419,6 +419,65 @@ object StreamingOps {
     }
   }
 
+  final case class IdleState(n_events: Long, last_ms: Long, timer_ms: Long)
+  final case class ClosedSession(user_id: Long, n_events: Long,
+                                 last_ms: Long)
+
+  /** Idle-timeout session closer on EVENT-TIME TIMERS — the piece of
+    * the transformWithState surface the funnel processor doesn't
+    * touch: a session is emitted not when a row arrives but when the
+    * WATERMARK passes last-event + 30 min (registerTimer /
+    * handleExpiredTimer; the state store owns the deadline, so a
+    * user who simply goes quiet still closes). Each input batch
+    * re-arms the single per-user timer (delete + register — O(1)
+    * timers per key); expiry emits the closed session and clears
+    * state, so state size is O(active users), the same bound as the
+    * funnel. This is the streaming twin of q74's gap sessionization
+    * with the gap enforced by time passing rather than by the next
+    * event arriving.
+    */
+  class IdleSessionProcessor extends StatefulProcessor[Long, Ev, ClosedSession] {
+    @transient private var st: ValueState[IdleState] = _
+    private val gapMs = 30L * 60 * 1000
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[IdleState](
+        "idle", Encoders.product[IdleState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[ClosedSession] = {
+      val evs = rows.toSeq
+      val maxMs = evs.map(_.ts.getTime).max
+      val prev = if (st.exists()) st.get() else IdleState(0L, Long.MinValue, -1L)
+      if (prev.timer_ms >= 0) getHandle.deleteTimer(prev.timer_ms)
+      val next = IdleState(prev.n_events + evs.size,
+        math.max(prev.last_ms, maxMs), math.max(prev.last_ms, maxMs) + gapMs)
+      getHandle.registerTimer(next.timer_ms)
+      st.update(next)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val s = st.get()
+      st.clear()
+      Iterator.single(ClosedSession(user, s.n_events, s.last_ms))
+    }
+  }
+
+  /** Idle-closed sessions as an Append-mode stream; input must carry a
+    * watermark on `ts` (event-time timers fire on watermark advance).
+    */
+  def idleSessions(events: Dataset[Ev]): Dataset[ClosedSession] = {
+    implicit val enc: org.apache.spark.sql.Encoder[ClosedSession] =
+      Encoders.product[ClosedSession]
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new IdleSessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Per-user funnel stage as an Update-mode stream. */
   def streamingFunnel(events: Dataset[Ev]): Dataset[UserStage] = {
     implicit val enc: org.apache.spark.sql.Encoder[UserStage] = Encoders.product[UserStage]

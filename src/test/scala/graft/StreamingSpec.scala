@@ -164,6 +164,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers close idle sessions when the watermark passes, not when rows arrive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.Ev
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = StreamingOps.appendToMemory(
+        StreamingOps.idleSessions(mem.toDS()).toDF(), "idle_out").start()
+      // batch 1: user 1 has two events, user 2 one; nothing can close
+      // yet (watermark is far behind last_event + 30 min).
+      mem.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), 1, "click", 0),
+        Ev(2, ts("2024-01-01 00:10:00"), 1, "view", 0),
+        Ev(3, ts("2024-01-01 00:05:00"), 2, "view", 0))
+      q.processAllAvailable()
+      assert(spark.table("idle_out").isEmpty,
+        "sessions must not close while the watermark is behind the idle deadline")
+      // batch 2: a watermark-pushing event 2 h later for another user
+      // advances event time past both idle deadlines → both timers
+      // fire even though users 1 and 2 sent NOTHING in this batch.
+      mem.addData(Ev(4, ts("2024-01-01 02:00:00"), 99, "click", 0))
+      q.processAllAvailable()
+      // one more empty-ish batch so the watermark computed from batch 2
+      // is applied and expired timers emit
+      mem.addData(Ev(5, ts("2024-01-01 02:00:01"), 99, "click", 0))
+      q.processAllAvailable(); q.stop()
+      val closed = spark.table("idle_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(closed.contains(1L) && closed.contains(2L),
+        s"both idle users must close, got $closed")
+      assert(closed(1L)._1 === 2L && closed(2L)._1 === 1L)
+      assert(closed(1L)._2 === ts("2024-01-01 00:10:00").getTime)
+      assert(!closed.contains(99L), "the active user's session stays open")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("session windows split user 1 into two sessions on the 30-min gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
