@@ -660,6 +660,66 @@ object EventOps {
         .orderBy(col("cohort_wk"), col("week_offset"))
     }),
 
+    // Peak concurrency — "how many sessions were open at once" over
+    // q74's session intervals, by distributed sweep line: each session
+    // emits +1 at its start second and −1 one past its end, boundaries
+    // COLLAPSE to one net delta per timestamp first (a keyed partial
+    // agg — ties are resolved by algebra, not ordering), and the
+    // running sum of net deltas over the unique time axis is the exact
+    // concurrency function. That global running sum is the constant-
+    // key ScalableRank regime (the whole timeline is one key). The
+    // answer is its max and the earliest instant attaining it — the
+    // capacity number an ops team sizes against.
+    "q223_peak_concurrency" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ep"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = T.events(s, d)
+        .withColumn("ep", unix_timestamp(col("ts")))
+        .withColumn("new_s",
+          when(lag(col("ep"), 1).over(wOrd).isNull ||
+               col("ep") - lag(col("ep"), 1).over(wOrd) > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ep")).as("t0"), max(col("ep")).as("t1"))
+      val deltas = sess.select(col("t0").as("t"), lit(1L).as("d"))
+        .unionByName(sess.select((col("t1") + 1).as("t"), lit(-1L).as("d")))
+        .groupBy(col("t")).agg(sum(col("d")).as("nd"))
+        .withColumn("g", lit(1))
+      val conc = graft.functions.ScalableRank
+        .withRunningSum(deltas, Seq("g"), Seq(col("t")), col("nd"), 32)
+        .select(col("t"), col("rsum").as("conc"))
+      val mx = conc.agg(max(col("conc")).as("peak"))
+      val nSess = sess.agg(count(lit(1)).as("n_sessions"))
+      conc.crossJoin(broadcast(mx))
+        .filter(col("conc") === col("peak"))
+        .agg(min(col("t")).as("at_ep"))
+        .crossJoin(broadcast(mx)).crossJoin(broadcast(nSess))
+        .select(col("peak"), col("at_ep"), col("n_sessions"))
+        .orderBy(col("peak"))
+    }),
+
+    // Forward as-of join — q77's mirror ("first click AT OR AFTER each
+    // purchase": the next-quote-after-trade shape): same union + one
+    // user-keyed window, with the frame flipped to CURRENT→FOLLOWING
+    // and kind ordered DESC so a click at the purchase instant counts.
+    // Still zero join operators.
+    "q224_asof_forward" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"), lit(-1L).as("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind").desc, col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      clicks.unionByName(purchases)
+        .withColumn("next_click_ts", min(when(col("kind") === 0, col("ts"))).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+                col("next_click_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // Time-decayed customer value with EXACT integer halving: each
     // purchase's cents are divided by 2^(weeks-ago) — a geometric
     // decay that is a pure bit shift, so unlike float λ^age there is
@@ -1465,6 +1525,47 @@ object EventOps {
         |       CAST(sum(rev_cents) OVER (PARTITION BY cohort_wk ORDER BY week_offset
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
         |FROM cells ORDER BY cohort_wk, week_offset""".stripMargin,
+
+    "q223_peak_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, ep,
+        |    CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+        |), s AS (
+        |  SELECT user_id, ep,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ep, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM m
+        |), sess AS (
+        |  SELECT user_id, session_id, min(ep) AS t0, max(ep) AS t1
+        |  FROM s GROUP BY 1, 2
+        |), deltas AS (
+        |  SELECT t, CAST(sum(d) AS BIGINT) AS nd FROM (
+        |    SELECT t0 AS t, 1 AS d FROM sess
+        |    UNION ALL SELECT t1 + 1, -1 FROM sess)
+        |  GROUP BY 1
+        |), conc AS (
+        |  SELECT t, CAST(sum(nd) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+        |  FROM deltas
+        |), mx AS (SELECT max(conc) AS peak FROM conc),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM sess)
+        |SELECT mx.peak, min(conc.t) AS at_ep, ns.n_sessions
+        |FROM conc CROSS JOIN mx CROSS JOIN ns
+        |WHERE conc.conc = mx.peak
+        |GROUP BY mx.peak, ns.n_sessions
+        |ORDER BY mx.peak""".stripMargin,
+
+    "q224_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS next_click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q221_decayed_value" ->
       """WITH ev AS (

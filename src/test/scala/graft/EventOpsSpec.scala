@@ -379,4 +379,45 @@ class EventOpsSpec extends SparkSpec {
     val users = graft.T.events(spark, sf001).select("user_id").distinct().count()
     assert(counts.sum <= users)
   }
+
+  test("peak concurrency: brute-force recount at the reported instant matches (q223)") {
+    val r = EventOps.queries("q223_peak_concurrency")(spark, sf001).collect().head
+    val (peak, atEp, nSess) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val sess = EventOps.queries("q74_sessionize")(spark, sf001).count()
+    assert(nSess === sess)
+    assert(peak >= 1L && peak <= nSess)
+    // recount concurrency at at_ep straight from the session intervals
+    val intervals = graft.T.events(spark, sf001)
+      .selectExpr("user_id", "event_id", "CAST(floor(unix_timestamp(ts)) AS BIGINT) AS ep")
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2)))
+      .groupBy(_._1).values.flatMap { evs =>
+        val sorted = evs.sortBy(e => (e._3, e._2))
+        val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var (start, last) = (sorted.head._3, sorted.head._3)
+        sorted.tail.foreach { e =>
+          if (e._3 - last > 1800) { bounds += ((start, last)); start = e._3 }
+          last = e._3
+        }
+        bounds += ((start, last)); bounds
+      }
+    val conc = intervals.count { case (t0, t1) => t0 <= atEp && atEp <= t1 }
+    assert(conc.toLong === peak, s"recount at $atEp gives $conc, reported $peak")
+  }
+
+  test("forward as-of: one row per purchase, next click never precedes it, brackets q77 (q224)") {
+    val fwd = EventOps.queries("q224_asof_forward")(spark, sf001).collect()
+    val purchases = graft.T.events(spark, sf001)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(fwd.length.toLong === purchases)
+    val bwd = EventOps.queries("q77_asof_join")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    fwd.foreach { r =>
+      val pts = r.getTimestamp(2)
+      val nxt = Option(r.getTimestamp(3))
+      nxt.foreach(t => assert(!t.before(pts), "next click cannot precede the purchase"))
+      bwd(r.getLong(0)).foreach { lst =>
+        assert(!lst.after(pts), "q77's last click cannot follow the purchase")
+      }
+    }
+  }
 }
