@@ -325,10 +325,87 @@ object Aggregates {
           col("obs_ppm"), col("exp_ppm").cast("long").as("exp_ppm"),
           abs(col("obs_ppm") - col("exp_ppm")).cast("long").as("dev_ppm"))
         .orderBy(col("digit"))
+    }),
+
+    // Poisson-bootstrap confidence interval for the mean order value
+    // per market segment — the error bar every aggregate dashboard
+    // omits. Classic n-out-of-n resampling needs n draws WITH
+    // replacement per replicate (a shuffle per replicate at scale);
+    // the Poisson bootstrap replaces that with an independent
+    // Poisson(1) weight per (row, replicate), which needs NO
+    // coordination — one map-side pass emits all B=32 replicates, and
+    // partial aggregation collapses each partition to segments×B
+    // cells before the exchange. The Poisson draw is the md5 coin
+    // (q86's portable hash) against the exact cumulative-ppm table of
+    // Poisson(1) — an integer comparison, so both engines draw the
+    // SAME replicate weights and the oracle replays the resampling
+    // bit-for-bit. CI bounds are the 2.5%/97.5% interpolated
+    // percentiles of the replicate means.
+    "q228_bootstrap_ci" -> ((s, d) => {
+      val cust = broadcast(T.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val base = T.orders(s, d)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderkey"), col("o_totalprice"))
+      val reps = base.select(col("seg"), col("o_orderkey"), col("o_totalprice"),
+          explode(expr("sequence(0, 31)")).as("b"))
+        .withColumn("r", expr(
+          "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10000"))
+        .withColumn("wt", expr(
+          """CASE WHEN r < 3679 THEN 0 WHEN r < 7358 THEN 1 WHEN r < 9197 THEN 2
+            |     WHEN r < 9810 THEN 3 WHEN r < 9963 THEN 4 ELSE 5 END""".stripMargin))
+        .groupBy(col("seg"), col("b"))
+        .agg(sum(col("wt") * col("o_totalprice")).as("s"),
+             sum(col("wt")).as("nw"))
+        .withColumn("m", col("s") / col("nw"))
+      val obs = base.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_orders"), avg(col("o_totalprice")).as("mean0"))
+      reps.groupBy(col("seg"))
+        .agg(expr("CAST(percentile(m, 0.025) AS DOUBLE)").as("lo"),
+             expr("CAST(percentile(m, 0.975) AS DOUBLE)").as("hi"))
+        .join(obs, "seg")
+        .select(col("seg"), col("n_orders"),
+          round(col("mean0"), 2).as("mean_price"),
+          round(col("lo"), 2).as("ci_lo"),
+          round(col("hi"), 2).as("ci_hi"))
+        .orderBy(col("seg"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q228_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT c.c_mktsegment AS seg, o.o_orderkey, o.o_totalprice
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |), reps AS (
+        |  SELECT seg, b,
+        |         sum(wt * o_totalprice) / sum(wt) AS m
+        |  FROM (
+        |    SELECT seg, o_totalprice, b,
+        |      CASE WHEN r < 3679 THEN 0 WHEN r < 7358 THEN 1 WHEN r < 9197 THEN 2
+        |           WHEN r < 9810 THEN 3 WHEN r < 9963 THEN 4 ELSE 5 END AS wt
+        |    FROM (
+        |      SELECT seg, o_totalprice, b,
+        |        CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS r
+        |      FROM base CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+        |    )
+        |  )
+        |  GROUP BY 1, 2
+        |), ci AS (
+        |  SELECT seg,
+        |         CAST(percentile_cont(0.025) WITHIN GROUP (ORDER BY m) AS DOUBLE) AS lo,
+        |         CAST(percentile_cont(0.975) WITHIN GROUP (ORDER BY m) AS DOUBLE) AS hi
+        |  FROM reps GROUP BY 1
+        |), obs AS (
+        |  SELECT seg, CAST(count(*) AS BIGINT) AS n_orders,
+        |         avg(o_totalprice) AS mean0
+        |  FROM base GROUP BY 1
+        |)
+        |SELECT obs.seg, obs.n_orders, round(obs.mean0, 2) AS mean_price,
+        |       round(ci.lo, 2) AS ci_lo, round(ci.hi, 2) AS ci_hi
+        |FROM obs JOIN ci ON obs.seg = ci.seg
+        |ORDER BY obs.seg""".stripMargin,
+
     "q148_incremental_agg" ->
       """WITH c AS (
         |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents

@@ -928,6 +928,49 @@ object CorpusOps {
         .orderBy(col("source"))
     }),
 
+    // Token↔source mutual information (feature selection over the
+    // corpus): for each of the 20 highest-df tokens, MI between the
+    // source label and the token's PRESENCE in a doc — the
+    // quantitative "which tokens give the source away" list that
+    // q129's KL summarizes per source and q208's transfer matrix
+    // never attributes to individual tokens. Presence (not counts)
+    // keeps every probability a ratio of exact integer doc counts;
+    // the only corpus-scale shuffles are the (doc,w) distinct and the
+    // vocabulary-keyed df agg — the MI itself runs on a broadcast
+    // |sources|×20 grid (absent (source,token) cells are
+    // reconstructed by a left join so the zero-presence term is
+    // counted, not silently dropped). ln over identical exact-integer
+    // ratios + round(Σ,4) is the q129 discipline.
+    "q230_token_mi" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val dw = docs
+        .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val dft = dw.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val top = broadcast(dft.orderBy(col("df").desc, col("w")).limit(20))
+      val dfst = dw.join(top.select(col("w")), "w")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("df_s"))
+      val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val nTot = docs.agg(count(lit(1)).as("n"))
+      ns.crossJoin(top).crossJoin(broadcast(nTot))
+        .join(dfst, Seq("source", "w"), "left")
+        .withColumn("a", coalesce(col("df_s"), lit(0L)))
+        .withColumn("term",
+          when(col("a") > 0,
+            (col("a").cast("double") / col("n")) *
+              log(col("a").cast("double") * col("n") / (col("n_s") * col("df"))))
+            .otherwise(lit(0.0)) +
+          when(col("n_s") - col("a") > 0,
+            ((col("n_s") - col("a")).cast("double") / col("n")) *
+              log((col("n_s") - col("a")).cast("double") * col("n") /
+                  (col("n_s") * (col("n") - col("df")))))
+            .otherwise(lit(0.0)))
+        .groupBy(col("w"))
+        .agg(max(col("df")).as("doc_freq"),
+             round(sum(col("term")), 4).as("mi4"))
+        .orderBy(col("w"))
+    }),
+
     // Blocklist filter — C4's named "bad words" gate, the one
     // published-pipeline component the funnel family didn't yet name:
     // token-exact blocklist hits per doc, the keep decision, and the
@@ -1656,6 +1699,39 @@ object CorpusOps {
         |       (10000 * CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT))
         |         // count(*) AS blocked_bp
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    "q230_token_mi" ->
+      """WITH dw AS (
+        |  SELECT DISTINCT doc_id, source, w
+        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |), dft AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY 1
+        |), top AS (
+        |  SELECT w, df FROM dft ORDER BY df DESC, w LIMIT 20
+        |), dfst AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS df_s
+        |  FROM dw JOIN top USING (w) GROUP BY 1, 2
+        |), ns AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1
+        |), nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |grid AS (
+        |  SELECT ns.source, top.w, top.df, ns.n_s, nt.n,
+        |         coalesce(dfst.df_s, 0) AS a
+        |  FROM ns CROSS JOIN top CROSS JOIN nt
+        |  LEFT JOIN dfst ON dfst.source = ns.source AND dfst.w = top.w
+        |)
+        |SELECT w, CAST(max(df) AS BIGINT) AS doc_freq,
+        |       round(sum(
+        |         CASE WHEN a > 0
+        |              THEN (CAST(a AS DOUBLE) / n)
+        |                   * ln((CAST(a AS DOUBLE) * n) / (n_s * df))
+        |              ELSE 0 END
+        |         + CASE WHEN n_s - a > 0
+        |                THEN (CAST(n_s - a AS DOUBLE) / n)
+        |                     * ln((CAST(n_s - a AS DOUBLE) * n) / (n_s * (n - df)))
+        |                ELSE 0 END), 4) AS mi4
+        |FROM grid GROUP BY 1 ORDER BY w""".stripMargin,
 
     "q129_source_kl" ->
       """WITH sw AS (

@@ -720,6 +720,153 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    // Population-stability index (PSI) — the model-monitoring drift
+    // score: decile bins are FIT on the reference period (days 0-14)
+    // and both periods are scored through them; PSI = Σ(p−q)·ln(p/q).
+    // q203's KS answers "did it drift"; PSI is the banded magnitude
+    // ops teams threshold at 0.1/0.25. Engine-exactness discipline:
+    // NO interpolated quantile sits under a comparison (x·(1−f)+f·y
+    // vs x+(y−x)·f can differ in the last ulp and flip a tie-heavy
+    // 2-decimal bin edge) — bin edges are the ACTUAL max-cents data
+    // values of the reference ntiles (ScalableRank two-phase ranking,
+    // the low-card-key construct), broadcast as 9 integer columns,
+    // and every bin assignment is an integer comparison. Scale: one
+    // ranking pass over the reference slice, one broadcast-join +
+    // partial-aggregable cell count over the full table.
+    "q232_psi_drift" -> ((s, d) => {
+      val ev = T.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          (datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) < 15).as("is_a"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val ranked = graft.functions.ScalableRank
+        .withRanks(ev.filter(col("is_a")), Seq("event_type"),
+          Seq(col("cents"), col("event_id")), Seq(col("cents"), col("event_id")), 32)
+        .withColumn("bucket",
+          graft.functions.ScalableRank.ntileFrom(col("rn"), col("ntot"), 10))
+      val bAggs = (1 to 9).map(i =>
+        max(when(col("bucket") === i, col("cents"))).as(s"b$i"))
+      val bmax = ranked.filter(col("bucket") <= 9)
+        .groupBy(col("event_type").as("et"))
+        .agg(bAggs.head, bAggs.tail: _*)
+      val binned = ev.join(broadcast(bmax), col("event_type") === col("et"))
+        .withColumn("bin",
+          (1 to 9).map(i => when(col("cents") > col(s"b$i"), 1).otherwise(0))
+            .reduce(_ + _) + 1)
+      val cells = binned.groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+             sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+      val tot = cells.groupBy(col("event_type").as("et2"))
+        .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      cells.join(broadcast(tot), col("event_type") === col("et2"))
+        .withColumn("contrib",
+          when(col("na") > 0 && col("nb") > 0,
+            (col("na").cast("double") / col("ta") - col("nb").cast("double") / col("tb")) *
+              log((col("na").cast("double") / col("ta")) /
+                  (col("nb").cast("double") / col("tb"))))
+            .otherwise(lit(0.0)))
+        .groupBy(col("event_type"))
+        .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+             sum(when(col("na") === 0 || col("nb") === 0, 1L).otherwise(0L))
+               .as("n_degenerate_bins"),
+             round(sum(col("contrib")), 4).as("psi4"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Autocorrelation of the daily volume series (ACF at lags 1..7) —
+    // the seasonality detector behind q209's weekday profile: a high
+    // lag-7 ACF *is* weekly seasonality, a high lag-1 ACF is burst
+    // persistence. Scale shape: the only pass over events is the
+    // partial-aggregable (type, day) count; everything after runs on a
+    // ≤ types×days relation, where the banded self-join (1 ≤ Δday ≤ 7)
+    // and per-(type,lag) Pearson corr are driver-trivial. ACF is a
+    // ratio of co-moments, so the sample/population distinction
+    // cancels and round(·,4) absorbs engine summation order.
+    "q225_autocorrelation" -> ((s, d) => {
+      val daily = T.events(s, d)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val a = daily.select(col("event_type").as("et"), col("day").as("d1"), col("c").as("c1"))
+      val b = daily.select(col("event_type").as("et2"), col("day").as("d2"), col("c").as("c2"))
+      a.join(b, col("et") === col("et2") && (col("d2") - col("d1")).between(1, 7))
+        .withColumn("lag", col("d2") - col("d1"))
+        .groupBy(col("et").as("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+             round(corr(col("c1"), col("c2")), 4).as("acf4"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
+    // Theil–Sen slope of the daily volume series — q201's Mann-Kendall
+    // names the trend DIRECTION; this estimates its MAGNITUDE the
+    // robust way (median of all pairwise slopes — a 29%-breakdown
+    // estimator, immune to the spike days that wreck OLS q152 would
+    // fit). Slopes are truncated to integer ppm/day BEFORE the median
+    // (double division of exact integers is correctly rounded IEEE, so
+    // trunc agrees across engines), and the exact interpolating median
+    // of integers is engine-portable (midpoints are exact halves).
+    // Same scale posture as q225: one partial-aggregable pass over
+    // events, then a bounded days² pairs relation per type.
+    "q226_theilsen" -> ((s, d) => {
+      val daily = T.events(s, d)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      val a = daily.select(col("event_type").as("et"), col("day").as("d1"), col("c").as("c1"))
+      val b = daily.select(col("event_type").as("et2"), col("day").as("d2"), col("c").as("c2"))
+      a.join(b, col("et") === col("et2") && col("d1") < col("d2"))
+        .withColumn("slope_ppm",
+          expr("CAST((1000000 * (c2 - c1)) / CAST(d2 - d1 AS DOUBLE) AS BIGINT)"))
+        .groupBy(col("et").as("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+             expr("CAST(percentile(slope_ppm, 0.5) AS DOUBLE)").as("med_slope_ppm"))
+        .withColumn("trend", expr(
+          "CASE WHEN med_slope_ppm > 0 THEN 'up' WHEN med_slope_ppm < 0 THEN 'down' ELSE 'flat' END"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Additive seasonal decomposition of the daily volume series
+    // (STL-lite): trend = centered 7-day moving average (NULL at the
+    // edges where the window is short — a one-sided average would
+    // smear the trend), weekday effect = mean detrended deviation per
+    // day-of-week slot (day mod 7 — pure integer arithmetic, no
+    // calendar function to disagree on), residual = observed − trend −
+    // seasonal. q209 reports the weekday PROFILE; this separates it
+    // from trend and noise, which is what an anomaly gate thresholds
+    // on. Scale: the only full pass is the partial-aggregable
+    // (type,day) count; the RANGE window and the dow agg run on a
+    // types×days relation, which stays ≤ a few hundred rows at ANY
+    // corpus scale (the time axis doesn't grow with SF) — the
+    // low-cardinality-window rule is about data that scales, not this.
+    "q229_seasonal_decomp" -> ((s, d) => {
+      val daily = T.events(s, d)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-3, 3)
+      val tr = daily
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("trend",
+          when(col("n_win") === 7, sum(col("c")).over(w) / lit(7.0)))
+        .withColumn("dow", col("day") % 7)
+      val seas = tr.filter(col("trend").isNotNull)
+        .groupBy(col("event_type").as("et2"), col("dow").as("dow2"))
+        .agg(avg(col("c") - col("trend")).as("seasonal0"))
+      tr.join(broadcast(seas),
+          col("event_type") === col("et2") && col("dow") === col("dow2"), "left")
+        .select(col("event_type"), col("day"), col("c"),
+          round(col("trend"), 4).as("trend4"),
+          round(col("seasonal0"), 4).as("seasonal4"),
+          round(col("c") - col("trend") - col("seasonal0"), 4).as("resid4"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Time-decayed customer value with EXACT integer halving: each
     // purchase's cents are divided by 2^(weeks-ago) — a geometric
     // decay that is a pure bit shift, so unlike float λ^age there is
@@ -1566,6 +1713,121 @@ object EventOps {
         |SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS next_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q232_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 AS is_a,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), ranked AS (
+        |  SELECT event_type, cents,
+        |         CAST(ntile(10) OVER (PARTITION BY event_type
+        |           ORDER BY cents, event_id) AS BIGINT) AS bucket
+        |  FROM ev WHERE is_a
+        |), bmax AS (
+        |  SELECT event_type AS et,
+        |         max(CASE WHEN bucket = 1 THEN cents END) AS b1,
+        |         max(CASE WHEN bucket = 2 THEN cents END) AS b2,
+        |         max(CASE WHEN bucket = 3 THEN cents END) AS b3,
+        |         max(CASE WHEN bucket = 4 THEN cents END) AS b4,
+        |         max(CASE WHEN bucket = 5 THEN cents END) AS b5,
+        |         max(CASE WHEN bucket = 6 THEN cents END) AS b6,
+        |         max(CASE WHEN bucket = 7 THEN cents END) AS b7,
+        |         max(CASE WHEN bucket = 8 THEN cents END) AS b8,
+        |         max(CASE WHEN bucket = 9 THEN cents END) AS b9
+        |  FROM ranked WHERE bucket <= 9 GROUP BY 1
+        |), binned AS (
+        |  SELECT ev.event_type, ev.is_a,
+        |         1 + (CASE WHEN cents > b1 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cents > b2 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cents > b3 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cents > b4 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cents > b5 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cents > b6 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cents > b7 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cents > b8 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN cents > b9 THEN 1 ELSE 0 END) AS bin
+        |  FROM ev JOIN bmax ON ev.event_type = bmax.et
+        |), cells AS (
+        |  SELECT event_type, bin,
+        |         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM binned GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type AS et2, CAST(sum(na) AS BIGINT) AS ta,
+        |         CAST(sum(nb) AS BIGINT) AS tb
+        |  FROM cells GROUP BY 1
+        |)
+        |SELECT event_type, max(ta) AS n_a, max(tb) AS n_b,
+        |       CAST(sum(CASE WHEN na = 0 OR nb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_degenerate_bins,
+        |       round(sum(CASE WHEN na > 0 AND nb > 0 THEN
+        |           (CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)
+        |           * ln((CAST(na AS DOUBLE) / ta) / (CAST(nb AS DOUBLE) / tb))
+        |         ELSE 0 END), 4) AS psi4
+        |FROM cells JOIN tot ON cells.event_type = tot.et2
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q225_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(count(*) AS DOUBLE) AS c
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT a.event_type, b.day - a.day AS lag,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       round(corr(a.c, b.c), 4) AS acf4
+        |FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND b.day - a.day BETWEEN 1 AND 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q226_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT a.event_type,
+        |         CAST(trunc((1000000 * (b.c - a.c)) / CAST(b.day - a.day AS DOUBLE)) AS BIGINT) AS slope_ppm
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY slope_ppm) AS DOUBLE) AS med_slope_ppm
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT event_type, n_pairs, med_slope_ppm,
+        |       CASE WHEN med_slope_ppm > 0 THEN 'up'
+        |            WHEN med_slope_ppm < 0 THEN 'down' ELSE 'flat' END AS trend
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q229_seasonal_decomp" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), tr AS (
+        |  SELECT event_type, day, c,
+        |         CASE WHEN count(*) OVER w = 7 THEN sum(c) OVER w / 7.0 END AS trend,
+        |         day % 7 AS dow
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), seas AS (
+        |  SELECT event_type, dow, avg(c - trend) AS seasonal0
+        |  FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT tr.event_type, tr.day, tr.c,
+        |       round(tr.trend, 4) AS trend4,
+        |       round(seas.seasonal0, 4) AS seasonal4,
+        |       round(tr.c - tr.trend - seas.seasonal0, 4) AS resid4
+        |FROM tr LEFT JOIN seas
+        |  ON tr.event_type = seas.event_type AND tr.dow = seas.dow
+        |ORDER BY tr.event_type, tr.day""".stripMargin,
 
     "q221_decayed_value" ->
       """WITH ev AS (

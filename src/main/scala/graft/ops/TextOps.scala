@@ -184,6 +184,28 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-doc unigram Shannon entropy (nats) — the information-density
+    // gibberish/boilerplate gate next to q92's TTR: near-zero entropy
+    // is one token repeated (boilerplate), maximal entropy at equal
+    // n_tok is all-distinct word soup. Uses the rearrangement
+    // H = ln n − (Σ c·ln c)/n so the agg is one partial-aggregable
+    // (doc,w) count followed by a doc-keyed sum — one log per TYPE,
+    // never per token occurrence. Entropy is a sum of noisy log terms
+    // → rounded; n_tok/n_types ship exact.
+    "q227_token_entropy" -> ((s, d) => {
+      val cw = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cw"))
+      cw.groupBy(col("doc_id"))
+        .agg(sum(col("cw")).cast("long").as("n_tok"),
+             count(lit(1)).as("n_types"),
+             sum(col("cw").cast("double") * log(col("cw").cast("double"))).as("slc"))
+        .select(col("doc_id"), col("n_tok"), col("n_types"),
+          round(log(col("n_tok").cast("double")) - col("slc") / col("n_tok"), 4)
+            .as("entropy4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus token histogram via explode (the UDTF/lateral surface —
     // SURVEY §2.2: explode/posexplode stand in for generators). The
     // explode is a projection; the only shuffle is the token groupBy,
@@ -521,6 +543,20 @@ object TextOps {
         |       CAST(sum(CASE WHEN cw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
         |       (10000 * count(*)) // CAST(sum(cw) AS BIGINT) AS ttr_bp,
         |       (10000 * CAST(sum(CASE WHEN cw = 1 THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS hapax_bp
+        |FROM cw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q227_token_entropy" ->
+      """WITH cw AS (
+        |  SELECT doc_id, w, count(*) AS cw
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(cw) AS BIGINT) AS n_tok,
+        |       count(*) AS n_types,
+        |       round(ln(CAST(sum(cw) AS DOUBLE))
+        |             - sum(CAST(cw AS DOUBLE) * ln(CAST(cw AS DOUBLE)))
+        |               / CAST(sum(cw) AS BIGINT), 4) AS entropy4
         |FROM cw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q72_token_count" ->
       """SELECT doc_id,

@@ -210,6 +210,49 @@ object VectorOps {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // Matryoshka truncation recall — the dimension-vs-recall curve
+    // that decides how far an MRL-style embedding can be cut before
+    // retrieval degrades (truncating to the first m dims is the
+    // standard storage/latency dial; this measures what it costs).
+    // For q65's probe set: exact top-5 under the full 64 dims vs
+    // under the 8/16/32-dim prefixes, overlap counted per (probe,
+    // dim). The dim variants are a 4-way union of PROJECTIONS (slice
+    // is map-side; no extra scan — Spark reads the parquet once per
+    // branch of the union, each a column-pruned scan), and each
+    // (probe, dim) ranking is the q65 broadcast-probe shape. recall
+    // ships as exact integer basis points (multiples of 2000).
+    "q231_matryoshka_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val variants = Seq(8, 16, 32, 64).map { dm =>
+        e.select(lit(dm).as("dim"), col("vec_id"),
+                 slice(col("v"), 1, dm).as("vd"))
+      }.reduce(_ unionByName _)
+        .withColumn("nd", sqrt(expr("graft_dot(vd, vd)")))
+      val q = broadcast(variants.filter(col("vec_id") < 5)
+        .select(col("dim").as("qdim"), col("vec_id").as("q_id"),
+                col("vd").as("qv"), col("nd").as("qn")))
+      val c = variants.select(col("dim"), col("vec_id").as("id2"),
+                              col("vd").as("v2"), col("nd").as("n2"))
+      val w = Window.partitionBy(col("q_id"), col("dim"))
+        .orderBy(col("cos").desc, col("id2"))
+      val top = q.join(c, col("qdim") === col("dim") && col("q_id") =!= col("id2"))
+        .withColumn("cos", dot("qv", "v2") / (col("qn") * col("n2")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("dim"), col("id2"))
+      val full = top.filter(col("dim") === 64)
+        .select(col("q_id").as("fq"), col("id2").as("fid"))
+      top.filter(col("dim") =!= 64)
+        .join(broadcast(full),
+          col("q_id") === col("fq") && col("id2") === col("fid"), "left")
+        .groupBy(col("q_id"), col("dim"))
+        .agg(count(col("fid")).as("n_overlap"))
+        .select(col("q_id"), col("dim").cast("long").as("dim"),
+          col("n_overlap"),
+          (col("n_overlap") * 2000).as("recall_bp"))
+        .orderBy(col("q_id"), col("dim"))
+    }),
+
     // IVF approximate top-k: k=10 centroids learned by label-free
     // deterministic kmeans, corpus indexed by nearest centroid, each
     // query probes its nprobe=4 closest cells and searches exactly
@@ -633,6 +676,31 @@ object VectorOps {
         |         // (5 * count(DISTINCT q_id)) AS purity_ppm
         |FROM r WHERE rn <= 5
         |GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q231_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                  generate_subscripts(embedding,1) AS i FROM embeddings),
+        |dims AS (SELECT unnest([8,16,32,64]) AS dim),
+        |ev AS (SELECT dims.dim, e.vec_id, e.i, e.v
+        |       FROM e JOIN dims ON e.i <= dims.dim),
+        |n AS (SELECT dim, vec_id, sqrt(sum(v*v)) AS nrm FROM ev GROUP BY 1, 2),
+        |dt AS (SELECT a.dim, a.vec_id AS q_id, b.vec_id AS id2, sum(a.v*b.v) AS dot
+        |       FROM ev a JOIN ev b ON a.dim = b.dim AND a.i = b.i
+        |                          AND a.vec_id < 5 AND b.vec_id <> a.vec_id
+        |       GROUP BY 1, 2, 3),
+        |r AS (SELECT dt.dim, q_id, id2,
+        |             row_number() OVER (PARTITION BY q_id, dt.dim
+        |               ORDER BY dot/(n1.nrm*n2.nrm) DESC, id2) AS rn
+        |      FROM dt JOIN n n1 ON dt.dim = n1.dim AND dt.q_id = n1.vec_id
+        |              JOIN n n2 ON dt.dim = n2.dim AND dt.id2 = n2.vec_id),
+        |top AS (SELECT dim, q_id, id2 FROM r WHERE rn <= 5),
+        |full64 AS (SELECT q_id, id2 FROM top WHERE dim = 64)
+        |SELECT t.q_id, CAST(t.dim AS BIGINT) AS dim,
+        |       CAST(count(f.id2) AS BIGINT) AS n_overlap,
+        |       CAST(count(f.id2) * 2000 AS BIGINT) AS recall_bp
+        |FROM top t LEFT JOIN full64 f ON t.q_id = f.q_id AND t.id2 = f.id2
+        |WHERE t.dim <> 64
+        |GROUP BY 1, 2 ORDER BY q_id, dim""".stripMargin,
 
     "q196_embedding_dim_stats" ->
       """WITH e AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,

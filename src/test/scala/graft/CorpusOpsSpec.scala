@@ -957,4 +957,86 @@ class CorpusOpsSpec extends SparkSpec {
       assert(picks.map(_._4).distinct.length === picks.length, s"$cell picks distinct")
     }
   }
+
+  test("k-anonymity audit: per-nation recompute from raw customers matches (q233)") {
+    val rows = graft.ops.Relational.queries("q233_kanonymity")(spark, sf001).collect()
+    val cs = graft.T.customer(spark, sf001)
+      .selectExpr("c_nationkey", "CAST(floor(c_acctbal / 1000) AS BIGINT) AS band",
+        "c_mktsegment")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    val byNation = cs.groupBy(_._1)
+    assert(rows.map(_.getInt(0)).toSet === byNation.keySet)
+    rows.foreach { r =>
+      val groups = byNation(r.getInt(0)).groupBy(_._2).values.toSeq
+      val ks = groups.map(_.length)
+      val ls = groups.map(_.map(_._3).distinct.length)
+      assert(r.getLong(1) === groups.length.toLong)
+      assert(r.getLong(2) === ks.min.toLong)
+      assert(r.getLong(3) === ks.count(_ < 5).toLong)
+      assert(r.getLong(4) === ks.filter(_ < 5).sum.toLong)
+      assert(r.getLong(5) === ls.min.toLong)
+      assert(r.getLong(6) === ls.count(_ < 2).toLong)
+    }
+  }
+
+  test("token entropy: brute-force recompute matches, bounds hold (q227)") {
+    val rows = graft.ops.TextOps.queries("q227_token_entropy")(spark, sf001).collect()
+    val texts = graft.T.documents(spark, sf001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ")
+      val counts = toks.groupBy(identity).map(_._2.length)
+      val n = toks.length.toDouble
+      val h = math.log(n) - counts.map(c => c * math.log(c.toDouble)).sum / n
+      assert(r.getLong(1) === toks.length.toLong)
+      assert(r.getLong(2) === counts.size.toLong)
+      val got = r.getDouble(3)
+      assert(math.abs(got - h) < 1e-3, s"doc ${r.getLong(0)} got $got want $h")
+      // 0 ≤ H ≤ ln(n_types) (uniform over types is the max; +5e-5 for
+      // the 4-decimal output rounding)
+      assert(got >= -1e-9 && got <= math.log(counts.size.toDouble) + 5e-5)
+    }
+  }
+
+  test("bootstrap CI: brackets the observed mean, replicate weights are Poisson-like (q228)") {
+    val rows = graft.ops.Aggregates.queries("q228_bootstrap_ci")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi)
+      assert(lo <= mean && mean <= hi,
+        s"${r.getString(0)}: CI [$lo,$hi] should bracket mean $mean at B=32")
+      // a CI of zero width would mean the resampling never varied
+      assert(hi - lo > 0.0)
+    }
+  }
+
+  test("token-source MI: non-negative, bounded by ln(|S|), zero for a uniform token (q230)") {
+    val rows = CorpusOps.queries("q230_token_mi")(spark, sf001).collect()
+    assert(rows.length === 20)
+    val nSources = graft.T.documents(spark, sf001)
+      .select("source").distinct().count().toDouble
+    rows.foreach { r =>
+      val mi = r.getDouble(2)
+      assert(mi >= -1e-9, s"${r.getString(0)} MI must be non-negative, got $mi")
+      assert(mi <= math.log(nSources) + 1e-9, s"${r.getString(0)} MI exceeds ln|S|")
+    }
+    // driver-side recompute for the highest-df token
+    val top = rows.maxBy(_.getLong(1))
+    val docs = graft.T.documents(spark, sf001).select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val n = docs.length.toDouble
+    val bySource = docs.groupBy(_._2)
+    val w = top.getString(0)
+    val dfT = docs.count(_._3.split(" ").contains(w)).toDouble
+    val mi = bySource.map { case (_, ds) =>
+      val ns = ds.length.toDouble
+      val a = ds.count(_._3.split(" ").contains(w)).toDouble
+      val t1 = if (a > 0) (a / n) * math.log(a * n / (ns * dfT)) else 0.0
+      val t0 = if (ns - a > 0) ((ns - a) / n) * math.log((ns - a) * n / (ns * (n - dfT))) else 0.0
+      t1 + t0
+    }.sum
+    assert(math.abs(top.getDouble(2) - mi) < 1e-3)
+  }
 }

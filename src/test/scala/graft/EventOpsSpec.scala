@@ -420,4 +420,124 @@ class EventOpsSpec extends SparkSpec {
       }
     }
   }
+
+  private def dailyCounts(): Map[String, Array[(Long, Long)]] =
+    graft.T.events(spark, sf001)
+      .selectExpr("event_type",
+        "CAST(datediff(to_date(ts), date'2024-01-01') AS BIGINT) AS day")
+      .groupBy("event_type", "day").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (et, xs) =>
+        et -> xs.map(t => (t._2, t._3)).sortBy(_._1)
+      }
+
+  test("autocorrelation: driver-side Pearson recompute at lags 1 and 7 matches (q225)") {
+    val rows = EventOps.queries("q225_autocorrelation")(spark, sf001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 7L)
+      val a = r.getDouble(3)
+      assert(a >= -1.0001 && a <= 1.0001)
+    }
+    for ((et, ds) <- dailyCounts(); lag <- Seq(1L, 7L)) {
+      val m = ds.toMap
+      val pairs = ds.flatMap { case (day, c) =>
+        m.get(day + lag).map(c2 => (c.toDouble, c2.toDouble))
+      }
+      if (pairs.length >= 2) {
+        val n = pairs.length.toDouble
+        val (mx, my) = (pairs.map(_._1).sum / n, pairs.map(_._2).sum / n)
+        val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+        val sx = math.sqrt(pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum)
+        val sy = math.sqrt(pairs.map(p => (p._2 - my) * (p._2 - my)).sum)
+        val want = cov / (sx * sy)
+        val got = rows.find(r => r.getString(0) == et && r.getLong(1) == lag)
+          .get.getDouble(3)
+        assert(math.abs(got - want) < 1e-3, s"$et lag=$lag got $got want $want")
+      }
+    }
+  }
+
+  test("psi drift: full driver-side recompute matches, PSI non-negative (q232)") {
+    val rows = EventOps.queries("q232_psi_drift")(spark, sf001).collect()
+    val evs = graft.T.events(spark, sf001)
+      .selectExpr("event_type", "event_id",
+        "CAST(datediff(to_date(ts), date'2024-01-01') AS INT) AS day",
+        "CAST(round(value * 100) AS BIGINT) AS cents").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val all = evs.filter(_._1 == et)
+      val a = all.filter(_._3 < 15).sortBy(t => (t._4, t._2))
+      val n = a.length
+      assert(n >= 10, s"$et reference slice too small for the spec's ntile")
+      val base = n / 10; val rem = n % 10
+      val sizes = (1 to 10).map(i => if (i <= rem) base + 1 else base)
+      val bounds = sizes.scanLeft(0)(_ + _).tail.dropRight(1).map(end => a(end - 1)._4)
+      def bin(c: Long) = 1 + bounds.count(b => c > b)
+      val cells = all.groupBy(e => (bin(e._4), e._3 < 15)).view.mapValues(_.size).toMap
+      val ta = n.toDouble
+      val tb = (all.length - n).toDouble
+      val psi = (1 to 10).map { bn =>
+        val na = cells.getOrElse((bn, true), 0).toDouble
+        val nb = cells.getOrElse((bn, false), 0).toDouble
+        if (na > 0 && nb > 0) (na / ta - nb / tb) * math.log((na / ta) / (nb / tb))
+        else 0.0
+      }.sum
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getLong(2) === tb.toLong)
+      assert(r.getDouble(4) >= 0.0, "PSI terms share sign — the sum cannot go negative")
+      assert(math.abs(r.getDouble(4) - psi) < 1e-3, s"$et psi got ${r.getDouble(4)} want $psi")
+    }
+  }
+
+  test("seasonal decomposition: identity holds, edges have no trend, seasonal keyed by dow (q229)") {
+    val rows = EventOps.queries("q229_seasonal_decomp")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._4.isDefined), "some interior day must carry a trend")
+    rows.groupBy(_._1).foreach { case (et, ds) =>
+      val days = ds.map(_._2).sorted
+      ds.foreach { case (_, day, c, trend, seasonal, resid) =>
+        val interior =
+          days.count(x => x >= day - 3 && x <= day + 3) == 7
+        assert(trend.isDefined === interior, s"$et day=$day trend presence")
+        assert(resid.isDefined === (interior && seasonal.isDefined))
+        (trend, seasonal, resid) match {
+          case (Some(t), Some(sn), Some(rs)) =>
+            // additive identity up to the three roundings
+            assert(math.abs(c - t - sn - rs) < 3e-4, s"$et day=$day identity")
+          case _ =>
+        }
+      }
+      // seasonal is a pure function of (type, dow)
+      ds.groupBy(_._2 % 7).foreach { case (_, slot) =>
+        assert(slot.map(_._5).distinct.length === 1)
+      }
+    }
+  }
+
+  test("theilsen: brute-force median of truncated pairwise slopes matches (q226)") {
+    val rows = EventOps.queries("q226_theilsen")(spark, sf001).collect()
+    val byType = dailyCounts()
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      val ds = byType(r.getString(0))
+      val slopes = (for {
+        i <- ds.indices; j <- (i + 1) until ds.length
+      } yield ((1000000L * (ds(j)._2 - ds(i)._2)) /
+               (ds(j)._1 - ds(i)._1).toDouble).toLong).sorted
+      val n = slopes.length
+      val med =
+        if (n % 2 == 1) slopes(n / 2).toDouble
+        else (slopes(n / 2 - 1) + slopes(n / 2)) / 2.0
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getDouble(2) === med)
+      val trend = if (med > 0) "up" else if (med < 0) "down" else "flat"
+      assert(r.getString(3) === trend)
+    }
+  }
 }

@@ -283,4 +283,28 @@ class VectorOpsSpec extends SparkSpec {
     val again = VectorOps.queries("q207_embedding_purity")(spark, sf001).collect()
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("matryoshka recall: driver-side brute-force overlap recompute matches (q231)") {
+    val rows = VectorOps.queries("q231_matryoshka_recall")(spark, sf001).collect()
+    rows.foreach(r => assert(r.getLong(3) === r.getLong(2) * 2000))
+    val got = rows.map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val embs = graft.T.embeddings(spark, sf001).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    val probes = embs.filter(_._1 < 5)
+    assert(got.size === probes.length * 3)
+    def top5(dim: Int, qId: Long, qFull: Array[Double]): Set[Long] = {
+      val qv = qFull.take(dim)
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      embs.filter(_._1 != qId).map { case (id, v) =>
+        val vd = v.take(dim)
+        val cos = qv.zip(vd).map { case (a, b) => a * b }.sum /
+          (qn * math.sqrt(vd.map(x => x * x).sum))
+        (id, cos)
+      }.sortBy { case (id, cos) => (-cos, id) }.take(5).map(_._1).toSet
+    }
+    for ((qId, qv) <- probes; dim <- Seq(8, 16, 32)) {
+      val want = (top5(64, qId, qv) intersect top5(dim, qId, qv)).size.toLong
+      assert(got((qId, dim.toLong)) === want, s"probe $qId dim $dim")
+    }
+  }
 }
