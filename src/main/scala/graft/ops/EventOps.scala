@@ -720,6 +720,44 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    // Time-weighted average value (TWAP) per (user, day) — the
+    // irregular-sampling average q75's tumbling buckets get WRONG
+    // (arithmetic mean over-weights burst periods; a metric sampled
+    // on change must be integrated over holding time, the standard
+    // ops/finance convention). Piecewise-constant integral in EXACT
+    // integers: cents × holding-micros summed per group (bounded far
+    // below 2^63 for day-long spans), then emitted as a truncating
+    // div/mod pair (twap_cents + frac_ppm) so NO float division sits
+    // under the hash — 1e6·num would overflow where num%den·1e6
+    // cannot. One user-day window + one group agg; single-event days
+    // (zero span) fall back to the event's own value by convention.
+    "q235_twap" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ep_us"), col("event_id"))
+      val g = T.events(s, d)
+        .select(col("user_id"),
+          to_date(col("ts")).as("day"),
+          col("event_id"),
+          expr("unix_micros(ts)").as("ep_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("hold_us",
+          coalesce(lead(col("ep_us"), 1).over(w) - col("ep_us"), lit(0L)))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("cents") * col("hold_us")).as("num"),
+             (max(col("ep_us")) - min(col("ep_us"))).as("den"),
+             // only consulted when den = 0, i.e. every event in the
+             // group shares one microsecond — event_id alone is then a
+             // total order, so the pick is engine-deterministic
+             expr("min_by(cents, event_id)").as("c0"))
+      g.select(col("user_id"), col("day"), col("n_events"),
+          when(col("den") === 0, col("c0"))
+            .otherwise(expr("num div den")).as("twap_cents"),
+          when(col("den") === 0, lit(0L))
+            .otherwise(expr("((num % den) * 1000000) div den")).as("frac_ppm"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // Population-stability index (PSI) — the model-monitoring drift
     // score: decile bins are FIT on the reference period (days 0-14)
     // and both periods are scored through them; PSI = Σ(p−q)·ln(p/q).
@@ -1713,6 +1751,30 @@ object EventOps {
         |SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS next_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q235_twap" ->
+      """WITH g AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+        |         epoch_us(ts) AS ep_us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), h AS (
+        |  SELECT user_id, day, event_id, ep_us, cents,
+        |         coalesce(lead(ep_us) OVER (PARTITION BY user_id, day
+        |           ORDER BY ep_us, event_id) - ep_us, 0) AS hold_us
+        |  FROM g
+        |), a AS (
+        |  SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(cents * hold_us) AS BIGINT) AS num,
+        |         max(ep_us) - min(ep_us) AS den,
+        |         arg_min(cents, event_id) AS c0
+        |  FROM h GROUP BY 1, 2
+        |)
+        |SELECT user_id, day, n_events,
+        |       CASE WHEN den = 0 THEN c0 ELSE num // den END AS twap_cents,
+        |       CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE ((num % den) * 1000000) // den END AS frac_ppm
+        |FROM a ORDER BY user_id, day""".stripMargin,
 
     "q232_psi_drift" ->
       """WITH ev AS (

@@ -700,7 +700,7 @@ object VectorOps {
         |       CAST(count(f.id2) * 2000 AS BIGINT) AS recall_bp
         |FROM top t LEFT JOIN full64 f ON t.q_id = f.q_id AND t.id2 = f.id2
         |WHERE t.dim <> 64
-        |GROUP BY 1, 2 ORDER BY q_id, dim""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q196_embedding_dim_stats" ->
       """WITH e AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,

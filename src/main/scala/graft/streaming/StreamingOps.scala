@@ -487,6 +487,47 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming PSI drift monitor — the stream twin of batch q232: the
+    * reference decile EDGES (integer cents, fit offline by q232's
+    * ranking pass) and reference SHARES (ppm) arrive as a broadcast
+    * static relation with columns (event_type, b1..b9,
+    * pa1_ppm..pa10_ppm); each arriving event buckets via integer
+    * comparisons against the 9 edge columns, and ONE windowed
+    * aggregation emits all 10 bin counts as conditional sums — no
+    * chained streaming aggregation, so the monitor runs under
+    * ordinary watermark semantics. PSI itself is a pure projection
+    * over the 10 counts + the broadcast shares: the score every
+    * model-serving pipeline pages on, emitted per (window, type).
+    * State is bounded by windows-in-flight × types — nothing scales
+    * with event volume.
+    */
+  def psiDriftMonitor(events: DataFrame, ref: DataFrame,
+                      window: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, window => winFn}
+    val binned = events.withWatermark("ts", watermark)
+      .join(broadcast(ref), Seq("event_type"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("bin",
+        (1 to 9).map(i => when(col("cents") > col(s"b$i"), 1).otherwise(0))
+          .reduce(_ + _) + 1)
+    val aggs =
+      (1 to 10).map(i => sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"q$i")) ++
+      (1 to 10).map(i => max(col(s"pa${i}_ppm")).as(s"pa$i")) :+
+      count(lit(1)).as("n_events")
+    val cells = binned
+      .groupBy(winFn(col("ts"), window).as("w"), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+    val psi = (1 to 10).map { i =>
+      val q = col(s"q$i").cast("double") / col("n_events")
+      val p = col(s"pa$i").cast("double") / lit(1000000.0)
+      when(col(s"q$i") > 0 && col(s"pa$i") > 0, (p - q) * log(p / q))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    cells.select(col("w.start").as("window_start"), col("event_type"),
+      col("n_events"), psi.as("psi"))
+  }
+
   /** Streaming output mode helper used by tests. */
   def completeToMemory(df: DataFrame, name: String) =
     df.writeStream.outputMode(OutputMode.Complete).format("memory").queryName(name)

@@ -457,6 +457,35 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("twap: exact-integer recompute per user-day, bracketed by min/max cents (q235)") {
+    val rows = EventOps.queries("q235_twap")(spark, sf001).collect()
+    val evs = graft.T.events(spark, sf001)
+      .selectExpr("user_id", "CAST(ts AS DATE) AS day", "event_id",
+        "unix_micros(ts) AS ep", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byGroup = evs.groupBy(e => (e._1, e._2))
+    assert(rows.length === byGroup.size)
+    rows.foreach { r =>
+      val grp = byGroup((r.getLong(0), r.getDate(1).toString))
+        .sortBy(e => (e._4, e._3))
+      val den = grp.last._4 - grp.head._4
+      val (wantC, wantF) =
+        if (den == 0L) (grp.minBy(_._3)._5, 0L)
+        else {
+          val num = grp.zip(grp.tail)
+            .map { case (a, b) => a._5 * (b._4 - a._4) }.sum
+          (num / den, ((num % den) * 1000000L) / den)
+        }
+      assert(r.getLong(2) === grp.length.toLong)
+      assert(r.getLong(3) === wantC, s"group ${(r.getLong(0), r.getDate(1))} twap")
+      assert(r.getLong(4) === wantF)
+      // a time-weighted average cannot escape the value envelope
+      val (lo, hi) = (grp.map(_._5).min, grp.map(_._5).max)
+      assert(r.getLong(3) >= lo - 1 && r.getLong(3) <= hi)
+    }
+  }
+
   test("psi drift: full driver-side recompute matches, PSI non-negative (q232)") {
     val rows = EventOps.queries("q232_psi_drift")(spark, sf001).collect()
     val evs = graft.T.events(spark, sf001)

@@ -558,6 +558,44 @@ class PlanAuditSpec extends SparkSpec {
     assertKeyedExchangesPartialAggFed("q194_rolling_actives", "wend")
   }
 
+  test("bootstrap CI emits all 32 replicates in one map-side pass — the exchange carries segment x replicate partials (q228)") {
+    // The Poisson-bootstrap point: the explode is a projection and the
+    // (seg, b) aggregation collapses map-side, so the shuffle moves
+    // P x segments x 32 partial cells, never the 32x exploded orders.
+    assertKeyedExchangesPartialAggFed("q228_bootstrap_ci", "seg")
+  }
+
+  test("PSI bins the full table through broadcasts — only cell/rank exchanges shuffle (q232)") {
+    val p = physical("q232_psi_drift")
+    val broadcasts = p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(broadcasts.size >= 2,
+      "bin edges and totals must join as broadcasts — the events table " +
+        "must never shuffle on event_type for the bin assignment")
+    assertKeyedExchangesPartialAggFed("q232_psi_drift", "bin")
+  }
+
+  test("token-source MI: the grid joins broadcast; corpus shuffles are vocabulary-keyed partial aggs (q230)") {
+    val p = physical("q230_token_mi")
+    val broadcasts = p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(broadcasts.size >= 2, "top-20 tokens and N row must broadcast")
+    // the presence dedup and the df/df_s counts all collapse map-side
+    assertKeyedExchangesPartialAggFed("q230_token_mi", "w")
+  }
+
+  test("daily-series kit: the only corpus-scale exchange is the partial-agg-fed (type, day) count (q225/q226/q229)") {
+    for (q <- Seq("q225_autocorrelation", "q226_theilsen", "q229_seasonal_decomp")) {
+      val ex = shuffles(physical(q)).filter(e => hashKeys(e).contains("day"))
+      assert(ex.nonEmpty, s"$q: expected the (type, day) aggregation exchange")
+      ex.foreach(e => assert(partialAggFed(e),
+        s"$q: the (type, day) count must collapse map-side; child is " +
+          unwrap(e.child).nodeName))
+    }
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would

@@ -504,4 +504,43 @@ class StreamingSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.last).toMap
     assert(last(1L) == ((1L, 3L, 6.0))) // 3 events, value 1+2+3
   }
+
+  test("psi drift monitor: matched window scores ~0, shifted window pages, single windowed state op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference: uniform deciles over cents [0, 1000) — edges at
+    // 100..900, every reference share exactly 10%
+    val ref = Seq((
+      "click", 100L, 200L, 300L, 400L, 500L, 600L, 700L, 800L, 900L,
+      100000L, 100000L, 100000L, 100000L, 100000L,
+      100000L, 100000L, 100000L, 100000L, 100000L))
+      .toDF("event_type", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "b8", "b9",
+        "pa1_ppm", "pa2_ppm", "pa3_ppm", "pa4_ppm", "pa5_ppm",
+        "pa6_ppm", "pa7_ppm", "pa8_ppm", "pa9_ppm", "pa10_ppm")
+    // hour 0: one event per decile (q matches p exactly → PSI = 0);
+    // hour 1: everything lands in the top bin (drifted)
+    val matched = (0 until 10).map(i =>
+      StreamingOps.Ev(i.toLong, ts(f"2024-01-01 00:0$i:00"), 1L, "click",
+        (i * 100 + 50) / 100.0))
+    val drifted = (0 until 10).map(i =>
+      StreamingOps.Ev(100L + i, ts(f"2024-01-01 01:0$i:00"), 1L, "click", 9.99))
+    val mem = MemoryStream[StreamingOps.Ev]
+    mem.addData(matched ++ drifted: _*)
+    val q = StreamingOps.completeToMemory(
+      StreamingOps.psiDriftMonitor(mem.toDF(), ref), "psi_out").start()
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.length === 1,
+      "one windowed aggregation is the only state operator")
+    q.stop()
+    val byHour = spark.table("psi_out").collect()
+      .map(r => r.getTimestamp(0).toString -> (r.getLong(2), r.getDouble(3))).toMap
+    val (n0, psi0) = byHour("2024-01-01 00:00:00.0")
+    val (n1, psi1) = byHour("2024-01-01 01:00:00.0")
+    assert(n0 === 10L && n1 === 10L)
+    assert(math.abs(psi0) < 1e-9, s"matched distribution must score 0, got $psi0")
+    // drifted window: q10 = 1 vs p10 = 0.1 → (0.1-1)ln(0.1/1) = 2.072...;
+    // the nine emptied bins contribute 0 under the q>0 guard
+    assert(psi1 > 2.0, s"fully shifted distribution must page, got $psi1")
+    assert(math.abs(psi1 - (0.1 - 1.0) * math.log(0.1)) < 1e-9)
+  }
 }
