@@ -352,6 +352,40 @@ object GraphOps {
       triangleStats(e)
     }),
 
+    // Degree assortativity of the co-purchase graph — the one-number
+    // mixing diagnostic (do hubs link to hubs?) that q185's clustering
+    // and q192's cores don't capture: Pearson correlation of endpoint
+    // degrees over the DIRECTED edge list (each undirected edge
+    // counted both ways — the standard Newman convention). Scale: the
+    // degree relation is node-keyed and partial-aggregable; the two
+    // lookups are equi-joins keyed on their own endpoint (no
+    // broadcast of anything that grows); corr is a single-pass
+    // co-moment agg. The co-moment ratio cancels n, so only
+    // round(·,4) touches a float.
+    "q234_assortativity" -> ((s, d) => {
+      val op = T.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = op.select(col("o"), col("p").as("a"))
+        .join(op.select(col("o").as("o2"), col("p").as("b")),
+          col("o") === col("o2") && col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      val dir = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val deg = dir.groupBy(col("a").as("n")).agg(count(lit(1)).as("dg"))
+      val nn = deg.agg(count(lit(1)).as("n_nodes"))
+      val ne = e.agg(count(lit(1)).as("n_edges"))
+      dir
+        .join(deg.select(col("n").as("na"), col("dg").as("da")), col("a") === col("na"))
+        .join(deg.select(col("n").as("nb"), col("dg").as("db")), col("b") === col("nb"))
+        .agg(count(lit(1)).as("n_dir_edges"),
+             round(corr(col("da").cast("double"), col("db").cast("double")), 4)
+               .as("assortativity4"))
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(ne))
+        .select(col("n_nodes"), col("n_edges"), col("n_dir_edges"),
+                col("assortativity4"))
+        .orderBy(col("n_nodes"))
+    }),
+
     // Dense-core extraction on the co-purchase part graph (q185's
     // edge relation): 3 rounds of 3-core peeling strip pendant and
     // chain structure so what remains is the densely co-purchased
@@ -433,6 +467,20 @@ object GraphOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q234_assortativity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS a, b.p AS b
+        |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |dir AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |deg AS (SELECT a AS n, CAST(count(*) AS BIGINT) AS dg FROM dir GROUP BY 1)
+        |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+        |       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+        |       CAST(count(*) AS BIGINT) AS n_dir_edges,
+        |       round(corr(CAST(da.dg AS DOUBLE), CAST(db.dg AS DOUBLE)), 4)
+        |         AS assortativity4
+        |FROM dir JOIN deg da ON dir.a = da.n JOIN deg db ON dir.b = db.n
+        |ORDER BY n_nodes""".stripMargin,
+
     "q163_pagerank" ->
       """WITH co AS (
         |  SELECT DISTINCT o_custkey * 2 AS cu, l_suppkey * 2 + 1 AS sv

@@ -203,4 +203,31 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(s3 === Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
+
+  test("degree assortativity: driver-side Pearson over endpoint degrees matches (q234)") {
+    val r = GraphOps.queries("q234_assortativity")(spark, sf001).collect().head
+    val ops = graft.T.lineitem(spark, sf001)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val edges = ops.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val dir = edges.toSeq.flatMap(e => Seq(e, e.swap))
+    val deg = dir.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    assert(r.getLong(0) === deg.size.toLong)
+    assert(r.getLong(1) === edges.size.toLong)
+    assert(r.getLong(2) === dir.size.toLong)
+    val xs = dir.map(e => deg(e._1)); val ys = dir.map(e => deg(e._2))
+    val n = xs.size.toDouble
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sx = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum)
+    val sy = math.sqrt(ys.map(y => (y - my) * (y - my)).sum)
+    val want = cov / (sx * sy)
+    assert(math.abs(r.getDouble(3) - want) < 1e-3,
+      s"assortativity got ${r.getDouble(3)} want $want")
+    // degree-correlation is symmetric by construction: |r| ≤ 1
+    assert(math.abs(r.getDouble(3)) <= 1.0001)
+  }
 }

@@ -28,6 +28,10 @@ for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+if "--only-present" in sys.argv:
+    # subset iteration: check only the queries this Verify run dumped
+    # (graft.Verify <sf> <out> [names...] writes a partial outdir)
+    oracle = {k: v for k, v in oracle.items() if os.path.isdir(f"{OUT}/{k}")}
 def norm(v):
     # exact comparison, floats included: verified bit-clean across the
     # whole suite, so any ULP drift is a real regression signal
