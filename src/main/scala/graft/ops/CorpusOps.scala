@@ -928,6 +928,35 @@ object CorpusOps {
         .orderBy(col("source"))
     }),
 
+    // Horvitz–Thompson estimator audit — the sampling-methodology
+    // check behind every "we measured it on a 10% sample" claim: a
+    // deterministic 10% hash sample per lang stratum, HT-weighted
+    // (×10) totals, and the realized error vs the exact full-corpus
+    // truth in ppm. The estimate is what a pipeline would publish at
+    // 100 TB (one pass over 10% of the data); the truth is affordable
+    // here and turns the estimator itself into an oracle-checked
+    // operator — including the empty-stratum edge (LEFT join +
+    // COALESCE 0, the case naive sample-then-scale code drops). All
+    // integer arithmetic end to end.
+    "q236_ht_estimator" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val t = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("true_docs"), sum(col("n_chars")).as("true_chars"))
+      val sm = docs.filter(h32(col("doc_id").cast("string")) % 10 === 0)
+        .groupBy(col("lang"))
+        .agg((count(lit(1)) * 10).as("est_docs"),
+             (sum(col("n_chars")) * 10).as("est_chars"))
+      t.join(sm, Seq("lang"), "left")
+        .select(col("lang"), col("true_docs"), col("true_chars"),
+          coalesce(col("est_docs"), lit(0L)).as("est_docs"),
+          coalesce(col("est_chars"), lit(0L)).as("est_chars"))
+        .withColumn("docs_err_ppm",
+          expr("(1000000 * abs(est_docs - true_docs)) div true_docs"))
+        .withColumn("chars_err_ppm",
+          expr("(1000000 * abs(est_chars - true_chars)) div true_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Token↔source mutual information (feature selection over the
     // corpus): for each of the 20 highest-df tokens, MI between the
     // source label and the token's PRESENCE in a doc — the
@@ -1699,6 +1728,28 @@ object CorpusOps {
         |       (10000 * CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT))
         |         // count(*) AS blocked_bp
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    "q236_ht_estimator" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS true_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS true_chars
+        |  FROM documents GROUP BY 1
+        |), s AS (
+        |  SELECT lang, CAST(count(*) * 10 AS BIGINT) AS est_docs,
+        |         CAST(sum(n_chars) * 10 AS BIGINT) AS est_chars
+        |  FROM documents
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+        |  GROUP BY 1
+        |)
+        |SELECT t.lang, t.true_docs, t.true_chars,
+        |       coalesce(s.est_docs, 0) AS est_docs,
+        |       coalesce(s.est_chars, 0) AS est_chars,
+        |       (1000000 * abs(coalesce(s.est_docs, 0) - t.true_docs)) // t.true_docs
+        |         AS docs_err_ppm,
+        |       (1000000 * abs(coalesce(s.est_chars, 0) - t.true_chars)) // t.true_chars
+        |         AS chars_err_ppm
+        |FROM t LEFT JOIN s ON t.lang = s.lang
+        |ORDER BY t.lang""".stripMargin,
 
     "q230_token_mi" ->
       """WITH dw AS (

@@ -720,6 +720,33 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    // Differential-privacy sensitivity audit — the contribution-
+    // bounding report a DP release calibrates against: per event_type,
+    // the maximum single-user contribution to the count and to the
+    // cents sum (= the L1 sensitivity of those aggregates at
+    // user-level adjacency) and its share of the total. A share near
+    // 1e6 ppm means one user IS the statistic — noise can't fix that;
+    // clipping must. Companion to q233's k-anonymity: that audits
+    // re-identification, this audits influence. Two partial-aggregable
+    // levels: (type, user) rollup, then a |types|-row report.
+    "q237_dp_sensitivity" -> ((s, d) => {
+      val per = T.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_u"), sum(col("cents")).as("c_u"))
+      per.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_u")).as("n_events"),
+             max(col("n_u")).as("sens_count"),
+             max(col("c_u")).as("sens_cents"),
+             sum(col("c_u")).as("total_cents"))
+        .select(col("event_type"), col("n_users"), col("n_events"),
+          col("sens_count"), col("sens_cents"), col("total_cents"),
+          expr("(1000000 * sens_count) div n_events").as("count_share_ppm"),
+          expr("(1000000 * sens_cents) div greatest(total_cents, 1)").as("cents_share_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
     // Time-weighted average value (TWAP) per (user, day) — the
     // irregular-sampling average q75's tumbling buckets get WRONG
     // (arithmetic mean over-weights burst periods; a metric sampled
@@ -1751,6 +1778,24 @@ object EventOps {
         |SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS next_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q237_dp_sensitivity" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id,
+        |         CAST(count(*) AS BIGINT) AS n_u,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c_u
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(n_u) AS BIGINT) AS n_events,
+        |       max(n_u) AS sens_count,
+        |       max(c_u) AS sens_cents,
+        |       CAST(sum(c_u) AS BIGINT) AS total_cents,
+        |       (1000000 * max(n_u)) // CAST(sum(n_u) AS BIGINT) AS count_share_ppm,
+        |       (1000000 * max(c_u)) // greatest(CAST(sum(c_u) AS BIGINT), 1)
+        |         AS cents_share_ppm
+        |FROM per GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q235_twap" ->
       """WITH g AS (

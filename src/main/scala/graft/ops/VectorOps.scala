@@ -487,6 +487,32 @@ object VectorOps {
         .orderBy(col("label"))
     }),
 
+    // Embedding dimension redundancy — the OFF-diagonal companion to
+    // q196's per-dim variance audit: pairwise Pearson correlation
+    // between the 8 widest dimensions (selection by exact data-value
+    // RANGE, not by variance — ranges are exact floats both engines
+    // order identically, where near-tied noisy variances could swap
+    // ranks 8/9 across engines). High |corr| pairs mean the embedding
+    // wastes capacity — the signal behind dropping/rotating dims
+    // before an ANN index build. The selection semi-join cuts the
+    // exploded relation to 8/64 before the only vec-keyed shuffle;
+    // the pair grid is 28 cells however large the corpus.
+    "q238_embedding_redundancy" -> ((s, d) => {
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "vf")))
+        .select(col("vec_id"), (col("p") + 1).as("dim"), col("vf").cast("double").as("v"))
+      val rng = e.groupBy(col("dim")).agg((max(col("v")) - min(col("v"))).as("rg"))
+      val top8 = broadcast(rng.orderBy(col("rg").desc, col("dim")).limit(8)
+        .select(col("dim")))
+      val sel = e.join(top8, "dim")
+      val a = sel.select(col("vec_id"), col("dim").as("di"), col("v").as("vi"))
+      val b = sel.select(col("vec_id").as("vid2"), col("dim").as("dj"), col("v").as("vj"))
+      a.join(b, col("vec_id") === col("vid2") && col("di") < col("dj"))
+        .groupBy(col("di").cast("long").as("di"), col("dj").cast("long").as("dj"))
+        .agg(count(lit(1)).as("n"), round(corr(col("vi"), col("vj")), 4).as("corr4"))
+        .orderBy(col("di"), col("dj"))
+    }),
+
     // Embedding dimension health audit (the drift/collapse diagnostic
     // run before training on an embedding column): per-dimension mean,
     // spread, exact envelope, and share of total variance — a
@@ -676,6 +702,17 @@ object VectorOps {
         |         // (5 * count(DISTINCT q_id)) AS purity_ppm
         |FROM r WHERE rn <= 5
         |GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q238_embedding_redundancy" ->
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                  generate_subscripts(embedding,1) AS dim FROM embeddings),
+        |rng AS (SELECT dim, max(v) - min(v) AS rg FROM e GROUP BY 1),
+        |top8 AS (SELECT dim FROM rng ORDER BY rg DESC, dim LIMIT 8),
+        |sel AS (SELECT e.vec_id, e.dim, e.v FROM e JOIN top8 USING (dim))
+        |SELECT a.dim AS di, b.dim AS dj, CAST(count(*) AS BIGINT) AS n,
+        |       round(corr(a.v, b.v), 4) AS corr4
+        |FROM sel a JOIN sel b ON a.vec_id = b.vec_id AND a.dim < b.dim
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q231_matryoshka_recall" ->
       """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

@@ -958,6 +958,29 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("HT estimator: the md5 sample replays in the driver, errors match the formula (q236)") {
+    val rows = CorpusOps.queries("q236_ht_estimator")(spark, sf001).collect()
+    def h8(sc: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val docs = graft.T.documents(spark, sf001).select("doc_id", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = docs.groupBy(_._2)
+    assert(rows.map(_.getString(0)).toSet === byLang.keySet)
+    rows.foreach { r =>
+      val ds = byLang(r.getString(0))
+      val sm = ds.filter(d => h8(d._1.toString) % 10 == 0)
+      assert(r.getLong(1) === ds.length.toLong)
+      assert(r.getLong(2) === ds.map(_._3).sum)
+      assert(r.getLong(3) === 10L * sm.length)
+      assert(r.getLong(4) === 10L * sm.map(_._3).sum)
+      assert(r.getLong(5) === 1000000L * math.abs(r.getLong(3) - r.getLong(1)) / r.getLong(1))
+      assert(r.getLong(6) === 1000000L * math.abs(r.getLong(4) - r.getLong(2)) / r.getLong(2))
+    }
+  }
+
   test("k-anonymity audit: per-nation recompute from raw customers matches (q233)") {
     val rows = graft.ops.Relational.queries("q233_kanonymity")(spark, sf001).collect()
     val cs = graft.T.customer(spark, sf001)

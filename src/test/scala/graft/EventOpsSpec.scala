@@ -457,6 +457,25 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("dp sensitivity: max single-user contribution recomputed from raw events (q237)") {
+    val rows = EventOps.queries("q237_dp_sensitivity")(spark, sf001).collect()
+    val evs = graft.T.events(spark, sf001)
+      .selectExpr("event_type", "user_id", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = evs.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      val users = byType(r.getString(0)).groupBy(_._2).values.toSeq
+      assert(r.getLong(1) === users.length.toLong)
+      assert(r.getLong(2) === users.map(_.length.toLong).sum)
+      assert(r.getLong(3) === users.map(_.length.toLong).max)
+      assert(r.getLong(4) === users.map(_.map(_._3).sum).max)
+      assert(r.getLong(6) === 1000000L * r.getLong(3) / r.getLong(2))
+      // no user's share can exceed the whole
+      assert(r.getLong(6) <= 1000000L && r.getLong(7) <= 1000000L)
+    }
+  }
+
   test("twap: exact-integer recompute per user-day, bracketed by min/max cents (q235)") {
     val rows = EventOps.queries("q235_twap")(spark, sf001).collect()
     val evs = graft.T.events(spark, sf001)

@@ -284,6 +284,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("embedding redundancy: 28 pairs from the widest dims, corr recomputed in driver (q238)") {
+    val rows = VectorOps.queries("q238_embedding_redundancy")(spark, sf001).collect()
+    assert(rows.length === 28)
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0001))
+    val embs = graft.T.embeddings(spark, sf001).select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).toArray.map(_.toDouble))
+    // widest-8 selection by exact range
+    val dims = (0 until 64).map(i =>
+      (i + 1) -> (embs.map(_(i)).max - embs.map(_(i)).min))
+    val top8 = dims.sortBy { case (d, rg) => (-rg, d) }.take(8).map(_._1).toSet
+    assert(rows.flatMap(r => Seq(r.getLong(0).toInt, r.getLong(1).toInt)).toSet === top8)
+    val (di, dj) = (rows.head.getLong(0).toInt, rows.head.getLong(1).toInt)
+    val xs = embs.map(_(di - 1)); val ys = embs.map(_(dj - 1))
+    val n = xs.length.toDouble
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sx = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum)
+    val sy = math.sqrt(ys.map(y => (y - my) * (y - my)).sum)
+    assert(math.abs(rows.head.getDouble(3) - cov / (sx * sy)) < 1e-3)
+  }
+
   test("matryoshka recall: driver-side brute-force overlap recompute matches (q231)") {
     val rows = VectorOps.queries("q231_matryoshka_recall")(spark, sf001).collect()
     rows.foreach(r => assert(r.getLong(3) === r.getLong(2) * 2000))
