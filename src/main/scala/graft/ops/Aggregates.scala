@@ -327,6 +327,35 @@ object Aggregates {
         .orderBy(col("digit"))
     }),
 
+    // Weighted percentiles — the volume-weighted price quartiles q29's
+    // unweighted percentiles cannot express (a 1-unit line and a
+    // 50-unit line are NOT the same evidence about price level). Exact
+    // lower-weighted-quantile semantics: sort by value, take the first
+    // value whose cumulative weight reaches p·W — evaluated as the
+    // integer cross-product test 100·cumw ≥ p100·W, so no float ever
+    // touches the selection. The running weight rides ScalableRank's
+    // two-phase range-partitioned sum (3 return flags = the low-card
+    // window-key regime where Window.partitionBy must not be used);
+    // the percentile pick is then one partial-aggregable conditional
+    // min per flag.
+    "q239_weighted_percentile" -> ((s, d) => {
+      val li = T.lineitem(s, d).select(col("l_returnflag").as("rf"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      val run = graft.functions.ScalableRank.withRunningSum(li, Seq("rf"),
+        Seq(col("cents"), col("l_orderkey"), col("l_partkey"), col("l_linenumber")),
+        col("qty"), 32)
+      val w = run.groupBy(col("rf")).agg(max(col("rsum")).as("wtot"))
+      run.join(broadcast(w), "rf")
+        .groupBy(col("rf"))
+        .agg(max(col("wtot")).as("w_total"),
+          min(when(col("rsum") * 100 >= col("wtot") * 25, col("cents"))).as("wp25_cents"),
+          min(when(col("rsum") * 100 >= col("wtot") * 50, col("cents"))).as("wp50_cents"),
+          min(when(col("rsum") * 100 >= col("wtot") * 75, col("cents"))).as("wp75_cents"))
+        .orderBy(col("rf"))
+    }),
+
     // Poisson-bootstrap confidence interval for the mean order value
     // per market segment — the error bar every aggregate dashboard
     // omits. Classic n-out-of-n resampling needs n draws WITH
@@ -373,6 +402,27 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q239_weighted_percentile" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS rf,
+        |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+        |         CAST(l_quantity AS BIGINT) AS qty,
+        |         l_orderkey, l_partkey, l_linenumber
+        |  FROM lineitem
+        |), run AS (
+        |  SELECT rf, cents,
+        |         CAST(sum(qty) OVER (PARTITION BY rf
+        |           ORDER BY cents, l_orderkey, l_partkey, l_linenumber
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum
+        |  FROM li
+        |), w AS (SELECT rf, max(rsum) AS wtot FROM run GROUP BY 1)
+        |SELECT run.rf, max(w.wtot) AS w_total,
+        |       min(CASE WHEN rsum * 100 >= wtot * 25 THEN cents END) AS wp25_cents,
+        |       min(CASE WHEN rsum * 100 >= wtot * 50 THEN cents END) AS wp50_cents,
+        |       min(CASE WHEN rsum * 100 >= wtot * 75 THEN cents END) AS wp75_cents
+        |FROM run JOIN w USING (rf)
+        |GROUP BY 1 ORDER BY rf""".stripMargin,
+
     "q228_bootstrap_ci" ->
       """WITH base AS (
         |  SELECT c.c_mktsegment AS seg, o.o_orderkey, o.o_totalprice

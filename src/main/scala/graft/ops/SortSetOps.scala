@@ -138,6 +138,37 @@ object SortSetOps {
           expr("(cents * 256) DIV (mp + 1)").as("b_price"))
         .withColumn("z", mortonInterleave(col("b_cust"), col("b_price")))
         .orderBy(col("z"), col("o_orderkey"))
+    }),
+
+    // Partition-layout advisor — the dry run behind every partitionBy
+    // decision (q151's sibling: that optimizes WITHIN files, this
+    // audits the directory layout itself): for each candidate key set,
+    // the partition count, row envelope, skew ratio (max/avg in basis
+    // points — the straggler predictor), and the small-partition count
+    // (under 10% of average — the small-files problem a 100 TB writer
+    // must not create). Each candidate is one partial-aggregable
+    // count + a broadcast-totals rollup; the table never shuffles on
+    // anything but the candidate key.
+    "q240_partition_advisor" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      def profile(keys: Seq[String], name: String) = {
+        val parts = docs.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        val tot = parts.agg(count(lit(1)).as("np"), sum(col("n")).as("nr"))
+        parts.crossJoin(broadcast(tot))
+          .groupBy(col("np"), col("nr"))
+          .agg(min(col("n")).as("min_rows"), max(col("n")).as("max_rows"),
+            sum(when(col("n") * col("np") * 10 < col("nr"), 1L).otherwise(0L))
+              .as("n_small"))
+          .select(lit(name).as("layout"),
+            col("np").as("n_partitions"), col("nr").as("n_rows"),
+            col("min_rows"), col("max_rows"),
+            expr("(10000 * max_rows * np) div nr").as("skew_bp"),
+            col("n_small"))
+      }
+      profile(Seq("lang"), "lang")
+        .unionByName(profile(Seq("source"), "source"))
+        .unionByName(profile(Seq("lang", "source"), "lang,source"))
+        .orderBy(col("layout"))
     })
   )
 
@@ -155,6 +186,31 @@ object SortSetOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q240_partition_advisor" ->
+      """WITH p1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |t1 AS (SELECT CAST(count(*) AS BIGINT) AS np, CAST(sum(n) AS BIGINT) AS nr FROM p1),
+        |r1 AS (SELECT 'lang' AS layout, t1.np AS n_partitions, t1.nr AS n_rows,
+        |              min(n) AS min_rows, max(n) AS max_rows,
+        |              (10000 * max(n) * t1.np) // t1.nr AS skew_bp,
+        |              CAST(sum(CASE WHEN n * t1.np * 10 < t1.nr THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+        |       FROM p1 CROSS JOIN t1 GROUP BY t1.np, t1.nr),
+        |p2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |t2 AS (SELECT CAST(count(*) AS BIGINT) AS np, CAST(sum(n) AS BIGINT) AS nr FROM p2),
+        |r2 AS (SELECT 'source' AS layout, t2.np AS n_partitions, t2.nr AS n_rows,
+        |              min(n) AS min_rows, max(n) AS max_rows,
+        |              (10000 * max(n) * t2.np) // t2.nr AS skew_bp,
+        |              CAST(sum(CASE WHEN n * t2.np * 10 < t2.nr THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+        |       FROM p2 CROSS JOIN t2 GROUP BY t2.np, t2.nr),
+        |p3 AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
+        |t3 AS (SELECT CAST(count(*) AS BIGINT) AS np, CAST(sum(n) AS BIGINT) AS nr FROM p3),
+        |r3 AS (SELECT 'lang,source' AS layout, t3.np AS n_partitions, t3.nr AS n_rows,
+        |              min(n) AS min_rows, max(n) AS max_rows,
+        |              (10000 * max(n) * t3.np) // t3.nr AS skew_bp,
+        |              CAST(sum(CASE WHEN n * t3.np * 10 < t3.nr THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+        |       FROM p3 CROSS JOIN t3 GROUP BY t3.np, t3.nr)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+        |ORDER BY layout""".stripMargin,
+
     "q155_keyset_page" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders

@@ -958,6 +958,50 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("weighted percentiles: driver-side cumulative-weight recompute matches (q239)") {
+    val rows = graft.ops.Aggregates.queries("q239_weighted_percentile")(spark, sf001).collect()
+    val li = graft.T.lineitem(spark, sf001)
+      .selectExpr("l_returnflag", "CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents",
+        "CAST(l_quantity AS BIGINT) AS qty", "l_orderkey", "l_partkey", "l_linenumber")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        (r.getLong(3), r.getLong(4), r.getInt(5))))
+    val byFlag = li.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet === byFlag.keySet)
+    rows.foreach { r =>
+      val sorted = byFlag(r.getString(0)).sortBy(t => (t._2, t._4))
+      val w = sorted.map(_._3).sum
+      assert(r.getLong(1) === w)
+      var cum = 0L
+      val cums = sorted.map { t => cum += t._3; (t._2, cum) }
+      def pick(p: Long) = cums.find(_._2 * 100 >= w * p).get._1
+      assert(r.getLong(2) === pick(25))
+      assert(r.getLong(3) === pick(50))
+      assert(r.getLong(4) === pick(75))
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+    }
+  }
+
+  test("partition advisor: per-layout envelope and skew recomputed from raw docs (q240)") {
+    val rows = graft.ops.SortSetOps.queries("q240_partition_advisor")(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.keySet === Set("lang", "source", "lang,source"))
+    val docs = graft.T.documents(spark, sf001).select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def check(name: String, keyed: Map[_, Int]): Unit = {
+      val (np, nr, mn, mx, skew, nSmall) = rows(name)
+      assert(np === keyed.size.toLong)
+      assert(nr === docs.length.toLong)
+      assert(mn === keyed.values.min.toLong && mx === keyed.values.max.toLong)
+      assert(skew === 10000L * mx * np / nr)
+      assert(nSmall === keyed.values.count(n => n.toLong * np * 10 < nr).toLong)
+    }
+    check("lang", docs.groupBy(_._1).view.mapValues(_.length).toMap)
+    check("source", docs.groupBy(_._2).view.mapValues(_.length).toMap)
+    check("lang,source", docs.groupBy(identity).view.mapValues(_.length).toMap)
+  }
+
   test("HT estimator: the md5 sample replays in the driver, errors match the formula (q236)") {
     val rows = CorpusOps.queries("q236_ht_estimator")(spark, sf001).collect()
     def h8(sc: String): Long = {
