@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming operator surface — absent from the reference
   * (its row loop terminates at end of result set,
@@ -463,6 +463,47 @@ object StreamingOps {
       st.clear()
       Iterator.single(ClosedSession(user, s.n_events, s.last_ms))
     }
+  }
+
+  final case class TypeCoverage(user_id: Long, n_types: Int, complete: Boolean)
+
+  /** Per-user event-type coverage on MapState — the keyed-COLLECTION
+    * state surface (containsKey / updateValue / keys) that the
+    * ValueState processors don't touch. The state is a map
+    * event_type → count updated point-wise: RocksDB stores each map
+    * entry under its own composite key, so touching one type does NOT
+    * deserialize-rewrite the whole per-user blob — the reason
+    * MapState beats ValueState[Map[...]] once per-key state grows
+    * (the documented Spark guidance, and the 100 TB argument here).
+    * Emits the running coverage each batch; `complete` fires once all
+    * 5 canonical types have been seen. TTLConfig.NONE keeps the spec
+    * deterministic — a production deployment slots its retention into
+    * the same argument.
+    */
+  class TypeCoverageProcessor extends StatefulProcessor[Long, Ev, TypeCoverage] {
+    @transient private var st: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long](
+        "cover", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[TypeCoverage] = {
+      rows.foreach { e =>
+        val c = if (st.containsKey(e.event_type)) st.getValue(e.event_type) else 0L
+        st.updateValue(e.event_type, c + 1)
+      }
+      val n = st.keys().length
+      Iterator.single(TypeCoverage(user, n, n >= 5))
+    }
+  }
+
+  /** Per-user type coverage as an Update-mode stream. */
+  def typeCoverage(events: Dataset[Ev]): Dataset[TypeCoverage] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new TypeCoverageProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Idle-closed sessions as an Append-mode stream; input must carry a

@@ -505,6 +505,42 @@ class StreamingSpec extends SparkSpec {
     assert(last(1L) == ((1L, 3L, 6.0))) // 3 events, value 1+2+3
   }
 
+  test("type coverage on MapState: point-wise counts accumulate across batches, complete at 5 types") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // MapState keeps each map entry in its own column family — RocksDB only
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val mem = MemoryStream[StreamingOps.Ev]
+    val q = StreamingOps.typeCoverage(mem.toDS()).writeStream
+      .format("memory").queryName("cover_out").outputMode("update").start()
+    mem.addData(
+      StreamingOps.Ev(1, ts("2024-01-01 00:01:00"), 1, "click", 0.0),
+      StreamingOps.Ev(2, ts("2024-01-01 00:02:00"), 1, "view", 0.0),
+      StreamingOps.Ev(3, ts("2024-01-01 00:03:00"), 2, "click", 0.0))
+    q.processAllAvailable()
+    val b1 = spark.table("cover_out").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(b1(1L) === ((2, false)))
+    assert(b1(2L) === ((1, false)))
+    // second batch: user 1 re-sends click (map accumulates point-wise,
+    // no double-count of types) and completes the remaining three
+    mem.addData(
+      StreamingOps.Ev(4, ts("2024-01-01 00:04:00"), 1, "click", 0.0),
+      StreamingOps.Ev(5, ts("2024-01-01 00:05:00"), 1, "signup", 0.0),
+      StreamingOps.Ev(6, ts("2024-01-01 00:06:00"), 1, "purchase", 0.0),
+      StreamingOps.Ev(7, ts("2024-01-01 00:07:00"), 1, "error", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("cover_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .groupBy(_._1).view.mapValues(_.last).toMap
+    assert(last(1L) === ((1L, 5, true)))
+    assert(last(2L) === ((2L, 1, false)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("psi drift monitor: matched window scores ~0, shifted window pages, single windowed state op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
