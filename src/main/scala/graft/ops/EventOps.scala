@@ -720,6 +720,104 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    // Sequential A/B monitoring audit — the "peeking problem" made
+    // visible: the full daily z-trajectory an impatient experimenter
+    // would have watched, with the naive 1.96 flag next to a
+    // 30-look-corrected 2.93 flag (both thresholds integer milli-z
+    // literals). q176 is the single final-day test; this shows every
+    // interim look that would have fired early. Determinism: every z
+    // is floor(1000·z) of an expression tree of EXACT integer inputs
+    // through correctly-rounded IEEE ops — both engines compute the
+    // bit-identical double, so even the threshold comparison is safe.
+    // Scale: per-user state is a running purchase count over a dense
+    // (user, day) grid (sequence-explode is map-side; the only big
+    // shuffles are user-keyed), and the trajectory relation is
+    // days-sized.
+    "q242_sequential_ab" -> ((s, d) => {
+      val ev = T.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"),
+          (col("event_type") === "purchase").cast("long").as("isp"))
+      val horizon = ev.agg(max(col("day")).as("hmax"))
+      val perUserDay = ev.groupBy(col("user_id"), col("day"))
+        .agg(sum(col("isp")).as("np"))
+      val firstDay = perUserDay.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+      val grid = firstDay.crossJoin(broadcast(horizon))
+        .select(col("user_id"), explode(expr("sequence(d0, hmax)")).as("day"))
+      val wRun = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.join(perUserDay, Seq("user_id", "day"), "left")
+        .withColumn("np", coalesce(col("np"), lit(0L)))
+        .withColumn("cum_p", sum(col("np")).over(wRun))
+        .withColumn("conv", when(col("cum_p") >= 5, 1L).otherwise(0L))
+        .withColumn("variant", expr(
+          "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+      cum.groupBy(col("day"))
+        .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+             sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+             sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+             sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+        .withColumn("z_milli", expr(
+          """CASE WHEN n_a > 0 AND n_b > 0
+            |       AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+            |  CAST(floor(1000 * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+            |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+            |           * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+            |           * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))) AS BIGINT)
+            |END""".stripMargin))
+        .withColumn("sig_naive", when(abs(col("z_milli")) >= 1960, 1L).otherwise(0L))
+        .withColumn("sig_corrected", when(abs(col("z_milli")) >= 2930, 1L).otherwise(0L))
+        .orderBy(col("day"))
+    }),
+
+    // Earth-mover (1-Wasserstein) drift — the exact-integer member of
+    // the drift toolkit: q203's KS is the max CDF gap, q232's PSI is
+    // a log divergence over fitted bins; EMD is the AREA between the
+    // CDFs — it sees a small shift of a lot of mass where KS sees one
+    // point and PSI needs non-degenerate bins. Over fixed-width $20
+    // bins the whole statistic is integer: D_k = cumA_k·tb − cumB_k·ta
+    // per bin boundary, EMD·100 (centi-cents) = (width·100·Σ|D_k|)
+    // div (ta·tb) — no log, no float, bit-exact at any partition
+    // count. The bin relation after the one partial-aggregable count
+    // is ≤ types×25 rows (the value range, not the corpus, sets it);
+    // at 100 TB row counts the integer images switch to ppm shares
+    // first — the q219 split-sums trade, documented not built.
+    "q241_emd_drift" -> ((s, d) => {
+      val cells = T.events(s, d)
+        .select(col("event_type").as("ec"),
+          (datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) < 15).as("is_a"),
+          expr("CAST(round(value * 100) AS BIGINT) div 2000").as("cbin"))
+        .groupBy(col("ec"), col("cbin"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+             sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+      // dense bin axis per type: a bin empty in BOTH periods still
+      // spans width over which the CDF gap persists — skipping it
+      // would undercount the area
+      val dense = cells.groupBy(col("ec").as("et"))
+        .agg(min(col("cbin")).as("b0"), max(col("cbin")).as("b1"))
+        .select(col("et"), explode(expr("sequence(b0, b1)")).as("bin"))
+      val filled = dense
+        .join(cells, col("et") === col("ec") && col("bin") === col("cbin"), "left")
+        .select(col("et"), col("bin"),
+          coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("nb"), lit(0L)).as("nb"))
+      val w = Window.partitionBy(col("et")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      filled
+        .withColumn("cuma", sum(col("na")).over(w))
+        .withColumn("cumb", sum(col("nb")).over(w))
+        .withColumn("ta", sum(col("na")).over(Window.partitionBy(col("et"))))
+        .withColumn("tb", sum(col("nb")).over(Window.partitionBy(col("et"))))
+        .groupBy(col("et").as("event_type"))
+        .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+             count(lit(1)).as("n_bins"),
+             sum(abs(col("cuma") * col("tb") - col("cumb") * col("ta"))).as("sd"))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("n_bins"),
+          expr("(2000 * 100 * sd) div (n_a * n_b)").as("emd_centicents"))
+        .orderBy(col("event_type"))
+    }),
+
     // Differential-privacy sensitivity audit — the contribution-
     // bounding report a DP release calibrates against: per event_type,
     // the maximum single-user contribution to the count and to the
@@ -1778,6 +1876,82 @@ object EventOps {
         |SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS next_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q242_sequential_ab" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+        |  FROM events
+        |), h AS (SELECT max(day) AS hmax FROM ev),
+        |pud AS (
+        |  SELECT user_id, day, CAST(sum(isp) AS BIGINT) AS np
+        |  FROM ev GROUP BY 1, 2
+        |), fd AS (SELECT user_id, min(day) AS d0 FROM pud GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(d0, hmax)) AS day
+        |  FROM fd CROSS JOIN h
+        |), cum AS (
+        |  SELECT g.user_id, g.day,
+        |    CAST(sum(coalesce(pud.np, 0)) OVER (PARTITION BY g.user_id ORDER BY g.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_p,
+        |    CAST(('0x' || substr(md5(CAST(g.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+        |      AS variant
+        |  FROM grid g LEFT JOIN pud ON g.user_id = pud.user_id AND g.day = pud.day
+        |), agg AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 0 AND cum_p >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN variant = 1 AND cum_p >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM cum GROUP BY 1
+        |), z AS (
+        |  SELECT day, n_a, n_b, conv_a, conv_b,
+        |    CASE WHEN n_a > 0 AND n_b > 0
+        |           AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+        |      CAST(floor(1000 * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |        / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |               * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |               * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))) AS BIGINT)
+        |    END AS z_milli
+        |  FROM agg
+        |)
+        |SELECT day, n_a, n_b, conv_a, conv_b, z_milli,
+        |       CASE WHEN abs(z_milli) >= 1960 THEN 1 ELSE 0 END AS sig_naive,
+        |       CASE WHEN abs(z_milli) >= 2930 THEN 1 ELSE 0 END AS sig_corrected
+        |FROM z ORDER BY day""".stripMargin,
+
+    "q241_emd_drift" ->
+      """WITH cells AS (
+        |  SELECT event_type AS ec,
+        |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 AS is_a,
+        |         CAST(round(value * 100) AS BIGINT) // 2000 AS cbin
+        |  FROM events
+        |), c2 AS (
+        |  SELECT ec, cbin,
+        |         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM cells GROUP BY 1, 2
+        |), rng AS (SELECT ec AS et, min(cbin) AS b0, max(cbin) AS b1 FROM c2 GROUP BY 1),
+        |dense AS (SELECT et, unnest(generate_series(b0, b1)) AS bin FROM rng),
+        |filled AS (
+        |  SELECT d.et, d.bin, coalesce(c2.na, 0) AS na, coalesce(c2.nb, 0) AS nb
+        |  FROM dense d LEFT JOIN c2 ON d.et = c2.ec AND d.bin = c2.cbin
+        |), cum AS (
+        |  SELECT et, na, nb,
+        |    CAST(sum(na) OVER (PARTITION BY et ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+        |    CAST(sum(nb) OVER (PARTITION BY et ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb,
+        |    CAST(sum(na) OVER (PARTITION BY et) AS BIGINT) AS ta,
+        |    CAST(sum(nb) OVER (PARTITION BY et) AS BIGINT) AS tb
+        |  FROM filled
+        |)
+        |SELECT et AS event_type, max(ta) AS n_a, max(tb) AS n_b,
+        |       CAST(count(*) AS BIGINT) AS n_bins,
+        |       (2000 * 100 * CAST(sum(abs(cuma * tb - cumb * ta)) AS BIGINT))
+        |         // (max(ta) * max(tb)) AS emd_centicents
+        |FROM cum GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q237_dp_sensitivity" ->
       """WITH per AS (

@@ -457,6 +457,70 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("sequential A/B: daily trajectory recomputed in driver, corrected flag implies naive (q242)") {
+    val rows = EventOps.queries("q242_sequential_ab")(spark, sf001).collect()
+    def variant(u: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2
+    }
+    val evs = graft.T.events(spark, sf001)
+      .selectExpr("user_id", "CAST(datediff(to_date(ts), date'2024-01-01') AS BIGINT) AS day",
+        "event_type = 'purchase' AS isp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byUser = evs.groupBy(_._1)
+    assert(rows.length.toLong === evs.map(_._2).max - evs.map(_._2).min + 1)
+    var prevNa = 0L
+    rows.foreach { r =>
+      val day = r.getLong(0)
+      val active = byUser.filter { case (_, es) => es.map(_._2).min <= day }
+      val na = active.keys.count(variant(_) == 0).toLong
+      val nb = active.size - na
+      def conv(v: Long) = active.count { case (u, es) =>
+        variant(u) == v && es.count(e => e._3 && e._2 <= day) >= 5
+      }.toLong
+      assert(r.getLong(1) === na && r.getLong(2) === nb)
+      assert(r.getLong(3) === conv(0) && r.getLong(4) === conv(1))
+      val (ca, cb) = (conv(0), conv(1))
+      if (na > 0 && nb > 0 && ca + cb > 0 && ca + cb < na + nb) {
+        val p0 = (ca + cb).toDouble / (na + nb)
+        val z = (ca.toDouble / na - cb.toDouble / nb) /
+          math.sqrt(p0 * (1.0 - p0) * (1.0 / na + 1.0 / nb))
+        assert(r.getLong(5) === math.floor(1000 * z).toLong, s"day $day z")
+      } else assert(r.isNullAt(5))
+      assert(r.getLong(7) <= r.getLong(6), "corrected can only fire when naive does")
+      assert(na >= prevNa, "the enrolled population can only grow"); prevNa = na
+    }
+  }
+
+  test("emd drift: exact-integer area between CDFs recomputed in the driver (q241)") {
+    val rows = EventOps.queries("q241_emd_drift")(spark, sf001).collect()
+    val evs = graft.T.events(spark, sf001)
+      .selectExpr("event_type",
+        "CAST(datediff(to_date(ts), date'2024-01-01') AS INT) < 15 AS is_a",
+        "CAST(round(value * 100) AS BIGINT) div 2000 AS bin")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val grp = evs.filter(_._1 == r.getString(0))
+      val (b0, b1) = (grp.map(_._3).min, grp.map(_._3).max)
+      val ta = grp.count(_._2).toLong
+      val tb = grp.length - ta
+      var (cuma, cumb, sd) = (0L, 0L, 0L)
+      (b0 to b1).foreach { b =>
+        cuma += grp.count(e => e._2 && e._3 == b)
+        cumb += grp.count(e => !e._2 && e._3 == b)
+        sd += math.abs(cuma * tb - cumb * ta)
+      }
+      assert(r.getLong(1) === ta)
+      assert(r.getLong(2) === tb)
+      assert(r.getLong(3) === b1 - b0 + 1)
+      assert(r.getLong(4) === 200000L * sd / (ta * tb), s"${r.getString(0)} emd")
+      // the last boundary contributes zero: both CDFs have closed
+      assert(cuma === ta && cumb === tb)
+    }
+  }
+
   test("dp sensitivity: max single-user contribution recomputed from raw events (q237)") {
     val rows = EventOps.queries("q237_dp_sensitivity")(spark, sf001).collect()
     val evs = graft.T.events(spark, sf001)
