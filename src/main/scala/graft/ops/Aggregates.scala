@@ -327,6 +327,55 @@ object Aggregates {
         .orderBy(col("digit"))
     }),
 
+    // Split-conformal prediction interval — the distribution-free
+    // uncertainty wrapper modern eval stacks put around ANY point
+    // model: calibrate on a deterministic half (residual = |y − ŷ|,
+    // here against an integer per-segment mean model), take the
+    // ceil(0.9·(n+1))-th smallest calibration residual as the radius,
+    // and AUDIT the promised ≥90% coverage on the held-out half. The
+    // whole construction is exact integers: truncated integer mean as
+    // ŷ, order-statistic selection by rank equality (ScalableRank —
+    // segments are the low-card-key regime), ppm coverage by integer
+    // division. The md5 coin makes the calibration split itself
+    // oracle-replayable, like q228's resampling.
+    "q243_conformal_interval" -> ((s, d) => {
+      val cust = broadcast(T.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")))
+      val o = T.orders(s, d)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("seg"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("is_calib",
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2 === 0)
+      val model = o.filter(col("is_calib"))
+        .groupBy(col("seg").as("sg"))
+        .agg(count(lit(1)).as("n_calib"), sum(col("cents")).as("sc"))
+        .withColumn("mean_cents", expr("sc div n_calib"))
+        .select(col("sg"), col("n_calib"), col("mean_cents"))
+      val resid = o.filter(col("is_calib"))
+        .join(broadcast(model), col("seg") === col("sg"))
+        .select(col("seg"), col("o_orderkey"),
+          abs(col("cents") - col("mean_cents")).as("r"))
+      val ranked = graft.functions.ScalableRank.withRanks(resid, Seq("seg"),
+        Seq(col("r"), col("o_orderkey")), Seq(col("r"), col("o_orderkey")), 32)
+      val radius = ranked
+        .filter(col("rn") === least(expr("(9 * (ntot + 1) + 9) div 10"), col("ntot")))
+        .select(col("seg").as("sg2"), col("r").as("q90_resid_cents"))
+      o.filter(!col("is_calib"))
+        .join(broadcast(model), col("seg") === col("sg"))
+        .join(broadcast(radius), col("seg") === col("sg2"))
+        .groupBy(col("seg"))
+        .agg(max(col("n_calib")).as("n_calib"),
+             count(lit(1)).as("n_test"),
+             max(col("mean_cents")).as("model_mean_cents"),
+             max(col("q90_resid_cents")).as("q90_resid_cents"),
+             sum(when(abs(col("cents") - col("mean_cents")) <= col("q90_resid_cents"), 1L)
+               .otherwise(0L)).as("n_within"))
+        .withColumn("coverage_ppm", expr("(1000000 * n_within) div n_test"))
+        .orderBy(col("seg"))
+    }),
+
     // Weighted percentiles — the volume-weighted price quartiles q29's
     // unweighted percentiles cannot express (a 1-unit line and a
     // 50-unit line are NOT the same evidence about price level). Exact
@@ -402,6 +451,40 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q243_conformal_interval" ->
+      """WITH o AS (
+        |  SELECT c.c_mktsegment AS seg, od.o_orderkey,
+        |         CAST(round(od.o_totalprice * 100) AS BIGINT) AS cents,
+        |         CAST(('0x' || substr(md5(CAST(od.o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+        |           AS is_calib
+        |  FROM orders od JOIN customer c ON od.o_custkey = c.c_custkey
+        |), model AS (
+        |  SELECT seg AS sg, CAST(count(*) AS BIGINT) AS n_calib,
+        |         CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_cents
+        |  FROM o WHERE is_calib GROUP BY 1
+        |), resid AS (
+        |  SELECT o.seg, o.o_orderkey, abs(o.cents - m.mean_cents) AS r
+        |  FROM o JOIN model m ON o.seg = m.sg WHERE o.is_calib
+        |), ranked AS (
+        |  SELECT seg, r,
+        |         row_number() OVER (PARTITION BY seg ORDER BY r, o_orderkey) AS rn,
+        |         count(*) OVER (PARTITION BY seg) AS ntot
+        |  FROM resid
+        |), radius AS (
+        |  SELECT seg AS sg2, r AS q90 FROM ranked
+        |  WHERE rn = least((9 * (ntot + 1) + 9) // 10, ntot)
+        |)
+        |SELECT o.seg, max(m.n_calib) AS n_calib, CAST(count(*) AS BIGINT) AS n_test,
+        |       max(m.mean_cents) AS model_mean_cents,
+        |       CAST(max(rad.q90) AS BIGINT) AS q90_resid_cents,
+        |       CAST(sum(CASE WHEN abs(o.cents - m.mean_cents) <= rad.q90
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+        |       (1000000 * CAST(sum(CASE WHEN abs(o.cents - m.mean_cents) <= rad.q90
+        |                                THEN 1 ELSE 0 END) AS BIGINT))
+        |         // CAST(count(*) AS BIGINT) AS coverage_ppm
+        |FROM o JOIN model m ON o.seg = m.sg JOIN radius rad ON o.seg = rad.sg2
+        |WHERE NOT is_calib GROUP BY 1 ORDER BY o.seg""".stripMargin,
+
     "q239_weighted_percentile" ->
       """WITH li AS (
         |  SELECT l_returnflag AS rf,

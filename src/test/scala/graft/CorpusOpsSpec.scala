@@ -958,6 +958,40 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("conformal interval: radius and coverage recomputed in driver, coverage near 90% (q243)") {
+    val rows = graft.ops.Aggregates.queries("q243_conformal_interval")(spark, sf001).collect()
+    def h8(sc: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val segOf = graft.T.customer(spark, sf001).select("c_custkey", "c_mktsegment")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orders = graft.T.orders(spark, sf001)
+      .selectExpr("o_orderkey", "o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), segOf(r.getLong(1)), r.getLong(2)))
+    val bySeg = orders.groupBy(_._2)
+    assert(rows.map(_.getString(0)).toSet === bySeg.keySet)
+    rows.foreach { r =>
+      val os = bySeg(r.getString(0))
+      val (calib, test) = os.partition(o => h8(o._1.toString) % 2 == 0)
+      val mean = calib.map(_._3).sum / calib.length
+      val resid = calib.map(o => (math.abs(o._3 - mean), o._1)).sorted
+      val k = math.min((9 * (resid.length + 1) + 9) / 10, resid.length)
+      val q90 = resid(k - 1)._1
+      val within = test.count(o => math.abs(o._3 - mean) <= q90)
+      assert(r.getLong(1) === calib.length.toLong)
+      assert(r.getLong(2) === test.length.toLong)
+      assert(r.getLong(3) === mean)
+      assert(r.getLong(4) === q90)
+      assert(r.getLong(5) === within.toLong)
+      assert(r.getLong(6) === 1000000L * within / test.length)
+      // split-conformal promise: ≥ 90% coverage in expectation — allow
+      // finite-sample slack but catch a broken radius outright
+      assert(r.getLong(6) >= 800000L && r.getLong(6) <= 1000000L)
+    }
+  }
+
   test("weighted percentiles: driver-side cumulative-weight recompute matches (q239)") {
     val rows = graft.ops.Aggregates.queries("q239_weighted_percentile")(spark, sf001).collect()
     val li = graft.T.lineitem(spark, sf001)
