@@ -720,6 +720,36 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    // Capture–recapture population estimate (Lincoln–Petersen +
+    // Chapman) — "how many distinct users are there" WITHOUT a global
+    // distinct, from two deterministic disjoint event samples: users
+    // sighted in capture 1 (md5(event_id)%5=0), in capture 2 (%5=1),
+    // and in both; N̂ = n1·n2/m. The method a pipeline reaches for
+    // when the full distinct is too expensive to run twice a day —
+    // and because the truth IS affordable here, the estimator ships
+    // with its realized ppm error, like q236's HT audit. All integer;
+    // the md5 coin replays in the oracle. One (type,user) partial
+    // rollup carries everything.
+    "q244_capture_recapture" -> ((s, d) => {
+      val ev = T.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 5).as("b"))
+      val per = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(max(when(col("b") === 0, 1L).otherwise(0L)).as("in1"),
+             max(when(col("b") === 1, 1L).otherwise(0L)).as("in2"))
+      per.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_true"),
+             sum(col("in1")).as("n1"), sum(col("in2")).as("n2"),
+             sum(col("in1") * col("in2")).as("m"))
+        .select(col("event_type"), col("n_true"), col("n1"), col("n2"), col("m"),
+          expr("(n1 * n2) div greatest(m, 1)").as("lp_est"),
+          expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1").as("chapman_est"),
+          expr("""(1000000 * abs(((n1 + 1) * (n2 + 1)) div (m + 1) - 1 - n_true))
+                 | div n_true""".stripMargin).as("err_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
     // Sequential A/B monitoring audit — the "peeking problem" made
     // visible: the full daily z-trajectory an impatient experimenter
     // would have watched, with the naive 1.96 flag next to a
@@ -1876,6 +1906,31 @@ object EventOps {
         |SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS next_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q244_capture_recapture" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id,
+        |         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS b
+        |  FROM events
+        |), per AS (
+        |  SELECT event_type, user_id,
+        |         max(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS in1,
+        |         max(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS in2
+        |  FROM ev GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS BIGINT) AS n_true,
+        |         CAST(sum(in1) AS BIGINT) AS n1,
+        |         CAST(sum(in2) AS BIGINT) AS n2,
+        |         CAST(sum(in1 * in2) AS BIGINT) AS m
+        |  FROM per GROUP BY 1
+        |)
+        |SELECT event_type, n_true, n1, n2, m,
+        |       (n1 * n2) // greatest(m, 1) AS lp_est,
+        |       ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS chapman_est,
+        |       (1000000 * abs(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 - n_true)) // n_true
+        |         AS err_ppm
+        |FROM agg ORDER BY event_type""".stripMargin,
 
     "q242_sequential_ab" ->
       """WITH ev AS (

@@ -184,6 +184,32 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Token burstiness (variance-to-mean ratio over per-doc counts,
+    // zeros included) — Church's classic content-word detector: a
+    // function word scatters ~Poisson (VMR ≈ 1), a topical word
+    // arrives in bursts (VMR ≫ 1). The algebra keeps it integer:
+    // VMR = S2/T − T/N over exact sums (S2 = Σc², T = Σc, N docs),
+    // emitted in ppm via the SAME floored-division expression both
+    // engines evaluate — zero-count docs enter through the algebra,
+    // never through a dense (doc × token) relation. Shuffles: the
+    // (doc,w) count and the vocabulary-keyed rollup, nothing else.
+    "q245_token_burstiness" -> ((s, d) => {
+      val cw = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      val stats = cw.groupBy(col("w"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+             sum(col("c") * col("c")).as("s2"))
+      val top = broadcast(stats.orderBy(col("df").desc, col("w")).limit(20))
+      val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      top.crossJoin(broadcast(n))
+        .select(col("w"), col("df"), col("tf"),
+          expr("(1000000 * s2) div tf - (1000000 * tf) div n_docs").as("vmr_ppm"))
+        .withColumn("kind",
+          when(col("vmr_ppm") > 1500000, "bursty").otherwise("flat"))
+        .orderBy(col("w"))
+    }),
+
     // Per-doc unigram Shannon entropy (nats) — the information-density
     // gibberish/boilerplate gate next to q92's TTR: near-zero entropy
     // is one token repeated (boilerplate), maximal entropy at equal
@@ -544,6 +570,24 @@ object TextOps {
         |       (10000 * count(*)) // CAST(sum(cw) AS BIGINT) AS ttr_bp,
         |       (10000 * CAST(sum(CASE WHEN cw = 1 THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS hapax_bp
         |FROM cw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q245_token_burstiness" ->
+      """WITH cw AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS df,
+        |         CAST(sum(c) AS BIGINT) AS tf,
+        |         CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM cw GROUP BY 1
+        |), top AS (SELECT * FROM stats ORDER BY df DESC, w LIMIT 20),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT w, df, tf,
+        |       (1000000 * s2) // tf - (1000000 * tf) // n_docs AS vmr_ppm,
+        |       CASE WHEN (1000000 * s2) // tf - (1000000 * tf) // n_docs > 1500000
+        |            THEN 'bursty' ELSE 'flat' END AS kind
+        |FROM top CROSS JOIN n ORDER BY w""".stripMargin,
 
     "q227_token_entropy" ->
       """WITH cw AS (

@@ -958,6 +958,31 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("token burstiness: VMR algebra recomputed with explicit zero-docs (q245)") {
+    val rows = graft.ops.TextOps.queries("q245_token_burstiness")(spark, sf001).collect()
+    assert(rows.length === 20)
+    val texts = graft.T.documents(spark, sf001).select("text").collect().map(_.getString(0))
+    val n = texts.length.toLong
+    rows.foreach { r =>
+      val w = r.getString(0)
+      val counts = texts.map(_.split(" ").count(_ == w).toLong)
+      val df = counts.count(_ > 0).toLong
+      val tf = counts.sum
+      val s2 = counts.map(c => c * c).sum
+      assert(r.getLong(1) === df)
+      assert(r.getLong(2) === tf)
+      val vmr = 1000000L * s2 / tf - 1000000L * tf / n
+      assert(r.getLong(3) === vmr, s"$w vmr")
+      // the dense recompute INCLUDING zero docs agrees with the algebra:
+      // VMR·1e6 ≈ 1e6·(var/mean) up to the two integer floors
+      val mean = tf.toDouble / n
+      val varr = counts.map(c => (c - mean) * (c - mean)).sum / n
+      assert(math.abs(vmr / 1e6 - varr / mean) < 2e-6 + 1e-9 * vmr,
+        s"$w algebra vs dense recompute")
+      assert(r.getString(4) === (if (vmr > 1500000L) "bursty" else "flat"))
+    }
+  }
+
   test("conformal interval: radius and coverage recomputed in driver, coverage near 90% (q243)") {
     val rows = graft.ops.Aggregates.queries("q243_conformal_interval")(spark, sf001).collect()
     def h8(sc: String): Long = {

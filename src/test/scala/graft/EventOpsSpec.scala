@@ -457,6 +457,34 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("capture-recapture: sample replay matches, estimator brackets sanity (q244)") {
+    val rows = EventOps.queries("q244_capture_recapture")(spark, sf001).collect()
+    def h8(sc: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val evs = graft.T.events(spark, sf001)
+      .selectExpr("event_type", "user_id", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = evs.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      val users = byType(r.getString(0)).groupBy(_._2)
+      val s1 = users.filter(_._2.exists(e => h8(e._3.toString) % 5 == 0)).keySet
+      val s2 = users.filter(_._2.exists(e => h8(e._3.toString) % 5 == 1)).keySet
+      val m = (s1 intersect s2).size.toLong
+      assert(r.getLong(1) === users.size.toLong)
+      assert(r.getLong(2) === s1.size.toLong)
+      assert(r.getLong(3) === s2.size.toLong)
+      assert(r.getLong(4) === m)
+      assert(r.getLong(5) === s1.size.toLong * s2.size / math.max(m, 1L))
+      assert(r.getLong(6) === (s1.size + 1L) * (s2.size + 1L) / (m + 1L) - 1L)
+      // Chapman is defined (≥ max single-capture count) when m > 0
+      if (m > 0) assert(r.getLong(6) >= math.max(s1.size, s2.size).toLong)
+    }
+  }
+
   test("sequential A/B: daily trajectory recomputed in driver, corrected flag implies naive (q242)") {
     val rows = EventOps.queries("q242_sequential_ab")(spark, sf001).collect()
     def variant(u: Long): Long = {
