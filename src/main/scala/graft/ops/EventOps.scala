@@ -720,6 +720,53 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    // Mann–Whitney U (Wilcoxon rank-sum) between the two monitoring
+    // periods — the NONPARAMETRIC member of the drift family (KS=max
+    // gap, PSI=binned divergence, EMD=area, MWU=stochastic dominance:
+    // "do period-B values tend to be larger?"). Exact throughout:
+    // per-value midranks come from the cumulative count as the
+    // INTEGER twice-midrank 2·cum_before + cnt + 1 (tie blocks get
+    // their exact average rank, halves and all), 2·R1 and 2·U1 stay
+    // integers, and the tie-corrected z is one double expression of
+    // exact integers (correctly-rounded IEEE → bit-identical across
+    // engines, q242's argument) floored to milli. The ranking runs on
+    // the per-VALUE cells relation, bounded by the cents domain
+    // (≤ types × 49k rows at any corpus scale), via ScalableRank.
+    "q246_mann_whitney" -> ((s, d) => {
+      val cells = T.events(s, d)
+        .select(col("event_type"),
+          (datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) < 15).as("is_a"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+             sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+        .withColumn("cnt", col("na") + col("nb"))
+      val run = graft.functions.ScalableRank.withRunningSum(cells,
+        Seq("event_type"), Seq(col("cents")), col("cnt"), 32)
+      run
+        .withColumn("midrank2", lit(2L) * (col("rsum") - col("cnt")) + col("cnt") + 1L)
+        .groupBy(col("event_type"))
+        .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+             sum(col("na") * col("midrank2")).as("r1x2"),
+             sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_t"))
+        .withColumn("u1x2",
+          expr("2 * n_a * n_b + n_a * (n_a + 1) - r1x2"))
+        .withColumn("z_milli", expr(
+          """CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+            |       AND (n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) > tie_t THEN
+            |  CAST(floor(1000 *
+            |    (CAST(u1x2 AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
+            |    / sqrt((CAST(n_a AS DOUBLE) * n_b / 12)
+            |           * (CAST(n_a + n_b + 1 AS DOUBLE)
+            |              - CAST(tie_t AS DOUBLE)
+            |                / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))))) AS BIGINT)
+            |END""".stripMargin))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("u1x2"),
+          col("z_milli"),
+          when(abs(col("z_milli")) >= 1960, 1L).otherwise(0L).as("sig_05"))
+        .orderBy(col("event_type"))
+    }),
+
     // Capture–recapture population estimate (Lincoln–Petersen +
     // Chapman) — "how many distinct users are there" WITHOUT a global
     // distinct, from two deterministic disjoint event samples: users
@@ -1906,6 +1953,48 @@ object EventOps {
         |SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS next_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q246_mann_whitney" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CAST(sum(CASE WHEN datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15
+        |                       THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |  FROM events GROUP BY 1, 2
+        |), run AS (
+        |  SELECT event_type, na, nb, na + nb AS cnt,
+        |         CAST(sum(na + nb) OVER (PARTITION BY event_type ORDER BY cents
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum
+        |  FROM cells
+        |), agg AS (
+        |  SELECT event_type,
+        |         CAST(sum(na) AS BIGINT) AS n_a,
+        |         CAST(sum(nb) AS BIGINT) AS n_b,
+        |         CAST(sum(na * (2 * (rsum - cnt) + cnt + 1)) AS BIGINT) AS r1x2,
+        |         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t
+        |  FROM run GROUP BY 1
+        |), u AS (
+        |  SELECT event_type, n_a, n_b, tie_t,
+        |         2 * n_a * n_b + n_a * (n_a + 1) - r1x2 AS u1x2
+        |  FROM agg
+        |), z AS (
+        |  SELECT event_type, n_a, n_b, u1x2,
+        |    CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+        |          AND (n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) > tie_t THEN
+        |      CAST(floor(1000 *
+        |        (CAST(u1x2 AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
+        |        / sqrt((CAST(n_a AS DOUBLE) * n_b / 12)
+        |               * (CAST(n_a + n_b + 1 AS DOUBLE)
+        |                  - CAST(tie_t AS DOUBLE)
+        |                    / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))))) AS BIGINT)
+        |    END AS z_milli
+        |  FROM u
+        |)
+        |SELECT event_type, n_a, n_b, u1x2, z_milli,
+        |       CASE WHEN abs(z_milli) >= 1960 THEN 1 ELSE 0 END AS sig_05
+        |FROM z ORDER BY event_type""".stripMargin,
 
     "q244_capture_recapture" ->
       """WITH ev AS (

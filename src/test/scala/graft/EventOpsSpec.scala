@@ -457,6 +457,45 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("mann-whitney: midrank/tie algebra recomputed in driver, U symmetric (q246)") {
+    val rows = EventOps.queries("q246_mann_whitney")(spark, sf001).collect()
+    val evs = graft.T.events(spark, sf001)
+      .selectExpr("event_type",
+        "CAST(datediff(to_date(ts), date'2024-01-01') AS INT) < 15 AS is_a",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    rows.foreach { r =>
+      val grp = evs.filter(_._1 == r.getString(0))
+      val na = grp.count(_._2).toLong
+      val nb = grp.length - na
+      // midranks over the combined sorted sample
+      val sorted = grp.sortBy(_._3)
+      val midrank = sorted.map(_._3).zipWithIndex
+        .groupBy(_._1).view.mapValues { xs =>
+          val ranks = xs.map(_._2 + 1)
+          ranks.sum.toDouble / ranks.length
+        }.toMap
+      val r1 = grp.filter(_._2).map(e => midrank(e._3)).sum
+      val u1 = na.toDouble * nb + na * (na + 1) / 2.0 - r1
+      assert(r.getLong(1) === na && r.getLong(2) === nb)
+      assert(r.getLong(3).toDouble === 2 * u1, "twice-U1 integer image")
+      // U1 + U2 = n_a * n_b (the rank-sum identity)
+      val r2 = grp.filter(!_._2).map(e => midrank(e._3)).sum
+      val u2 = nb.toDouble * na + nb * (nb + 1) / 2.0 - r2
+      assert(math.abs(u1 + u2 - na.toDouble * nb) < 1e-6)
+      val cnts = grp.groupBy(_._3).values.map(_.length.toLong)
+      val tieT = cnts.map(c => c * c * c - c).sum
+      val n = na + nb
+      if (na > 0 && nb > 0 && n > 1 && (n + 1) * n * (n - 1) > tieT) {
+        val z = (u1 - na.toDouble * nb / 2) /
+          math.sqrt(na.toDouble * nb / 12 *
+            ((n + 1).toDouble - tieT.toDouble / (n.toDouble * (n - 1))))
+        assert(r.getLong(4) === math.floor(1000 * z).toLong, s"${r.getString(0)} z")
+        assert(r.getLong(5) === (if (math.abs(r.getLong(4)) >= 1960) 1L else 0L))
+      } else assert(r.isNullAt(4))
+    }
+  }
+
   test("capture-recapture: sample replay matches, estimator brackets sanity (q244)") {
     val rows = EventOps.queries("q244_capture_recapture")(spark, sf001).collect()
     def h8(sc: String): Long = {
