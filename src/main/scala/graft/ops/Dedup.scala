@@ -592,6 +592,36 @@ object Dedup {
     // first and add twin-pair counts per source pair arithmetically
     // from (rep, source, grp_n) instead of enumerating them (q69's
     // guard, applied to counting).
+    // Transitivity audit of the near-dup relation — the measurement
+    // behind the q67/q115 clustering decision: connected-component
+    // canonicalization implicitly assumes "similar to" is transitive,
+    // but at any finite threshold it is not — chains A~B~C with A≁C
+    // merge unrelated docs. Global transitivity = 3·triangles/wedges
+    // of the verified pair graph (1.0 = clique-like, safe to collapse;
+    // low = chains, collapse over-merges). Rides triangleStats'
+    // degree-ordered O(m^1.5) wedge machinery; the rollup emits one
+    // row of exact integers (the bp ratio is integer division).
+    "q247_dedup_transitivity" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val sh = TextSim.shingles(docs, 3)
+      val cand = TextSim.bandCandidates(
+        TextSim.lshBands(TextSim.minhashSignatureNative(docs, 128, 3), 32, 4))
+      val pairs = TextSim.verifyJaccard(cand, sh, 0.8)
+        .select(col("id1").as("a"), col("id2").as("b"))
+      graft.ops.GraphOps.triangleStats(pairs)
+        .agg(count(lit(1)).as("n_nodes"),
+             sum(col("deg")).as("deg2"),
+             sum(col("tri")).as("tri3"),
+             sum(expr("deg * (deg - 1)")).as("wed2"))
+        .select(col("n_nodes"),
+          expr("deg2 div 2").as("n_edges"),
+          expr("tri3 div 3").as("n_triangles"),
+          expr("wed2 div 2").as("n_wedges"),
+          expr("CASE WHEN wed2 > 0 THEN (20000 * tri3) div wed2 ELSE 0 END")
+            .as("transitivity_bp"))
+        .orderBy(col("n_nodes"))
+    }),
+
     "q96_source_leakage" -> ((s, d) => {
       val docs = T.documents(s, d)
       val sh = TextSim.shingles(docs, 3)
@@ -997,6 +1027,32 @@ object Dedup {
 
     // Exact pair graph at 0.8 (same CTE base), rolled up to the
     // source-pair matrix.
+    "q247_dedup_transitivity" ->
+      s"""WITH pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |), e AS (SELECT id1 AS a, id2 AS b FROM pr),
+         |deg AS (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS d
+         |  FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+         |  GROUP BY 1
+         |), tri AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS t
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+         |), agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(d * (d - 1)) AS BIGINT) AS wed2
+         |  FROM deg
+         |)
+         |SELECT agg.n_nodes,
+         |       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+         |       tri.t AS n_triangles,
+         |       wed2 // 2 AS n_wedges,
+         |       CASE WHEN wed2 > 0 THEN (60000 * tri.t) // wed2 ELSE 0 END
+         |         AS transitivity_bp
+         |FROM agg CROSS JOIN tri
+         |ORDER BY agg.n_nodes""".stripMargin,
+
     "q96_source_leakage" ->
       s"""WITH pr AS (
          |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}

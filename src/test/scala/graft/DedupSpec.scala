@@ -565,4 +565,26 @@ class DedupSpec extends SparkSpec {
     assert(full.nonEmpty, "full graph must contain near-dup pairs at sf0.001")
     assert(inc === full)
   }
+
+  test("dedup transitivity: triangle/wedge recount from the exact pair set (q247)") {
+    val r = Dedup.queries("q247_dedup_transitivity")(spark, sf001).collect().head
+    val pairs = Dedup.queries("q61_neardup_jaccard")(spark, sf001)
+      .select("id1", "id2").collect()
+      .map(p => (p.getLong(0), p.getLong(1))).toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2))
+    val adj = nodes.map(n => n ->
+      pairs.collect { case (a, b) if a == n => b
+                      case (a, b) if b == n => a }).toMap
+    val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    val triangles = pairs.toSeq.map { case (a, b) =>
+      (adj(a) intersect adj(b)).size.toLong
+    }.sum / 3
+    assert(r.getLong(0) === nodes.size.toLong)
+    assert(r.getLong(1) === pairs.size.toLong)
+    assert(r.getLong(2) === triangles)
+    assert(r.getLong(3) === wedges)
+    val bp = if (wedges > 0) 30000L * triangles / wedges else 0L
+    assert(r.getLong(4) === bp)
+    assert(r.getLong(4) >= 0L && r.getLong(4) <= 10000L)
+  }
 }
