@@ -463,6 +463,52 @@ object GraphOps {
           col("o") === col("o2") && col("a") < col("b"))
         .select(col("a"), col("b")).distinct()
       labelPropagation(e, 3)
+    }),
+
+    // Newman modularity of q199's communities — the number that says
+    // whether the partition MEANS anything: Q = Σ_c (e_c/m −
+    // (d_c/2m)²), here as the single exact rational Σ(4m·e_c − d_c²)
+    // / 4m² emitted in ppm by integer division (Q ∈ [−½, 1]; near 0
+    // on this dense co-purchase graph is itself the finding — LP
+    // collapses it into one blob, and the number proves it rather
+    // than the eyeball). Costs: the LP rounds (shared shape with
+    // q199), one intra-edge count via two label joins keyed on their
+    // own endpoint, one community-keyed degree rollup.
+    "q248_modularity" -> ((s, d) => {
+      val op = T.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      // e feeds FOUR consumers (LP's und, m, intra, und) — unlike
+      // q185's thrice-read oriented relation (where recompute measured
+      // faster because the downstream wedge join dominated), here the
+      // downstream work is small relative to the pair build, and the
+      // lazy localCheckpoint measured 8.5 → 5.3 s at sf0.1 (cpus=8,
+      // min of 2).
+      val e = op.select(col("o"), col("p").as("a"))
+        .join(op.select(col("o").as("o2"), col("p").as("b")),
+          col("o") === col("o2") && col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+        .localCheckpoint(false)
+      val lab = labelPropagation(e, 3)
+      val m = e.agg(count(lit(1)).as("m"))
+      val intra = e
+        .join(lab.select(col("node").as("a"), col("comm").as("ca")), "a")
+        .join(lab.select(col("node").as("b"), col("comm").as("cb")), "b")
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("c")).agg(count(lit(1)).as("ec"))
+      val und = e.select(col("a").as("u")).unionByName(e.select(col("b").as("u")))
+      val degc = und
+        .join(lab.select(col("node").as("u"), col("comm").as("c")), "u")
+        .groupBy(col("c")).agg(count(lit(1)).as("dc"))
+      degc.join(intra, Seq("c"), "left")
+        .select(col("c"), coalesce(col("ec"), lit(0L)).as("ec"), col("dc"))
+        .crossJoin(broadcast(m))
+        .agg(count(lit(1)).as("n_communities"),
+             max(col("m")).as("n_edges"),
+             sum(expr("4 * m * ec - dc * dc")).as("num"))
+        .select(col("n_communities"), col("n_edges"),
+          expr("(1000000 * num) div (4 * n_edges * n_edges)").as("modularity_ppm"))
+        .orderBy(col("n_communities"))
     })
   )
 
@@ -736,6 +782,59 @@ object GraphOps {
         |      PARTITION BY v ORDER BY cnt DESC, lab) AS rn FROM c3)
         |  WHERE rn = 1
         |)
-        |SELECT node, lab AS comm FROM l3 ORDER BY node""".stripMargin
+        |SELECT node, lab AS comm FROM l3 ORDER BY node""".stripMargin,
+
+    "q248_modularity" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |), und AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+        |), l0 AS (
+        |  SELECT DISTINCT u AS node, u AS lab FROM und
+        |), c1 AS (
+        |  SELECT v, lab, count(*) AS cnt FROM und JOIN l0 ON und.u = l0.node
+        |  GROUP BY 1, 2
+        |), l1 AS (
+        |  SELECT v AS node, lab FROM (
+        |    SELECT v, lab, row_number() OVER (
+        |      PARTITION BY v ORDER BY cnt DESC, lab) AS rn FROM c1)
+        |  WHERE rn = 1
+        |), c2 AS (
+        |  SELECT v, lab, count(*) AS cnt FROM und JOIN l1 ON und.u = l1.node
+        |  GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT v AS node, lab FROM (
+        |    SELECT v, lab, row_number() OVER (
+        |      PARTITION BY v ORDER BY cnt DESC, lab) AS rn FROM c2)
+        |  WHERE rn = 1
+        |), c3 AS (
+        |  SELECT v, lab, count(*) AS cnt FROM und JOIN l2 ON und.u = l2.node
+        |  GROUP BY 1, 2
+        |), l3 AS (
+        |  SELECT v AS node, lab FROM (
+        |    SELECT v, lab, row_number() OVER (
+        |      PARTITION BY v ORDER BY cnt DESC, lab) AS rn FROM c3)
+        |  WHERE rn = 1
+        |), mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |intra AS (
+        |  SELECT la.lab AS c, CAST(count(*) AS BIGINT) AS ec
+        |  FROM e JOIN l3 la ON e.a = la.node JOIN l3 lb ON e.b = lb.node
+        |  WHERE la.lab = lb.lab GROUP BY 1
+        |), degc AS (
+        |  SELECT la.lab AS c, CAST(count(*) AS BIGINT) AS dc
+        |  FROM und JOIN l3 la ON und.u = la.node GROUP BY 1
+        |), terms AS (
+        |  SELECT d.c, coalesce(i.ec, 0) AS ec, d.dc
+        |  FROM degc d LEFT JOIN intra i ON d.c = i.c
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+        |       mm.m AS n_edges,
+        |       (1000000 * CAST(sum(4 * mm.m * ec - dc * dc) AS BIGINT))
+        |         // (4 * mm.m * mm.m) AS modularity_ppm
+        |FROM terms CROSS JOIN mm GROUP BY mm.m
+        |ORDER BY n_communities""".stripMargin
   )
 }

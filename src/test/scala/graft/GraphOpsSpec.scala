@@ -204,6 +204,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(s3 === Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("modularity: driver recompute from q199's own labels, bounds hold (q248)") {
+    val r = GraphOps.queries("q248_modularity")(spark, sf001).collect().head
+    val labels = GraphOps.queries("q199_label_propagation")(spark, sf001).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val ops = graft.T.lineitem(spark, sf001)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val edges = ops.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val m = edges.size.toLong
+    val comms = labels.values.toSet
+    val ec = comms.map(c => c ->
+      edges.count(e => labels(e._1) == c && labels(e._2) == c).toLong).toMap
+    val dc = comms.map(c => c ->
+      edges.toSeq.flatMap(e => Seq(e._1, e._2)).count(labels(_) == c).toLong).toMap
+    val num = comms.toSeq.map(c => 4 * m * ec(c) - dc(c) * dc(c)).sum
+    assert(r.getLong(0) === comms.size.toLong)
+    assert(r.getLong(1) === m)
+    assert(r.getLong(2) === 1000000L * num / (4 * m * m))
+    // Q ∈ [-0.5, 1]
+    assert(r.getLong(2) >= -500000L && r.getLong(2) <= 1000000L)
+  }
+
   test("degree assortativity: driver-side Pearson over endpoint degrees matches (q234)") {
     val r = GraphOps.queries("q234_assortativity")(spark, sf001).collect().head
     val ops = graft.T.lineitem(spark, sf001)
