@@ -958,6 +958,32 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("pit join: per-probe version lookup recomputed from q147's own history (q249)") {
+    val rows = graft.ops.Relational.queries("q249_pit_join")(spark, sf001).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3)))
+    val hist = graft.ops.Relational.queries("q147_scd2_history")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val probes = graft.T.lineitem(spark, sf001)
+      .selectExpr("l_orderkey", "CAST(l_linenumber % 3 AS BIGINT) AS v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = probes.map { case (pk, v) =>
+      val s = hist.find(h => h._1 == pk && h._3 <= v && h._4.forall(_ > v)).map(_._2)
+      ((v, s), pk)
+    }.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.map(_._2).distinct.length.toLong)
+    }
+    assert(rows.map(r => (r._1, r._2)).toSet === want.keySet)
+    rows.foreach { r =>
+      val (n, k) = want((r._1, r._2))
+      assert(r._3 === n && r._4 === k, s"cell (${r._1}, ${r._2})")
+    }
+    // deleted-by-then probes must exist and be counted under NULL status
+    assert(rows.exists(r => r._2.isEmpty && r._3 > 0),
+      "the mod-10=7 deletes must surface as NULL-status probes at v >= 1")
+  }
+
   test("token burstiness: VMR algebra recomputed with explicit zero-docs (q245)") {
     val rows = graft.ops.TextOps.queries("q245_token_burstiness")(spark, sf001).collect()
     assert(rows.length === 20)
