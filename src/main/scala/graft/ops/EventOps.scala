@@ -720,6 +720,32 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    // Per-user windowed lag features — the feature-engineering
+    // materialization every churn/propensity model trains on:
+    // activity today, trailing-7-day volume (RANGE frame on the
+    // integer day axis, so calendar gaps are handled by the FRAME,
+    // not by densification), recency (days since previous active
+    // day), and lifetime cumulative count. One user-keyed window
+    // stack over the partial-aggregable (user, day) rollup —
+    // user_id is HIGH-cardinality, exactly where Window.partitionBy
+    // is the right tool (millions of small groups; the low-card
+    // ScalableRank rule does not apply). All exact integers.
+    "q250_lag_features" -> ((s, d) => {
+      val daily = T.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n_day"))
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val wRange = wOrd.rangeBetween(-7, -1)
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("n_prev_7d", coalesce(sum(col("n_day")).over(wRange), lit(0L)))
+        .withColumn("days_since_prev", col("day") - lag(col("day"), 1).over(wOrd))
+        .withColumn("cum_events", sum(col("n_day")).over(wCum))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // Mann–Whitney U (Wilcoxon rank-sum) between the two monitoring
     // periods — the NONPARAMETRIC member of the drift family (KS=max
     // gap, PSI=binned divergence, EMD=area, MWU=stochastic dominance:
@@ -1953,6 +1979,21 @@ object EventOps {
         |SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS next_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q250_lag_features" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_day
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, day, n_day,
+        |       CAST(coalesce(sum(n_day) OVER (PARTITION BY user_id ORDER BY day
+        |         RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_prev_7d,
+        |       day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS days_since_prev,
+        |       CAST(sum(n_day) OVER (PARTITION BY user_id ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
+        |FROM daily ORDER BY user_id, day""".stripMargin,
 
     "q246_mann_whitney" ->
       """WITH cells AS (

@@ -457,6 +457,29 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("lag features: trailing window, recency and cumulative recomputed per user (q250)") {
+    val rows = EventOps.queries("q250_lag_features")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+    val daily = rows.groupBy(_._1)
+    assert(rows.nonEmpty)
+    daily.foreach { case (_, ds) =>
+      val sorted = ds.sortBy(_._2)
+      var cum = 0L
+      sorted.zipWithIndex.foreach { case ((_, day, nDay, prev7, since, cumGot), i) =>
+        val want7 = sorted.filter(x => x._2 >= day - 7 && x._2 <= day - 1).map(_._3).sum
+        assert(prev7 === want7, s"day $day trailing window")
+        val wantSince = if (i == 0) None else Some(day - sorted(i - 1)._2)
+        assert(since === wantSince)
+        cum += nDay
+        assert(cumGot === cum)
+      }
+    }
+    // gaps exist in the data, so the RANGE frame must differ from a
+    // naive ROWS 7 PRECEDING somewhere
+    assert(rows.exists(r => r._5.exists(_ > 1)), "some user skips a day")
+  }
+
   test("mann-whitney: midrank/tie algebra recomputed in driver, U symmetric (q246)") {
     val rows = EventOps.queries("q246_mann_whitney")(spark, sf001).collect()
     val evs = graft.T.events(spark, sf001)
