@@ -720,6 +720,45 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    // Leakage-safe supervised-label construction — the step that turns
+    // an event log into a churn/retention training set: features from
+    // the OBSERVATION window (days ≤ 20) only, label = REPEAT
+    // buyer (≥2 purchases) in the disjoint OUTCOME window (days
+    // 21-27) — any-activity and even any-purchase are degenerate on
+    // this data (every user buys weekly); the repeat-buyer target is
+    // the rarest behavior that still splits both classes at every
+    // test SF, which a real label definition must also verify. Temporal leakage (a
+    // feature peeking past the snapshot) is impossible by
+    // construction because the two windows are disjoint filters on
+    // the same pass — the point of the operator, and the companion to
+    // q109's doc-level leakage-safe split. Per-event exact cents
+    // before summation (no noisy-sum rounding); one user-keyed agg +
+    // one LEFT semi-shaped join against the outcome actives.
+    "q251_churn_labels" -> ((s, d) => {
+      val ev = T.events(s, d).select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"),
+        (col("event_type") === "purchase").cast("long").as("isp"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val feat = ev.filter(col("day") <= 20)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events_obs"),
+             sum(col("isp")).as("n_purchases_obs"),
+             max(col("day")).as("last_day"),
+             sum(col("cents")).as("value_cents_obs"))
+        .withColumn("recency_d", lit(20L) - col("last_day"))
+      val fut = ev.filter(col("day") > 20 && col("day") <= 27 && col("isp") === 1L)
+        .groupBy(col("user_id").as("fu"))
+        .agg(count(lit(1)).as("np_out"))
+        .filter(col("np_out") >= 2)
+        .select(col("fu"))
+      feat.join(fut, col("user_id") === col("fu"), "left")
+        .select(col("user_id"), col("n_events_obs"), col("n_purchases_obs"),
+          col("recency_d"), col("value_cents_obs"),
+          when(col("fu").isNotNull, 1L).otherwise(0L).as("label_repeat_7d"))
+        .orderBy(col("user_id"))
+    }),
+
     // Per-user windowed lag features — the feature-engineering
     // materialization every churn/propensity model trains on:
     // activity today, trailing-7-day volume (RANGE frame on the
@@ -1979,6 +2018,31 @@ object EventOps {
         |SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS next_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q251_churn_labels" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), feat AS (
+        |  SELECT user_id,
+        |         CAST(count(*) AS BIGINT) AS n_events_obs,
+        |         CAST(sum(isp) AS BIGINT) AS n_purchases_obs,
+        |         20 - max(day) AS recency_d,
+        |         CAST(sum(cents) AS BIGINT) AS value_cents_obs
+        |  FROM ev WHERE day <= 20 GROUP BY 1
+        |), fut AS (
+        |  SELECT user_id FROM ev
+        |  WHERE day > 20 AND day <= 27 AND isp = 1
+        |  GROUP BY 1 HAVING count(*) >= 2
+        |)
+        |SELECT f.user_id, f.n_events_obs, f.n_purchases_obs,
+        |       f.recency_d, f.value_cents_obs,
+        |       CASE WHEN fut.user_id IS NOT NULL THEN 1 ELSE 0 END AS label_repeat_7d
+        |FROM feat f LEFT JOIN fut ON f.user_id = fut.user_id
+        |ORDER BY f.user_id""".stripMargin,
 
     "q250_lag_features" ->
       """WITH daily AS (

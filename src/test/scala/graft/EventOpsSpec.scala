@@ -457,6 +457,30 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("churn labels: leakage-free by construction — features only from days <= 20, repeat-buyer label from 21-27 (q251)") {
+    val rows = EventOps.queries("q251_churn_labels")(spark, sf001).collect()
+    val evs = graft.T.events(spark, sf001)
+      .selectExpr("user_id", "CAST(datediff(to_date(ts), date'2024-01-01') AS BIGINT) AS day",
+        "event_type", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = evs.groupBy(_._1)
+    val obsUsers = byUser.filter(_._2.exists(_._2 <= 20)).keySet
+    assert(rows.map(_.getLong(0)).toSet === obsUsers,
+      "exactly the observation-window users get a row")
+    rows.foreach { r =>
+      val obs = byUser(r.getLong(0)).filter(_._2 <= 20)
+      assert(r.getLong(1) === obs.length.toLong)
+      assert(r.getLong(2) === obs.count(_._3 == "purchase").toLong)
+      assert(r.getLong(3) === 20L - obs.map(_._2).max)
+      assert(r.getLong(4) === obs.map(_._4).sum)
+      val bought = byUser(r.getLong(0))
+        .count(e => e._2 > 20 && e._2 <= 27 && e._3 == "purchase") >= 2
+      assert(r.getLong(5) === (if (bought) 1L else 0L))
+    }
+    // both label classes must be populated or the set is degenerate
+    assert(rows.exists(_.getLong(5) == 1L) && rows.exists(_.getLong(5) == 0L))
+  }
+
   test("lag features: trailing window, recency and cumulative recomputed per user (q250)") {
     val rows = EventOps.queries("q250_lag_features")(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
