@@ -333,6 +333,57 @@ object Multimodal {
     }(enc)
   }
 
+  /** Real pixel-transform stage — image RESIZE with zero external
+    * deps: ImageIO decode (PNG/JPEG/GIF/BMP, same JDK surface as
+    * [[ImageIoDecoder]]) → Graphics2D bilinear rescale to (targetW,
+    * targetH) → PNG re-encode, as an iterator-to-iterator
+    * mapPartitions stage (the standard thumbnail/normalize step
+    * before a vision encoder). Undecodable or non-image payloads are
+    * QUARANTINED as ok=false rows with NULL output — the
+    * decodeMetaLenient contract — so one corrupt blob never kills a
+    * 100 TB partition. Batch shape: one JVM-local decode loop per
+    * partition, no per-row UDF dispatch, output bytes are a new
+    * binary column (payloads never shuffle unless the caller asks).
+    */
+  def resizeImages(withBytes: DataFrame,
+                   targetW: Int = 32, targetH: Int = 32): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("in_bytes", LongType, nullable = true),
+      StructField("out_w", IntegerType, nullable = true),
+      StructField("out_h", IntegerType, nullable = true),
+      StructField("out_bytes", LongType, nullable = true),
+      StructField("payload_out", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    withBytes.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        def bad = Row(r.getLong(0), false,
+          if (bytes == null) null else bytes.length.toLong, null, null, null, null)
+        if (bytes == null) bad
+        else try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) bad
+          else {
+            val out = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            val ob = bos.toByteArray
+            Row(r.getLong(0), true, bytes.length.toLong,
+              targetW, targetH, ob.length.toLong, ob)
+          }
+        } catch { case _: Exception => bad }
+      }
+    }(enc)
+  }
+
   /** Cross-modal pair audit — the LAION-style image-text-pair hygiene
     * pass: (a) `image_dup` — the same payload bytes uploaded under
     * more than one pair, with the count of DISTINCT captions attached

@@ -290,4 +290,42 @@ class MultimodalSpec extends SparkSpec {
       Array(("caption_reuse", 3L, 2L)),
       "one stock caption across 2 distinct images, 3 pairs; unique captions excluded")
   }
+
+  test("REAL image resize: pixels rescale to the target, output re-decodes, corrupt quarantines") {
+    import spark.implicits._
+    System.setProperty("java.awt.headless", "true")
+    def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // left half red, right half blue — survives a bilinear downscale
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, if (x < w / 2) 0xFF0000 else 0x0000FF)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK lacks $fmt writer")
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, encoded("png", 64, 48)),
+      (2L, encoded("jpg", 100, 80)),
+      (3L, "not an image".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.resizeImages(df, 32, 32).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      val r = out(id)
+      assert(r.getBoolean(1), s"doc $id must resize")
+      assert(r.getInt(3) === 32 && r.getInt(4) === 32)
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](6)))
+      assert(back.getWidth === 32 && back.getHeight === 32,
+        "the emitted payload must itself be a decodable 32x32 image")
+      // content survives: left edge redder than blue, right edge bluer
+      val l = back.getRGB(2, 16); val rr = back.getRGB(29, 16)
+      assert(((l >> 16) & 0xFF) > ((l) & 0xFF), "left side keeps red dominance")
+      assert((rr & 0xFF) > ((rr >> 16) & 0xFF), "right side keeps blue dominance")
+    }
+    val bad = out(3L)
+    assert(!bad.getBoolean(1) && bad.isNullAt(6),
+      "undecodable payloads quarantine as ok=false with NULL output")
+  }
 }
