@@ -720,6 +720,40 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    // Metric waterfall — the period-over-period revenue-delta
+    // DECOMPOSITION a growth review runs: ΔR split into user-count,
+    // frequency (purchases per user), and basket-value effects via
+    // the exact telescoping identity
+    //   ΔR = (U2−U1)·R1/U1 + (P2·U1−P1·U2)·R1/(U1·P1) + (R2·P1−R1·P2)/P1,
+    // each term ONE integer division of exact cents products (the
+    // three rationals sum to ΔR exactly; flooring each loses < 3
+    // cents, reported as an explicit residual instead of silently
+    // absorbed — a decomposition that doesn't add up is how metric
+    // reviews go wrong). Input is two partial-aggregable period
+    // rollups; everything after is a 1-row join.
+    "q252_metric_waterfall" -> ((s, d) => {
+      val p = T.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) < 15).as("is_a"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("is_a"))
+        .agg(countDistinct(col("user_id")).as("u"),
+             count(lit(1)).as("p"), sum(col("cents")).as("r"))
+      val a = p.filter(col("is_a")).select(col("u").as("u1"), col("p").as("p1"), col("r").as("r1"))
+      val b = p.filter(!col("is_a")).select(col("u").as("u2"), col("p").as("p2"), col("r").as("r2"))
+      a.crossJoin(b)
+        .withColumn("delta_cents", col("r2") - col("r1"))
+        .withColumn("t_users", expr("((u2 - u1) * r1) div u1"))
+        .withColumn("t_freq", expr("((p2 * u1 - p1 * u2) * r1) div (u1 * p1)"))
+        .withColumn("t_value", expr("(r2 * p1 - r1 * p2) div p1"))
+        .withColumn("residual_cents",
+          expr("delta_cents - t_users - t_freq - t_value"))
+        .select(col("u1"), col("p1"), col("r1"), col("u2"), col("p2"), col("r2"),
+          col("delta_cents"), col("t_users"), col("t_freq"), col("t_value"),
+          col("residual_cents"))
+        .orderBy(col("u1"))
+    }),
+
     // Leakage-safe supervised-label construction — the step that turns
     // an event log into a churn/retention training set: features from
     // the OBSERVATION window (days ≤ 20) only, label = REPEAT
@@ -2018,6 +2052,26 @@ object EventOps {
         |SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS next_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q252_metric_waterfall" ->
+      """WITH p AS (
+        |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 AS is_a,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS u,
+        |         CAST(count(*) AS BIGINT) AS pp,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS r
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), a AS (SELECT u AS u1, pp AS p1, r AS r1 FROM p WHERE is_a),
+        |b AS (SELECT u AS u2, pp AS p2, r AS r2 FROM p WHERE NOT is_a)
+        |SELECT u1, p1, r1, u2, p2, r2,
+        |       r2 - r1 AS delta_cents,
+        |       ((u2 - u1) * r1) // u1 AS t_users,
+        |       ((p2 * u1 - p1 * u2) * r1) // (u1 * p1) AS t_freq,
+        |       (r2 * p1 - r1 * p2) // p1 AS t_value,
+        |       (r2 - r1) - ((u2 - u1) * r1) // u1
+        |                 - ((p2 * u1 - p1 * u2) * r1) // (u1 * p1)
+        |                 - (r2 * p1 - r1 * p2) // p1 AS residual_cents
+        |FROM a CROSS JOIN b
+        |ORDER BY u1""".stripMargin,
 
     "q251_churn_labels" ->
       """WITH ev AS (

@@ -543,6 +543,32 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("metric waterfall: terms recomputed, decomposition adds up within the 3-cent floor bound (q252)") {
+    val r = EventOps.queries("q252_metric_waterfall")(spark, sf001).collect().head
+    val evs = graft.T.events(spark, sf001)
+      .selectExpr("user_id",
+        "CAST(datediff(to_date(ts), date'2024-01-01') AS INT) < 15 AS is_a",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .where("event_type = 'purchase'")
+      .collect().map(x => (x.getLong(0), x.getBoolean(1), x.getLong(2)))
+    def stats(a: Boolean) = {
+      val g = evs.filter(_._2 == a)
+      (g.map(_._1).distinct.length.toLong, g.length.toLong, g.map(_._3).sum)
+    }
+    val (u1, p1, r1) = stats(true)
+    val (u2, p2, r2) = stats(false)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((u1, p1, r1)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((u2, p2, r2)))
+    assert(r.getLong(6) === r2 - r1)
+    assert(r.getLong(7) === (u2 - u1) * r1 / u1)
+    assert(r.getLong(8) === (p2 * u1 - p1 * u2) * r1 / (u1 * p1))
+    assert(r.getLong(9) === (r2 * p1 - r1 * p2) / p1)
+    assert(r.getLong(10) === r.getLong(6) - r.getLong(7) - r.getLong(8) - r.getLong(9))
+    // the three exact rationals telescope to delta exactly; flooring
+    // each loses strictly less than 1 cent → |residual| < 3
+    assert(math.abs(r.getLong(10)) <= 3L, s"residual ${r.getLong(10)}")
+  }
+
   test("capture-recapture: sample replay matches, estimator brackets sanity (q244)") {
     val rows = EventOps.queries("q244_capture_recapture")(spark, sf001).collect()
     def h8(sc: String): Long = {
