@@ -928,6 +928,39 @@ object CorpusOps {
         .orderBy(col("source"))
     }),
 
+    // Snake-order shard balancing — the deterministic cousin of LPT
+    // scheduling a distributed writer can actually run: rank docs by
+    // size descending, deal them to K shards boustrophedon
+    // (0..K-1, K-1..0, ...) so every round of K docs contributes its
+    // large and small ends to OPPOSITE shards. Unlike greedy LPT
+    // (inherently sequential: each assignment needs all previous
+    // loads), the snake is a pure function of the global rank — one
+    // ScalableRank pass + integer arithmetic, no driver loop — and
+    // lands within a fraction of a percent of perfect balance on
+    // heavy-tailed sizes. q90 packs docs INTO fixed-size shards in id
+    // order; this balances a FIXED shard count, the writer's other
+    // half. Report: per-shard load + deviation from perfect in bp.
+    "q253_snake_sharding" -> ((s, d) => {
+      val k = 8
+      val docs = T.documents(s, d)
+        .select(col("doc_id"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+        .withColumn("g", lit(1))
+      val ranked = graft.functions.ScalableRank.withRanks(docs, Seq("g"),
+        Seq(expr("-n_tok"), col("doc_id")), Seq(expr("-n_tok"), col("doc_id")), 32)
+      val shards = ranked
+        .withColumn("r0", col("rn") - 1)
+        .withColumn("shard", expr(
+          s"CASE WHEN (r0 div $k) % 2 = 0 THEN r0 % $k ELSE ${k - 1} - (r0 % $k) END"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      val tot = shards.agg(sum(col("tokens")).as("t"))
+      shards.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("tokens"),
+          expr(s"(10000 * tokens * $k) div t - 10000").as("dev_bp"))
+        .orderBy(col("shard"))
+    }),
+
     // Horvitz–Thompson estimator audit — the sampling-methodology
     // check behind every "we measured it on a 10% sample" claim: a
     // deterministic 10% hash sample per lang stratum, HT-weighted
@@ -1728,6 +1761,29 @@ object CorpusOps {
         |       (10000 * CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT))
         |         // count(*) AS blocked_bp
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    "q253_snake_sharding" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, n_tok,
+        |         row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS r0
+        |  FROM docs
+        |), assigned AS (
+        |  SELECT n_tok,
+        |         CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8 ELSE 7 - (r0 % 8) END AS shard
+        |  FROM ranked
+        |), shards AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_tok) AS BIGINT) AS tokens
+        |  FROM assigned GROUP BY 1
+        |), tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t FROM shards)
+        |SELECT shard, n_docs, tokens,
+        |       (10000 * tokens * 8) // t - 10000 AS dev_bp
+        |FROM shards CROSS JOIN tot
+        |ORDER BY shard""".stripMargin,
 
     "q236_ht_estimator" ->
       """WITH t AS (

@@ -1087,6 +1087,34 @@ class CorpusOpsSpec extends SparkSpec {
     check("lang,source", docs.groupBy(identity).view.mapValues(_.length).toMap)
   }
 
+  test("snake sharding: assignment recomputed, near-balance, beats contiguous blocks (q253)") {
+    val rows = CorpusOps.queries("q253_snake_sharding")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0L to 7L))
+    val sizes = graft.T.documents(spark, sf001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong))
+      .sortBy(t => (-t._2, t._1))
+    val loads = Array.fill(8)(0L); val counts = Array.fill(8)(0)
+    sizes.zipWithIndex.foreach { case ((_, n), i) =>
+      val s = if ((i / 8) % 2 == 0) i % 8 else 7 - (i % 8)
+      loads(s) += n; counts(s) += 1
+    }
+    val tot = loads.sum
+    (0 until 8).foreach { s =>
+      assert(rows(s)._2 === counts(s).toLong)
+      assert(rows(s)._3 === loads(s))
+      assert(rows(s)._4 === 10000L * loads(s) * 8 / tot - 10000L)
+      assert(math.abs(rows(s)._4) <= 1000L, s"shard $s deviates ${rows(s)._4} bp")
+    }
+    // the snake must not balance worse than naive contiguous id-order blocks
+    val byId = sizes.sortBy(_._1)
+    val blockLoads = byId.grouped((byId.length + 7) / 8).map(_.map(_._2).sum).toSeq
+    val worstSnake = loads.map(l => math.abs(8.0 * l / tot - 1)).max
+    val worstBlock = blockLoads.map(l => math.abs(8.0 * l / tot - 1)).max
+    assert(worstSnake <= worstBlock + 1e-9,
+      f"snake $worstSnake%.4f should not lose to contiguous $worstBlock%.4f")
+  }
+
   test("HT estimator: the md5 sample replays in the driver, errors match the formula (q236)") {
     val rows = CorpusOps.queries("q236_ht_estimator")(spark, sf001).collect()
     def h8(sc: String): Long = {
