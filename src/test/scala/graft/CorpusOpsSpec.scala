@@ -958,6 +958,32 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("standardized rates: stratum algebra recomputed, mix adjustment moves someone (q254)") {
+    val rows = graft.ops.Relational.queries("q254_standardized_rates")(spark, sf001).collect()
+    val cs = graft.T.customer(spark, sf001)
+      .selectExpr("c_nationkey", "c_mktsegment",
+        "CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS conv")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    val t = cs.length.toLong
+    val mix = cs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byNat = cs.groupBy(_._1)
+    assert(rows.map(_.getInt(0)).toSet === byNat.keySet)
+    rows.foreach { r =>
+      val grp = byNat(r.getInt(0))
+      val cells = grp.groupBy(_._2).map { case (seg, xs) =>
+        (xs.length.toLong, xs.map(_._3).sum.toLong, mix(seg))
+      }
+      assert(r.getLong(1) === grp.length.toLong)
+      assert(r.getLong(2) === grp.map(_._3).sum.toLong)
+      val std = cells.map { case (n, k, w) => 1000000L * k * w / (n * t) }.sum
+      assert(r.getLong(4) === std)
+      assert(r.getLong(3) === 1000000L * r.getLong(2) / r.getLong(1))
+      assert(r.getLong(5) === r.getLong(4) - r.getLong(3))
+    }
+    assert(rows.exists(_.getLong(5) != 0L),
+      "some nation's rate must move under the global mix")
+  }
+
   test("pit join: per-probe version lookup recomputed from q147's own history (q249)") {
     val rows = graft.ops.Relational.queries("q249_pit_join")(spark, sf001).collect()
       .map(r => (r.getLong(0), Option(r.getString(1)),
