@@ -928,6 +928,51 @@ object CorpusOps {
         .orderBy(col("source"))
     }),
 
+    // zlib compression-ratio quality gate — the Gopher/RefinedWeb
+    // signal the token-statistics gates (q71/q88/q92/q227) cannot
+    // see: DEFLATE finds long-range repetition and low-order entropy
+    // at once, so a near-incompressible doc is noise and an
+    // ultra-compressible one is boilerplate. Per-partition Deflater
+    // via mapPartitions (one JVM codec reused across the batch — the
+    // same batch-stage shape as multimodal decode; a map-side
+    // projection, no shuffle). DEFLATE output length is
+    // deterministic for a fixed level but NOT SQL-expressible, so
+    // this is a spec-only catalog entry (the q66/q118 contract): the
+    // driver records rows>0 and the spec pins planted-corpus
+    // behavior.
+    "q255_compression_gate" -> ((s, d) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("raw_bytes",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("zip_bytes",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("ratio_bp",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("keep",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      T.documents(s, d).select(col("doc_id"), col("text"))
+        .mapPartitions { rows =>
+          val buf = new Array[Byte](1 << 16)
+          rows.map { r =>
+            val bytes = r.getString(1).getBytes("UTF-8")
+            val d = new java.util.zip.Deflater(6)
+            d.setInput(bytes); d.finish()
+            var n = 0L
+            while (!d.finished()) n += d.deflate(buf)
+            d.end()
+            val ratio = 10000L * n / math.max(bytes.length, 1)
+            // Gopher-flavored band: reject boilerplate (< 20% of raw)
+            // and incompressible noise (> 95%)
+            val keep = if (ratio >= 2000L && ratio <= 9500L) 1L else 0L
+            org.apache.spark.sql.Row(r.getLong(0), bytes.length.toLong, n, ratio, keep)
+          }
+        }(enc)
+        .orderBy(col("doc_id"))
+    }),
+
     // Snake-order shard balancing — the deterministic cousin of LPT
     // scheduling a distributed writer can actually run: rank docs by
     // size descending, deal them to K shards boustrophedon
@@ -1761,6 +1806,10 @@ object CorpusOps {
         |       (10000 * CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT))
         |         // count(*) AS blocked_bp
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    // q255_compression_gate: no SQL oracle (DEFLATE output length is
+    // not SQL-expressible) — driver records the rows-only check;
+    // planted-corpus behavior pinned in CorpusOpsSpec.
 
     "q253_snake_sharding" ->
       """WITH docs AS (

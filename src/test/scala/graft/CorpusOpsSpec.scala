@@ -1113,6 +1113,33 @@ class CorpusOpsSpec extends SparkSpec {
     check("lang,source", docs.groupBy(identity).view.mapValues(_.length).toMap)
   }
 
+  test("compression gate: boilerplate compresses out, noise doesn't, real corpus splits (q255)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    val rng = new scala.util.Random(42)
+    Seq(
+      (1L, ("spam " * 400).trim, "en", "src0", 0L),              // boilerplate → tiny ratio
+      (2L, Array.fill(2000)(rng.nextPrintableChar()).mkString,   // noise → near-incompressible
+        "en", "src0", 0L),
+      (3L, (1 to 300).map(i => s"w${i % 97}token$i").mkString(" "),
+        "en", "src0", 0L)                                        // ordinary text → kept
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.queries("q255_compression_gate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L)._1 < 2000L && out(1L)._2 === 0L, s"boilerplate ${out(1L)}")
+    assert(out(2L)._1 > 7000L, s"noise must stay near-incompressible ${out(2L)}")
+    assert(out(3L)._2 === 1L, s"ordinary text must pass ${out(3L)}")
+    // determinism: a second run yields identical bytes
+    val again = CorpusOps.queries("q255_compression_gate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out === again)
+    // the real corpus must exercise the gate without being wiped out
+    val real = CorpusOps.queries("q255_compression_gate")(spark, sf001).collect()
+    assert(real.length === 500)
+    assert(real.count(_.getLong(4) == 1L) > 250, "most real docs should pass")
+  }
+
   test("snake sharding: assignment recomputed, near-balance, beats contiguous blocks (q253)") {
     val rows = CorpusOps.queries("q253_snake_sharding")(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
