@@ -596,6 +596,39 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("methodology batch: the only corpus-scale exchanges are keyed partial aggs (q241/q244/q246)") {
+    // EMD cells and the capture rollup must collapse map-side before
+    // their exchanges. (q235's one day-keyed exchange is the WINDOW
+    // shuffle — lead() needs the raw per-event rows once, by design,
+    // and the subsequent (user, day) agg reuses that partitioning.)
+    assertKeyedExchangesPartialAggFed("q241_emd_drift", "cbin")
+    assertKeyedExchangesPartialAggFed("q244_capture_recapture", "user_id")
+    // q246's per-value cells agg is SUBSUMED by ScalableRank's range
+    // partitioning (no separate hash exchange on cents — one exchange
+    // fewer than the naive plan); the per-type rollup still shuffles
+    // partial-agg-fed
+    assertKeyedExchangesPartialAggFed("q246_mann_whitney", "event_type")
+  }
+
+  test("point-in-time join is a keyed equi join with the interval as a filter — never nested-loop (q249)") {
+    // at test SF the history side broadcasts (BHJ); at scale the same
+    // equi key plans SMJ/SHJ — the invariant is that the pk equality
+    // drives the join and the validity interval rides as a filter
+    val p = plan("q249_pit_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "the pk equality must drive a hash join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the validity interval must ride the equi join as a filter, not a BNL")
+  }
+
+  test("weighted percentile: the final pick is broadcast-joined and partial-agg-fed (q239)") {
+    val p = physical("q239_weighted_percentile")
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.nonEmpty, "per-flag totals must broadcast")
+    assertKeyedExchangesPartialAggFed("q239_weighted_percentile", "rf")
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would
