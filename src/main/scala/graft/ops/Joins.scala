@@ -273,6 +273,52 @@ object Joins {
           expr("(10000 * blowup) div tot").as("share_bp"))
         .orderBy(col("blowup").desc, col("k"))
         .limit(20)
+    }),
+
+    // Popularity-weighted negative sampling — the word2vec/recsys
+    // training-data op: for every customer, 8 candidate negatives
+    // drawn ∝ item popularity by INVERTING the popularity CDF with a
+    // deterministic md5 coin (the oracle replays every draw). The
+    // inversion is an interval join of probe values into (cum−pop,
+    // cum] popularity intervals — run as the BANDED equi-join
+    // (RangeJoin's discipline on an integer axis: intervals replicate
+    // into the ~pop/B bands they span, Σ replicas ≈ 512 + |items|,
+    // never a nested loop). Drawn items the customer actually bought
+    // are removed by an ANTI join against the purchase history —
+    // exactly the false-negative filter a contrastive pipeline needs.
+    "q256_negative_sampling" -> ((s, d) => {
+      val pop = T.lineitem(s, d).groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("pop"))
+        .withColumn("g", lit(1))
+      val cum = graft.functions.ScalableRank
+        .withRunningSum(pop, Seq("g"), Seq(col("pk")), col("pop"), 32)
+        .select(col("pk"), col("pop"), col("rsum").as("cum"),
+          (col("rsum") - col("pop")).as("lo"))
+      val tot = cum.agg(max(col("cum")).as("t"))
+        .withColumn("band", greatest(expr("t div 512"), lit(1L)))
+      val items = cum.crossJoin(broadcast(tot))
+        .withColumn("b", explode(expr("sequence(lo div band, (cum - 1) div band)")))
+        .select(col("pk"), col("lo"), col("cum"), col("b"))
+      val probes = T.orders(s, d).select(col("o_custkey").as("cust")).distinct()
+        .select(col("cust"), explode(expr("sequence(0, 7)")).as("slot"))
+        .crossJoin(broadcast(tot))
+        .withColumn("u", expr(
+          """CAST(conv(substring(md5(concat(CAST(cust AS STRING), ':',
+            |CAST(slot AS STRING))), 1, 10), 16, 10) AS BIGINT) % t + 1""".stripMargin))
+        .withColumn("b", expr("(u - 1) div band"))
+        .select(col("cust"), col("slot"), col("u"), col("b"))
+      val drawn = probes.join(items, Seq("b"))
+        .filter(col("u") > col("lo") && col("u") <= col("cum"))
+        .select(col("cust"), col("slot"), col("pk"))
+      val hist = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(T.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("hc"), col("l_partkey").as("hp"))
+        .distinct()
+      drawn.join(hist,
+          col("cust") === col("hc") && col("pk") === col("hp"), "left_anti")
+        .select(col("cust"), col("slot"), col("pk").as("neg_partkey"))
+        .orderBy(col("cust"), col("slot"))
     })
   )
 
@@ -306,6 +352,45 @@ object Joins {
       .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
 
   val oracle: Map[String, String] = Map(
+    "q256_negative_sampling" ->
+      """WITH pop AS (
+        |  SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS pop
+        |  FROM lineitem GROUP BY 1
+        |), cum0 AS (
+        |  SELECT pk, pop,
+        |         CAST(sum(pop) OVER (ORDER BY pk
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM pop
+        |), cc AS (SELECT pk, pop, cum, cum - pop AS lo FROM cum0),
+        |tot AS (
+        |  SELECT max(cum) AS t, greatest(max(cum) // 512, CAST(1 AS BIGINT)) AS band
+        |  FROM cum0
+        |), items AS (
+        |  SELECT pk, lo, cum,
+        |         unnest(generate_series(lo // band, (cum - 1) // band)) AS b
+        |  FROM cc CROSS JOIN tot
+        |), probes AS (
+        |  SELECT cust, slot,
+        |         CAST(('0x' || substr(md5(CAST(cust AS VARCHAR) || ':' ||
+        |           CAST(slot AS VARCHAR)), 1, 10)) AS BIGINT) % t + 1 AS u,
+        |         band
+        |  FROM (SELECT DISTINCT o_custkey AS cust FROM orders)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS slot)
+        |  CROSS JOIN tot
+        |), pb AS (SELECT cust, slot, u, (u - 1) // band AS b FROM probes),
+        |drawn AS (
+        |  SELECT cust, slot, pk
+        |  FROM pb JOIN items USING (b)
+        |  WHERE u > lo AND u <= cum
+        |), hist AS (
+        |  SELECT DISTINCT o_custkey AS hc, l_partkey AS hp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |)
+        |SELECT cust, slot, pk AS neg_partkey
+        |FROM drawn
+        |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hc = cust AND hp = pk)
+        |ORDER BY cust, slot""".stripMargin,
+
     "q154_fk_audit" ->
       """SELECT 'events.user_id->customer' AS fk,
         |  (SELECT count(*) FROM events) AS n_child,
