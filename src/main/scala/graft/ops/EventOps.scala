@@ -1805,7 +1805,7 @@ object EventOps {
         |  FROM ends
         |)
         |SELECT wk, n_end, CAST(at_risk AS BIGINT) AS at_risk,
-        |       (1000000 * n_end) // at_risk AS hazard_ppm
+        |       CAST((1000000 * n_end) // at_risk AS BIGINT) AS hazard_ppm
         |FROM risk ORDER BY wk""".stripMargin,
 
     "q174_rfm_segments" ->

@@ -38,6 +38,26 @@ def norm(v):
     if isinstance(v, float) and math.isnan(v): return "NaN"
     return v
 
+# --- Type audit (always on): the driver's hash is TYPE-sensitive even when
+# values match (q173 round-7 incident: DuckDB windowed sum(BIGINT) -> HUGEINT
+# propagated through `//`, hashing differently from Spark's BIGINT). DESCRIBE
+# compiles each oracle without running it and fails the gate on any wide
+# integer type that Spark cannot emit.
+WIDE_TYPES = ("HUGEINT", "UHUGEINT")
+n_type_fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        desc = con.sql(f"DESCRIBE ({sql})").fetchall()
+    except Exception as e:
+        print(f"TYPEFAIL {name}: describe error {str(e)[:200]}")
+        n_type_fail += 1
+        continue
+    for col, typ, *_ in desc:
+        if any(w in typ.upper() for w in WIDE_TYPES):
+            print(f"TYPEFAIL {name}: column {col} is {typ} "
+                  f"(cast it in the oracle SQL — Spark cannot emit this type)")
+            n_type_fail += 1
+
 n_pass = n_fail = 0
 for name, sql in sorted(oracle.items()):
     try:
@@ -81,5 +101,6 @@ for q in sorted(os.listdir(OUT)):
         n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
         print(f"INFO {q}: no oracle, {n} rows")
 
-print(f"\n{n_pass} passed, {n_fail} failed, {len(oracle)} total oracles")
-sys.exit(1 if n_fail else 0)
+print(f"\n{n_pass} passed, {n_fail} failed, {len(oracle)} total oracles, "
+      f"{n_type_fail} type-audit failures")
+sys.exit(1 if (n_fail or n_type_fail) else 0)
