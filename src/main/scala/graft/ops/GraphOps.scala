@@ -505,9 +505,17 @@ object GraphOps {
         .crossJoin(broadcast(m))
         .agg(count(lit(1)).as("n_communities"),
              max(col("m")).as("n_edges"),
-             sum(expr("4 * m * ec - dc * dc")).as("num"))
+             // 4·m·ec exceeds int64 once m·ec ≳ 2.3e18 (plausible at the
+             // 100 TB graph tier: m ~ 1e12 edges, ec ~ 1e7) — the q116/q152
+             // audited-overflow class: widen to DECIMAL(38,0) before the
+             // product; the final ppm ratio is ≤ 1e6 so the div result
+             // stays comfortably BIGINT.
+             sum(expr(
+               "4 * CAST(m AS DECIMAL(38,0)) * ec - CAST(dc AS DECIMAL(38,0)) * dc"))
+               .as("num"))
         .select(col("n_communities"), col("n_edges"),
-          expr("(1000000 * num) div (4 * n_edges * n_edges)").as("modularity_ppm"))
+          expr("(1000000 * num) div (4 * CAST(n_edges AS DECIMAL(38,0)) * n_edges)")
+            .as("modularity_ppm"))
         .orderBy(col("n_communities"))
     })
   )
@@ -832,8 +840,8 @@ object GraphOps {
         |)
         |SELECT CAST(count(*) AS BIGINT) AS n_communities,
         |       mm.m AS n_edges,
-        |       (1000000 * CAST(sum(4 * mm.m * ec - dc * dc) AS BIGINT))
-        |         // (4 * mm.m * mm.m) AS modularity_ppm
+        |       CAST((1000000 * sum(4 * CAST(mm.m AS HUGEINT) * ec - CAST(dc AS HUGEINT) * dc))
+        |         // (4 * CAST(mm.m AS HUGEINT) * mm.m) AS BIGINT) AS modularity_ppm
         |FROM terms CROSS JOIN mm GROUP BY mm.m
         |ORDER BY n_communities""".stripMargin
   )
