@@ -956,13 +956,18 @@ object CorpusOps {
       T.documents(s, d).select(col("doc_id"), col("text"))
         .mapPartitions { rows =>
           val buf = new Array[Byte](1 << 16)
+          // one native codec per partition, reset between rows; the
+          // completion listener releases it even if the consumer stops
+          // early (limit/take)
+          val defl = new java.util.zip.Deflater(6)
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit](_ => defl.end())
           rows.map { r =>
             val bytes = r.getString(1).getBytes("UTF-8")
-            val d = new java.util.zip.Deflater(6)
-            d.setInput(bytes); d.finish()
+            defl.reset()
+            defl.setInput(bytes); defl.finish()
             var n = 0L
-            while (!d.finished()) n += d.deflate(buf)
-            d.end()
+            while (!defl.finished()) n += defl.deflate(buf)
             val ratio = 10000L * n / math.max(bytes.length, 1)
             // Gopher-flavored band: reject boilerplate (< 20% of raw)
             // and incompressible noise (> 95%)

@@ -730,7 +730,13 @@ object EventOps {
     // cents, reported as an explicit residual instead of silently
     // absorbed — a decomposition that doesn't add up is how metric
     // reviews go wrong). Input is two partial-aggregable period
-    // rollups; everything after is a 1-row join.
+    // rollups; everything after is a 1-row join. Scale envelope (the
+    // q241 note's twin): t_freq's numerator (p2·u1 − p1·u2)·r1
+    // multiplies three corpus-scale integers — purchases ~1e7 ×
+    // users ~1e6 × cents ~1e11 already exceeds int64; at large row
+    // counts divide r1 by u1·p1 first (losing < u1·p1 cents, still
+    // reported in the residual) or switch the images to ppm shares —
+    // documented not built, the test SFs stay ≤ ~1e14.
     "q252_metric_waterfall" -> ((s, d) => {
       val p = T.events(s, d).filter(col("event_type") === "purchase")
         .select(col("user_id"),

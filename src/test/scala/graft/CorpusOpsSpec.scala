@@ -1127,9 +1127,18 @@ class CorpusOpsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = CorpusOps.queries("q255_compression_gate")(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
-    assert(out(1L)._1 < 2000L && out(1L)._2 === 0L, s"boilerplate ${out(1L)}")
-    assert(out(2L)._1 > 7000L, s"noise must stay near-incompressible ${out(2L)}")
-    assert(out(3L)._2 === 1L, s"ordinary text must pass ${out(3L)}")
+    // DEFLATE lengths depend on the JDK's zlib level-6 encoder, so pin
+    // RELATIVE ordering (boilerplate << ordinary < noise) and flag/ratio
+    // self-consistency rather than absolute length bands — a JDK zlib
+    // update cannot fail these without a genuine classification change
+    val (rB, kB) = out(1L); val (rN, kN) = out(2L); val (rO, kO) = out(3L)
+    assert(rB * 3 < rO && rO < rN, s"ordering violated: boil=$rB ord=$rO noise=$rN")
+    assert(kB === 0L, s"boilerplate must be rejected (ratio $rB)")
+    assert(kO === 1L, s"ordinary text must pass (ratio $rO)")
+    Seq((rB, kB), (rN, kN), (rO, kO)).foreach { case (r, k) =>
+      assert(k === (if (r >= 2000L && r <= 9500L) 1L else 0L),
+        s"keep flag inconsistent with reported ratio $r")
+    }
     // determinism: a second run yields identical bytes
     val again = CorpusOps.queries("q255_compression_gate")(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
@@ -1137,7 +1146,8 @@ class CorpusOpsSpec extends SparkSpec {
     // the real corpus must exercise the gate without being wiped out
     val real = CorpusOps.queries("q255_compression_gate")(spark, sf001).collect()
     assert(real.length === 500)
-    assert(real.count(_.getLong(4) == 1L) > 250, "most real docs should pass")
+    assert(real.count(_.getLong(4) == 1L) * 2 > real.length,
+      "most real docs should pass")
   }
 
   test("snake sharding: assignment recomputed, near-balance, beats contiguous blocks (q253)") {
