@@ -545,6 +545,45 @@ object VectorOps {
           col("v_min"), col("v_max"),
           round(col("var0") / col("tvar") * 100, 2).as("var_share_pct"))
         .orderBy(col("dim"))
+    }),
+
+    // IVF cell audit — the round-8 promotion of q66's spec-only
+    // contract toward the SQL gate: everything UP TO the probe choice
+    // (md5-coin init, 4 unrolled Lloyd iterations, final nearest-cell
+    // assignment) is deterministic and SQL-expressible, so the
+    // per-cell census (size + centroid norm) gets a DuckDB oracle
+    // that replays the whole iteration. Discrete argmin on double
+    // distances is engine-stable because cell margins are O(1) while
+    // cross-engine sum-order drift is O(ulp); the rounded norm
+    // absorbs the continuous part. Only q66's probe/top-k tail stays
+    // spec-only.
+    "q257_ivf_cell_audit" -> ((s, d) => {
+      val e = emb(s, d)
+      val cent = kmeansCentroids(e, k = 10, iters = 4)
+      val counts = assignCells(e, cent)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      cent.join(counts, Seq("cell"), "left_outer")
+        .select(col("cell").cast("long").as("cell"),
+                coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+                round(col("cn"), 4).as("cn4"))
+        .orderBy(col("cell"))
+    }),
+
+    // LSH bucket audit — q118's promotion twin: the 8-bit
+    // random-hyperplane signature is a pure projection against
+    // fixed-seed literal planes, so the bucket histogram is
+    // SQL-expressible by embedding the 8×64 plane constants in the
+    // oracle text (full-precision %.17E literals lex as DOUBLE in
+    // DuckDB — never DECIMAL). The sign test is engine-stable for
+    // the same margin reason as q257 (gaussian dots are O(1), drift
+    // is O(ulp)). Only q118's multiprobe/top-k tail stays spec-only.
+    "q258_lsh_bucket_audit" -> ((s, d) => {
+      val e = emb(s, d)
+      e.withColumn("sig", rhSignature(col("v")))
+        .groupBy(col("sig"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .select(col("sig").cast("long").as("sig"), col("n_vecs"))
+        .orderBy(col("sig"))
     })
   )
 
@@ -553,6 +592,31 @@ object VectorOps {
       |                  generate_subscripts(embedding,1) AS i FROM embeddings),
       |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE)*CAST(v AS DOUBLE))) AS nrm
       |      FROM e GROUP BY 1)""".stripMargin
+
+  /** One unrolled Lloyd iteration (+ the final assignment pass reuses
+    * the a/g shape): distance algebra mirrors [[assignCells]] exactly —
+    * Σv² − 2Σv·cv + Σcv², argmin by (d2, cell) — and the empty-cell
+    * coalesce mirrors [[kmeansCentroids]]'s left-outer keep.
+    */
+  private def ivfIterSql(n: Int): String = {
+    val prev = s"c${n - 1}"
+    s"""a$n AS (
+       |  SELECT e.vec_id, c.cell,
+       |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
+       |  FROM e JOIN $prev c ON e.i = c.i GROUP BY 1, 2
+       |), g$n AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM a$n) WHERE rn = 1
+       |), u$n AS (
+       |  SELECT g.cell, e.i, avg(e.v) AS cv
+       |  FROM g$n g JOIN e ON g.vec_id = e.vec_id GROUP BY 1, 2
+       |), c$n AS (
+       |  SELECT p.cell, p.i, coalesce(u.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN u$n u ON p.cell = u.cell AND p.i = u.i
+       |)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // Dialect note: DuckDB CAST(double AS INT) rounds where Spark
@@ -757,8 +821,68 @@ object VectorOps {
         |       round(sqrt(var0), 5) AS sigma, v_min, v_max,
         |       round(var0 / tvar * 100, 2) AS var_share_pct
         |FROM sv CROSS JOIN t
-        |ORDER BY dim""".stripMargin
-    // q66_ann_topk_ivf: no SQL oracle (probe-dependent approximate
-    // result); recall vs q65 asserted in VectorOpsSpec.
+        |ORDER BY dim""".stripMargin,
+
+    // q66's deterministic substrate, fully replayed: md5-coin init,
+    // 4 unrolled Lloyd iterations, final assignment — the per-cell
+    // census is the oracle-checkable part of IVF.
+    "q257_ivf_cell_audit" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, generate_subscripts(embedding,1) AS i,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |), init AS (
+         |  SELECT vec_id, row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
+         |  FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10
+         |), c0 AS (
+         |  SELECT init.cell, e.i, e.v AS cv FROM init JOIN e USING (vec_id)
+         |),
+         |${(1 to 4).map(ivfIterSql).mkString(",\n")},
+         |a5 AS (
+         |  SELECT e.vec_id, c.cell,
+         |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
+         |  FROM e JOIN c4 c ON e.i = c.i GROUP BY 1, 2
+         |), g5 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM a5) WHERE rn = 1
+         |), cnt AS (SELECT cell, count(*) AS n FROM g5 GROUP BY 1),
+         |nrm AS (SELECT cell, sqrt(sum(cv*cv)) AS cn FROM c4 GROUP BY 1)
+         |SELECT CAST(nrm.cell AS BIGINT) AS cell,
+         |       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_vecs,
+         |       round(nrm.cn, 4) AS cn4
+         |FROM nrm LEFT JOIN cnt ON nrm.cell = cnt.cell
+         |ORDER BY cell""".stripMargin,
+
+    // q118's signature substrate: the 8×64 fixed-seed plane constants
+    // are embedded as full-precision %.17E literals (lex as DOUBLE in
+    // DuckDB, exact round-trip of the JVM doubles).
+    "q258_lsh_bucket_audit" -> {
+      val planeRows =
+        for ((p, h) <- rhPlanes.zipWithIndex; i <- 0 until 64)
+          yield s"($h, ${i + 1}, ${"%.17E".formatLocal(java.util.Locale.ROOT, p(i))})"
+      s"""WITH pl(h, i, c) AS (VALUES ${planeRows.mkString(", ")}),
+         |e AS (
+         |  SELECT vec_id, generate_subscripts(embedding,1) AS i,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |), d AS (
+         |  SELECT e.vec_id, pl.h, sum(e.v * pl.c) AS dp
+         |  FROM e JOIN pl ON e.i = pl.i GROUP BY 1, 2
+         |), sg AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN dp > 0 THEN 1 << h ELSE 0 END) AS BIGINT) AS sig
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT sig, CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM sg GROUP BY 1 ORDER BY sig""".stripMargin
+    }
+    // q66_ann_topk_ivf / q118_ann_topk_lsh: no SQL oracle for the
+    // probe/top-k tails (probe-dependent approximate results); recall
+    // vs q65 asserted in VectorOpsSpec. Their deterministic substrates
+    // ARE oracle-checked above (q257/q258).
   )
 }

@@ -328,4 +328,38 @@ class VectorOpsSpec extends SparkSpec {
       assert(got((qId, dim.toLong)) === want, s"probe $qId dim $dim")
     }
   }
+
+  test("ivf cell audit partitions the corpus across all 10 cells (q257)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val rows = VectorOps.queries("q257_ivf_cell_audit")(spark, sf001).collect()
+    val n = T.embeddings(spark, sf001).count()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+    assert(rows.map(_.getLong(1)).sum === n, "every vector assigned exactly once")
+    rows.foreach(r => assert(r.getDouble(2) > 0.0, "centroid norm positive"))
+    // the census must agree with the substrate q66 actually indexes on
+    val e = T.embeddings(spark, sf001)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val direct =
+      VectorOps.assignCells(e, VectorOps.kmeansCentroids(e, k = 10, iters = 4))
+        .groupBy("cell").count().collect()
+        .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    rows.foreach(r => assert(direct.getOrElse(r.getLong(0), 0L) === r.getLong(1)))
+  }
+
+  test("lsh bucket audit conserves the corpus and stays in the 8-bit domain (q258)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val rows = VectorOps.queries("q258_lsh_bucket_audit")(spark, sf001).collect()
+    val n = T.embeddings(spark, sf001).count()
+    assert(rows.map(_.getLong(1)).sum === n)
+    assert(rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 255L))
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    // bucket histogram must agree with the signatures q118 actually probes
+    val sigCounts = T.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("sig", VectorOps.rhSignature(col("v")))
+      .groupBy("sig").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    rows.foreach(r => assert(sigCounts(r.getLong(0)) === r.getLong(1)))
+  }
 }
