@@ -629,6 +629,76 @@ class PlanAuditSpec extends SparkSpec {
     assertKeyedExchangesPartialAggFed("q239_weighted_percentile", "rf")
   }
 
+  test("feature-engineering batch: rollups collapse map-side before their exchanges (q251/q252/q254)") {
+    // churn labels: both sides of the obs/outcome join are user-keyed
+    // partial aggs (the join itself reuses their partitioning)
+    assertKeyedExchangesPartialAggFed("q251_churn_labels", "user_id")
+    // waterfall: the two period rollups (count-distinct's two-phase
+    // plan included) collapse before any is_a exchange
+    assertKeyedExchangesPartialAggFed("q252_metric_waterfall", "is_a")
+    // standardization: cell counts and the broadcast mix weights both
+    // shuffle partials only
+    assertKeyedExchangesPartialAggFed("q254_standardized_rates", "nat")
+    assertKeyedExchangesPartialAggFed("q254_standardized_rates", "seg")
+  }
+
+  test("lag features window the (user, day) ROLLUP, never raw events (q250)") {
+    // the (user_id, day) agg is partial-agg-fed; the window's own
+    // user-keyed exchange then carries the rolled-up daily relation —
+    // its child is the FINAL aggregate, proof the raw event stream
+    // never reaches the window operator
+    val p = physical("q250_lag_features")
+    val byUserDay = shuffles(p).filter(e =>
+      hashKeys(e).contains("user_id") && hashKeys(e).contains("day"))
+    assert(byUserDay.nonEmpty && byUserDay.forall(partialAggFed),
+      "daily rollup must collapse map-side")
+    val windowEx = shuffles(p).filter(e => hashKeys(e) == Seq("user_id"))
+    assert(windowEx.nonEmpty, "expected the window's user-keyed exchange")
+    windowEx.foreach(e => assert(unwrap(e.child).isInstanceOf[BaseAggregateExec],
+      s"window exchange must carry the aggregated daily relation, got " +
+        unwrap(e.child).nodeName))
+  }
+
+  test("snake sharding rolls shards up partial-agg-fed (q253)") {
+    // the shard assignment is pure integer arithmetic on ScalableRank's
+    // global rank (in the low-card rank audit); the per-shard rollup is
+    // the only post-rank exchange and carries partials
+    assertKeyedExchangesPartialAggFed("q253_snake_sharding", "shard")
+  }
+
+  test("compression gate is a pure map-side projection — no hash exchange at all (q255)") {
+    val hashed = shuffles(physical("q255_compression_gate"))
+      .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+    assert(hashed.isEmpty,
+      s"q255 must not hash-shuffle; found ${hashed.map(hashKeys)}")
+  }
+
+  test("negative sampling draws through the banded equi join, filters through an equi anti join (q256)") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val joins = physical("q256_negative_sampling")
+      .collect { case j: BaseJoinExec => j }
+    assert(joins.exists(j => j.leftKeys.nonEmpty && j.output.nonEmpty &&
+      j.leftKeys.exists { case a: Attribute => a.name == "b"; case _ => false }),
+      "the CDF inversion must be an equi join on the band key b")
+    val anti = joins.filter(_.joinType == LeftAnti)
+    assert(anti.nonEmpty && anti.forall(_.leftKeys.size >= 2),
+      "the false-negative filter must be a (cust, pk)-keyed equi anti join")
+  }
+
+  test("vector substrate audits shuffle partials only (q257/q258)") {
+    // IVF census: the argmin assignment collapses n·k candidate rows to
+    // n map-side before the vec_id exchange
+    assertKeyedExchangesPartialAggFed("q257_ivf_cell_audit", "vec_id")
+    // LSH histogram: the signature is a pure projection; the only hash
+    // exchange is the sig-keyed partial-agg rollup
+    val hashed = shuffles(physical("q258_lsh_bucket_audit"))
+      .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+    assert(hashed.nonEmpty && hashed.forall(e =>
+      hashKeys(e) == Seq("sig") && partialAggFed(e)),
+      s"q258 must shuffle only sig-keyed partials; found ${hashed.map(hashKeys)}")
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would
