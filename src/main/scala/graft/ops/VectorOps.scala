@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   *    is broadcast, the corpus side streams, so cost is |Q|·n with no
   *    shuffle of the corpus.
   *  - q66 is IVF with centroids LEARNED by label-free deterministic
-  *    Lloyd kmeans ([[kmeansCentroids]]) and nprobe=4 — the approximate
-  *    path whose recall is asserted against q65 in ScalaTest (no SQL
-  *    oracle: result depends on probe choice).
+  *    Lloyd kmeans ([[kmeansCentroids]]) and nprobe=4 — approximate in
+  *    RECALL but deterministic in result, so since round 8 it is fully
+  *    oracle-checked (the DuckDB SQL replays the kmeans chain unrolled);
+  *    the recall floor vs q65 stays asserted in ScalaTest.
   */
 object VectorOps {
   type Q = (SparkSession, String) => DataFrame
@@ -294,8 +295,11 @@ object VectorOps {
     // on candidates only. At 100 TB the corpus is written partitioned
     // by sig, so a query touches 37 buckets (~14% of the space)
     // instead of all data; the probe relation is |Q|·37 rows and
-    // broadcasts. Hash-seeded (like q66: no SQL oracle) — recall vs
-    // the q65 ground truth and determinism are spec-asserted.
+    // broadcasts. Deterministic end to end (fixed-seed planes, md5-free
+    // integer probes), so fully oracle-checked since round 8 — the
+    // DuckDB SQL recomputes the signatures from embedded plane literals
+    // and takes hamming-2 candidates via bit_count(xor); recall vs the
+    // q65 ground truth stays spec-asserted.
     "q118_ann_topk_lsh" -> ((s, d) => {
       val e = emb(s, d)
       val sigd = e.withColumn("sig", rhSignature(col("v")))
@@ -555,8 +559,8 @@ object VectorOps {
     // that replays the whole iteration. Discrete argmin on double
     // distances is engine-stable because cell margins are O(1) while
     // cross-engine sum-order drift is O(ulp); the rounded norm
-    // absorbs the continuous part. Only q66's probe/top-k tail stays
-    // spec-only.
+    // absorbs the continuous part. (The same chain now also powers
+    // q66's own full oracle.)
     "q257_ivf_cell_audit" -> ((s, d) => {
       val e = emb(s, d)
       val cent = kmeansCentroids(e, k = 10, iters = 4)
@@ -576,7 +580,8 @@ object VectorOps {
     // oracle text (full-precision %.17E literals lex as DOUBLE in
     // DuckDB — never DECIMAL). The sign test is engine-stable for
     // the same margin reason as q257 (gaussian dots are O(1), drift
-    // is O(ulp)). Only q118's multiprobe/top-k tail stays spec-only.
+    // is O(ulp)). (The same chain now also powers q118's own full
+    // oracle.)
     "q258_lsh_bucket_audit" -> ((s, d) => {
       val e = emb(s, d)
       e.withColumn("sig", rhSignature(col("v")))
@@ -615,6 +620,61 @@ object VectorOps {
        |), c$n AS (
        |  SELECT p.cell, p.i, coalesce(u.cv, p.cv) AS cv
        |  FROM $prev p LEFT JOIN u$n u ON p.cell = u.cell AND p.i = u.i
+       |)""".stripMargin
+  }
+
+  /** The full deterministic IVF substrate as a WITH-chain: exploded
+    * doubles (e), md5-coin init, 4 Lloyd iterations (c1..c4), and the
+    * final corpus assignment (g5). Shared by the q257 census oracle and
+    * the full q66 oracle.
+    */
+  private lazy val ivfChainCte: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, generate_subscripts(embedding,1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings
+       |), init AS (
+       |  SELECT vec_id, row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10
+       |), c0 AS (
+       |  SELECT init.cell, e.i, e.v AS cv FROM init JOIN e USING (vec_id)
+       |),
+       |${(1 to 4).map(ivfIterSql).mkString(",\n")},
+       |a5 AS (
+       |  SELECT e.vec_id, c.cell,
+       |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
+       |  FROM e JOIN c4 c ON e.i = c.i GROUP BY 1, 2
+       |), g5 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM a5) WHERE rn = 1
+       |)""".stripMargin
+
+  /** The LSH signature substrate as a WITH-chain: the 8×64 fixed-seed
+    * plane constants as full-precision %.17E literals (DOUBLE-lexed in
+    * DuckDB, exact JVM-double round-trip), exploded doubles, per-plane
+    * dots, and the per-vector 8-bit signature. Shared by the q258
+    * histogram oracle and the full q118 oracle.
+    */
+  private lazy val lshChainCte: String = {
+    val planeRows =
+      for ((p, h) <- rhPlanes.zipWithIndex; i <- 0 until 64)
+        yield s"($h, ${i + 1}, ${"%.17E".formatLocal(java.util.Locale.ROOT, p(i))})"
+    s"""WITH pl(h, i, c) AS (VALUES ${planeRows.mkString(", ")}),
+       |e AS (
+       |  SELECT vec_id, generate_subscripts(embedding,1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings
+       |), d AS (
+       |  SELECT e.vec_id, pl.h, sum(e.v * pl.c) AS dp
+       |  FROM e JOIN pl ON e.i = pl.i GROUP BY 1, 2
+       |), sg AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN dp > 0 THEN 1 << h ELSE 0 END) AS BIGINT) AS sig
+       |  FROM d GROUP BY 1
        |)""".stripMargin
   }
 
@@ -827,29 +887,8 @@ object VectorOps {
     // 4 unrolled Lloyd iterations, final assignment — the per-cell
     // census is the oracle-checkable part of IVF.
     "q257_ivf_cell_audit" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, generate_subscripts(embedding,1) AS i,
-         |         CAST(unnest(embedding) AS DOUBLE) AS v
-         |  FROM embeddings
-         |), init AS (
-         |  SELECT vec_id, row_number() OVER (
-         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
-         |  FROM embeddings
-         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10
-         |), c0 AS (
-         |  SELECT init.cell, e.i, e.v AS cv FROM init JOIN e USING (vec_id)
-         |),
-         |${(1 to 4).map(ivfIterSql).mkString(",\n")},
-         |a5 AS (
-         |  SELECT e.vec_id, c.cell,
-         |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
-         |  FROM e JOIN c4 c ON e.i = c.i GROUP BY 1, 2
-         |), g5 AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
-         |    FROM a5) WHERE rn = 1
-         |), cnt AS (SELECT cell, count(*) AS n FROM g5 GROUP BY 1),
+      s"""$ivfChainCte,
+         |cnt AS (SELECT cell, count(*) AS n FROM g5 GROUP BY 1),
          |nrm AS (SELECT cell, sqrt(sum(cv*cv)) AS cn FROM c4 GROUP BY 1)
          |SELECT CAST(nrm.cell AS BIGINT) AS cell,
          |       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_vecs,
@@ -857,32 +896,78 @@ object VectorOps {
          |FROM nrm LEFT JOIN cnt ON nrm.cell = cnt.cell
          |ORDER BY cell""".stripMargin,
 
-    // q118's signature substrate: the 8×64 fixed-seed plane constants
-    // are embedded as full-precision %.17E literals (lex as DOUBLE in
-    // DuckDB, exact round-trip of the JVM doubles).
-    "q258_lsh_bucket_audit" -> {
-      val planeRows =
-        for ((p, h) <- rhPlanes.zipWithIndex; i <- 0 until 64)
-          yield s"($h, ${i + 1}, ${"%.17E".formatLocal(java.util.Locale.ROOT, p(i))})"
-      s"""WITH pl(h, i, c) AS (VALUES ${planeRows.mkString(", ")}),
-         |e AS (
-         |  SELECT vec_id, generate_subscripts(embedding,1) AS i,
-         |         CAST(unnest(embedding) AS DOUBLE) AS v
-         |  FROM embeddings
-         |), d AS (
-         |  SELECT e.vec_id, pl.h, sum(e.v * pl.c) AS dp
-         |  FROM e JOIN pl ON e.i = pl.i GROUP BY 1, 2
-         |), sg AS (
-         |  SELECT vec_id,
-         |         CAST(sum(CASE WHEN dp > 0 THEN 1 << h ELSE 0 END) AS BIGINT) AS sig
-         |  FROM d GROUP BY 1
-         |)
+    // Full IVF oracle (round-8): with the kmeans chain expressible
+    // (q257), the probe choice and within-cell top-k are ALSO
+    // deterministic — nprobe=4 argmax cells by centroid cosine, exact
+    // cosine over probed-cell members. q66 is therefore no longer
+    // spec-only; its recall-floor spec stays as the semantic check.
+    "q66_ann_topk_ivf" ->
+      s"""$ivfChainCte,
+         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY 1),
+         |cn AS (SELECT cell, sqrt(sum(cv*cv)) AS cn FROM c4 GROUP BY 1),
+         |ccos AS (
+         |  SELECT e.vec_id AS q_id, c.cell, sum(e.v * c.cv) AS dot
+         |  FROM e JOIN c4 c ON e.i = c.i WHERE e.vec_id < 5 GROUP BY 1, 2
+         |), pr AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT ccos.q_id, ccos.cell, row_number() OVER (
+         |        PARTITION BY ccos.q_id
+         |        ORDER BY ccos.dot/(nq.nrm*cn.cn) DESC, ccos.cell) AS pr
+         |    FROM ccos JOIN vn nq ON ccos.q_id = nq.vec_id
+         |              JOIN cn ON ccos.cell = cn.cell)
+         |  WHERE pr <= 4
+         |), cand AS (
+         |  SELECT pr.q_id, g5.vec_id AS id2
+         |  FROM pr JOIN g5 ON pr.cell = g5.cell
+         |  WHERE g5.vec_id <> pr.q_id
+         |), dt AS (
+         |  SELECT cand.q_id, cand.id2, sum(a.v * b.v) AS dot
+         |  FROM cand JOIN e a ON a.vec_id = cand.q_id
+         |            JOIN e b ON b.vec_id = cand.id2 AND b.i = a.i
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT q_id, id2, dot/(n1.nrm*n2.nrm) AS cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY dot/(n1.nrm*n2.nrm) DESC, id2) AS rn
+         |  FROM dt JOIN vn n1 ON dt.q_id = n1.vec_id
+         |          JOIN vn n2 ON dt.id2 = n2.vec_id)
+         |SELECT q_id, rn, id2 AS neighbor_id, round(cos, 4) AS cos_sim
+         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    // q118's signature substrate (see lshChainCte for the embedded
+    // plane constants).
+    "q258_lsh_bucket_audit" ->
+      s"""$lshChainCte
          |SELECT sig, CAST(count(*) AS BIGINT) AS n_vecs
-         |FROM sg GROUP BY 1 ORDER BY sig""".stripMargin
-    }
-    // q66_ann_topk_ivf / q118_ann_topk_lsh: no SQL oracle for the
-    // probe/top-k tails (probe-dependent approximate results); recall
-    // vs q65 asserted in VectorOpsSpec. Their deterministic substrates
-    // ARE oracle-checked above (q257/q258).
+         |FROM sg GROUP BY 1 ORDER BY sig""".stripMargin,
+
+    // Full LSH oracle (round-8): hamming-2 multiprobe over the exact
+    // 37-mask set is equivalent to bit_count(xor(sig_q, sig_c)) <= 2
+    // on the 8-bit signatures, so the whole q118 result — candidates
+    // and exact-cosine top-k — is SQL-expressible. No longer
+    // spec-only; the recall-vs-chance spec stays as the semantic
+    // check.
+    "q118_ann_topk_lsh" ->
+      s"""$lshChainCte,
+         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY 1),
+         |cand AS (
+         |  SELECT q.vec_id AS q_id, sg.vec_id AS id2
+         |  FROM sg q JOIN sg ON bit_count(xor(q.sig, sg.sig)) <= 2
+         |  WHERE q.vec_id < 5 AND sg.vec_id <> q.vec_id
+         |), dt AS (
+         |  SELECT cand.q_id, cand.id2, sum(a.v * b.v) AS dot
+         |  FROM cand JOIN e a ON a.vec_id = cand.q_id
+         |            JOIN e b ON b.vec_id = cand.id2 AND b.i = a.i
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT q_id, id2, dot/(n1.nrm*n2.nrm) AS cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY dot/(n1.nrm*n2.nrm) DESC, id2) AS rn
+         |  FROM dt JOIN vn n1 ON dt.q_id = n1.vec_id
+         |          JOIN vn n2 ON dt.id2 = n2.vec_id)
+         |SELECT q_id, rn, id2 AS neighbor_id, round(cos, 4) AS cos_sim
+         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+    // q255_compression_gate is the one remaining spec-only entry:
+    // DEFLATE output length is genuinely not SQL-expressible.
   )
 }
