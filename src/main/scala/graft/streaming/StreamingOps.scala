@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
-  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
+  MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig,
+  ValueState}
 
 /** Structured Streaming operator surface — absent from the reference
   * (its row loop terminates at end of result set,
@@ -496,6 +497,59 @@ object StreamingOps {
       val n = st.keys().length
       Iterator.single(TypeCoverage(user, n, n >= 5))
     }
+  }
+
+  final case class TrailingSpend(user_id: Long, n_window: Int,
+                                 sum_cents: Long, max_cents: Long)
+
+  /** Per-user trailing-K purchase buffer on ListState — the keyed
+    * APPEND-LOG state surface (appendValue / get / put) the
+    * Value/Map processors don't touch, completing the
+    * transformWithState typed-state trio (ValueState, MapState,
+    * ListState) plus timers. appendValue is a RocksDB MERGE record:
+    * a batch with m purchases writes m appends without reading or
+    * rewriting the existing list — the reason ListState beats
+    * ValueState[Seq[...]] for append-mostly buffers (the documented
+    * Spark guidance, and the 100 TB argument: per-batch state IO is
+    * O(new items), not O(buffer)); the full read+put trim path runs
+    * only when the buffer actually overflows K. Emits the
+    * trailing-window count / exact-cents sum / max after each batch
+    * that delivers purchases — the streaming twin of q250's trailing
+    * lag features (RANGE frame there, bounded buffer here).
+    */
+  class TrailingSpendProcessor(k: Int)
+      extends StatefulProcessor[Long, Ev, TrailingSpend] {
+    @transient private var st: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[Long](
+        "spend", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[TrailingSpend] = {
+      // batch-order purchases by (ts, event_id) so the buffer tail is
+      // deterministic under within-batch timestamp ties
+      val cents = rows.filter(_.event_type == "purchase").toSeq
+        .sortBy(e => (e.ts.getTime, e.event_id))
+        .map(e => math.round(e.value * 100))
+      if (cents.isEmpty) Iterator.empty
+      else {
+        cents.foreach(st.appendValue) // merge-op appends, no state read
+        val all = st.get().toArray
+        val win = all.takeRight(k)
+        if (all.length > k) st.put(win) // trim rewrites only on overflow
+        Iterator.single(TrailingSpend(user, win.length, win.sum, win.max))
+      }
+    }
+  }
+
+  /** Trailing purchase-window features as an Update-mode stream. */
+  def trailingSpend(events: Dataset[Ev], k: Int = 5): Dataset[TrailingSpend] = {
+    implicit val enc: org.apache.spark.sql.Encoder[TrailingSpend] =
+      Encoders.product[TrailingSpend]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new TrailingSpendProcessor(k),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Per-user type coverage as an Update-mode stream. */

@@ -541,6 +541,45 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("trailing spend on ListState: append-log buffer trims to K, exact cents across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ListState appends are RocksDB merge records — RocksDB only
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamingOps.Ev]
+      val q = StreamingOps.trailingSpend(mem.toDS(), k = 3).writeStream
+        .format("memory").queryName("spend_out").outputMode("update").start()
+      // batch 1: two purchases for user 1 (a click must be ignored),
+      // one for user 2
+      mem.addData(
+        StreamingOps.Ev(1, ts("2024-01-01 00:01:00"), 1, "purchase", 10.00),
+        StreamingOps.Ev(2, ts("2024-01-01 00:02:00"), 1, "click", 99.99),
+        StreamingOps.Ev(3, ts("2024-01-01 00:03:00"), 1, "purchase", 20.00),
+        StreamingOps.Ev(4, ts("2024-01-01 00:04:00"), 2, "purchase", 5.00))
+      q.processAllAvailable()
+      val b1 = spark.table("spend_out").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+      assert(b1(1L) === ((2, 3000L, 2000L)))
+      assert(b1(2L) === ((1, 500L, 500L)))
+      // batch 2: two more purchases for user 1 — the 4-deep buffer must
+      // trim to the LAST 3 (the 10.00 purchase falls out); user 2 gets
+      // no data and must not re-emit
+      mem.addData(
+        StreamingOps.Ev(5, ts("2024-01-01 00:05:00"), 1, "purchase", 30.00),
+        StreamingOps.Ev(6, ts("2024-01-01 00:06:00"), 1, "purchase", 1.00))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("spend_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val lastU1 = rows.filter(_._1 == 1L).last
+      assert(lastU1 === ((1L, 3, 5100L, 3000L)),
+        "window must be the trailing 3 purchases: 2000+3000+100 cents")
+      assert(rows.count(_._1 == 2L) === 1, "no-data key must not re-emit")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("psi drift monitor: matched window scores ~0, shifted window pages, single windowed state op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
