@@ -141,4 +141,32 @@ class PropertiesSpec extends AnyFunSuite {
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       s.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
       s.getBytes("UTF-8").length, 42L)
+
+  test("hamming-2 multiprobe mask set equals the bit_count(xor) <= 2 ball (q118 oracle equivalence)") {
+    // The q118 DuckDB oracle takes candidates via bit_count(xor(sq, sc))
+    // <= 2 while the Spark plan probes the explicit 37-mask set
+    // {sig} u {sig^bit} u {sig^(bi|bj)}; this is the exact equivalence
+    // that makes the oracle legitimate, checked for every 8-bit sig.
+    val masks = Seq(0) ++ (0 until 8).map(1 << _) ++
+      (for (i <- 0 until 8; j <- i + 1 until 8) yield (1 << i) | (1 << j))
+    assert(masks.length === 37)
+    check(Prop.forAll(Gen.choose(0, 255)) { sig =>
+      val probed = masks.map(sig ^ _).toSet
+      val ball = (0 to 255).filter(t => Integer.bitCount(sig ^ t) <= 2).toSet
+      probed == ball
+    })
+  }
+
+  test("%.17E literals round-trip arbitrary doubles bit-exactly (q118/q258 plane embedding)") {
+    // The LSH oracle ships the JVM's gaussian plane constants as SQL
+    // text; the whole scheme rests on parse(format(d)) == d bitwise.
+    val gen = Gen.choose(Long.MinValue, Long.MaxValue)
+      .map(java.lang.Double.longBitsToDouble)
+      .suchThat(d => !d.isNaN && !d.isInfinite)
+    check(Prop.forAll(gen) { d =>
+      val lit = "%.17E".formatLocal(java.util.Locale.ROOT, d)
+      java.lang.Double.doubleToRawLongBits(java.lang.Double.parseDouble(lit)) ==
+        java.lang.Double.doubleToRawLongBits(d)
+    })
+  }
 }
