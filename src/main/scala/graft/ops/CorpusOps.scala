@@ -1007,7 +1007,10 @@ object CorpusOps {
       val tot = shards.agg(sum(col("tokens")).as("t"))
       shards.crossJoin(broadcast(tot))
         .select(col("shard"), col("n_docs"), col("tokens"),
-          expr(s"(10000 * tokens * $k) div t - 10000").as("dev_bp"))
+          // 8e4·tokens passes int64 once a shard holds ≳1.1e14 tokens
+          // (within reach of a 100 TB corpus) — the DECIMAL(38,0) class
+          expr(s"(CAST(10000 AS DECIMAL(38,0)) * tokens * $k) div t - 10000")
+            .as("dev_bp"))
         .orderBy(col("shard"))
     }),
 

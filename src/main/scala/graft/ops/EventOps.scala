@@ -837,6 +837,11 @@ object EventOps {
     // engines, q242's argument) floored to milli. The ranking runs on
     // the per-VALUE cells relation, bounded by the cents domain
     // (≤ types × 49k rows at any corpus scale), via ScalableRank.
+    // Scale envelope (q241's twin): u1x2 ≈ 2·n_a·n_b is itself the
+    // OUTPUT, so it passes int64 once both periods hold ≳2e9 events —
+    // at that scale publish U/(n_a·n_b) ppm images instead (the z
+    // stat, which is what the monitor consumes, survives unchanged) —
+    // documented not built; every test SF stays ≤ ~1e13.
     "q246_mann_whitney" -> ((s, d) => {
       val cells = T.events(s, d)
         .select(col("event_type"),

@@ -197,7 +197,8 @@ object Joins {
         .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
           expr("(1000000 * n_ab) div nb").as("support_ppm"),
           expr("(1000000 * n_ab) div n_a").as("conf_ppm"),
-          expr("(1000 * n_ab * nb) div (n_a * n_b)").as("lift_milli"))
+          expr("(CAST(1000 AS DECIMAL(38,0)) * n_ab * nb) div " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b)").as("lift_milli"))
         .orderBy(col("a"), col("b"))
     }),
 

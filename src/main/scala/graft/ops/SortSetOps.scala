@@ -154,15 +154,19 @@ object SortSetOps {
       def profile(keys: Seq[String], name: String) = {
         val parts = docs.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
         val tot = parts.agg(count(lit(1)).as("np"), sum(col("n")).as("nr"))
+        // rows·partitions products widen to DECIMAL(38,0) (the
+        // q248/q166 overflow class): max_rows·np can pass int64 once
+        // rows ~1e12 meet np ~1e4, while skew_bp itself stays ≤ 1e4·np
         parts.crossJoin(broadcast(tot))
           .groupBy(col("np"), col("nr"))
           .agg(min(col("n")).as("min_rows"), max(col("n")).as("max_rows"),
-            sum(when(col("n") * col("np") * 10 < col("nr"), 1L).otherwise(0L))
-              .as("n_small"))
+            sum(when(expr("CAST(n AS DECIMAL(38,0)) * np * 10") < col("nr"),
+              1L).otherwise(0L)).as("n_small"))
           .select(lit(name).as("layout"),
             col("np").as("n_partitions"), col("nr").as("n_rows"),
             col("min_rows"), col("max_rows"),
-            expr("(10000 * max_rows * np) div nr").as("skew_bp"),
+            expr("(CAST(10000 AS DECIMAL(38,0)) * max_rows * np) div nr")
+              .as("skew_bp"),
             col("n_small"))
       }
       profile(Seq("lang"), "lang")
