@@ -41,9 +41,12 @@ def norm(v):
 # --- Type audit (always on): the driver's hash is TYPE-sensitive even when
 # values match (q173 round-7 incident: DuckDB windowed sum(BIGINT) -> HUGEINT
 # propagated through `//`, hashing differently from Spark's BIGINT). DESCRIBE
-# compiles each oracle without running it and fails the gate on any wide
-# integer type that Spark cannot emit.
-WIDE_TYPES = ("HUGEINT", "UHUGEINT")
+# compiles each oracle without running it and fails the gate on any type the
+# Spark side never emits: wide integers, and DECIMAL (the repo convention
+# casts ratios to DOUBLE — a DECIMAL column would hash as Python Decimal
+# against Spark's float). Round-8 sweep: the whole catalog emits only
+# BIGINT/INTEGER/DOUBLE/VARCHAR/TIMESTAMP/DATE/BOOLEAN.
+WIDE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 n_type_fail = 0
 for name, sql in sorted(oracle.items()):
     try:
