@@ -54,6 +54,15 @@ object VectorOps {
     */
   val RH_BITS = 8
 
+  /** PQ geometry for q259/q260: PQ_M subspaces × PQ_D dims each (= the
+    * 64-dim embedding), PQ_K codewords per subspace, PQ_ITERS Lloyd
+    * iterations — a 64-float vector stores as PQ_M small codes.
+    */
+  val PQ_M = 4
+  val PQ_D = 16
+  val PQ_K = 16
+  val PQ_ITERS = 2
+
   /** Deterministic random hyperplanes: fixed-seed gaussians, materialized
     * as literal arrays so the signature is 8 codegen'd graft_dot's over
     * constants — a pure projection, reproducible on any cluster.
@@ -573,6 +582,111 @@ object VectorOps {
         .orderBy(col("cell"))
     }),
 
+    // Product quantization codebook — the vector-compression tier the
+    // int8 path (q105) can't reach: m=4 subspaces × 16 dims, each
+    // with its own k=16 codebook learned by the SAME deterministic
+    // Lloyd kmeans as q66/q257 (md5-coin init, 2 iterations), so a
+    // 64-float vector stores as 4 bytes (64× smaller; the
+    // Jégou/Douze/Schmid PQ scheme every large vector store ships).
+    // Per-subspace cell census (size + codeword norm) — fully
+    // oracle-checked (the DuckDB SQL replays all four chains,
+    // absolute-dim-indexed so the slices never reindex). Scale shape:
+    // 4 independent kmeans chains over 16-dim slices, each the q66
+    // broadcast + argmin-groupBy substrate; nothing is ever quadratic.
+    "q259_pq_codebook" -> ((s, d) => {
+      graft.functions.VectorKernels.ensureRegistered(s)
+      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      (0 until PQ_M).map { sb =>
+        val e = base.select(col("vec_id"),
+          expr(s"slice(embedding, ${PQ_D * sb + 1}, $PQ_D)").as("v"))
+          .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+        val cent = kmeansCentroids(e, k = PQ_K, iters = PQ_ITERS)
+        val counts = assignCells(e, cent)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+        cent.join(counts, Seq("cell"), "left_outer")
+          .select(lit(sb.toLong).as("sub"), col("cell").cast("long").as("cell"),
+            coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+            round(col("cn"), 4).as("cn4"))
+      }.reduce(_ unionByName _).orderBy(col("sub"), col("cell"))
+    }),
+
+    // PQ asymmetric-distance recall audit — does the 4-byte code
+    // still rank like the float vector? For queries vec_id < 5, BOTH
+    // retrieval tiers are audited against the exact L2 top-5: (a)
+    // raw ADC top-5 (per-subspace query→codeword distance TABLE
+    // lookup, the standard search path: 4 broadcast joins + a
+    // FIXED-ORDER d0+d1+d2+d3 sum, never a per-pair float reduction
+    // whose order could drift), and (b) the production two-stage
+    // path — ADC top-50 shortlist, exact re-rank on the shortlist
+    // only. On near-random synthetic embeddings raw-ADC recall is
+    // expectedly low (codes carry 16 bits against 2048); the audit's
+    // POINT is measuring exactly that, and how much the re-rank tier
+    // recovers. Candidates with EQUAL codes read the identical dq
+    // rows, so their ADC ties are exact and break on id —
+    // engine-stable; distinct codes differ by O(1) distance. Fully
+    // oracle-checked. At 100 TB the codes relation IS the index
+    // (n×4 bytes), the dq tables are |Q|·m·k rows however large the
+    // corpus, and the exact tier touches 50 vectors per query.
+    "q260_pq_adc_recall" -> ((s, d) => {
+      graft.functions.VectorKernels.ensureRegistered(s)
+      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val subs = (0 until PQ_M).map { sb =>
+        val e = base.select(col("vec_id"),
+          expr(s"slice(v, ${PQ_D * sb + 1}, $PQ_D)").as("v"))
+          .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+        (e, kmeansCentroids(e, k = PQ_K, iters = PQ_ITERS))
+      }
+      val codes = subs.zipWithIndex.map { case ((e, cent), sb) =>
+        assignCells(e, cent).select(col("vec_id"), col("cell").as(s"c$sb"))
+      }.reduce(_.join(_, "vec_id"))
+      val dqs = subs.zipWithIndex.map { case ((e, cent), sb) =>
+        broadcast(e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+          .crossJoin(broadcast(cent.select(col("cell").as(s"c$sb"), col("cv"))))
+          .select(col("q_id"), col(s"c$sb"),
+            expr("graft_dot(qv, qv) - 2 * graft_dot(qv, cv) + graft_dot(cv, cv)")
+              .as(s"d$sb")))
+      }
+      val cand = codes.join(dqs(0), Seq("c0"))
+        .join(dqs(1), Seq("q_id", "c1"))
+        .join(dqs(2), Seq("q_id", "c2"))
+        .join(dqs(3), Seq("q_id", "c3"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("id2"),
+          expr("d0 + d1 + d2 + d3").as("adc"))
+      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("id2"))
+      val ranked = cand.withColumn("rn", row_number().over(wAdc))
+      val topAdc = ranked.filter(col("rn") <= 5).select(col("q_id"), col("id2"))
+      val short50 = ranked.filter(col("rn") <= 50).select(col("q_id"), col("id2"))
+      val ef = base.withColumn("sq", expr("graft_dot(v, v)"))
+      val q = broadcast(ef.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sq").as("qq")))
+      val c = ef.select(col("vec_id").as("id2"), col("v").as("v2"), col("sq").as("s2"))
+      val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id2"))
+      val topEx = q.join(c, col("q_id") =!= col("id2"))
+        .withColumn("d2", expr("qq - 2 * graft_dot(qv, v2) + s2"))
+        .withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") <= 5)
+        .select(col("q_id").as("fq"), col("id2").as("fid"))
+      // two-stage tier: exact distances on the 50-deep shortlist only
+      val rerank = c.join(broadcast(short50.join(broadcast(q), Seq("q_id"))),
+          Seq("id2"))
+        .withColumn("d2", expr("qq - 2 * graft_dot(qv, v2) + s2"))
+        .withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") <= 5).select(col("q_id"), col("id2"))
+      def overlap(top: DataFrame, n: String) =
+        top.join(broadcast(topEx),
+            col("q_id") === col("fq") && col("id2") === col("fid"), "left")
+          .groupBy(col("q_id")).agg(count(col("fid")).as(n))
+      overlap(topAdc, "n_overlap_adc")
+        .join(overlap(rerank, "n_overlap_rerank"), Seq("q_id"))
+        .select(col("q_id"),
+          col("n_overlap_adc"), (col("n_overlap_adc") * 2000).as("recall_adc_bp"),
+          col("n_overlap_rerank"),
+          (col("n_overlap_rerank") * 2000).as("recall_rerank_bp"))
+        .orderBy(col("q_id"))
+    }),
+
     // LSH bucket audit — q118's promotion twin: the 8-bit
     // random-hyperplane signature is a pure projection against
     // fixed-seed literal planes, so the bucket histogram is
@@ -652,6 +766,75 @@ object VectorOps {
        |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
        |    FROM a5) WHERE rn = 1
        |)""".stripMargin
+
+  /** One PQ subspace's kmeans chain (absolute dim indexing: the
+    * subspace covers i ∈ [PQ_D·sb+1, PQ_D·(sb+1)], so slices never
+    * reindex): shared init16 seeds sliced to the range, PQ_ITERS Lloyd
+    * iterations mirroring [[ivfIterSql]]'s algebra, the final code
+    * assignment (`gf`), and the query→codeword ADC distance table
+    * (`dq`). The e-join on i restricts every distance to the
+    * subspace's dims automatically; only the update aggregation needs
+    * an explicit range filter (its join is on vec_id).
+    */
+  private def pqChainSql(sb: Int): String = {
+    val lo = PQ_D * sb + 1; val hi = PQ_D * (sb + 1)
+    val p = s"s$sb"
+    def iter(n: Int): String = {
+      val prev = s"${p}c${n - 1}"
+      s"""${p}a$n AS (
+         |  SELECT e.vec_id, c.cell,
+         |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
+         |  FROM e JOIN $prev c ON e.i = c.i GROUP BY 1, 2
+         |), ${p}g$n AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM ${p}a$n) WHERE rn = 1
+         |), ${p}u$n AS (
+         |  SELECT g.cell, e.i, avg(e.v) AS cv
+         |  FROM ${p}g$n g JOIN e ON g.vec_id = e.vec_id
+         |  WHERE e.i BETWEEN $lo AND $hi GROUP BY 1, 2
+         |), ${p}c$n AS (
+         |  SELECT pp.cell, pp.i, coalesce(u.cv, pp.cv) AS cv
+         |  FROM $prev pp LEFT JOIN ${p}u$n u ON pp.cell = u.cell AND pp.i = u.i
+         |)""".stripMargin
+    }
+    s"""${p}c0 AS (
+       |  SELECT init16.cell, e.i, e.v AS cv
+       |  FROM init16 JOIN e USING (vec_id)
+       |  WHERE e.i BETWEEN $lo AND $hi
+       |),
+       |${(1 to PQ_ITERS).map(iter).mkString(",\n")},
+       |${p}af AS (
+       |  SELECT e.vec_id, c.cell,
+       |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
+       |  FROM e JOIN ${p}c$PQ_ITERS c ON e.i = c.i GROUP BY 1, 2
+       |), ${p}gf AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM ${p}af) WHERE rn = 1
+       |), ${p}dq AS (
+       |  SELECT e.vec_id AS q_id, c.cell,
+       |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d
+       |  FROM e JOIN ${p}c$PQ_ITERS c ON e.i = c.i
+       |  WHERE e.vec_id < 5 GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  /** All PQ_M subspace chains plus the shared exploded/init prefix. */
+  private lazy val pqPrefixCte: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, generate_subscripts(embedding,1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings
+       |), init16 AS (
+       |  SELECT vec_id, row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PQ_K
+       |),
+       |${(0 until PQ_M).map(pqChainSql).mkString(",\n")}""".stripMargin
 
   /** The LSH signature substrate as a WITH-chain: the 8×64 fixed-seed
     * plane constants as full-precision %.17E literals (DOUBLE-lexed in
@@ -933,6 +1116,88 @@ object VectorOps {
          |          JOIN vn n2 ON dt.id2 = n2.vec_id)
          |SELECT q_id, rn, id2 AS neighbor_id, round(cos, 4) AS cos_sim
          |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    // PQ codebook census: all four subspace kmeans chains replayed,
+    // absolute-dim indexed.
+    "q259_pq_codebook" -> {
+      val censusArms = (0 until PQ_M).map { sb =>
+        s"""  SELECT CAST($sb AS BIGINT) AS sub, CAST(n.cell AS BIGINT) AS cell,
+           |         CAST(coalesce(c.n, 0) AS BIGINT) AS n_vecs,
+           |         round(n.cn, 4) AS cn4
+           |  FROM (SELECT cell, sqrt(sum(cv*cv)) AS cn
+           |        FROM s${sb}c$PQ_ITERS GROUP BY 1) n
+           |  LEFT JOIN (SELECT cell, count(*) AS n
+           |             FROM s${sb}gf GROUP BY 1) c ON n.cell = c.cell""".stripMargin
+      }
+      s"""$pqPrefixCte,
+         |census AS (
+         |${censusArms.mkString("\n  UNION ALL\n")}
+         |)
+         |SELECT sub, cell, n_vecs, cn4 FROM census ORDER BY sub, cell""".stripMargin
+    },
+
+    // PQ ADC recall vs exact L2: the fixed-order d0+d1+d2+d3 table
+    // lookup mirrors the Spark expression exactly, so equal-code ties
+    // are bit-equal on both engines.
+    "q260_pq_adc_recall" ->
+      s"""$pqPrefixCte,
+         |codes AS (
+         |  SELECT g0.vec_id, g0.cell AS c0, g1.cell AS c1,
+         |         g2.cell AS c2, g3.cell AS c3
+         |  FROM s0gf g0 JOIN s1gf g1 USING (vec_id)
+         |       JOIN s2gf g2 USING (vec_id) JOIN s3gf g3 USING (vec_id)
+         |), cand AS (
+         |  SELECT d0.q_id, codes.vec_id AS id2,
+         |         d0.d + d1.d + d2.d + d3.d AS adc
+         |  FROM codes
+         |  JOIN s0dq d0 ON codes.c0 = d0.cell
+         |  JOIN s1dq d1 ON d1.q_id = d0.q_id AND codes.c1 = d1.cell
+         |  JOIN s2dq d2 ON d2.q_id = d0.q_id AND codes.c2 = d2.cell
+         |  JOIN s3dq d3 ON d3.q_id = d0.q_id AND codes.c3 = d3.cell
+         |  WHERE codes.vec_id <> d0.q_id
+         |), rk AS (
+         |  SELECT q_id, id2, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, id2) AS rn FROM cand
+         |), ta AS (SELECT q_id, id2 FROM rk WHERE rn <= 5),
+         |tr50 AS (SELECT q_id, id2 FROM rk WHERE rn <= 50),
+         |sq AS (SELECT vec_id, sum(v*v) AS s FROM e GROUP BY 1),
+         |dt AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS id2, sum(a.v*b.v) AS dot
+         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 5
+         |                    AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2
+         |), te AS (
+         |  SELECT q_id, id2 FROM (
+         |    SELECT dt.q_id, dt.id2, row_number() OVER (
+         |      PARTITION BY dt.q_id
+         |      ORDER BY sa.s - 2*dt.dot + sb.s, dt.id2) AS rn
+         |    FROM dt JOIN sq sa ON dt.q_id = sa.vec_id
+         |            JOIN sq sb ON dt.id2 = sb.vec_id)
+         |  WHERE rn <= 5
+         |), trr AS (
+         |  SELECT q_id, id2 FROM (
+         |    SELECT dt.q_id, dt.id2, row_number() OVER (
+         |      PARTITION BY dt.q_id
+         |      ORDER BY sa.s - 2*dt.dot + sb.s, dt.id2) AS rn
+         |    FROM tr50 JOIN dt ON tr50.q_id = dt.q_id AND tr50.id2 = dt.id2
+         |              JOIN sq sa ON dt.q_id = sa.vec_id
+         |              JOIN sq sb ON dt.id2 = sb.vec_id)
+         |  WHERE rn <= 5
+         |), ova AS (
+         |  SELECT ta.q_id, CAST(count(te.id2) AS BIGINT) AS n_overlap_adc
+         |  FROM ta LEFT JOIN te ON ta.q_id = te.q_id AND ta.id2 = te.id2
+         |  GROUP BY 1
+         |), ovr AS (
+         |  SELECT trr.q_id, CAST(count(te.id2) AS BIGINT) AS n_overlap_rerank
+         |  FROM trr LEFT JOIN te ON trr.q_id = te.q_id AND trr.id2 = te.id2
+         |  GROUP BY 1
+         |)
+         |SELECT ova.q_id, n_overlap_adc,
+         |       CAST(n_overlap_adc * 2000 AS BIGINT) AS recall_adc_bp,
+         |       n_overlap_rerank,
+         |       CAST(n_overlap_rerank * 2000 AS BIGINT) AS recall_rerank_bp
+         |FROM ova JOIN ovr ON ova.q_id = ovr.q_id
+         |ORDER BY ova.q_id""".stripMargin,
 
     // q118's signature substrate (see lshChainCte for the embedded
     // plane constants).

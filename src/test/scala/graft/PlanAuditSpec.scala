@@ -686,6 +686,22 @@ class PlanAuditSpec extends SparkSpec {
       "the false-negative filter must be a (cust, pk)-keyed equi anti join")
   }
 
+  test("pq tiers: argmin assignments collapse map-side, dq tables broadcast (q259/q260)") {
+    // every subspace's code assignment is the q257 argmin shape
+    assertKeyedExchangesPartialAggFed("q259_pq_codebook", "vec_id")
+    assertKeyedExchangesPartialAggFed("q260_pq_adc_recall", "vec_id")
+    // the ADC lookup tables and shortlist ride broadcasts — the codes
+    // relation never shuffles on a code column
+    val p = physical("q260_pq_adc_recall")
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.size >= 4, "expected >= 4 broadcast dq/shortlist exchanges")
+    (0 until 4).foreach { sb =>
+      assert(shuffles(p).forall(e => !hashKeys(e).contains(s"c$sb")),
+        s"codes must never hash-shuffle on c$sb")
+    }
+  }
+
   test("vector substrate audits shuffle partials only (q257/q258)") {
     // IVF census: the argmin assignment collapses n·k candidate rows to
     // n map-side before the vec_id exchange

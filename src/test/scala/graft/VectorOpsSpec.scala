@@ -347,6 +347,45 @@ class VectorOpsSpec extends SparkSpec {
     rows.foreach(r => assert(direct.getOrElse(r.getLong(0), 0L) === r.getLong(1)))
   }
 
+  test("pq codebook census: complete sub x cell grid, per-subspace conservation, substrate consistency (q259)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val rows = VectorOps.queries("q259_pq_codebook")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val n = T.embeddings(spark, sf001).count()
+    assert(rows.map(t => (t._1, t._2)).toSet ===
+      (for (s <- 0L until 4L; c <- 1L to 16L) yield (s, c)).toSet)
+    (0L until 4L).foreach { s =>
+      assert(rows.filter(_._1 == s).map(_._3).sum === n,
+        s"subspace $s must assign every vector exactly once")
+    }
+    rows.foreach(t => assert(t._4 > 0.0, "codeword norm positive"))
+    // census must agree with the substrate recomputed directly (sub 0)
+    val e = T.embeddings(spark, sf001)
+      .select(col("vec_id"), expr("slice(embedding, 1, 16)").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val direct =
+      VectorOps.assignCells(e, VectorOps.kmeansCentroids(e, k = 16, iters = 2))
+        .groupBy("cell").count().collect()
+        .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    rows.filter(_._1 == 0L).foreach(t =>
+      assert(direct.getOrElse(t._2, 0L) === t._3))
+  }
+
+  test("pq adc recall: rerank tier dominates raw adc, bounds hold (q260)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val rows = VectorOps.queries("q260_pq_adc_recall")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === (0L to 4L))
+    rows.foreach { case (q, na, ra, nr, rr) =>
+      assert(na >= 0L && na <= 5L && nr >= 0L && nr <= 5L)
+      assert(ra === na * 2000 && rr === nr * 2000)
+      // an item in both ADC-top5 and exact-top5 is in the 50-shortlist
+      // and exact-ranks top-5 within any subset containing it — so the
+      // two-stage tier can never lose overlap vs raw ADC
+      assert(nr >= na, s"query $q: rerank overlap $nr < raw ADC overlap $na")
+    }
+  }
+
   test("lsh bucket audit conserves the corpus and stays in the 8-bit domain (q258)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     val rows = VectorOps.queries("q258_lsh_bucket_audit")(spark, sf001).collect()
