@@ -687,6 +687,91 @@ object VectorOps {
         .orderBy(col("q_id"))
     }),
 
+    // IVFADC — the canonical production ANN layout (the FAISS
+    // default): q66's IVF partition prunes the corpus to nprobe=4
+    // cells, q259's PQ codes rank the survivors by ADC, and the
+    // two-stage tier exact-re-ranks the 50-deep shortlist. At 100 TB
+    // this is THE layout a vector store ships: the corpus is
+    // partitioned by cell and stored as 4-byte codes, a query reads
+    // nprobe partitions of codes plus ≤50 full vectors. Composed
+    // entirely from the two audited substrates, so it too is FULLY
+    // oracle-checked; per-query n_cand reports the scan fraction the
+    // IVF tier actually pruned to.
+    "q261_ivfadc_recall" -> ((s, d) => {
+      graft.functions.VectorKernels.ensureRegistered(s)
+      val e64 = emb(s, d)
+      val cent10 = kmeansCentroids(e64, k = 10, iters = 4)
+      val corpus = assignCells(e64, cent10)
+      val q0 = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+      val probes = broadcast(q0.crossJoin(broadcast(cent10))
+        .withColumn("ccos", dot("qv", "cv") / (col("qn") * col("cn")))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= 4)
+        .select(col("q_id"), col("cell")))
+      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val subs = (0 until PQ_M).map { sb =>
+        val es = base.select(col("vec_id"),
+          expr(s"slice(v, ${PQ_D * sb + 1}, $PQ_D)").as("v"))
+          .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+        (es, kmeansCentroids(es, k = PQ_K, iters = PQ_ITERS))
+      }
+      val codes = subs.zipWithIndex.map { case ((es, cent), sb) =>
+        assignCells(es, cent).select(col("vec_id"), col("cell").as(s"c$sb"))
+      }.reduce(_.join(_, "vec_id"))
+      val dqs = subs.zipWithIndex.map { case ((es, cent), sb) =>
+        broadcast(es.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+          .crossJoin(broadcast(cent.select(col("cell").as(s"c$sb"), col("cv"))))
+          .select(col("q_id"), col(s"c$sb"),
+            expr("graft_dot(qv, qv) - 2 * graft_dot(qv, cv) + graft_dot(cv, cv)")
+              .as(s"d$sb")))
+      }
+      val cand0 = corpus.select(col("vec_id"), col("cell"))
+        .join(probes, Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"))
+      val cand = cand0.join(codes, Seq("vec_id"))
+        .join(dqs(0), Seq("q_id", "c0"))
+        .join(dqs(1), Seq("q_id", "c1"))
+        .join(dqs(2), Seq("q_id", "c2"))
+        .join(dqs(3), Seq("q_id", "c3"))
+        .select(col("q_id"), col("vec_id").as("id2"),
+          expr("d0 + d1 + d2 + d3").as("adc"))
+      val nCand = cand0.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("id2"))
+      val ranked = cand.withColumn("rn", row_number().over(wAdc))
+      val topAdc = ranked.filter(col("rn") <= 5).select(col("q_id"), col("id2"))
+      val short50 = ranked.filter(col("rn") <= 50).select(col("q_id"), col("id2"))
+      val ef = base.withColumn("sq", expr("graft_dot(v, v)"))
+      val q = broadcast(ef.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sq").as("qq")))
+      val c = ef.select(col("vec_id").as("id2"), col("v").as("v2"), col("sq").as("s2"))
+      val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id2"))
+      val topEx = q.join(c, col("q_id") =!= col("id2"))
+        .withColumn("d2", expr("qq - 2 * graft_dot(qv, v2) + s2"))
+        .withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") <= 5)
+        .select(col("q_id").as("fq"), col("id2").as("fid"))
+      val rerank = c.join(broadcast(short50.join(broadcast(q), Seq("q_id"))),
+          Seq("id2"))
+        .withColumn("d2", expr("qq - 2 * graft_dot(qv, v2) + s2"))
+        .withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") <= 5).select(col("q_id"), col("id2"))
+      def overlap(top: DataFrame, n: String) =
+        top.join(broadcast(topEx),
+            col("q_id") === col("fq") && col("id2") === col("fid"), "left")
+          .groupBy(col("q_id")).agg(count(col("fid")).as(n))
+      nCand.join(overlap(topAdc, "n_overlap_adc"), Seq("q_id"))
+        .join(overlap(rerank, "n_overlap_rerank"), Seq("q_id"))
+        .select(col("q_id"), col("n_cand"),
+          col("n_overlap_adc"), (col("n_overlap_adc") * 2000).as("recall_adc_bp"),
+          col("n_overlap_rerank"),
+          (col("n_overlap_rerank") * 2000).as("recall_rerank_bp"))
+        .orderBy(col("q_id"))
+    }),
+
     // LSH bucket audit — q118's promotion twin: the 8-bit
     // random-hyperplane signature is a pure projection against
     // fixed-seed literal planes, so the bucket histogram is
@@ -737,17 +822,21 @@ object VectorOps {
        |)""".stripMargin
   }
 
-  /** The full deterministic IVF substrate as a WITH-chain: exploded
-    * doubles (e), md5-coin init, 4 Lloyd iterations (c1..c4), and the
-    * final corpus assignment (g5). Shared by the q257 census oracle and
-    * the full q66 oracle.
+  /** Shared exploded-doubles CTE body (no WITH prefix) for the vector
+    * oracles that compose chains.
     */
-  private lazy val ivfChainCte: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, generate_subscripts(embedding,1) AS i,
-       |         CAST(unnest(embedding) AS DOUBLE) AS v
-       |  FROM embeddings
-       |), init AS (
+  private val eCteBody: String =
+    """e AS (
+      |  SELECT vec_id, generate_subscripts(embedding,1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |)""".stripMargin
+
+  /** IVF chain body (no WITH, no e): md5-coin init, 4 Lloyd iterations
+    * (c1..c4), final corpus assignment (g5).
+    */
+  private lazy val ivfChainBody: String =
+    s"""init AS (
        |  SELECT vec_id, row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
        |  FROM embeddings
@@ -766,6 +855,11 @@ object VectorOps {
        |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
        |    FROM a5) WHERE rn = 1
        |)""".stripMargin
+
+  /** The full deterministic IVF substrate as a WITH-chain: shared by
+    * the q257 census oracle and the full q66 oracle.
+    */
+  private lazy val ivfChainCte: String = s"WITH $eCteBody,\n$ivfChainBody"
 
   /** One PQ subspace's kmeans chain (absolute dim indexing: the
     * subspace covers i ∈ [PQ_D·sb+1, PQ_D·(sb+1)], so slices never
@@ -822,19 +916,18 @@ object VectorOps {
        |)""".stripMargin
   }
 
-  /** All PQ_M subspace chains plus the shared exploded/init prefix. */
-  private lazy val pqPrefixCte: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, generate_subscripts(embedding,1) AS i,
-       |         CAST(unnest(embedding) AS DOUBLE) AS v
-       |  FROM embeddings
-       |), init16 AS (
+  /** All PQ_M subspace chain bodies (no WITH, no e). */
+  private lazy val pqChainBody: String =
+    s"""init16 AS (
        |  SELECT vec_id, row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
        |  FROM embeddings
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PQ_K
        |),
        |${(0 until PQ_M).map(pqChainSql).mkString(",\n")}""".stripMargin
+
+  /** All PQ_M subspace chains plus the shared exploded/init prefix. */
+  private lazy val pqPrefixCte: String = s"WITH $eCteBody,\n$pqChainBody"
 
   /** The LSH signature substrate as a WITH-chain: the 8×64 fixed-seed
     * plane constants as full-precision %.17E literals (DOUBLE-lexed in
@@ -1198,6 +1291,87 @@ object VectorOps {
          |       CAST(n_overlap_rerank * 2000 AS BIGINT) AS recall_rerank_bp
          |FROM ova JOIN ovr ON ova.q_id = ovr.q_id
          |ORDER BY ova.q_id""".stripMargin,
+
+    // IVFADC: q66's probe chain + q259's code chains composed, all
+    // replayed.
+    "q261_ivfadc_recall" ->
+      s"""WITH $eCteBody,
+         |$ivfChainBody,
+         |$pqChainBody,
+         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY 1),
+         |cnn AS (SELECT cell, sqrt(sum(cv*cv)) AS cn FROM c4 GROUP BY 1),
+         |ccos AS (
+         |  SELECT e.vec_id AS q_id, c.cell, sum(e.v * c.cv) AS dot
+         |  FROM e JOIN c4 c ON e.i = c.i WHERE e.vec_id < 5 GROUP BY 1, 2
+         |), pr AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT ccos.q_id, ccos.cell, row_number() OVER (
+         |        PARTITION BY ccos.q_id
+         |        ORDER BY ccos.dot/(nq.nrm*cnn.cn) DESC, ccos.cell) AS pr
+         |    FROM ccos JOIN vn nq ON ccos.q_id = nq.vec_id
+         |              JOIN cnn ON ccos.cell = cnn.cell)
+         |  WHERE pr <= 4
+         |), codes AS (
+         |  SELECT g0.vec_id, g0.cell AS c0, g1.cell AS c1,
+         |         g2.cell AS c2, g3.cell AS c3
+         |  FROM s0gf g0 JOIN s1gf g1 USING (vec_id)
+         |       JOIN s2gf g2 USING (vec_id) JOIN s3gf g3 USING (vec_id)
+         |), cand0 AS (
+         |  SELECT pr.q_id, g5.vec_id FROM pr JOIN g5 ON pr.cell = g5.cell
+         |  WHERE g5.vec_id <> pr.q_id
+         |), cand AS (
+         |  SELECT cd.q_id, cd.vec_id AS id2,
+         |         d0.d + d1.d + d2.d + d3.d AS adc
+         |  FROM cand0 cd JOIN codes ON cd.vec_id = codes.vec_id
+         |  JOIN s0dq d0 ON d0.q_id = cd.q_id AND codes.c0 = d0.cell
+         |  JOIN s1dq d1 ON d1.q_id = cd.q_id AND codes.c1 = d1.cell
+         |  JOIN s2dq d2 ON d2.q_id = cd.q_id AND codes.c2 = d2.cell
+         |  JOIN s3dq d3 ON d3.q_id = cd.q_id AND codes.c3 = d3.cell
+         |), nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+         |          FROM cand0 GROUP BY 1),
+         |rk AS (
+         |  SELECT q_id, id2, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, id2) AS rn FROM cand
+         |), ta AS (SELECT q_id, id2 FROM rk WHERE rn <= 5),
+         |tr50 AS (SELECT q_id, id2 FROM rk WHERE rn <= 50),
+         |sq AS (SELECT vec_id, sum(v*v) AS s FROM e GROUP BY 1),
+         |dt AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS id2, sum(a.v*b.v) AS dot
+         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 5
+         |                    AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2
+         |), te AS (
+         |  SELECT q_id, id2 FROM (
+         |    SELECT dt.q_id, dt.id2, row_number() OVER (
+         |      PARTITION BY dt.q_id
+         |      ORDER BY sa.s - 2*dt.dot + sb.s, dt.id2) AS rn
+         |    FROM dt JOIN sq sa ON dt.q_id = sa.vec_id
+         |            JOIN sq sb ON dt.id2 = sb.vec_id)
+         |  WHERE rn <= 5
+         |), trr AS (
+         |  SELECT q_id, id2 FROM (
+         |    SELECT dt.q_id, dt.id2, row_number() OVER (
+         |      PARTITION BY dt.q_id
+         |      ORDER BY sa.s - 2*dt.dot + sb.s, dt.id2) AS rn
+         |    FROM tr50 JOIN dt ON tr50.q_id = dt.q_id AND tr50.id2 = dt.id2
+         |              JOIN sq sa ON dt.q_id = sa.vec_id
+         |              JOIN sq sb ON dt.id2 = sb.vec_id)
+         |  WHERE rn <= 5
+         |), ova AS (
+         |  SELECT ta.q_id, CAST(count(te.id2) AS BIGINT) AS n_overlap_adc
+         |  FROM ta LEFT JOIN te ON ta.q_id = te.q_id AND ta.id2 = te.id2
+         |  GROUP BY 1
+         |), ovr AS (
+         |  SELECT trr.q_id, CAST(count(te.id2) AS BIGINT) AS n_overlap_rerank
+         |  FROM trr LEFT JOIN te ON trr.q_id = te.q_id AND trr.id2 = te.id2
+         |  GROUP BY 1
+         |)
+         |SELECT nc.q_id, nc.n_cand, n_overlap_adc,
+         |       CAST(n_overlap_adc * 2000 AS BIGINT) AS recall_adc_bp,
+         |       n_overlap_rerank,
+         |       CAST(n_overlap_rerank * 2000 AS BIGINT) AS recall_rerank_bp
+         |FROM nc JOIN ova ON nc.q_id = ova.q_id JOIN ovr ON nc.q_id = ovr.q_id
+         |ORDER BY nc.q_id""".stripMargin,
 
     // q118's signature substrate (see lshChainCte for the embedded
     // plane constants).

@@ -692,14 +692,17 @@ class PlanAuditSpec extends SparkSpec {
     assertKeyedExchangesPartialAggFed("q260_pq_adc_recall", "vec_id")
     // the ADC lookup tables and shortlist ride broadcasts — the codes
     // relation never shuffles on a code column
-    val p = physical("q260_pq_adc_recall")
-    assert(p.collect {
-      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
-    }.size >= 4, "expected >= 4 broadcast dq/shortlist exchanges")
-    (0 until 4).foreach { sb =>
-      assert(shuffles(p).forall(e => !hashKeys(e).contains(s"c$sb")),
-        s"codes must never hash-shuffle on c$sb")
+    Seq("q260_pq_adc_recall", "q261_ivfadc_recall").foreach { qn =>
+      val p = physical(qn)
+      assert(p.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }.size >= 4, s"$qn: expected >= 4 broadcast dq/shortlist exchanges")
+      (0 until 4).foreach { sb =>
+        assert(shuffles(p).forall(e => !hashKeys(e).contains(s"c$sb")),
+          s"$qn: codes must never hash-shuffle on c$sb")
+      }
     }
+    assertKeyedExchangesPartialAggFed("q261_ivfadc_recall", "vec_id")
   }
 
   test("vector substrate audits shuffle partials only (q257/q258)") {

@@ -386,6 +386,21 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfadc: pruning real, bounds hold, rerank dominates raw adc (q261)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val rows = VectorOps.queries("q261_ivfadc_recall")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val n = T.embeddings(spark, sf001).count()
+    assert(rows.map(_._1).toSeq === (0L to 4L))
+    rows.foreach { case (q, nc, na, ra, nr, rr) =>
+      assert(nc > 0L && nc < n, s"query $q must scan a strict subset ($nc of $n)")
+      assert(na >= 0L && na <= 5L && nr >= 0L && nr <= 5L)
+      assert(ra === na * 2000 && rr === nr * 2000)
+      assert(nr >= na, s"query $q: rerank overlap $nr < raw ADC overlap $na")
+    }
+  }
+
   test("lsh bucket audit conserves the corpus and stays in the 8-bit domain (q258)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     val rows = VectorOps.queries("q258_lsh_bucket_audit")(spark, sf001).collect()
