@@ -10,8 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * north-star extension operator, expressed as a declarative Spark plan.
   * `oracleSql` carries the DuckDB-equivalent ANSI SQL for the driver's
   * hash-compare correctness gate; ops whose semantics are not
-  * SQL-expressible (streaming, hash-seeded sketches) are checked by
-  * ScalaTest specs instead and omitted here.
+  * SQL-expressible are checked by ScalaTest specs instead and omitted
+  * here — since round 8 that is ONLY q255 (DEFLATE output length) and
+  * the streaming surface (spec-by-design): the approximate-ANN tiers
+  * (IVF, LSH, PQ, IVFADC) turned out fully replayable in SQL because
+  * their coins are md5/fixed-seed, and are oracle-checked like
+  * everything else.
   */
 object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
