@@ -937,7 +937,8 @@ object CorpusOps {
     // same batch-stage shape as multimodal decode; a map-side
     // projection, no shuffle). DEFLATE output length is
     // deterministic for a fixed level but NOT SQL-expressible, so
-    // this is a spec-only catalog entry (the q66/q118 contract): the
+    // this is the catalog's one remaining spec-only batch entry
+    // (since round 8 even the ANN tiers are oracle-replayed): the
     // driver records rows>0 and the spec pins planted-corpus
     // behavior.
     "q255_compression_gate" -> ((s, d) => {
