@@ -41,6 +41,27 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.count() == src.count())
   }
 
+  test("avro round-trip preserves values, logical types, and honors a codec") {
+    // the Avro implementation ships inside this build's spark-sql jar
+    // but without the short-name service registration (Spark's lookup
+    // special-cases the bare "avro" string into a deploy-the-module
+    // error) — the fully-qualified provider resolves it directly
+    val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+    val src = T.orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val out = tmp("avro")
+    src.write.format(avro).option("compression", "snappy").save(out)
+    val back = spark.read.format(avro).load(out)
+    assert(back.count() == src.count())
+    assert(back.schema("o_orderdate").dataType === src.schema("o_orderdate").dataType)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(sum("o_orderkey")).collect()(0).getLong(0)
+    assert(key(back) === key(src))
+    // values survive bit-for-bit: anti-join both ways is empty
+    assert(back.exceptAll(src).count() === 0L && src.exceptAll(back).count() === 0L)
+  }
+
   test("partitionBy write creates hive-style dirs and reads prune partitions") {
     val dir = java.nio.file.Files.createTempDirectory("part-prune").toString
     T.events(spark, sf001)
