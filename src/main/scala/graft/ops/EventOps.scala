@@ -760,6 +760,49 @@ object EventOps {
         .orderBy(col("u1"))
     }),
 
+    // Metric waterfall, PRODUCTION tier (round-9: the scale-safe dial
+    // q252's envelope note documented, now built — the q241 pattern of
+    // shipping the production variant next to the exact tier). Same
+    // decomposition, but the ratio images are ppm INTEGERS first:
+    //   ru = ⌊u2·1e6/u1⌋, rp = ⌊p2·1e6/p1⌋,
+    //   t_users = ⌊(ru−1e6)·r1/1e6⌋, t_freq = ⌊(rp−ru)·r1/1e6⌋,
+    //   t_value = r2 − ⌊rp·r1/1e6⌋.
+    // ru and rp cancel ALGEBRAICALLY in the pre-floor sum (T1+T2+T3 =
+    // r2−r1 exactly, for ANY quantized ru/rp) — so the ppm
+    // quantization contributes NOTHING to the residual and only the
+    // three final ⌊·/1e6⌋ floorings do: |residual| ≤ 3 cents, the SAME
+    // bound as the exact tier. What changes is the overflow envelope:
+    // the largest intermediate is max(u2, p2)·1e6 or |rp−ru|·r1 —
+    // int64-safe to ~9e12 users/purchases and ~$90B revenue per period
+    // (at ratio drift ≤ 10×), where q252's exact p2·u1·r1 triple
+    // product dies at ~1e6 users × 1e7 purchases. Same two
+    // partial-aggregable rollups; the ppm images ship as columns so a
+    // review can see the quantization it paid.
+    "q252b_waterfall_ppm" -> ((s, d) => {
+      val p = T.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) < 15).as("is_a"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("is_a"))
+        .agg(countDistinct(col("user_id")).as("u"),
+             count(lit(1)).as("p"), sum(col("cents")).as("r"))
+      val a = p.filter(col("is_a")).select(col("u").as("u1"), col("p").as("p1"), col("r").as("r1"))
+      val b = p.filter(!col("is_a")).select(col("u").as("u2"), col("p").as("p2"), col("r").as("r2"))
+      a.crossJoin(b)
+        .withColumn("delta_cents", col("r2") - col("r1"))
+        .withColumn("ru_ppm", expr("(u2 * 1000000) div u1"))
+        .withColumn("rp_ppm", expr("(p2 * 1000000) div p1"))
+        .withColumn("t_users", expr("((ru_ppm - 1000000) * r1) div 1000000"))
+        .withColumn("t_freq", expr("((rp_ppm - ru_ppm) * r1) div 1000000"))
+        .withColumn("t_value", expr("r2 - (rp_ppm * r1) div 1000000"))
+        .withColumn("residual_cents",
+          expr("delta_cents - t_users - t_freq - t_value"))
+        .select(col("u1"), col("p1"), col("r1"), col("u2"), col("p2"), col("r2"),
+          col("delta_cents"), col("ru_ppm"), col("rp_ppm"),
+          col("t_users"), col("t_freq"), col("t_value"), col("residual_cents"))
+        .orderBy(col("u1"))
+    }),
+
     // Leakage-safe supervised-label construction — the step that turns
     // an event log into a churn/retention training set: features from
     // the OBSERVATION window (days ≤ 20) only, label = REPEAT
@@ -2082,6 +2125,34 @@ object EventOps {
         |                 - ((p2 * u1 - p1 * u2) * r1) // (u1 * p1)
         |                 - (r2 * p1 - r1 * p2) // p1 AS residual_cents
         |FROM a CROSS JOIN b
+        |ORDER BY u1""".stripMargin,
+
+    // ppm tier: same rollups; every division is the verified
+    // truncate-toward-zero // on both engines.
+    "q252b_waterfall_ppm" ->
+      """WITH p AS (
+        |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 AS is_a,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS u,
+        |         CAST(count(*) AS BIGINT) AS pp,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS r
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), a AS (SELECT u AS u1, pp AS p1, r AS r1 FROM p WHERE is_a),
+        |b AS (SELECT u AS u2, pp AS p2, r AS r2 FROM p WHERE NOT is_a),
+        |t AS (
+        |  SELECT u1, p1, r1, u2, p2, r2,
+        |         r2 - r1 AS delta_cents,
+        |         (u2 * 1000000) // u1 AS ru_ppm,
+        |         (p2 * 1000000) // p1 AS rp_ppm
+        |  FROM a CROSS JOIN b
+        |)
+        |SELECT u1, p1, r1, u2, p2, r2, delta_cents, ru_ppm, rp_ppm,
+        |       ((ru_ppm - 1000000) * r1) // 1000000 AS t_users,
+        |       ((rp_ppm - ru_ppm) * r1) // 1000000 AS t_freq,
+        |       r2 - (rp_ppm * r1) // 1000000 AS t_value,
+        |       delta_cents - ((ru_ppm - 1000000) * r1) // 1000000
+        |                   - ((rp_ppm - ru_ppm) * r1) // 1000000
+        |                   - (r2 - (rp_ppm * r1) // 1000000) AS residual_cents
+        |FROM t
         |ORDER BY u1""".stripMargin,
 
     "q251_churn_labels" ->

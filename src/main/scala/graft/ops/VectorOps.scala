@@ -190,6 +190,62 @@ object VectorOps {
            min(struct(col("__d2"), col("cell"))).as("__mc"))
       .select(col("vec_id"), col("v"), col("nrm"), col("__mc.cell").as("cell"))
 
+  /** Per-JVM registry of built IVFADC indexes (sf dir → index root).
+    * Each process builds the index exactly once on first touch —
+    * OVERWRITING any bits a previous process left, so a stale on-disk
+    * index can never leak across test-data regenerations — and every
+    * later touch (the query tier, a second bench run) reuses the
+    * stored files. The bits are deterministic (md5-coin kmeans), so
+    * rebuilds are idempotent.
+    */
+  private val ivfadcIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** BUILD tier of the stored IVFADC index (q262) — materializes the
+    * layout q261's composition previously only documented:
+    *
+    *  - `centroids/`  — the 10 IVF centroids (cell, cv, cn);
+    *  - `codebooks/`  — the 4 PQ codebooks, 64 rows (sub, cell, cv);
+    *  - `codes/`      — the corpus as 4-byte PQ codes (vec_id,
+    *    c0..c3 TINYINT), written `partitionBy(cell)` so the directory
+    *    structure IS the IVF index: a query lists only its nprobe cell
+    *    directories.
+    *
+    * At 100 TB this is the whole point of IVFADC: the index is
+    * n×(8+4) bytes however wide the embeddings are, the build is the
+    * audited q66/q259 substrate (broadcast centroids + one keyed
+    * argmin shuffle per relation, never quadratic), and the write's
+    * only shuffle is the cell-partitioned sink. Returns the index
+    * root.
+    */
+  def ensureIvfadcIndex(s: SparkSession, d: String): String =
+    ivfadcIdx.computeIfAbsent(d, _ => {
+      graft.functions.VectorKernels.ensureRegistered(s)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfadc_" + new java.io.File(d).getName).getAbsolutePath
+      val e64 = emb(s, d)
+      val cent10 = kmeansCentroids(e64, k = 10, iters = 4)
+      cent10.coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val subs = (0 until PQ_M).map { sb =>
+        val es = base.select(col("vec_id"),
+          expr(s"slice(v, ${PQ_D * sb + 1}, $PQ_D)").as("v"))
+          .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+        (es, kmeansCentroids(es, k = PQ_K, iters = PQ_ITERS))
+      }
+      subs.zipWithIndex.map { case ((_, cent), sb) =>
+        cent.select(lit(sb).as("sub"), col("cell"), col("cv"))
+      }.reduce(_ unionByName _).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/codebooks")
+      val codes = subs.zipWithIndex.map { case ((es, cent), sb) =>
+        assignCells(es, cent)
+          .select(col("vec_id"), col("cell").cast("byte").as(s"c$sb"))
+      }.reduce(_.join(_, "vec_id"))
+      assignCells(e64, cent10).select(col("vec_id"), col("cell"))
+        .join(codes, Seq("vec_id"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes")
+      root
+    })
+
   val queries: Map[String, Q] = Map(
     // Label-blocked near-duplicate pairs by cosine ≥ 0.35 — enumerated
     // through the chunked triangle join so a dominant label stays
@@ -788,6 +844,111 @@ object VectorOps {
         .agg(count(lit(1)).as("n_vecs"))
         .select(col("sig").cast("long").as("sig"), col("n_vecs"))
         .orderBy(col("sig"))
+    }),
+
+    // IVFADC index BUILD tier (round-9 split of q261): materializes
+    // centroids + codebooks + the corpus as 4-byte codes partitioned
+    // by IVF cell (see [[ensureIvfadcIndex]]), then audits the STORED
+    // bits — the census is computed by reading the codes parquet back,
+    // so what the oracle checks is the index a query would serve from,
+    // not an in-flight relation. Per cell: size and the four code-sum
+    // checksums (a wrong/stale code anywhere moves a sum). The DuckDB
+    // oracle replays the q66 cell chain + the q259 code chains and
+    // aggregates identically.
+    "q262_ivfadc_index_build" -> ((s, d) => {
+      val root = ensureIvfadcIndex(s, d)
+      s.read.parquet(s"$root/codes")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+             sum(col("c0").cast("long")).as("sum_c0"),
+             sum(col("c1").cast("long")).as("sum_c1"),
+             sum(col("c2").cast("long")).as("sum_c2"),
+             sum(col("c3").cast("long")).as("sum_c3"))
+        .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+                col("sum_c0"), col("sum_c1"), col("sum_c2"), col("sum_c3"))
+        .orderBy(col("cell"))
+    }),
+
+    // IVFADC QUERY tier (round-9 split of q261): serves top-5 ANN
+    // from the STORED index — proving the 100 TB query cost the
+    // composed q261 entry only documented. Per query: (1) the 10
+    // stored centroids (a 10-row parquet read) pick nprobe=4 cells;
+    // (2) candidates come from joining the cell-partitioned codes
+    // files against the broadcast probe list — the partition column
+    // is the join key, so only the probed cell directories are read
+    // (plan-pinned); (3) ADC ranks candidates from their 4-byte codes
+    // via four broadcast |Q|×16 lookup tables built from the stored
+    // codebooks (fixed-order d0+d1+d2+d3, the q260 argument); (4) the
+    // ONLY full-vector touch is the exact re-rank of the 50-deep
+    // shortlist, fetched by id through a broadcast join (≤50 vectors
+    // per query). No kmeans runs here — the chains live in the build
+    // tier. Oracle: replays the chains to reconstruct the identical
+    // stored bits, then the same probe/ADC/re-rank tail.
+    "q263_ivfadc_query" -> ((s, d) => {
+      graft.functions.VectorKernels.ensureRegistered(s)
+      val root = ensureIvfadcIndex(s, d)
+      val cent10 = s.read.parquet(s"$root/centroids")
+      val cbs = s.read.parquet(s"$root/codebooks")
+      val codes = s.read.parquet(s"$root/codes")
+      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      // q0 (5 rows) is referenced from many operators (probes, 4 dq
+      // tables, the re-rank, and the DPP subqueries the codes scans
+      // host) — localCheckpoint it so ONE embeddings probe-read serves
+      // every use. probes itself must stay a LAZY plan: its
+      // filter(pr <= 4) is the selective predicate Spark's
+      // partition-pruning rule looks for on the filtering side —
+      // checkpointing it into an opaque RDD kills the dynamic pruning
+      // (measured: the codes scan reverts to reading every cell).
+      val q0 = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
+        .localCheckpoint(true)
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+      val probes = broadcast(q0.crossJoin(broadcast(cent10))
+        .withColumn("ccos", dot("qv", "cv") / (col("qn") * col("cn")))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= 4)
+        .select(col("q_id"), col("cell")))
+      val cand0 = codes.join(probes, Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+      val dqs = (0 until PQ_M).map { sb =>
+        broadcast(q0.select(col("q_id"),
+            expr(s"slice(qv, ${PQ_D * sb + 1}, $PQ_D)").as("qs"))
+          .crossJoin(broadcast(cbs.filter(col("sub") === sb)
+            .select(col("cell").cast("byte").as(s"c$sb"), col("cv"))))
+          .select(col("q_id"), col(s"c$sb"),
+            expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cv) + graft_dot(cv, cv)")
+              .as(s"d$sb")))
+      }
+      // n_cand rides the SAME q_id partitioning as the ADC rank (a
+      // count window below the rank window — the shared exchange is
+      // reused and the codes files are scanned exactly once); the
+      // rn <= 50 filter still inserts its WindowGroupLimit prune
+      // between the two window operators, so the count stays over the
+      // full candidate set while the sort-rank keeps a bounded heap
+      // (both plan-pinned in PlanAuditSpec).
+      val wAll = Window.partitionBy(col("q_id"))
+      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("id2"))
+      val short50 = cand0.join(dqs(0), Seq("q_id", "c0"))
+        .join(dqs(1), Seq("q_id", "c1"))
+        .join(dqs(2), Seq("q_id", "c2"))
+        .join(dqs(3), Seq("q_id", "c3"))
+        .select(col("q_id"), col("vec_id").as("id2"),
+          expr("d0 + d1 + d2 + d3").as("adc"))
+        .withColumn("n_cand", count(lit(1)).over(wAll))
+        .withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= 50).select(col("q_id"), col("id2"), col("n_cand"))
+      val qq = broadcast(q0.withColumn("qq", expr("graft_dot(qv, qv)")))
+      val c = base.select(col("vec_id").as("id2"), col("v").as("v2"))
+      val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id2"))
+      c.join(broadcast(short50.join(qq, Seq("q_id"))), Seq("id2"))
+        .withColumn("d2",
+          expr("qq - 2 * graft_dot(qv, v2) + graft_dot(v2, v2)"))
+        .withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("n_cand"), col("rn"),
+                col("id2").as("neighbor_id"), round(col("d2"), 4).as("l2_4"))
+        .orderBy(col("q_id"), col("rn"))
     })
   )
 
@@ -1405,7 +1566,95 @@ object VectorOps {
          |  FROM dt JOIN vn n1 ON dt.q_id = n1.vec_id
          |          JOIN vn n2 ON dt.id2 = n2.vec_id)
          |SELECT q_id, rn, id2 AS neighbor_id, round(cos, 4) AS cos_sim
-         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    // IVFADC build tier: the stored-codes census — the q66 cell chain
+    // (g5) crossed with the q259 code chains (s{sb}gf), aggregated per
+    // cell with code-sum checksums. What Spark reads back from the
+    // partitioned parquet must equal this replay bit-for-bit.
+    "q262_ivfadc_index_build" ->
+      s"""WITH $eCteBody,
+         |$ivfChainBody,
+         |$pqChainBody,
+         |codes AS (
+         |  SELECT g0.vec_id, g0.cell AS c0, g1.cell AS c1,
+         |         g2.cell AS c2, g3.cell AS c3
+         |  FROM s0gf g0 JOIN s1gf g1 USING (vec_id)
+         |       JOIN s2gf g2 USING (vec_id) JOIN s3gf g3 USING (vec_id)
+         |)
+         |SELECT CAST(g5.cell AS BIGINT) AS cell,
+         |       CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(codes.c0) AS BIGINT) AS sum_c0,
+         |       CAST(sum(codes.c1) AS BIGINT) AS sum_c1,
+         |       CAST(sum(codes.c2) AS BIGINT) AS sum_c2,
+         |       CAST(sum(codes.c3) AS BIGINT) AS sum_c3
+         |FROM g5 JOIN codes USING (vec_id)
+         |GROUP BY 1 ORDER BY cell""".stripMargin,
+
+    // IVFADC query tier: the chains reconstruct the identical stored
+    // bits (centroids, codes, codebooks), then q261's probe/ADC tail
+    // runs to the actual retrieval result — per-rank rows with the
+    // exact re-ranked L2, instead of q261's recall summary.
+    "q263_ivfadc_query" ->
+      s"""WITH $eCteBody,
+         |$ivfChainBody,
+         |$pqChainBody,
+         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY 1),
+         |cnn AS (SELECT cell, sqrt(sum(cv*cv)) AS cn FROM c4 GROUP BY 1),
+         |ccos AS (
+         |  SELECT e.vec_id AS q_id, c.cell, sum(e.v * c.cv) AS dot
+         |  FROM e JOIN c4 c ON e.i = c.i WHERE e.vec_id < 5 GROUP BY 1, 2
+         |), pr AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT ccos.q_id, ccos.cell, row_number() OVER (
+         |        PARTITION BY ccos.q_id
+         |        ORDER BY ccos.dot/(nq.nrm*cnn.cn) DESC, ccos.cell) AS pr
+         |    FROM ccos JOIN vn nq ON ccos.q_id = nq.vec_id
+         |              JOIN cnn ON ccos.cell = cnn.cell)
+         |  WHERE pr <= 4
+         |), codes AS (
+         |  SELECT g0.vec_id, g0.cell AS c0, g1.cell AS c1,
+         |         g2.cell AS c2, g3.cell AS c3
+         |  FROM s0gf g0 JOIN s1gf g1 USING (vec_id)
+         |       JOIN s2gf g2 USING (vec_id) JOIN s3gf g3 USING (vec_id)
+         |), cand0 AS (
+         |  SELECT pr.q_id, g5.vec_id FROM pr JOIN g5 ON pr.cell = g5.cell
+         |  WHERE g5.vec_id <> pr.q_id
+         |), nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+         |          FROM cand0 GROUP BY 1),
+         |cand AS (
+         |  SELECT cd.q_id, cd.vec_id AS id2,
+         |         d0.d + d1.d + d2.d + d3.d AS adc
+         |  FROM cand0 cd JOIN codes ON cd.vec_id = codes.vec_id
+         |  JOIN s0dq d0 ON d0.q_id = cd.q_id AND codes.c0 = d0.cell
+         |  JOIN s1dq d1 ON d1.q_id = cd.q_id AND codes.c1 = d1.cell
+         |  JOIN s2dq d2 ON d2.q_id = cd.q_id AND codes.c2 = d2.cell
+         |  JOIN s3dq d3 ON d3.q_id = cd.q_id AND codes.c3 = d3.cell
+         |), tr50 AS (
+         |  SELECT q_id, id2 FROM (
+         |    SELECT q_id, id2, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc, id2) AS rn FROM cand)
+         |  WHERE rn <= 50
+         |), sq AS (SELECT vec_id, sum(v*v) AS s FROM e GROUP BY 1),
+         |dt AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS id2, sum(a.v*b.v) AS dot
+         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 5
+         |                    AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2
+         |), trr AS (
+         |  SELECT q_id, id2, d2, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY d2, id2) AS rn
+         |  FROM (
+         |    SELECT dt.q_id, dt.id2, sa.s - 2*dt.dot + sb.s AS d2
+         |    FROM tr50 JOIN dt ON tr50.q_id = dt.q_id AND tr50.id2 = dt.id2
+         |         JOIN sq sa ON dt.q_id = sa.vec_id
+         |         JOIN sq sb ON dt.id2 = sb.vec_id)
+         |)
+         |SELECT trr.q_id, nc.n_cand, trr.rn, trr.id2 AS neighbor_id,
+         |       round(trr.d2, 4) AS l2_4
+         |FROM trr JOIN nc ON trr.q_id = nc.q_id
+         |WHERE trr.rn <= 5
+         |ORDER BY trr.q_id, trr.rn""".stripMargin
     // q255_compression_gate is the one remaining spec-only entry:
     // DEFLATE output length is genuinely not SQL-expressible.
   )

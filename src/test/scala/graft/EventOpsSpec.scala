@@ -569,6 +569,34 @@ class EventOpsSpec extends SparkSpec {
     assert(math.abs(r.getLong(10)) <= 3L, s"residual ${r.getLong(10)}")
   }
 
+  test("ppm waterfall: terms recomputed, ppm quantization cancels, 3-cent bound holds (q252b)") {
+    val exact = EventOps.queries("q252_metric_waterfall")(spark, sf001).collect().head
+    val r = EventOps.queries("q252b_waterfall_ppm")(spark, sf001).collect().head
+    // identical period rollups
+    (0 to 6).foreach(i => assert(r.getLong(i) === exact.getLong(i)))
+    val (u1, p1, r1) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (u2, p2, r2) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    val ru = u2 * 1000000L / u1
+    val rp = p2 * 1000000L / p1
+    assert(r.getLong(7) === ru && r.getLong(8) === rp)
+    assert(r.getLong(9) === (ru - 1000000L) * r1 / 1000000L)
+    assert(r.getLong(10) === (rp - ru) * r1 / 1000000L)
+    assert(r.getLong(11) === r2 - rp * r1 / 1000000L)
+    assert(r.getLong(12) ===
+      r.getLong(6) - r.getLong(9) - r.getLong(10) - r.getLong(11))
+    // ru and rp cancel algebraically in the pre-floor sum (T1+T2+T3 =
+    // r2−r1 for ANY quantized ru/rp), so the ppm quantization
+    // contributes nothing — only the three final /1e6 floorings do:
+    // the production tier keeps the exact tier's 3-cent bound
+    assert(math.abs(r.getLong(12)) <= 3L, s"residual ${r.getLong(12)}")
+    // and the ppm terms track the exact tier within its quantization
+    // grain (1 ppm of r1 per ratio image, plus the flooring cents)
+    val grain = r1 / 1000000L + 2L
+    assert(math.abs(r.getLong(9) - exact.getLong(7)) <= 2L * grain)
+    assert(math.abs(r.getLong(10) - exact.getLong(8)) <= 2L * grain)
+    assert(math.abs(r.getLong(11) - exact.getLong(9)) <= 2L * grain)
+  }
+
   test("capture-recapture: sample replay matches, estimator brackets sanity (q244)") {
     val rows = EventOps.queries("q244_capture_recapture")(spark, sf001).collect()
     def h8(sc: String): Long = {

@@ -718,6 +718,36 @@ class PlanAuditSpec extends SparkSpec {
       s"q258 must shuffle only sig-keyed partials; found ${hashed.map(hashKeys)}")
   }
 
+  test("ivfadc query tier reads only probed cell partitions, via dynamic pruning (q263)") {
+    // The load-bearing 100 TB claim of the stored-index split: the
+    // codes files are partitioned by cell and the probe join key IS
+    // the partition column, so Spark inserts a dynamic-partition-
+    // pruning filter on every codes scan — the query lists nprobe
+    // cell directories, not the corpus.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = physical("q263_ivfadc_query").collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_ivfadc")) &&
+           f.relation.location.rootPaths.exists(_.toString.contains("codes")) => f
+    }
+    assert(scans.nonEmpty, "expected scans of the stored codes files")
+    scans.foreach(f => assert(
+      f.partitionFilters.exists(_.toString.contains("dynamicpruning")),
+      s"codes scan must carry a dynamic partition-pruning filter; got ${f.partitionFilters}"))
+  }
+
+  test("adc shortlists plan a WindowGroupLimit prune, not a full sort-rank (q260/q261/q263)") {
+    // The rn <= 50 / rn <= 5 shortlist filters must push into the
+    // window as a group-limit (each task keeps a bounded heap per
+    // query instead of rank-numbering every candidate) — the claim
+    // the ADC entries' comments argue, pinned here.
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    Seq("q260_pq_adc_recall", "q261_ivfadc_recall", "q263_ivfadc_query").foreach { qn =>
+      val limits = physical(qn).collect { case w: WindowGroupLimitExec => w }
+      assert(limits.nonEmpty, s"$qn: expected a WindowGroupLimit prune")
+    }
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would

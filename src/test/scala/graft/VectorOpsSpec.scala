@@ -386,19 +386,109 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
-  test("ivfadc: pruning real, bounds hold, rerank dominates raw adc (q261)") {
+  /** Driver recompute of the IVF probe step at sf0.001: for each query
+    * vec_id < 5, the nprobe=4 probed cells and the EXACT expected
+    * candidate count (sum of probed cells' sizes, minus the query's own
+    * row when its home cell is probed). The dot is accumulated
+    * left-to-right like graft_dot, so the ranking replays the engine's
+    * arithmetic, not an approximation of it. Shared by the q261 and
+    * q263 scan-count audits — an exact equality instead of the old
+    * strict-subset inequality, which was data-dependent (round-8
+    * advisor finding: 4 probed cells covering the whole corpus would
+    * have failed a correctly-behaving query).
+    */
+  private lazy val expectedIvfScan: Map[Long, Long] = {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val e = T.embeddings(spark, sf001)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val cent = VectorOps.kmeansCentroids(e, k = 10, iters = 4)
+    val corpus = VectorOps.assignCells(e, cent)
+    val cellSize = corpus.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cents = cent.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def dotLR(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    corpus.filter(col("vec_id") < 5).collect().map { r =>
+      // raw vectors are array<float>: widen per element, exactly what
+      // the graft_dot kernel does before accumulating
+      val q = r.getLong(0)
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      val qn = r.getDouble(2); val home = r.getInt(3)
+      val probed = cents
+        .map { case (cell, cv, cn) => (dotLR(qv, cv) / (qn * cn), cell) }
+        .sortBy { case (cos, cell) => (-cos, cell) }
+        .take(4).map(_._2).toSet
+      val n = probed.toSeq.map(c => cellSize.getOrElse(c, 0L)).sum -
+        (if (probed(home)) 1L else 0L)
+      q -> n
+    }.toMap
+  }
+
+  test("ivfadc: scan count exact, bounds hold, rerank dominates raw adc (q261)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     val rows = VectorOps.queries("q261_ivfadc_recall")(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
-    val n = T.embeddings(spark, sf001).count()
     assert(rows.map(_._1).toSeq === (0L to 4L))
     rows.foreach { case (q, nc, na, ra, nr, rr) =>
-      assert(nc > 0L && nc < n, s"query $q must scan a strict subset ($nc of $n)")
+      assert(nc === expectedIvfScan(q),
+        s"query $q scanned $nc, probe replay expects ${expectedIvfScan(q)}")
       assert(na >= 0L && na <= 5L && nr >= 0L && nr <= 5L)
       assert(ra === na * 2000 && rr === nr * 2000)
       assert(nr >= na, s"query $q: rerank overlap $nr < raw ADC overlap $na")
     }
+  }
+
+  test("ivfadc build tier: stored census conserves the corpus and matches the live substrate (q262)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val rows = VectorOps.queries("q262_ivfadc_index_build")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    val n = T.embeddings(spark, sf001).count()
+    assert(rows.map(_._2).sum === n, "every corpus vector stored exactly once")
+    rows.foreach { case (cell, nv, sums) =>
+      assert(nv > 0L, s"cell $cell written empty")
+      // codes are 1..16, so each checksum is bracketed by the cell size
+      sums.foreach(sm => assert(sm >= nv && sm <= 16L * nv,
+        s"cell $cell code checksum $sm outside [$nv, ${16 * nv}]"))
+    }
+    // the stored layout really is partitioned by cell: one directory
+    // per census row — the structure the query tier's pruning reads
+    val root = VectorOps.ensureIvfadcIndex(spark, sf001)
+    val dirs = new java.io.File(s"$root/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.getName.stripPrefix("cell=").toLong).toSet
+    assert(dirs === rows.map(_._1).toSet)
+    // per-cell sizes agree with the live q257 substrate census
+    val live = VectorOps.queries("q257_ivf_cell_audit")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (cell, nv, _) => assert(live(cell) === nv) }
+  }
+
+  test("ivfadc query tier: serves from the stored index, exact scan counts, deterministic (q263)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val rows = VectorOps.queries("q263_ivfadc_query")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).distinct.sorted.toSeq === (0L to 4L))
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val byRank = g.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq === (1 to 5), s"query $q ranks must be 1..5")
+      // exact candidate count from the probe replay — q261's audit
+      assert(g.head._2 === expectedIvfScan(q))
+      // re-ranked L2 is nondecreasing in rank
+      val d = byRank.map(_._5)
+      assert(d.zip(d.tail).forall { case (x, y) => x <= y },
+        s"query $q: re-ranked L2 must be nondecreasing, got ${d.mkString(",")}")
+      assert(!byRank.map(_._4).contains(q), s"query $q returned itself")
+    }
+    // a second serve from the already-built index returns identical rows
+    val again = VectorOps.queries("q263_ivfadc_query")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(again.toSeq === rows.toSeq)
   }
 
   test("lsh bucket audit conserves the corpus and stays in the 8-bit domain (q258)") {
