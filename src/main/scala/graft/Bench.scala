@@ -10,18 +10,37 @@ object Bench {
       .map(v => v.toIntOption.filter(_ >= 1).getOrElse(
         sys.error(s"SPARK_GRAFT_BENCH_RUNS must be a positive integer, got '$v'")))
       .getOrElse(2)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, parquet footers, shuffle machinery) so
-    // the first timed query doesn't absorb startup cost.
-    SparkEntry.entry(spark).count()
+    // Session recycling (round-9): a single long-lived SparkContext
+    // accumulates state across hundreds of queries — AQE stage
+    // registries, listener-bus backlog, accumulator tables — and the
+    // round-5 "Bench noise envelope" measurements plus the round-8
+    // driver-vs-builder gap (334 s vs 238.5 s at the same HEAD) pin
+    // 3-6x per-query inflation on that buildup. Tearing the session
+    // down every RECYCLE queries resets the SQL/context state while
+    // keeping the JVM (and its JIT-compiled code) warm; each fresh
+    // session is re-warmed with the untimed entry query so the first
+    // timed query after a recycle doesn't absorb startup cost.
+    val recycleN = sys.env.get("SPARK_GRAFT_BENCH_RECYCLE")
+      .map(v => v.toIntOption.filter(_ >= 1).getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_RECYCLE must be a positive integer, got '$v'")))
+      .getOrElse(32)
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // Warm the session (codegen, parquet footers, shuffle machinery)
+      // so the first timed query doesn't absorb startup cost.
+      SparkEntry.entry(s).count()
+      s
+    }
+    var spark = newSession()
+    var sinceRecycle = 0
     // noop write forces full computation of every output column —
     // count() lets Catalyst prune projections, understating queries
     // whose cost IS the projection (hashes, regex, string fns). Each
@@ -33,6 +52,12 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     val results = selected.map { case (name, fn) =>
+      if (sinceRecycle >= recycleN) {
+        spark.stop()
+        spark = newSession()
+        sinceRecycle = 0
+      }
+      sinceRecycle += 1
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomKit, DotProduct, VectorKernels}
+import graft.functions.{BloomKit, DotProduct, VecSub, VectorKernels}
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // path) so SQL like graft_dot(v) fails analysis with the expected
       // signature, not an IndexOutOfBoundsException.
       (exprs: Seq[Expression]) => VectorKernels.dotBuilder(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sub"),
+      new ExpressionInfo(classOf[VecSub].getName, "graft_sub"),
+      (exprs: Seq[Expression]) => VectorKernels.subBuilder(exprs)))
     // Bloom build/probe (the runtime-filter machinery as a user
     // surface — BloomKit's scaladoc has the scale argument; q142 the
     // catalog application).

@@ -74,6 +74,70 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Element-wise vector subtraction, codegen'd (round-9, for the
+  * residual-encoded IVFADC tier q264): the residual r = v − c(v) is
+  * computed for EVERY corpus vector, and the higher-order
+  * `zip_with(a, b, (x, y) -> x - y)` form interprets its lambda per
+  * row (CodegenFallback — the measured CLAUDE.md trap). This generates
+  * the primitive loop; elements widen to double exactly like
+  * [[DotProduct]], so `graft_dot(graft_sub(a,c), graft_sub(b,c))` is
+  * bit-identical to the oracle's `sum((a.v-c.cv)*(b.v-c.cv))` algebra
+  * up to the shared argmin-margin argument.
+  */
+case class VecSub(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sub expects array<float|double> inputs, got ${left.dataType} and ${right.dataType}")
+
+  @transient private lazy val leftFloat = elemType(left).contains(FloatType)
+  @transient private lazy val rightFloat = elemType(right).contains(FloatType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      out(i) = x - y
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val arr = ctx.freshName("arr")
+      val getA = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double[] $arr = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $arr[$i] = $getA - $getB;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecSub =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorKernels {
   /** Arity-checked builder shared with GraftExtensions: wrong-arity SQL
     * (graft_dot(v), graft_dot()) fails analysis with the expected
@@ -86,8 +150,18 @@ object VectorKernels {
     DotProduct(exprs(0), exprs(1))
   }
 
+  def subBuilder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_sub(array<float>, array<float>) takes exactly 2 arguments, got ${exprs.length}")
+    VecSub(exprs(0), exprs(1))
+  }
+
   /** Idempotently register the SQL-facing kernel names on a session. */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sub", subBuilder, "built-in")
+  }
 }

@@ -949,6 +949,104 @@ object VectorOps {
         .select(col("q_id"), col("n_cand"), col("rn"),
                 col("id2").as("neighbor_id"), round(col("d2"), 4).as("l2_4"))
         .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // Residual-encoded IVFADC (round-9 reach): the FAITHFUL FAISS
+    // IVFADC — the PQ codes encode r = v − centroid(cell(v)), not the
+    // raw vector, so the 16-way codebooks spend their bits on the part
+    // of the vector the IVF tier hasn't already explained (the Jégou/
+    // Douze/Schmid construction every production FAISS index ships;
+    // q261 stays as the raw-encoding ablation next to it). Same
+    // probe → ADC → exact-re-rank layout; what changes: (1) the
+    // corpus-wide residual runs through the codegen'd graft_sub kernel
+    // (a zip_with lambda would interpret per corpus row — the measured
+    // CLAUDE.md HOF trap); (2) the query distance tables are per
+    // (query, PROBED CELL) — the query's residual wrt each probed
+    // centroid — |Q|·nprobe·16 rows per subspace, still broadcast.
+    // The residual relation is a pure function of the audited chains,
+    // so the whole tier is FULLY oracle-checked like its siblings.
+    "q264_ivfadc_residual" -> ((s, d) => {
+      graft.functions.VectorKernels.ensureRegistered(s)
+      val e64 = emb(s, d)
+      val cent10 = kmeansCentroids(e64, k = 10, iters = 4)
+      val corpus = assignCells(e64, cent10)
+      val q0 = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+      val probes = broadcast(q0.crossJoin(broadcast(cent10))
+        .withColumn("ccos", dot("qv", "cv") / (col("qn") * col("cn")))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= 4)
+        .select(col("q_id"), col("qv"), col("cell"), col("cv")))
+      // materialize the residual relation ONCE: every residual chain
+      // iteration and every code assignment consumes it, and without
+      // the checkpoint each consumer re-runs the IVF argmin shuffle
+      // (measured 9.6 → ~6 s at sf0.1). The production posture is the
+      // same: residuals are written once before codebook training.
+      val resid = corpus
+        .join(broadcast(cent10.select(col("cell"), col("cv"))), Seq("cell"))
+        .select(col("vec_id"), expr("graft_sub(v, cv)").as("r"))
+        .localCheckpoint(true)
+      val subs = (0 until PQ_M).map { sb =>
+        val rs = resid.select(col("vec_id"),
+          expr(s"slice(r, ${PQ_D * sb + 1}, $PQ_D)").as("v"))
+          .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+        (rs, kmeansCentroids(rs, k = PQ_K, iters = PQ_ITERS))
+      }
+      val codes = subs.zipWithIndex.map { case ((rs, cbr), sb) =>
+        assignCells(rs, cbr).select(col("vec_id"), col("cell").as(s"c$sb"))
+      }.reduce(_.join(_, "vec_id"))
+      val rdqs = subs.zipWithIndex.map { case ((_, cbr), sb) =>
+        broadcast(probes
+          .select(col("q_id"), col("cell"),
+            expr(s"slice(graft_sub(qv, cv), ${PQ_D * sb + 1}, $PQ_D)").as("qs"))
+          .crossJoin(broadcast(cbr.select(col("cell").as(s"c$sb"), col("cv").as("cw"))))
+          .select(col("q_id"), col("cell"), col(s"c$sb"),
+            expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cw) + graft_dot(cw, cw)")
+              .as(s"d$sb")))
+      }
+      val cand0 = corpus.select(col("vec_id"), col("cell"))
+        .join(probes.select(col("q_id"), col("cell")), Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+      val nCand = cand0.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+      val cand = cand0.join(codes, Seq("vec_id"))
+        .join(rdqs(0), Seq("q_id", "cell", "c0"))
+        .join(rdqs(1), Seq("q_id", "cell", "c1"))
+        .join(rdqs(2), Seq("q_id", "cell", "c2"))
+        .join(rdqs(3), Seq("q_id", "cell", "c3"))
+        .select(col("q_id"), col("vec_id").as("id2"),
+          expr("d0 + d1 + d2 + d3").as("adc"))
+      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("id2"))
+      val ranked = cand.withColumn("rn", row_number().over(wAdc))
+      val topAdc = ranked.filter(col("rn") <= 5).select(col("q_id"), col("id2"))
+      val short50 = ranked.filter(col("rn") <= 50).select(col("q_id"), col("id2"))
+      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val ef = base.withColumn("sq", expr("graft_dot(v, v)"))
+      val q = broadcast(ef.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv2"), col("sq").as("qq")))
+      val c = ef.select(col("vec_id").as("id2"), col("v").as("v2"), col("sq").as("s2"))
+      val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id2"))
+      val topEx = q.join(c, col("q_id") =!= col("id2"))
+        .withColumn("d2", expr("qq - 2 * graft_dot(qv2, v2) + s2"))
+        .withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") <= 5)
+        .select(col("q_id").as("fq"), col("id2").as("fid"))
+      val rerank = c.join(broadcast(short50.join(broadcast(q), Seq("q_id"))),
+          Seq("id2"))
+        .withColumn("d2", expr("qq - 2 * graft_dot(qv2, v2) + s2"))
+        .withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") <= 5).select(col("q_id"), col("id2"))
+      def overlap(top: DataFrame, n: String) =
+        top.join(broadcast(topEx),
+            col("q_id") === col("fq") && col("id2") === col("fid"), "left")
+          .groupBy(col("q_id")).agg(count(col("fid")).as(n))
+      nCand.join(overlap(topAdc, "n_overlap_adc"), Seq("q_id"))
+        .join(overlap(rerank, "n_overlap_rerank"), Seq("q_id"))
+        .select(col("q_id"), col("n_cand"),
+          col("n_overlap_adc"), (col("n_overlap_adc") * 2000).as("recall_adc_bp"),
+          col("n_overlap_rerank"),
+          (col("n_overlap_rerank") * 2000).as("recall_rerank_bp"))
+        .orderBy(col("q_id"))
     })
   )
 
@@ -977,7 +1075,7 @@ object VectorOps {
        |), u$n AS (
        |  SELECT g.cell, e.i, avg(e.v) AS cv
        |  FROM g$n g JOIN e ON g.vec_id = e.vec_id GROUP BY 1, 2
-       |), c$n AS (
+       |), c$n AS MATERIALIZED (
        |  SELECT p.cell, p.i, coalesce(u.cv, p.cv) AS cv
        |  FROM $prev p LEFT JOIN u$n u ON p.cell = u.cell AND p.i = u.i
        |)""".stripMargin
@@ -987,7 +1085,7 @@ object VectorOps {
     * oracles that compose chains.
     */
   private val eCteBody: String =
-    """e AS (
+    """e AS MATERIALIZED (
       |  SELECT vec_id, generate_subscripts(embedding,1) AS i,
       |         CAST(unnest(embedding) AS DOUBLE) AS v
       |  FROM embeddings
@@ -997,12 +1095,12 @@ object VectorOps {
     * (c1..c4), final corpus assignment (g5).
     */
   private lazy val ivfChainBody: String =
-    s"""init AS (
+    s"""init AS MATERIALIZED (
        |  SELECT vec_id, row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
        |  FROM embeddings
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10
-       |), c0 AS (
+       |), c0 AS MATERIALIZED (
        |  SELECT init.cell, e.i, e.v AS cv FROM init JOIN e USING (vec_id)
        |),
        |${(1 to 4).map(ivfIterSql).mkString(",\n")},
@@ -1010,7 +1108,7 @@ object VectorOps {
        |  SELECT e.vec_id, c.cell,
        |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
        |  FROM e JOIN c4 c ON e.i = c.i GROUP BY 1, 2
-       |), g5 AS (
+       |), g5 AS MATERIALIZED (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (
        |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
@@ -1031,15 +1129,26 @@ object VectorOps {
     * subspace's dims automatically; only the update aggregation needs
     * an explicit range filter (its join is on vec_id).
     */
-  private def pqChainSql(sb: Int): String = {
+  private def pqChainSql(sb: Int): String = pqChainSqlFrom(sb, "e", "s")
+
+  /** Same chain parameterized over the SOURCE exploded relation and a
+    * CTE prefix (round-9): the residual-encoded tier (q264) replays
+    * the identical Lloyd algebra over `er` (the residual relation)
+    * under prefix `r`, sharing init16's md5 seed ORDER while the seed
+    * VECTORS come from the source relation. The per-source dq CTE is
+    * only meaningful for raw-vector chains (a residual query distance
+    * is per PROBED CELL, built separately in q264's oracle); it is
+    * simply never referenced there.
+    */
+  private def pqChainSqlFrom(sb: Int, src: String, pfx: String): String = {
     val lo = PQ_D * sb + 1; val hi = PQ_D * (sb + 1)
-    val p = s"s$sb"
+    val p = s"$pfx$sb"
     def iter(n: Int): String = {
       val prev = s"${p}c${n - 1}"
       s"""${p}a$n AS (
          |  SELECT e.vec_id, c.cell,
          |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
-         |  FROM e JOIN $prev c ON e.i = c.i GROUP BY 1, 2
+         |  FROM $src e JOIN $prev c ON e.i = c.i GROUP BY 1, 2
          |), ${p}g$n AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell, row_number() OVER (
@@ -1047,24 +1156,24 @@ object VectorOps {
          |    FROM ${p}a$n) WHERE rn = 1
          |), ${p}u$n AS (
          |  SELECT g.cell, e.i, avg(e.v) AS cv
-         |  FROM ${p}g$n g JOIN e ON g.vec_id = e.vec_id
+         |  FROM ${p}g$n g JOIN $src e ON g.vec_id = e.vec_id
          |  WHERE e.i BETWEEN $lo AND $hi GROUP BY 1, 2
-         |), ${p}c$n AS (
+         |), ${p}c$n AS MATERIALIZED (
          |  SELECT pp.cell, pp.i, coalesce(u.cv, pp.cv) AS cv
          |  FROM $prev pp LEFT JOIN ${p}u$n u ON pp.cell = u.cell AND pp.i = u.i
          |)""".stripMargin
     }
-    s"""${p}c0 AS (
+    s"""${p}c0 AS MATERIALIZED (
        |  SELECT init16.cell, e.i, e.v AS cv
-       |  FROM init16 JOIN e USING (vec_id)
+       |  FROM init16 JOIN $src e USING (vec_id)
        |  WHERE e.i BETWEEN $lo AND $hi
        |),
        |${(1 to PQ_ITERS).map(iter).mkString(",\n")},
        |${p}af AS (
        |  SELECT e.vec_id, c.cell,
        |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
-       |  FROM e JOIN ${p}c$PQ_ITERS c ON e.i = c.i GROUP BY 1, 2
-       |), ${p}gf AS (
+       |  FROM $src e JOIN ${p}c$PQ_ITERS c ON e.i = c.i GROUP BY 1, 2
+       |), ${p}gf AS MATERIALIZED (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (
        |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
@@ -1072,19 +1181,26 @@ object VectorOps {
        |), ${p}dq AS (
        |  SELECT e.vec_id AS q_id, c.cell,
        |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d
-       |  FROM e JOIN ${p}c$PQ_ITERS c ON e.i = c.i
+       |  FROM $src e JOIN ${p}c$PQ_ITERS c ON e.i = c.i
        |  WHERE e.vec_id < 5 GROUP BY 1, 2
        |)""".stripMargin
   }
 
-  /** All PQ_M subspace chain bodies (no WITH, no e). */
-  private lazy val pqChainBody: String =
-    s"""init16 AS (
+  /** The shared md5-coin seed ORDER for every 16-codeword chain (raw
+    * and residual tiers pick their seed VECTORS from their own source
+    * relation, but the seed ids are one deterministic draw).
+    */
+  private lazy val init16Cte: String =
+    s"""init16 AS MATERIALIZED (
        |  SELECT vec_id, row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
        |  FROM embeddings
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PQ_K
-       |),
+       |)""".stripMargin
+
+  /** All PQ_M subspace chain bodies (no WITH, no e). */
+  private lazy val pqChainBody: String =
+    s"""$init16Cte,
        |${(0 until PQ_M).map(pqChainSql).mkString(",\n")}""".stripMargin
 
   /** All PQ_M subspace chains plus the shared exploded/init prefix. */
@@ -1654,7 +1770,109 @@ object VectorOps {
          |       round(trr.d2, 4) AS l2_4
          |FROM trr JOIN nc ON trr.q_id = nc.q_id
          |WHERE trr.rn <= 5
-         |ORDER BY trr.q_id, trr.rn""".stripMargin
+         |ORDER BY trr.q_id, trr.rn""".stripMargin,
+
+    // Residual IVFADC: the residual relation er is a pure function of
+    // the replayed IVF chain; the residual PQ chains reuse the SAME
+    // parameterized Lloyd template over er; the query distance tables
+    // are per probed cell (qr = query residual wrt that centroid).
+    "q264_ivfadc_residual" ->
+      s"""WITH $eCteBody,
+         |$ivfChainBody,
+         |er AS MATERIALIZED (
+         |  SELECT e.vec_id, e.i, e.v - c.cv AS v
+         |  FROM e JOIN g5 USING (vec_id)
+         |       JOIN c4 c ON c.cell = g5.cell AND c.i = e.i
+         |),
+         |$init16Cte,
+         |${(0 until PQ_M).map(sb => pqChainSqlFrom(sb, "er", "r")).mkString(",\n")},
+         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY 1),
+         |cnn AS (SELECT cell, sqrt(sum(cv*cv)) AS cn FROM c4 GROUP BY 1),
+         |ccos AS (
+         |  SELECT e.vec_id AS q_id, c.cell, sum(e.v * c.cv) AS dot
+         |  FROM e JOIN c4 c ON e.i = c.i WHERE e.vec_id < 5 GROUP BY 1, 2
+         |), pr AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT ccos.q_id, ccos.cell, row_number() OVER (
+         |        PARTITION BY ccos.q_id
+         |        ORDER BY ccos.dot/(nq.nrm*cnn.cn) DESC, ccos.cell) AS pr
+         |    FROM ccos JOIN vn nq ON ccos.q_id = nq.vec_id
+         |              JOIN cnn ON ccos.cell = cnn.cell)
+         |  WHERE pr <= 4
+         |), qr AS MATERIALIZED (
+         |  SELECT pr.q_id, pr.cell, e.i, e.v - c.cv AS v
+         |  FROM pr JOIN e ON e.vec_id = pr.q_id
+         |       JOIN c4 c ON c.cell = pr.cell AND c.i = e.i
+         |),
+         |${(0 until PQ_M).map(sb =>
+             s"""rdq$sb AS (
+                |  SELECT qr.q_id, qr.cell, c.cell AS code,
+                |         sum(qr.v*qr.v) - 2*sum(qr.v*c.cv) + sum(c.cv*c.cv) AS d
+                |  FROM qr JOIN r${sb}c$PQ_ITERS c ON qr.i = c.i
+                |  GROUP BY 1, 2, 3
+                |)""".stripMargin).mkString(",\n")},
+         |codes AS (
+         |  SELECT g0.vec_id, g0.cell AS c0, g1.cell AS c1,
+         |         g2.cell AS c2, g3.cell AS c3
+         |  FROM r0gf g0 JOIN r1gf g1 USING (vec_id)
+         |       JOIN r2gf g2 USING (vec_id) JOIN r3gf g3 USING (vec_id)
+         |), cand0 AS (
+         |  SELECT pr.q_id, g5.vec_id, g5.cell
+         |  FROM pr JOIN g5 ON pr.cell = g5.cell
+         |  WHERE g5.vec_id <> pr.q_id
+         |), nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+         |          FROM cand0 GROUP BY 1),
+         |cand AS (
+         |  SELECT cd.q_id, cd.vec_id AS id2,
+         |         d0.d + d1.d + d2.d + d3.d AS adc
+         |  FROM cand0 cd JOIN codes ON cd.vec_id = codes.vec_id
+         |  JOIN rdq0 d0 ON d0.q_id = cd.q_id AND d0.cell = cd.cell AND codes.c0 = d0.code
+         |  JOIN rdq1 d1 ON d1.q_id = cd.q_id AND d1.cell = cd.cell AND codes.c1 = d1.code
+         |  JOIN rdq2 d2 ON d2.q_id = cd.q_id AND d2.cell = cd.cell AND codes.c2 = d2.code
+         |  JOIN rdq3 d3 ON d3.q_id = cd.q_id AND d3.cell = cd.cell AND codes.c3 = d3.code
+         |), rk AS (
+         |  SELECT q_id, id2, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, id2) AS rn FROM cand
+         |), ta AS (SELECT q_id, id2 FROM rk WHERE rn <= 5),
+         |tr50 AS (SELECT q_id, id2 FROM rk WHERE rn <= 50),
+         |sq AS (SELECT vec_id, sum(v*v) AS s FROM e GROUP BY 1),
+         |dt AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS id2, sum(a.v*b.v) AS dot
+         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 5
+         |                    AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2
+         |), te AS (
+         |  SELECT q_id, id2 FROM (
+         |    SELECT dt.q_id, dt.id2, row_number() OVER (
+         |      PARTITION BY dt.q_id
+         |      ORDER BY sa.s - 2*dt.dot + sb.s, dt.id2) AS rn
+         |    FROM dt JOIN sq sa ON dt.q_id = sa.vec_id
+         |            JOIN sq sb ON dt.id2 = sb.vec_id)
+         |  WHERE rn <= 5
+         |), trr AS (
+         |  SELECT q_id, id2 FROM (
+         |    SELECT dt.q_id, dt.id2, row_number() OVER (
+         |      PARTITION BY dt.q_id
+         |      ORDER BY sa.s - 2*dt.dot + sb.s, dt.id2) AS rn
+         |    FROM tr50 JOIN dt ON tr50.q_id = dt.q_id AND tr50.id2 = dt.id2
+         |              JOIN sq sa ON dt.q_id = sa.vec_id
+         |              JOIN sq sb ON dt.id2 = sb.vec_id)
+         |  WHERE rn <= 5
+         |), ova AS (
+         |  SELECT ta.q_id, CAST(count(te.id2) AS BIGINT) AS n_overlap_adc
+         |  FROM ta LEFT JOIN te ON ta.q_id = te.q_id AND ta.id2 = te.id2
+         |  GROUP BY 1
+         |), ovr AS (
+         |  SELECT trr.q_id, CAST(count(te.id2) AS BIGINT) AS n_overlap_rerank
+         |  FROM trr LEFT JOIN te ON trr.q_id = te.q_id AND trr.id2 = te.id2
+         |  GROUP BY 1
+         |)
+         |SELECT nc.q_id, nc.n_cand, n_overlap_adc,
+         |       CAST(n_overlap_adc * 2000 AS BIGINT) AS recall_adc_bp,
+         |       n_overlap_rerank,
+         |       CAST(n_overlap_rerank * 2000 AS BIGINT) AS recall_rerank_bp
+         |FROM nc JOIN ova ON nc.q_id = ova.q_id JOIN ovr ON nc.q_id = ovr.q_id
+         |ORDER BY nc.q_id""".stripMargin
     // q255_compression_gate is the one remaining spec-only entry:
     // DEFLATE output length is genuinely not SQL-expressible.
   )

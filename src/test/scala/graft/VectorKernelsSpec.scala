@@ -35,6 +35,29 @@ class VectorKernelsSpec extends SparkSpec {
     assert(withNull.forall(_.isNullAt(0)))
   }
 
+  test("graft_sub is bit-identical to the higher-order zip_with subtraction") {
+    VectorKernels.ensureRegistered(spark)
+    val e = T.embeddings(spark, sf001).limit(50)
+    val c = T.embeddings(spark, sf001).orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").as("cv"))
+    val both = e.crossJoin(broadcast(c)).select(
+      expr("graft_dot(graft_sub(embedding, cv), graft_sub(embedding, cv))").as("native"),
+      expr("aggregate(zip_with(embedding, cv, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (a, x) -> a + x)").as("ho"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // mixed float/double and null propagation, like graft_dot
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0d, 4.0d))).toDF("f", "dd")
+    val got = df.select(expr("graft_sub(f, dd)")).collect()
+      .map(_.getSeq[Double](0).toSeq)
+    assert(got.toSeq == Seq(Seq(-2.0, -2.0)))
+    assert(df.select(expr("graft_sub(f, CAST(NULL AS ARRAY<DOUBLE>))"))
+      .collect().forall(_.isNullAt(0)))
+  }
+
   test("graft_dot rejects non-array inputs at analysis time") {
     VectorKernels.ensureRegistered(spark)
     import spark.implicits._

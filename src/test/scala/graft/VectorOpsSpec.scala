@@ -491,6 +491,85 @@ class VectorOpsSpec extends SparkSpec {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("residual ivfadc: bounds hold, scan counts exact, rerank dominates raw adc (q264)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val rows = VectorOps.queries("q264_ivfadc_residual")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === (0L to 4L))
+    rows.foreach { case (q, nc, na, ra, nr, rr) =>
+      // identical IVF probe tier to q261 — identical exact scan counts
+      assert(nc === expectedIvfScan(q),
+        s"query $q scanned $nc, probe replay expects ${expectedIvfScan(q)}")
+      assert(na >= 0L && na <= 5L && nr >= 0L && nr <= 5L)
+      assert(ra === na * 2000 && rr === nr * 2000)
+      assert(nr >= na, s"query $q: rerank overlap $nr < raw ADC overlap $na")
+    }
+  }
+
+  test("assignment margins dwarf cross-engine sum-order drift (vector-oracle stability audit)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    // Every kmeans-chain oracle (q66/q257/q259-q263) rests on one
+    // argument: DuckDB's unordered parallel sums may drift from
+    // graft_dot's fixed-order accumulation by O(ulp), but a vector's
+    // winning cell beats the runner-up by O(1), so the discrete argmin
+    // — and with it every downstream census, code, and probe — is
+    // engine-stable. Round-9 advisor ask: assert that margin DIRECTLY,
+    // at both gate SFs, so a real near-tie fails here with the vector
+    // named instead of surfacing as a confusing oracle hash mismatch.
+    // Drift bound: 64 accumulation steps over O(100)-magnitude doubles
+    // ~ 64 ulps ~ 1e-11; demand 5 orders of headroom.
+    val driftHeadroom = 1e-6
+    def minMargin(e: org.apache.spark.sql.DataFrame,
+                  cent: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val r = e.crossJoin(broadcast(cent.select(col("cell"), col("cv"))))
+        .withColumn("d2",
+          expr("graft_dot(v, v) - 2 * graft_dot(v, cv) + graft_dot(cv, cv)"))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("d2"), col("cell")))).as("ds"))
+        .select(col("vec_id"),
+          (element_at(col("ds"), 2).getField("d2") -
+           element_at(col("ds"), 1).getField("d2")).as("margin"))
+        .orderBy(col("margin")).limit(1).collect().head
+      (r.getLong(0), r.getDouble(1))
+    }
+    Seq(sf001, sf("sf0.01")).foreach { d =>
+      val e = T.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val (iv, im) = minMargin(e, VectorOps.kmeansCentroids(e, k = 10, iters = 4))
+      assert(im > driftHeadroom,
+        s"$d IVF: vec $iv margin $im within drift headroom — a real near-tie")
+      (0 until VectorOps.PQ_M).foreach { sb =>
+        val es = e.select(col("vec_id"),
+          expr(s"slice(v, ${VectorOps.PQ_D * sb + 1}, ${VectorOps.PQ_D})").as("v"))
+          .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+        val (pv, pm) = minMargin(es,
+          VectorOps.kmeansCentroids(es, k = VectorOps.PQ_K, iters = VectorOps.PQ_ITERS))
+        assert(pm > driftHeadroom,
+          s"$d PQ sub $sb: vec $pv margin $pm within drift headroom")
+      }
+    }
+  }
+
+  test("ivf census is partition-layout-invariant (the engine-stability property behind the vector oracles)") {
+    // The kmeans chain's avg()/sum() partials merge in an order set by
+    // the partition layout; the oracles' claim is that every DISCRETE
+    // output (assignments, census, 4-rounded norms) absorbs that ulp
+    // drift. Property-test it: the full census at sf0.01 must be
+    // bit-identical under shuffle partition counts 2 / 4 / 32
+    // (round-9 verdict item — previously argued only via the SF gates).
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    val runs = Seq("2", "4", "32").map { sp =>
+      spark.conf.set("spark.sql.shuffle.partitions", sp)
+      try VectorOps.queries("q257_ivf_cell_audit")(spark, sf("sf0.01"))
+        .collect().map(_.toSeq).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+    }
+    assert(runs.distinct.size === 1,
+      "census must not depend on the partition layout")
+  }
+
   test("lsh bucket audit conserves the corpus and stays in the 8-bit domain (q258)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     val rows = VectorOps.queries("q258_lsh_bucket_audit")(spark, sf001).collect()

@@ -23,6 +23,22 @@ if "--run" in sys.argv:
                        capture_output=True, text=True)
     print(r.stdout[-3000:], r.stderr[-2000:])
 
+# The kmeans/LSH vector oracles (q66/q118/q257-q263) replay Lloyd
+# iterations with DuckDB's unordered parallel sum() while Spark
+# accumulates fixed-order; equality rests on argmin margins being O(1)
+# against O(ulp) sum-order drift — validated empirically on THIS DuckDB
+# version (round-9 advisor ask). A different version may partition its
+# parallel sums differently; if the gate ever fails one of those
+# queries with a bit-drift signature after an upgrade, check the margin
+# audit in VectorOpsSpec ("assignment margins dwarf cross-engine
+# drift") before suspecting the operators.
+SWEPT_DUCKDB = "1.0.0"
+if duckdb.__version__ != SWEPT_DUCKDB:
+    print(f"WARN duckdb {duckdb.__version__} != swept {SWEPT_DUCKDB}: "
+          f"vector-oracle equality was validated on {SWEPT_DUCKDB}; "
+          f"near-tie kmeans cells could flip spuriously (see "
+          f"VectorOpsSpec margin audit)")
+
 con = duckdb.connect()
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
