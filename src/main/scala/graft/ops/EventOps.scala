@@ -920,6 +920,55 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // Mann–Whitney U, PRODUCTION ppm tier (round-9: q246's envelope
+    // note built as its own dial). The exact tier's 2·R1 and 2·U1
+    // integers pass int64 once both periods hold ≳2e9 events; here
+    // every overflow-prone integer widens to the audited
+    // DECIMAL(38,0) class (q116/q152/q248) — exact to 1e38 — and the
+    // PUBLISHED effect size is the common-language image
+    // ⌊1e6·U1/(n_a·n_b)⌋ (u_ppm ≤ 1e6, the P(B>A) probability in
+    // ppm), which is what a drift monitor thresholds anyway. The
+    // z stat consumes the same exact integers through
+    // correctly-rounded IEEE doubles, so it is UNCHANGED from q246
+    // (spec-asserted equal). DuckDB mirrors the decimals with its
+    // native 128-bit HUGEINT; only BIGINT columns ship.
+    "q246b_mwu_ppm" -> ((s, d) => {
+      val cells = T.events(s, d)
+        .select(col("event_type"),
+          (datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) < 15).as("is_a"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+             sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+        .withColumn("cnt", col("na") + col("nb"))
+      val run = graft.functions.ScalableRank.withRunningSum(cells,
+        Seq("event_type"), Seq(col("cents")), col("cnt"), 32)
+      run
+        .withColumn("midrank2", lit(2L) * (col("rsum") - col("cnt")) + col("cnt") + 1L)
+        .groupBy(col("event_type"))
+        .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+             sum(expr("CAST(na AS DECIMAL(38,0)) * midrank2")).as("r1x2d"),
+             sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tie_td"))
+        .withColumn("u1x2d", expr(
+          "2 * CAST(n_a AS DECIMAL(38,0)) * n_b + CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) - r1x2d"))
+        .withColumn("u_ppm", expr(
+          "CAST((1000000 * u1x2d) div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+        .withColumn("z_milli", expr(
+          """CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+            |       AND CAST(n_a + n_b + 1 AS DECIMAL(38,0)) * (n_a + n_b) * (n_a + n_b - 1) > tie_td THEN
+            |  CAST(floor(1000 *
+            |    (CAST(u1x2d AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
+            |    / sqrt((CAST(n_a AS DOUBLE) * n_b / 12)
+            |           * (CAST(n_a + n_b + 1 AS DOUBLE)
+            |              - CAST(tie_td AS DOUBLE)
+            |                / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))))) AS BIGINT)
+            |END""".stripMargin))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("u_ppm"),
+          col("z_milli"),
+          when(abs(col("z_milli")) >= 1960, 1L).otherwise(0L).as("sig_05"))
+        .orderBy(col("event_type"))
+    }),
+
     // Capture–recapture population estimate (Lincoln–Petersen +
     // Chapman) — "how many distinct users are there" WITHOUT a global
     // distinct, from two deterministic disjoint event samples: users
@@ -1045,6 +1094,52 @@ object EventOps {
              sum(abs(col("cuma") * col("tb") - col("cumb") * col("ta"))).as("sd"))
         .select(col("event_type"), col("n_a"), col("n_b"), col("n_bins"),
           expr("(2000 * 100 * sd) div (n_a * n_b)").as("emd_centicents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // EMD drift, PRODUCTION ppm tier (round-9: q241's envelope note
+    // built as its own dial, the q252b pattern). The exact tier's
+    // D_k = cumA·tb − cumB·ta multiplies two corpus-scale integers —
+    // dead past ~3e9 events/period. Here each CDF image is quantized
+    // to a ppm SHARE first (⌊cum·1e6/total⌋ ≤ 1e6), so the largest
+    // intermediate is cum·1e6 (int64-safe to ~9e12 events/period) and
+    // the per-bin gap |sa−sb| is domain-bounded by 1e6 however large
+    // the corpus. Each share floors < 1 ppm → the EMD image is within
+    // (2·bins+1)·width·100/1e6 centi-cents of the exact tier
+    // (≈ 10 centi-cents at 25 bins — spec-asserted against q241).
+    // Same dense-bin window shape; oracle mirrors with //.
+    "q241b_emd_ppm" -> ((s, d) => {
+      val cells = T.events(s, d)
+        .select(col("event_type").as("ec"),
+          (datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) < 15).as("is_a"),
+          expr("CAST(round(value * 100) AS BIGINT) div 2000").as("cbin"))
+        .groupBy(col("ec"), col("cbin"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+             sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+      val dense = cells.groupBy(col("ec").as("et"))
+        .agg(min(col("cbin")).as("b0"), max(col("cbin")).as("b1"))
+        .select(col("et"), explode(expr("sequence(b0, b1)")).as("bin"))
+      val filled = dense
+        .join(cells, col("et") === col("ec") && col("bin") === col("cbin"), "left")
+        .select(col("et"), col("bin"),
+          coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("nb"), lit(0L)).as("nb"))
+      val w = Window.partitionBy(col("et")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      filled
+        .withColumn("cuma", sum(col("na")).over(w))
+        .withColumn("cumb", sum(col("nb")).over(w))
+        .withColumn("ta", sum(col("na")).over(Window.partitionBy(col("et"))))
+        .withColumn("tb", sum(col("nb")).over(Window.partitionBy(col("et"))))
+        .withColumn("sa_ppm", expr("(cuma * 1000000) div ta"))
+        .withColumn("sb_ppm", expr("(cumb * 1000000) div tb"))
+        .groupBy(col("et").as("event_type"))
+        .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+             count(lit(1)).as("n_bins"),
+             sum(abs(col("sa_ppm") - col("sb_ppm"))).as("sd_ppm"))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("n_bins"),
+          col("sd_ppm"),
+          expr("(2000 * 100 * sd_ppm) div 1000000").as("emd_centicents_ppm"))
         .orderBy(col("event_type"))
     }),
 
@@ -2237,6 +2332,52 @@ object EventOps {
         |       CASE WHEN abs(z_milli) >= 1960 THEN 1 ELSE 0 END AS sig_05
         |FROM z ORDER BY event_type""".stripMargin,
 
+    // ppm tier: HUGEINT mirrors Spark's DECIMAL(38,0) — both exact
+    // integers, so u_ppm and the double-z agree bit-for-bit. Only
+    // BIGINT columns ship (the type audit would flag a HUGEINT).
+    "q246b_mwu_ppm" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CAST(sum(CASE WHEN datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15
+        |                       THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |  FROM events GROUP BY 1, 2
+        |), run AS (
+        |  SELECT event_type, na, nb, na + nb AS cnt,
+        |         CAST(sum(na + nb) OVER (PARTITION BY event_type ORDER BY cents
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum
+        |  FROM cells
+        |), agg AS (
+        |  SELECT event_type,
+        |         CAST(sum(na) AS BIGINT) AS n_a,
+        |         CAST(sum(nb) AS BIGINT) AS n_b,
+        |         sum(CAST(na AS HUGEINT) * (2 * (rsum - cnt) + cnt + 1)) AS r1x2d,
+        |         sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_td
+        |  FROM run GROUP BY 1
+        |), u AS (
+        |  SELECT event_type, n_a, n_b, tie_td,
+        |         2 * CAST(n_a AS HUGEINT) * n_b + CAST(n_a AS HUGEINT) * (n_a + 1) - r1x2d AS u1x2d
+        |  FROM agg
+        |), z AS (
+        |  SELECT event_type, n_a, n_b,
+        |    CAST((1000000 * u1x2d) // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS u_ppm,
+        |    CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+        |          AND CAST(n_a + n_b + 1 AS HUGEINT) * (n_a + n_b) * (n_a + n_b - 1) > tie_td THEN
+        |      CAST(floor(1000 *
+        |        (CAST(u1x2d AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
+        |        / sqrt((CAST(n_a AS DOUBLE) * n_b / 12)
+        |               * (CAST(n_a + n_b + 1 AS DOUBLE)
+        |                  - CAST(tie_td AS DOUBLE)
+        |                    / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))))) AS BIGINT)
+        |    END AS z_milli
+        |  FROM u
+        |)
+        |SELECT event_type, n_a, n_b, u_ppm, z_milli,
+        |       CASE WHEN abs(z_milli) >= 1960 THEN 1 ELSE 0 END AS sig_05
+        |FROM z ORDER BY event_type""".stripMargin,
+
     "q244_capture_recapture" ->
       """WITH ev AS (
         |  SELECT event_type, user_id,
@@ -2337,6 +2478,46 @@ object EventOps {
         |       (2000 * 100 * CAST(sum(abs(cuma * tb - cumb * ta)) AS BIGINT))
         |         // (max(ta) * max(tb)) AS emd_centicents
         |FROM cum GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // ppm tier: same dense-bin window chain; the CDF images floor to
+    // ppm shares before any cross-period product.
+    "q241b_emd_ppm" ->
+      """WITH cells AS (
+        |  SELECT event_type AS ec,
+        |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 AS is_a,
+        |         CAST(round(value * 100) AS BIGINT) // 2000 AS cbin
+        |  FROM events
+        |), c2 AS (
+        |  SELECT ec, cbin,
+        |         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM cells GROUP BY 1, 2
+        |), rng AS (SELECT ec AS et, min(cbin) AS b0, max(cbin) AS b1 FROM c2 GROUP BY 1),
+        |dense AS (SELECT et, unnest(generate_series(b0, b1)) AS bin FROM rng),
+        |filled AS (
+        |  SELECT d.et, d.bin, coalesce(c2.na, 0) AS na, coalesce(c2.nb, 0) AS nb
+        |  FROM dense d LEFT JOIN c2 ON d.et = c2.ec AND d.bin = c2.cbin
+        |), cum AS (
+        |  SELECT et, na, nb,
+        |    CAST(sum(na) OVER (PARTITION BY et ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+        |    CAST(sum(nb) OVER (PARTITION BY et ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb,
+        |    CAST(sum(na) OVER (PARTITION BY et) AS BIGINT) AS ta,
+        |    CAST(sum(nb) OVER (PARTITION BY et) AS BIGINT) AS tb
+        |  FROM filled
+        |), shares AS (
+        |  SELECT et, ta, tb,
+        |         (cuma * 1000000) // ta AS sa_ppm,
+        |         (cumb * 1000000) // tb AS sb_ppm
+        |  FROM cum
+        |)
+        |SELECT et AS event_type, max(ta) AS n_a, max(tb) AS n_b,
+        |       CAST(count(*) AS BIGINT) AS n_bins,
+        |       CAST(sum(abs(sa_ppm - sb_ppm)) AS BIGINT) AS sd_ppm,
+        |       (2000 * 100 * CAST(sum(abs(sa_ppm - sb_ppm)) AS BIGINT))
+        |         // 1000000 AS emd_centicents_ppm
+        |FROM shares GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q237_dp_sensitivity" ->
       """WITH per AS (

@@ -661,6 +661,62 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("mwu ppm tier: z unchanged from the exact tier, u_ppm is the floored U image (q246b)") {
+    val exact = EventOps.queries("q246_mann_whitney")(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rows = EventOps.queries("q246b_mwu_ppm")(spark, sf001).collect()
+    assert(rows.map(_.getString(0)).toSet === exact.keySet)
+    rows.foreach { r =>
+      val e = exact(r.getString(0))
+      // rollups identical; the widened DECIMAL path must not move them
+      assert(r.getLong(1) === e.getLong(1) && r.getLong(2) === e.getLong(2))
+      // the z statistic is UNCHANGED by the widening (same exact
+      // integers through the same correctly-rounded double tree)
+      if (e.isNullAt(4)) assert(r.isNullAt(4))
+      else assert(r.getLong(4) === e.getLong(4), s"${r.getString(0)} z drifted")
+      assert(r.getLong(5) === e.getLong(5))
+      // u_ppm = floor(1e6 * U1 / (n_a * n_b)) from the exact twice-U1
+      val (na, nb, u1x2) = (e.getLong(1), e.getLong(2), e.getLong(3))
+      assert(r.getLong(3) === 1000000L * u1x2 / (2L * na * nb),
+        s"${r.getString(0)} u_ppm")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+  }
+
+  test("emd ppm tier: share algebra recomputed, tracks the exact tier within the floor bound (q241b)") {
+    val exact = EventOps.queries("q241_emd_drift")(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rows = EventOps.queries("q241b_emd_ppm")(spark, sf001).collect()
+    val evs = graft.T.events(spark, sf001)
+      .selectExpr("event_type",
+        "CAST(datediff(to_date(ts), date'2024-01-01') AS INT) < 15 AS is_a",
+        "CAST(round(value * 100) AS BIGINT) div 2000 AS bin")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    assert(rows.map(_.getString(0)).toSet === exact.keySet)
+    rows.foreach { r =>
+      val e = exact(r.getString(0))
+      (1 to 3).foreach(i => assert(r.getLong(i) === e.getLong(i)))
+      // driver recompute of the ppm share walk
+      val grp = evs.filter(_._1 == r.getString(0))
+      val (b0, b1) = (grp.map(_._3).min, grp.map(_._3).max)
+      val ta = grp.count(_._2).toLong
+      val tb = grp.length - ta
+      var (cuma, cumb, sdPpm) = (0L, 0L, 0L)
+      (b0 to b1).foreach { b =>
+        cuma += grp.count(x => x._2 && x._3 == b)
+        cumb += grp.count(x => !x._2 && x._3 == b)
+        sdPpm += math.abs(cuma * 1000000L / ta - cumb * 1000000L / tb)
+      }
+      assert(r.getLong(4) === sdPpm, s"${r.getString(0)} sd_ppm")
+      assert(r.getLong(5) === 200000L * sdPpm / 1000000L)
+      // each share floors < 1 ppm -> per-bin gap error < 2 ppm; the
+      // ppm EMD tracks the exact tier within ~0.4 centi-cents per bin
+      val bins = r.getLong(3)
+      assert(math.abs(r.getLong(5) - e.getLong(4)).toDouble <= 0.4 * bins + 2,
+        s"${r.getString(0)}: ppm EMD ${r.getLong(5)} vs exact ${e.getLong(4)}")
+    }
+  }
+
   test("emd drift: exact-integer area between CDFs recomputed in the driver (q241)") {
     val rows = EventOps.queries("q241_emd_drift")(spark, sf001).collect()
     val evs = graft.T.events(spark, sf001)
