@@ -685,20 +685,25 @@ object VectorOps {
     // corpus, and the exact tier touches 50 vectors per query.
     "q260_pq_adc_recall" -> ((s, d) => {
       graft.functions.VectorKernels.ensureRegistered(s)
+      // serves from the stored index (round-9 follow-up): codebooks
+      // and 4-byte codes read from q262's files — only the dq lookup
+      // tables compute here. Bits identical to the live chains (the
+      // stored index IS their audited output), so the oracle is
+      // unchanged.
+      val root = ensureIvfadcIndex(s, d)
+      val cbs = s.read.parquet(s"$root/codebooks")
+      val codes = s.read.parquet(s"$root/codes")
+        .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"))
       val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
-      val subs = (0 until PQ_M).map { sb =>
-        val e = base.select(col("vec_id"),
-          expr(s"slice(v, ${PQ_D * sb + 1}, $PQ_D)").as("v"))
-          .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-        (e, kmeansCentroids(e, k = PQ_K, iters = PQ_ITERS))
-      }
-      val codes = subs.zipWithIndex.map { case ((e, cent), sb) =>
-        assignCells(e, cent).select(col("vec_id"), col("cell").as(s"c$sb"))
-      }.reduce(_.join(_, "vec_id"))
-      val dqs = subs.zipWithIndex.map { case ((e, cent), sb) =>
-        broadcast(e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
-          .crossJoin(broadcast(cent.select(col("cell").as(s"c$sb"), col("cv"))))
+      val q0 = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv0"))
+        .localCheckpoint(true)
+      val dqs = (0 until PQ_M).map { sb =>
+        broadcast(q0
+          .select(col("q_id"),
+            expr(s"slice(qv0, ${PQ_D * sb + 1}, $PQ_D)").as("qv"))
+          .crossJoin(broadcast(cbs.filter(col("sub") === sb)
+            .select(col("cell").cast("byte").as(s"c$sb"), col("cv"))))
           .select(col("q_id"), col(s"c$sb"),
             expr("graft_dot(qv, qv) - 2 * graft_dot(qv, cv) + graft_dot(cv, cv)")
               .as(s"d$sb")))
@@ -755,36 +760,37 @@ object VectorOps {
     // IVF tier actually pruned to.
     "q261_ivfadc_recall" -> ((s, d) => {
       graft.functions.VectorKernels.ensureRegistered(s)
-      val e64 = emb(s, d)
-      val cent10 = kmeansCentroids(e64, k = 10, iters = 4)
-      val corpus = assignCells(e64, cent10)
-      val q0 = corpus.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      // serves from the stored index (round-9 follow-up, like q263/
+      // q264): centroids, cell assignment, codebooks and codes all
+      // read from q262's files — only the probe ranking and the dq
+      // lookup tables compute. Bits identical; oracle unchanged.
+      val root = ensureIvfadcIndex(s, d)
+      val cent10 = s.read.parquet(s"$root/centroids")
+      val cbs = s.read.parquet(s"$root/codebooks")
+      val stored = s.read.parquet(s"$root/codes")
+      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val q0 = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
+        .localCheckpoint(true)
       val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
       val probes = broadcast(q0.crossJoin(broadcast(cent10))
         .withColumn("ccos", dot("qv", "cv") / (col("qn") * col("cn")))
         .withColumn("pr", row_number().over(wProbe))
         .filter(col("pr") <= 4)
         .select(col("q_id"), col("cell")))
-      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
-      val subs = (0 until PQ_M).map { sb =>
-        val es = base.select(col("vec_id"),
-          expr(s"slice(v, ${PQ_D * sb + 1}, $PQ_D)").as("v"))
-          .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-        (es, kmeansCentroids(es, k = PQ_K, iters = PQ_ITERS))
-      }
-      val codes = subs.zipWithIndex.map { case ((es, cent), sb) =>
-        assignCells(es, cent).select(col("vec_id"), col("cell").as(s"c$sb"))
-      }.reduce(_.join(_, "vec_id"))
-      val dqs = subs.zipWithIndex.map { case ((es, cent), sb) =>
-        broadcast(es.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
-          .crossJoin(broadcast(cent.select(col("cell").as(s"c$sb"), col("cv"))))
+      val codes = stored.select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+      val dqs = (0 until PQ_M).map { sb =>
+        broadcast(q0
+          .select(col("q_id"),
+            expr(s"slice(qv, ${PQ_D * sb + 1}, $PQ_D)").as("qs"))
+          .crossJoin(broadcast(cbs.filter(col("sub") === sb)
+            .select(col("cell").cast("byte").as(s"c$sb"), col("cv"))))
           .select(col("q_id"), col(s"c$sb"),
-            expr("graft_dot(qv, qv) - 2 * graft_dot(qv, cv) + graft_dot(cv, cv)")
+            expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cv) + graft_dot(cv, cv)")
               .as(s"d$sb")))
       }
-      val cand0 = corpus.select(col("vec_id"), col("cell"))
+      val cand0 = stored.select(col("vec_id"), col("cell"))
         .join(probes, Seq("cell"))
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id"))

@@ -686,14 +686,21 @@ class PlanAuditSpec extends SparkSpec {
       "the false-negative filter must be a (cust, pk)-keyed equi anti join")
   }
 
-  test("pq tiers: argmin assignments collapse map-side, dq tables broadcast (q259/q260)") {
-    // every subspace's code assignment is the q257 argmin shape
+  test("pq tiers: live chains collapse map-side, stored-serving tiers broadcast dq only (q259-q261)") {
+    // q259 is the live substrate audit — every subspace's code
+    // assignment is the q257 argmin shape
     assertKeyedExchangesPartialAggFed("q259_pq_codebook", "vec_id")
-    assertKeyedExchangesPartialAggFed("q260_pq_adc_recall", "vec_id")
-    // the ADC lookup tables and shortlist ride broadcasts — the codes
-    // relation never shuffles on a code column
+    // q260/q261 SERVE from the stored index since round 9 — their
+    // plans must contain NO kmeans chain at all (no vec_id-keyed
+    // aggregation exchange; the cell/code assignments come from the
+    // stored files), and the ADC lookup tables and shortlist ride
+    // broadcasts — the codes relation never shuffles on a code column
     Seq("q260_pq_adc_recall", "q261_ivfadc_recall").foreach { qn =>
       val p = physical(qn)
+      val vecKeyed = shuffles(p).filter(e => hashKeys(e) == Seq("vec_id"))
+      assert(vecKeyed.isEmpty,
+        s"$qn must serve from the stored index — found a vec_id-keyed " +
+          s"exchange, i.e. a live chain leaked back in")
       assert(p.collect {
         case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
       }.size >= 4, s"$qn: expected >= 4 broadcast dq/shortlist exchanges")
@@ -702,7 +709,6 @@ class PlanAuditSpec extends SparkSpec {
           s"$qn: codes must never hash-shuffle on c$sb")
       }
     }
-    assertKeyedExchangesPartialAggFed("q261_ivfadc_recall", "vec_id")
   }
 
   test("vector substrate audits shuffle partials only (q257/q258)") {
