@@ -779,7 +779,6 @@ object VectorOps {
         .withColumn("pr", row_number().over(wProbe))
         .filter(col("pr") <= 4)
         .select(col("q_id"), col("cell")))
-      val codes = stored.select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"))
       val dqs = (0 until PQ_M).map { sb =>
         broadcast(q0
           .select(col("q_id"),
@@ -790,11 +789,12 @@ object VectorOps {
             expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cv) + graft_dot(cv, cv)")
               .as(s"d$sb")))
       }
-      val cand0 = stored.select(col("vec_id"), col("cell"))
-        .join(probes, Seq("cell"))
+      // ONE cell-joined scan carries vec_id AND the codes (the q263
+      // shape) — a separate codes read joined on vec_id would scan
+      // every cell partition, defeating the pruning
+      val cand0 = stored.join(probes, Seq("cell"))
         .filter(col("q_id") =!= col("vec_id"))
-        .select(col("q_id"), col("vec_id"))
-      val cand = cand0.join(codes, Seq("vec_id"))
+      val cand = cand0
         .join(dqs(0), Seq("q_id", "c0"))
         .join(dqs(1), Seq("q_id", "c1"))
         .join(dqs(2), Seq("q_id", "c2"))

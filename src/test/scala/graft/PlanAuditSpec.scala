@@ -724,22 +724,26 @@ class PlanAuditSpec extends SparkSpec {
       s"q258 must shuffle only sig-keyed partials; found ${hashed.map(hashKeys)}")
   }
 
-  test("ivfadc query tier reads only probed cell partitions, via dynamic pruning (q263)") {
+  test("stored-serving tiers read only probed cell partitions, via dynamic pruning (q261/q263/q264)") {
     // The load-bearing 100 TB claim of the stored-index split: the
     // codes files are partitioned by cell and the probe join key IS
     // the partition column, so Spark inserts a dynamic-partition-
     // pruning filter on every codes scan — the query lists nprobe
-    // cell directories, not the corpus.
+    // cell directories, not the corpus. One cell-joined scan must
+    // carry both the assignment and the codes (a second codes read
+    // joined on vec_id would scan every partition).
     import org.apache.spark.sql.execution.FileSourceScanExec
-    val scans = physical("q263_ivfadc_query").collect {
-      case f: FileSourceScanExec
-        if f.relation.location.rootPaths.exists(_.toString.contains("graft_ivfadc")) &&
-           f.relation.location.rootPaths.exists(_.toString.contains("codes")) => f
+    Seq("q261_ivfadc_recall", "q263_ivfadc_query", "q264_ivfadc_residual").foreach { qn =>
+      val scans = physical(qn).collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("graft_ivfadc")) &&
+             f.relation.location.rootPaths.exists(_.toString.contains("codes")) => f
+      }
+      assert(scans.nonEmpty, s"$qn: expected scans of the stored codes files")
+      scans.foreach(f => assert(
+        f.partitionFilters.exists(_.toString.contains("dynamicpruning")),
+        s"$qn: codes scan must carry a dynamic partition-pruning filter; got ${f.partitionFilters}"))
     }
-    assert(scans.nonEmpty, "expected scans of the stored codes files")
-    scans.foreach(f => assert(
-      f.partitionFilters.exists(_.toString.contains("dynamicpruning")),
-      s"codes scan must carry a dynamic partition-pruning filter; got ${f.partitionFilters}"))
   }
 
   test("adc shortlists plan a WindowGroupLimit prune, not a full sort-rank (q260/q261/q263)") {
