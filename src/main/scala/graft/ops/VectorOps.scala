@@ -216,6 +216,12 @@ object VectorOps {
     * argmin shuffle per relation, never quadratic), and the write's
     * only shuffle is the cell-partitioned sink. Returns the index
     * root.
+    *
+    * The root lives under java.io.tmpdir in local mode; the layout is
+    * filesystem-agnostic (plain parquet + directory partitioning), so
+    * on a cluster the same three relations land on the object store /
+    * HDFS and every property the plan audits pin (partition pruning,
+    * broadcast dq tables, id-fetch re-rank) carries over unchanged.
     */
   def ensureIvfadcIndex(s: SparkSession, d: String): String =
     ivfadcIdx.computeIfAbsent(d, _ => {
