@@ -190,6 +190,81 @@ object VectorOps {
            min(struct(col("__d2"), col("cell"))).as("__mc"))
       .select(col("vec_id"), col("v"), col("nrm"), col("__mc.cell").as("cell"))
 
+  /** All PQ_M subspace slices of a (vec_id, v) relation as ONE fused
+    * relation keyed by sub — the input shape for [[kmeansCentroidsFused]].
+    */
+  private def pqSubSlices(base: DataFrame): DataFrame =
+    (0 until PQ_M).map { sb =>
+      base.select(lit(sb).as("sub"), col("vec_id"),
+        expr(s"slice(v, ${PQ_D * sb + 1}, $PQ_D)").as("v"))
+    }.reduce(_ unionByName _)
+
+  /** All PQ_M subspace codebooks trained in ONE fused Lloyd chain
+    * (round-9): rows are (sub, vec_id, slice) and centroids
+    * (sub, cell, cv), so each iteration is ONE corpus pass instead of
+    * PQ_M — the way a production trainer updates every subquantizer
+    * per data pass. Semantics are the per-subspace chains exactly:
+    * the seed ids are the one global md5 draw (computed once on the
+    * tiny limit-k relation, never a corpus-wide window), every
+    * assignment/update keys carry sub, and empty cells keep their
+    * previous codeword. Per-group float sums may merge in a different
+    * order than the per-sub chains ran them — absorbed by the same
+    * argmin-margin bound every vector oracle already rests on (and
+    * re-gated empirically at all three SFs).
+    */
+  def kmeansCentroidsFused(base: DataFrame, es: DataFrame, k: Int, iters: Int): DataFrame = {
+    val wInit = Window.orderBy(col("__h"), col("vec_id"))
+    val seeds = base
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(k)
+      // k rows: the init window runs on a single task by construction
+      .select(row_number().over(wInit).as("cell"), col("vec_id"))
+    var cent = es.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("sub"), col("cell"), col("v").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = assignCellsFused(es, cent)
+      val updated = assigned
+        .select(col("sub"), col("cell"), posexplode(col("v")))
+        .groupBy(col("sub"), col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("sub"), col("cell"), expr("transform(pm, x -> x.m)").as("cvnew"))
+      cent = cent
+        .join(updated, Seq("sub", "cell"), "left_outer")
+        .select(col("sub"), col("cell"), coalesce(col("cvnew"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
+  /** Fused nearest-codeword assignment: broadcast the PQ_M·k
+    * codebooks, join on sub (so each slice row sees only its own
+    * subspace's codewords), argmin via the same partial-aggregable
+    * min(struct) groupBy — now keyed (sub, vec_id).
+    */
+  def assignCellsFused(es: DataFrame, cent: DataFrame): DataFrame =
+    es.join(broadcast(cent.select(col("sub"), col("cell"), col("cv"))), Seq("sub"))
+      .withColumn("__d2",
+        dot("v", "v") - lit(2.0) * dot("v", "cv") + dot("cv", "cv"))
+      .groupBy(col("sub"), col("vec_id"))
+      .agg(first(col("v")).as("v"),
+           min(struct(col("__d2"), col("cell"))).as("__mc"))
+      .select(col("sub"), col("vec_id"), col("v"), col("__mc.cell").as("cell"))
+
+  /** The fused assignment pivoted to one 4-byte code row per vector:
+    * (vec_id, c0..c3 TINYINT) — a single (sub, vec_id)-keyed shuffle
+    * plus a vec_id rollup, replacing PQ_M separate chains + a
+    * PQ_M-way join.
+    */
+  def pqCodesFused(es: DataFrame, cent: DataFrame): DataFrame = {
+    val cs = (0 until PQ_M).map(sb =>
+      max(when(col("sub") === sb, col("cell"))).cast("byte").as(s"c$sb"))
+    assignCellsFused(es, cent)
+      .groupBy(col("vec_id"))
+      .agg(cs.head, cs.tail: _*)
+  }
+
   /** Per-JVM registry of built IVFADC indexes (sf dir → index root).
     * Each process builds the index exactly once on first touch —
     * OVERWRITING any bits a previous process left, so a stale on-disk
@@ -232,22 +307,15 @@ object VectorOps {
       val cent10 = kmeansCentroids(e64, k = 10, iters = 4)
       cent10.coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
       val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
-      val subs = (0 until PQ_M).map { sb =>
-        val es = base.select(col("vec_id"),
-          expr(s"slice(v, ${PQ_D * sb + 1}, $PQ_D)").as("v"))
-          .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-        (es, kmeansCentroids(es, k = PQ_K, iters = PQ_ITERS))
-      }
-      subs.zipWithIndex.map { case ((_, cent), sb) =>
-        cent.select(lit(sb).as("sub"), col("cell"), col("cv"))
-      }.reduce(_ unionByName _).coalesce(1)
-        .write.mode("overwrite").parquet(s"$root/codebooks")
-      val codes = subs.zipWithIndex.map { case ((es, cent), sb) =>
-        assignCells(es, cent)
-          .select(col("vec_id"), col("cell").cast("byte").as(s"c$sb"))
-      }.reduce(_.join(_, "vec_id"))
+      // all four subquantizers train in ONE fused chain — one corpus
+      // pass per Lloyd iteration instead of PQ_M (see
+      // kmeansCentroidsFused; bits equal to the per-sub chains the
+      // oracle replays, by the argmin-margin bound)
+      val slices = pqSubSlices(base)
+      val cbF = kmeansCentroidsFused(base, slices, k = PQ_K, iters = PQ_ITERS)
+      cbF.coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
       assignCells(e64, cent10).select(col("vec_id"), col("cell"))
-        .join(codes, Seq("vec_id"))
+        .join(pqCodesFused(slices, cbF), Seq("vec_id"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes")
       root
     })
@@ -1013,20 +1081,20 @@ object VectorOps {
         .join(broadcast(cent10.select(col("cell"), col("cv"))), Seq("cell"))
         .select(col("vec_id"), expr("graft_sub(v, cv)").as("r"))
         .localCheckpoint(true)
-      val subs = (0 until PQ_M).map { sb =>
-        val rs = resid.select(col("vec_id"),
-          expr(s"slice(r, ${PQ_D * sb + 1}, $PQ_D)").as("v"))
-          .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-        (rs, kmeansCentroids(rs, k = PQ_K, iters = PQ_ITERS))
-      }
-      val codes = subs.zipWithIndex.map { case ((rs, cbr), sb) =>
-        assignCells(rs, cbr).select(col("vec_id"), col("cell").as(s"c$sb"))
-      }.reduce(_.join(_, "vec_id"))
-      val rdqs = subs.zipWithIndex.map { case ((_, cbr), sb) =>
+      // all four residual subquantizers train in ONE fused chain over
+      // the checkpointed residuals — one pass per Lloyd iteration
+      // instead of PQ_M (bits equal to the per-sub chains the oracle
+      // replays, by the argmin-margin bound)
+      val rbase = resid.select(col("vec_id"), col("r").as("v"))
+      val rslices = pqSubSlices(rbase)
+      val cbF = kmeansCentroidsFused(rbase, rslices, k = PQ_K, iters = PQ_ITERS)
+      val codes = pqCodesFused(rslices, cbF)
+      val rdqs = (0 until PQ_M).map { sb =>
         broadcast(probes
           .select(col("q_id"), col("cell"),
             expr(s"slice(graft_sub(qv, cv), ${PQ_D * sb + 1}, $PQ_D)").as("qs"))
-          .crossJoin(broadcast(cbr.select(col("cell").as(s"c$sb"), col("cv").as("cw"))))
+          .crossJoin(broadcast(cbF.filter(col("sub") === sb)
+            .select(col("cell").cast("byte").as(s"c$sb"), col("cv").as("cw"))))
           .select(col("q_id"), col("cell"), col(s"c$sb"),
             expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cw) + graft_dot(cw, cw)")
               .as(s"d$sb")))
