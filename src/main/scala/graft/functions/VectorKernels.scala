@@ -18,7 +18,10 @@ import org.apache.spark.sql.types._
   * the higher-order form and to the DuckDB oracle.
   *
   * Accepts array<float> or array<double> on either side (mixed allowed:
-  * float query vectors × double centroids).
+  * float query vectors × double centroids). Defined only on
+  * equal-length arrays with non-null elements — mismatched lengths and
+  * null slots throw (see [[VectorKernels.checkedLength]]) rather than
+  * silently truncating or reading null as 0.0.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -41,10 +44,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = VectorKernels.checkedLength("graft_dot", a, b)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) VectorKernels.nullElement("graft_dot", i)
       val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
@@ -61,9 +65,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val getA = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.VectorKernels.checkedLength("graft_dot", $a, $b);
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) graft.functions.VectorKernels.nullElement("graft_dot", $i);
          |  $acc += $getA * $getB;
          |}
          |${ev.value} = $acc;
@@ -82,7 +87,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * the primitive loop; elements widen to double exactly like
   * [[DotProduct]], so `graft_dot(graft_sub(a,c), graft_sub(b,c))` is
   * bit-identical to the oracle's `sum((a.v-c.cv)*(b.v-c.cv))` algebra
-  * up to the shared argmin-margin argument.
+  * up to the shared argmin-margin argument. Same strict input domain
+  * as [[DotProduct]]: equal lengths, no null elements, enforced at
+  * runtime — which is what makes the declared containsNull=false
+  * output type truthful.
   */
 case class VecSub(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -105,10 +113,11 @@ case class VecSub(left: Expression, right: Expression) extends BinaryExpression 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = VectorKernels.checkedLength("graft_sub", a, b)
     val out = new Array[Double](n)
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) VectorKernels.nullElement("graft_sub", i)
       val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
       out(i) = x - y
@@ -125,9 +134,10 @@ case class VecSub(left: Expression, right: Expression) extends BinaryExpression 
       val getA = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.VectorKernels.checkedLength("graft_sub", $a, $b);
          |double[] $arr = new double[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) graft.functions.VectorKernels.nullElement("graft_sub", $i);
          |  $arr[$i] = $getA - $getB;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
@@ -139,6 +149,29 @@ case class VecSub(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 object VectorKernels {
+  /** Strict-input guards shared by the interpreted and generated paths
+    * (round-9 advisor ask): the kernels' bit-identity claim vs the
+    * higher-order `aggregate(zip_with(...))` form only holds on
+    * equal-length arrays with no null elements, so mismatched lengths
+    * and null elements now FAIL LOUDLY instead of silently truncating
+    * to min(length) / reading a null slot as 0.0. Inputs typed
+    * containsNull=true (every parquet-read array) stay accepted — the
+    * guard is a per-row runtime check, not an analysis-time rejection
+    * that would refuse all real tables.
+    */
+  def checkedLength(fn: String, a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n != m) throw new IllegalArgumentException(
+      s"$fn: input arrays differ in length ($n vs $m); the kernel is defined only on equal-length vectors")
+    n
+  }
+
+  def nullElement(fn: String, i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$fn: null element at index $i; the kernel is defined only on arrays with no null elements " +
+        "(use the higher-order zip_with form if null-propagation is wanted)")
+
   /** Arity-checked builder shared with GraftExtensions: wrong-arity SQL
     * (graft_dot(v), graft_dot()) fails analysis with the expected
     * signature instead of an IndexOutOfBoundsException.

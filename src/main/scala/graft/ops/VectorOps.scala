@@ -266,10 +266,13 @@ object VectorOps {
   }
 
   /** Per-JVM registry of built IVFADC indexes (sf dir → index root).
-    * Each process builds the index exactly once on first touch —
-    * OVERWRITING any bits a previous process left, so a stale on-disk
-    * index can never leak across test-data regenerations — and every
-    * later touch (the query tier, a second bench run) reuses the
+    * Each process builds the index exactly once on first touch into a
+    * root that is unique to (data-dir absolute path, pid) — so a stale
+    * on-disk index can never leak across test-data regenerations, two
+    * data dirs that share a basename can never share a root, and two
+    * concurrent processes (Verify and Bench on the same SF) can never
+    * overwrite an index the other is mid-read. Every later touch in
+    * the same JVM (the query tier, a second bench run) reuses the
     * stored files. The bits are deterministic (md5-coin kmeans), so
     * rebuilds are idempotent.
     */
@@ -301,11 +304,23 @@ object VectorOps {
   def ensureIvfadcIndex(s: SparkSession, d: String): String =
     ivfadcIdx.computeIfAbsent(d, _ => {
       graft.functions.VectorKernels.ensureRegistered(s)
+      // Root is keyed by a hash of the ABSOLUTE data-dir path (two
+      // dirs sharing a basename get distinct roots) and by pid (two
+      // concurrent processes never clobber each other's files), and
+      // the three relations land in a staging dir that is atomically
+      // renamed into place — a crash mid-build leaves only a .build
+      // dir that no reader ever resolves, never a mixed-generation
+      // root (round-9 advisor ask).
+      val abs = new java.io.File(d).getAbsolutePath
+      val pathTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivfadc_" + new java.io.File(d).getName).getAbsolutePath
+        s"graft_ivfadc_${new java.io.File(d).getName}_${pathTag}_p${ProcessHandle.current.pid}")
+      val stage = new java.io.File(root.getParentFile, root.getName + ".build")
+      val sp = stage.getAbsolutePath
       val e64 = emb(s, d)
       val cent10 = kmeansCentroids(e64, k = 10, iters = 4)
-      cent10.coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+      cent10.coalesce(1).write.mode("overwrite").parquet(s"$sp/centroids")
       val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
       // all four subquantizers train in ONE fused chain — one corpus
       // pass per Lloyd iteration instead of PQ_M (see
@@ -313,11 +328,19 @@ object VectorOps {
       // oracle replays, by the argmin-margin bound)
       val slices = pqSubSlices(base)
       val cbF = kmeansCentroidsFused(base, slices, k = PQ_K, iters = PQ_ITERS)
-      cbF.coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
+      cbF.coalesce(1).write.mode("overwrite").parquet(s"$sp/codebooks")
       assignCells(e64, cent10).select(col("vec_id"), col("cell"))
         .join(pqCodesFused(slices, cbF), Seq("vec_id"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes")
-      root
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$sp/codes")
+      if (root.exists()) {  // same pid re-ran after a memo-less restart
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(root)
+      }
+      java.nio.file.Files.move(stage.toPath, root.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      root.getAbsolutePath
     })
 
   val queries: Map[String, Q] = Map(

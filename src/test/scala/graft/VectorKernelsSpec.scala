@@ -66,4 +66,34 @@ class VectorKernelsSpec extends SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("graft_dot") ||
            ex.getMessage.toLowerCase.contains("data type mismatch"))
   }
+
+  test("kernels fail loudly on mismatched lengths and null elements (strict domain)") {
+    // Round-9 advisor ask: the bit-identity claim vs zip_with only
+    // holds on equal-length, null-free arrays — outside that domain
+    // the kernels used to silently truncate to min(length) and read a
+    // null slot as 0.0. Both paths (interpreted via the codegen'd
+    // whole-stage pipeline is exercised here; the nullSafeEval path
+    // via a literal fold below) must now throw with the kernel named.
+    VectorKernels.ensureRegistered(spark)
+    import spark.implicits._
+    val uneven = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0d, 2.0d))).toDF("f", "dd")
+    Seq("graft_dot(f, dd)", "graft_sub(f, dd)").foreach { fn =>
+      val ex = intercept[Exception](uneven.select(expr(fn)).collect())
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains("differ in length")), s"$fn: ${ex.getMessage}")
+    }
+    val nully = Seq((Seq[java.lang.Float](1.0f, null, 3.0f), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("f", "g")
+    Seq("graft_dot(f, g)", "graft_sub(f, g)").foreach { fn =>
+      val ex = intercept[Exception](nully.select(expr(fn)).collect())
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains("null element")), s"$fn: ${ex.getMessage}")
+    }
+    // a whole-array NULL still null-propagates (BinaryExpression
+    // nullSafeEval contract, unchanged)
+    assert(uneven.select(expr("graft_dot(f, CAST(NULL AS ARRAY<DOUBLE>))"))
+      .collect().forall(_.isNullAt(0)))
+  }
 }
