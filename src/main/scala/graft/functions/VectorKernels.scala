@@ -148,6 +148,118 @@ case class VecSub(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** Fixed structured rotation for the RR-PQ tier (q265/q266): computes
+  * H·(signs ⊙ v)/√n where H is the n×n Walsh-Hadamard matrix — a signed
+  * permutation of ±1 columns, so R = H·diag(signs)/√n is exactly
+  * orthonormal. This is the "random rotation" baseline of the OPQ paper
+  * (Ge et al., CVPR 2013, §5's RR-PQ) and the structured pre-transform
+  * FAISS ships (ITQ/OPQ-style VectorTransform): it balances variance
+  * across PQ subspaces at O(n log n) per vector via the in-place
+  * butterfly below, with no trained state — the signs are a fixed
+  * deterministic draw, which is what keeps the whole tier
+  * oracle-replayable (DuckDB recomputes the same rotation from the
+  * closed form H[j][i] = (−1)^popcount(j AND i)).
+  *
+  * The butterfly's additions associate differently than the oracle's
+  * per-output-dim sums, so rotated values agree only to O(ulp) across
+  * engines — absorbed by the same argmin-margin bound every vector
+  * oracle rests on (asserted for the rotated chains in VectorOpsSpec).
+  * The final 1/√n scaling is exact when n is a power of two (it always
+  * is here — enforced), so it adds no rounding of its own.
+  *
+  * Same strict input domain as the other kernels: equal lengths, no
+  * null elements, and additionally a power-of-two length.
+  */
+case class HadamardRotate(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hdrot expects array<float|double> inputs (vector, signs), got ${left.dataType} and ${right.dataType}")
+
+  @transient private lazy val leftFloat = elemType(left).contains(FloatType)
+  @transient private lazy val rightFloat = elemType(right).contains(FloatType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = VectorKernels.checkedPow2("graft_hdrot", VectorKernels.checkedLength("graft_hdrot", a, b))
+    val buf = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) VectorKernels.nullElement("graft_hdrot", i)
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val s = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      buf(i) = x * s
+      i += 1
+    }
+    var len = 1
+    while (len < n) {
+      var base = 0
+      while (base < n) {
+        var j = base
+        while (j < base + len) {
+          val x = buf(j); val y = buf(j + len)
+          buf(j) = x + y; buf(j + len) = x - y
+          j += 1
+        }
+        base += len << 1
+      }
+      len <<= 1
+    }
+    val sc = 1.0 / math.sqrt(n.toDouble)
+    i = 0
+    while (i < n) { buf(i) *= sc; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val buf = ctx.freshName("buf")
+      val len = ctx.freshName("len")
+      val base = ctx.freshName("base")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val sc = ctx.freshName("sc")
+      val getA = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = graft.functions.VectorKernels.checkedPow2("graft_hdrot",
+         |  graft.functions.VectorKernels.checkedLength("graft_hdrot", $a, $b));
+         |double[] $buf = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) graft.functions.VectorKernels.nullElement("graft_hdrot", $i);
+         |  $buf[$i] = $getA * $getB;
+         |}
+         |for (int $len = 1; $len < $n; $len <<= 1) {
+         |  for (int $base = 0; $base < $n; $base += $len << 1) {
+         |    for (int $j = $base; $j < $base + $len; $j++) {
+         |      double $x = $buf[$j]; double $y = $buf[$j + $len];
+         |      $buf[$j] = $x + $y; $buf[$j + $len] = $x - $y;
+         |    }
+         |  }
+         |}
+         |double $sc = 1.0 / java.lang.Math.sqrt((double) $n);
+         |for (int $i = 0; $i < $n; $i++) { $buf[$i] *= $sc; }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($buf);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HadamardRotate =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorKernels {
   /** Strict-input guards shared by the interpreted and generated paths
     * (round-9 advisor ask): the kernels' bit-identity claim vs the
@@ -172,6 +284,15 @@ object VectorKernels {
       s"$fn: null element at index $i; the kernel is defined only on arrays with no null elements " +
         "(use the higher-order zip_with form if null-propagation is wanted)")
 
+  /** The Walsh-Hadamard butterfly is only defined for power-of-two
+    * lengths (H_n exists for n = 2^k).
+    */
+  def checkedPow2(fn: String, n: Int): Int = {
+    if (n <= 0 || (n & (n - 1)) != 0) throw new IllegalArgumentException(
+      s"$fn: length $n is not a power of two; the Walsh-Hadamard rotation requires n = 2^k")
+    n
+  }
+
   /** Arity-checked builder shared with GraftExtensions: wrong-arity SQL
     * (graft_dot(v), graft_dot()) fails analysis with the expected
     * signature instead of an IndexOutOfBoundsException.
@@ -190,11 +311,20 @@ object VectorKernels {
     VecSub(exprs(0), exprs(1))
   }
 
+  def hdrotBuilder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_hdrot(array<float>, array<double>) takes exactly 2 arguments (vector, signs), got ${exprs.length}")
+    HadamardRotate(exprs(0), exprs(1))
+  }
+
   /** Idempotently register the SQL-facing kernel names on a session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sub", subBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hdrot", hdrotBuilder, "built-in")
   }
 }

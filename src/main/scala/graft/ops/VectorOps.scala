@@ -63,6 +63,34 @@ object VectorOps {
   val PQ_K = 16
   val PQ_ITERS = 2
 
+  /** ±1 diagonal of the fixed RR-PQ rotation (q265/q266): sign i is
+    * the parity of the first 8 hex chars of md5("rot" + i), the
+    * md5-coin idiom every deterministic draw in this file uses — so
+    * the DuckDB oracle replays the identical diagonal from
+    * `md5('rot' || CAST(i AS VARCHAR))` in SQL. With H the 64-point
+    * Walsh-Hadamard matrix, R = H·diag(signs)/8 is exactly orthogonal;
+    * see [[graft.functions.HadamardRotate]] for the kernel and the
+    * literature citation.
+    */
+  lazy val hdSigns: Array[Double] = (1 to 64).map { i =>
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rot$i".getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
+    if (java.lang.Long.parseLong(h, 16) % 2 == 0) 1.0 else -1.0
+  }.toArray
+
+  /** The corpus under the fixed rotation, (vec_id, v) with v =
+    * H·(signs ⊙ embedding)/8 as array<double> — one codegen'd
+    * O(d log d) kernel call per vector, map-side, no shuffle. At
+    * 100 TB the rotation is applied once at ingest and stored; here
+    * the tier recomputes it inline (it is cheaper than one read of
+    * the vector it transforms).
+    */
+  private def rotated(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(s)
+    T.embeddings(s, d).select(col("vec_id"),
+      call_udf("graft_hdrot", col("embedding"), typedlit(hdSigns.toSeq)).as("v"))
+  }
+
   /** Deterministic random hyperplanes: fixed-seed gaussians, materialized
     * as literal arrays so the signature is 8 codegen'd graft_dot's over
     * constants — a pure projection, reproducible on any cluster.
@@ -313,7 +341,7 @@ object VectorOps {
       // root (round-9 advisor ask).
       val abs = new java.io.File(d).getAbsolutePath
       val pathTag = java.security.MessageDigest.getInstance("MD5")
-        .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        .digest(abs.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
       val root = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_ivfadc_${new java.io.File(d).getName}_${pathTag}_p${ProcessHandle.current.pid}")
       val stage = new java.io.File(root.getParentFile, root.getName + ".build")
@@ -1163,6 +1191,104 @@ object VectorOps {
           col("n_overlap_rerank"),
           (col("n_overlap_rerank") * 2000).as("recall_rerank_bp"))
         .orderBy(col("q_id"))
+    }),
+
+    // RR-PQ codebook census — PQ trained on the ROTATED corpus (the
+    // random-rotation baseline of the OPQ paper, Ge et al. CVPR 2013
+    // §5; the structured H·D pre-transform FAISS ships): plain PQ
+    // quantizes each 16-dim slice of the RAW vector, so correlated /
+    // unevenly-scaled dims waste codebook entropy; the fixed
+    // orthogonal rotation spreads every input dim across every
+    // subspace first, balancing per-subspace variance with ZERO
+    // trained state — which is what keeps the tier fully
+    // oracle-checkable (the DuckDB SQL rebuilds the rotation from the
+    // (−1)^bit_count(i&j) closed form and replays the same four Lloyd
+    // chains over it). Same census shape as q259; scale posture
+    // unchanged (the rotation is one map-side kernel call per vector,
+    // then the audited broadcast+argmin kmeans substrate).
+    "q265_rrpq_codebook" -> ((s, d) => {
+      val er = rotated(s, d)
+      (0 until PQ_M).map { sb =>
+        val e = er.select(col("vec_id"),
+          expr(s"slice(v, ${PQ_D * sb + 1}, $PQ_D)").as("v"))
+          .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+        val cent = kmeansCentroids(e, k = PQ_K, iters = PQ_ITERS)
+        val counts = assignCells(e, cent)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+        cent.join(counts, Seq("cell"), "left_outer")
+          .select(lit(sb.toLong).as("sub"), col("cell").cast("long").as("cell"),
+            coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+            round(col("cn"), 4).as("cn4"))
+      }.reduce(_ unionByName _).orderBy(col("sub"), col("cell"))
+    }),
+
+    // RR-PQ ADC recall — q260's audit repeated in the rotated space:
+    // codes and the ADC lookup tables live in rotated coordinates
+    // (queries are rotated at search time by the same kernel), while
+    // the exact reference top-5 and the 50-deep re-rank run in RAW
+    // space — legitimate because the rotation is an isometry (R
+    // orthogonal ⇒ L2 ranks are preserved), which is itself spec'd.
+    // That is exactly the production layout: codes stored rotated,
+    // full vectors stored raw, one rotation per query at search time.
+    // Fully oracle-checked; codebooks train inline via the fused
+    // single-chain trainer (the q262 stored-build pattern would apply
+    // unchanged if this tier were promoted to a stored index).
+    "q266_rrpq_adc_recall" -> ((s, d) => {
+      graft.functions.VectorKernels.ensureRegistered(s)
+      val er = rotated(s, d).localCheckpoint(true)
+      val slices = pqSubSlices(er)
+      val cbF = kmeansCentroidsFused(er, slices, k = PQ_K, iters = PQ_ITERS)
+      val codes = pqCodesFused(slices, cbF)
+      val q0 = er.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv0"))
+      val dqs = (0 until PQ_M).map { sb =>
+        broadcast(q0
+          .select(col("q_id"),
+            expr(s"slice(qv0, ${PQ_D * sb + 1}, $PQ_D)").as("qs"))
+          .crossJoin(broadcast(cbF.filter(col("sub") === sb)
+            .select(col("cell").cast("byte").as(s"c$sb"), col("cv"))))
+          .select(col("q_id"), col(s"c$sb"),
+            expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cv) + graft_dot(cv, cv)")
+              .as(s"d$sb")))
+      }
+      val cand = codes.join(dqs(0), Seq("c0"))
+        .join(dqs(1), Seq("q_id", "c1"))
+        .join(dqs(2), Seq("q_id", "c2"))
+        .join(dqs(3), Seq("q_id", "c3"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("id2"),
+          expr("d0 + d1 + d2 + d3").as("adc"))
+      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("id2"))
+      val ranked = cand.withColumn("rn", row_number().over(wAdc))
+      val topAdc = ranked.filter(col("rn") <= 5).select(col("q_id"), col("id2"))
+      val short50 = ranked.filter(col("rn") <= 50).select(col("q_id"), col("id2"))
+      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val ef = base.withColumn("sq", expr("graft_dot(v, v)"))
+      val q = broadcast(ef.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sq").as("qq")))
+      val c = ef.select(col("vec_id").as("id2"), col("v").as("v2"), col("sq").as("s2"))
+      val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id2"))
+      val topEx = q.join(c, col("q_id") =!= col("id2"))
+        .withColumn("d2", expr("qq - 2 * graft_dot(qv, v2) + s2"))
+        .withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") <= 5)
+        .select(col("q_id").as("fq"), col("id2").as("fid"))
+      val rerank = c.join(broadcast(short50.join(broadcast(q), Seq("q_id"))),
+          Seq("id2"))
+        .withColumn("d2", expr("qq - 2 * graft_dot(qv, v2) + s2"))
+        .withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") <= 5).select(col("q_id"), col("id2"))
+      def overlap(top: DataFrame, n: String) =
+        top.join(broadcast(topEx),
+            col("q_id") === col("fq") && col("id2") === col("fid"), "left")
+          .groupBy(col("q_id")).agg(count(col("fid")).as(n))
+      overlap(topAdc, "n_overlap_adc")
+        .join(overlap(rerank, "n_overlap_rerank"), Seq("q_id"))
+        .select(col("q_id"),
+          col("n_overlap_adc"), (col("n_overlap_adc") * 2000).as("recall_adc_bp"),
+          col("n_overlap_rerank"),
+          (col("n_overlap_rerank") * 2000).as("recall_rerank_bp"))
+        .orderBy(col("q_id"))
     })
   )
 
@@ -1318,6 +1444,31 @@ object VectorOps {
   private lazy val pqChainBody: String =
     s"""$init16Cte,
        |${(0 until PQ_M).map(pqChainSql).mkString(",\n")}""".stripMargin
+
+  /** The fixed RR-PQ rotation as SQL (no WITH, needs e): the signed
+    * diagonal from the md5('rot'||i) coin ([[hdSigns]] computes the
+    * identical draw on the JVM), then the rotated corpus from the
+    * Walsh-Hadamard closed form H[j][i] = (−1)^bit_count((j−1)&(i−1)),
+    * scaled by /8 = 1/√64 (exact in binary fp, so the scaling itself
+    * adds no rounding on either engine). DuckDB's per-(vec,dim) sums
+    * associate differently than the kernel's butterfly — the usual
+    * O(ulp) drift the argmin-margin bound absorbs (rotated chains are
+    * in the VectorOpsSpec margin audit). er is MATERIALIZED: the four
+    * PQ chains reference it repeatedly (the round-9 CTE-inlining
+    * incident class).
+    */
+  private lazy val rotCteBody: String =
+    """sg AS MATERIALIZED (
+      |  SELECT i, CASE WHEN CAST(('0x' || substr(md5('rot' || CAST(i AS VARCHAR)), 1, 8))
+      |                      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      |  FROM range(1, 65) t(i)
+      |), er AS MATERIALIZED (
+      |  SELECT e.vec_id, d.j AS i,
+      |         sum(CASE WHEN bit_count(CAST(d.j - 1 AS BIGINT) & CAST(e.i - 1 AS BIGINT)) % 2 = 0
+      |                  THEN e.v * sg.sgn ELSE -(e.v * sg.sgn) END) / 8 AS v
+      |  FROM e JOIN sg ON e.i = sg.i CROSS JOIN range(1, 65) d(j)
+      |  GROUP BY 1, 2
+      |)""".stripMargin
 
   /** All PQ_M subspace chains plus the shared exploded/init prefix. */
   private lazy val pqPrefixCte: String = s"WITH $eCteBody,\n$pqChainBody"
@@ -1988,7 +2139,97 @@ object VectorOps {
          |       n_overlap_rerank,
          |       CAST(n_overlap_rerank * 2000 AS BIGINT) AS recall_rerank_bp
          |FROM nc JOIN ova ON nc.q_id = ova.q_id JOIN ovr ON nc.q_id = ovr.q_id
-         |ORDER BY nc.q_id""".stripMargin
+         |ORDER BY nc.q_id""".stripMargin,
+
+    // RR-PQ codebook census: rebuild the rotation from the closed
+    // form, then replay the four Lloyd chains over the rotated
+    // corpus (prefix t) — q259's census shape exactly.
+    "q265_rrpq_codebook" -> {
+      val censusArms = (0 until PQ_M).map { sb =>
+        s"""  SELECT CAST($sb AS BIGINT) AS sub, CAST(n.cell AS BIGINT) AS cell,
+           |         CAST(coalesce(c.n, 0) AS BIGINT) AS n_vecs,
+           |         round(n.cn, 4) AS cn4
+           |  FROM (SELECT cell, sqrt(sum(cv*cv)) AS cn
+           |        FROM t${sb}c$PQ_ITERS GROUP BY 1) n
+           |  LEFT JOIN (SELECT cell, count(*) AS n
+           |             FROM t${sb}gf GROUP BY 1) c ON n.cell = c.cell""".stripMargin
+      }
+      s"""WITH $eCteBody,
+         |$rotCteBody,
+         |$init16Cte,
+         |${(0 until PQ_M).map(sb => pqChainSqlFrom(sb, "er", "t")).mkString(",\n")},
+         |census AS (
+         |${censusArms.mkString("\n  UNION ALL\n")}
+         |)
+         |SELECT sub, cell, n_vecs, cn4 FROM census ORDER BY sub, cell""".stripMargin
+    },
+
+    // RR-PQ ADC recall: rotated-space codes + dq tables (the t-chains'
+    // own dq CTE — queries rotate through the same closed form),
+    // raw-space exact reference and re-rank (isometry: identical
+    // ranks). q260's tail verbatim, t-prefixed code/dq sources.
+    "q266_rrpq_adc_recall" ->
+      s"""WITH $eCteBody,
+         |$rotCteBody,
+         |$init16Cte,
+         |${(0 until PQ_M).map(sb => pqChainSqlFrom(sb, "er", "t")).mkString(",\n")},
+         |codes AS (
+         |  SELECT g0.vec_id, g0.cell AS c0, g1.cell AS c1,
+         |         g2.cell AS c2, g3.cell AS c3
+         |  FROM t0gf g0 JOIN t1gf g1 USING (vec_id)
+         |       JOIN t2gf g2 USING (vec_id) JOIN t3gf g3 USING (vec_id)
+         |), cand AS (
+         |  SELECT d0.q_id, codes.vec_id AS id2,
+         |         d0.d + d1.d + d2.d + d3.d AS adc
+         |  FROM codes
+         |  JOIN t0dq d0 ON codes.c0 = d0.cell
+         |  JOIN t1dq d1 ON d1.q_id = d0.q_id AND codes.c1 = d1.cell
+         |  JOIN t2dq d2 ON d2.q_id = d0.q_id AND codes.c2 = d2.cell
+         |  JOIN t3dq d3 ON d3.q_id = d0.q_id AND codes.c3 = d3.cell
+         |  WHERE codes.vec_id <> d0.q_id
+         |), rk AS (
+         |  SELECT q_id, id2, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, id2) AS rn FROM cand
+         |), ta AS (SELECT q_id, id2 FROM rk WHERE rn <= 5),
+         |tr50 AS (SELECT q_id, id2 FROM rk WHERE rn <= 50),
+         |sq AS (SELECT vec_id, sum(v*v) AS s FROM e GROUP BY 1),
+         |dt AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS id2, sum(a.v*b.v) AS dot
+         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 5
+         |                    AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2
+         |), te AS (
+         |  SELECT q_id, id2 FROM (
+         |    SELECT dt.q_id, dt.id2, row_number() OVER (
+         |      PARTITION BY dt.q_id
+         |      ORDER BY sa.s - 2*dt.dot + sb.s, dt.id2) AS rn
+         |    FROM dt JOIN sq sa ON dt.q_id = sa.vec_id
+         |            JOIN sq sb ON dt.id2 = sb.vec_id)
+         |  WHERE rn <= 5
+         |), trr AS (
+         |  SELECT q_id, id2 FROM (
+         |    SELECT dt.q_id, dt.id2, row_number() OVER (
+         |      PARTITION BY dt.q_id
+         |      ORDER BY sa.s - 2*dt.dot + sb.s, dt.id2) AS rn
+         |    FROM tr50 JOIN dt ON tr50.q_id = dt.q_id AND tr50.id2 = dt.id2
+         |              JOIN sq sa ON dt.q_id = sa.vec_id
+         |              JOIN sq sb ON dt.id2 = sb.vec_id)
+         |  WHERE rn <= 5
+         |), ova AS (
+         |  SELECT ta.q_id, CAST(count(te.id2) AS BIGINT) AS n_overlap_adc
+         |  FROM ta LEFT JOIN te ON ta.q_id = te.q_id AND ta.id2 = te.id2
+         |  GROUP BY 1
+         |), ovr AS (
+         |  SELECT trr.q_id, CAST(count(te.id2) AS BIGINT) AS n_overlap_rerank
+         |  FROM trr LEFT JOIN te ON trr.q_id = te.q_id AND trr.id2 = te.id2
+         |  GROUP BY 1
+         |)
+         |SELECT ova.q_id, n_overlap_adc,
+         |       CAST(n_overlap_adc * 2000 AS BIGINT) AS recall_adc_bp,
+         |       n_overlap_rerank,
+         |       CAST(n_overlap_rerank * 2000 AS BIGINT) AS recall_rerank_bp
+         |FROM ova JOIN ovr ON ova.q_id = ovr.q_id
+         |ORDER BY ova.q_id""".stripMargin
     // q255_compression_gate is the one remaining spec-only entry:
     // DEFLATE output length is genuinely not SQL-expressible.
   )

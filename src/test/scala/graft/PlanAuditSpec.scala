@@ -746,14 +746,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("adc shortlists plan a WindowGroupLimit prune, not a full sort-rank (q260/q261/q263/q264)") {
+  test("adc shortlists plan a WindowGroupLimit prune, not a full sort-rank (q260/q261/q263/q264/q266)") {
     // The rn <= 50 / rn <= 5 shortlist filters must push into the
     // window as a group-limit (each task keeps a bounded heap per
     // query instead of rank-numbering every candidate) — the claim
     // the ADC entries' comments argue, pinned here.
     import org.apache.spark.sql.execution.window.WindowGroupLimitExec
     Seq("q260_pq_adc_recall", "q261_ivfadc_recall", "q263_ivfadc_query",
-        "q264_ivfadc_residual").foreach { qn =>
+        "q264_ivfadc_residual", "q266_rrpq_adc_recall").foreach { qn =>
       val limits = physical(qn).collect { case w: WindowGroupLimitExec => w }
       assert(limits.nonEmpty, s"$qn: expected a WindowGroupLimit prune")
     }

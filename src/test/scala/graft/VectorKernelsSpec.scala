@@ -96,4 +96,63 @@ class VectorKernelsSpec extends SparkSpec {
     assert(uneven.select(expr("graft_dot(f, CAST(NULL AS ARRAY<DOUBLE>))"))
       .collect().forall(_.isNullAt(0)))
   }
+
+  test("graft_hdrot is an exact orthogonal rotation with the strict kernel domain") {
+    VectorKernels.ensureRegistered(spark)
+    import spark.implicits._
+    // R = H·D/√n orthogonal ⇒ dot products (hence L2 distances and
+    // norms) are preserved up to the butterfly's O(ulp) rounding —
+    // the property q266's raw-space exact reference rests on.
+    val signs = graft.ops.VectorOps.hdSigns.toSeq
+    val e = T.embeddings(spark, sf001).limit(100)
+      .select(col("vec_id"), col("embedding"))
+    val rot = e.select(
+      expr("graft_dot(embedding, embedding)").as("raw"),
+      call_udf("graft_dot",
+        call_udf("graft_hdrot", col("embedding"), typedlit(signs)),
+        call_udf("graft_hdrot", col("embedding"), typedlit(signs))).as("rotn"))
+      .collect()
+    rot.foreach { r =>
+      val (a, b) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)),
+        s"norm not preserved: $a vs $b")
+    }
+    // double application: H·D·H·D is NOT identity (D and H don't
+    // commute) but stays an isometry — norms preserved again
+    val twice = e.limit(5).select(
+      expr("graft_dot(embedding, embedding)").as("raw"),
+      call_udf("graft_dot",
+        call_udf("graft_hdrot", call_udf("graft_hdrot", col("embedding"), typedlit(signs)), typedlit(signs)),
+        call_udf("graft_hdrot", call_udf("graft_hdrot", col("embedding"), typedlit(signs)), typedlit(signs))).as("rotn"))
+      .collect()
+    twice.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 1e-9 * math.max(1.0, r.getDouble(0))))
+    // closed-form check: kernel butterfly equals the direct
+    // H[j][i] = (−1)^popcount(j&i) sum the DuckDB oracle computes
+    val sample = e.limit(3).select(col("embedding"),
+      call_udf("graft_hdrot", col("embedding"), typedlit(signs))).collect()
+    sample.foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      val got = r.getSeq[Double](1).toArray
+      val sg = graft.ops.VectorOps.hdSigns
+      (0 until 64).foreach { j =>
+        var s = 0.0
+        (0 until 64).foreach { i =>
+          val h = if (java.lang.Integer.bitCount(j & i) % 2 == 0) 1.0 else -1.0
+          s += h * sg(i) * v(i).toDouble
+        }
+        s /= 8
+        assert(math.abs(s - got(j)) <= 1e-12 * math.max(1.0, math.abs(s)),
+          s"dim $j: closed form $s vs kernel ${got(j)}")
+      }
+    }
+    // strict domain: non-power-of-two length throws with the kernel named
+    val odd = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0d, 1.0d, 1.0d))).toDF("f", "s")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val ex = intercept[Exception](odd.select(expr("graft_hdrot(f, s)")).collect())
+    assert(msgs(ex).exists(_.contains("power of two")), ex.getMessage)
+    val uneven2 = Seq((Seq(1.0f, 2.0f), Seq(1.0d, 1.0d, 1.0d, 1.0d))).toDF("f", "s")
+    val ex2 = intercept[Exception](uneven2.select(expr("graft_hdrot(f, s)")).collect())
+    assert(msgs(ex2).exists(_.contains("differ in length")), ex2.getMessage)
+  }
 }

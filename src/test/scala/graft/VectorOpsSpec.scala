@@ -507,6 +507,58 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("rrpq recall: bounds hold and rerank dominates raw adc (q266)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val rows = VectorOps.queries("q266_rrpq_adc_recall")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === (0L to 4L))
+    rows.foreach { case (q, na, ra, nr, rr) =>
+      assert(na >= 0L && na <= 5L && nr >= 0L && nr <= 5L)
+      assert(ra === na * 2000 && rr === nr * 2000)
+      // the 50-deep exact re-rank can only refine the raw-ADC top-5
+      assert(nr >= na, s"query $q: rerank overlap $nr < raw ADC overlap $na")
+    }
+    // census partitions the corpus: every vector coded in every subspace
+    val census = VectorOps.queries("q265_rrpq_codebook")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = T.embeddings(spark, sf001).count()
+    (0 until VectorOps.PQ_M).foreach { sb =>
+      assert(census.filter(_._1 == sb).map(_._3).sum === n,
+        s"sub $sb census does not partition the corpus")
+    }
+  }
+
+  test("rotated-chain assignment margins dwarf cross-engine drift (rrpq stability audit)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    // q265/q266's oracles replay Lloyd chains over ROTATED values that
+    // already differ by O(ulp) between the kernel butterfly and
+    // DuckDB's per-dim sums — so the margin that protects the discrete
+    // codes must be re-audited in the rotated space (the raw-space
+    // audit below does not imply it).
+    val driftHeadroom = 1e-6
+    val d = sf("sf0.01")
+    val er = T.embeddings(spark, d).select(col("vec_id"),
+      call_udf("graft_hdrot", col("embedding"),
+        typedlit(VectorOps.hdSigns.toSeq)).as("v"))
+    (0 until VectorOps.PQ_M).foreach { sb =>
+      val es = er.select(col("vec_id"),
+        expr(s"slice(v, ${VectorOps.PQ_D * sb + 1}, ${VectorOps.PQ_D})").as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val cent = VectorOps.kmeansCentroids(es, k = VectorOps.PQ_K, iters = VectorOps.PQ_ITERS)
+      val r = es.crossJoin(broadcast(cent.select(col("cell"), col("cv"))))
+        .withColumn("d2",
+          expr("graft_dot(v, v) - 2 * graft_dot(v, cv) + graft_dot(cv, cv)"))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("d2"), col("cell")))).as("ds"))
+        .select(col("vec_id"),
+          (element_at(col("ds"), 2).getField("d2") -
+           element_at(col("ds"), 1).getField("d2")).as("margin"))
+        .orderBy(col("margin")).limit(1).collect().head
+      assert(r.getDouble(1) > driftHeadroom,
+        s"rotated sub $sb: vec ${r.getLong(0)} margin ${r.getDouble(1)} within drift headroom")
+    }
+  }
+
   test("assignment margins dwarf cross-engine sum-order drift (vector-oracle stability audit)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     // Every kmeans-chain oracle (q66/q257/q259-q263) rests on one
