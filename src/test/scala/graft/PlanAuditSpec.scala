@@ -711,6 +711,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("rrpq tiers: fused chain shuffles vec_id-keyed partials, adc rides broadcasts (q265/q266)") {
+    // q265's fused trainer must keep the q257 argmin shape: every
+    // vec_id-carrying aggregation exchange collapses n·k candidate
+    // rows map-side first (the rotation itself is a map-side kernel
+    // call — it can add no exchange of its own)
+    assertKeyedExchangesPartialAggFed("q265_rrpq_codebook", "vec_id")
+    // q266: the dq lookup tables and the shortlist ride broadcasts;
+    // the codes relation never hash-shuffles on a code column
+    val p = physical("q266_rrpq_adc_recall")
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.size >= 4, "q266: expected >= 4 broadcast dq/shortlist exchanges")
+    (0 until 4).foreach { sb =>
+      assert(shuffles(p).forall(e => !hashKeys(e).contains(s"c$sb")),
+        s"q266: codes must never hash-shuffle on c$sb")
+    }
+  }
+
   test("vector substrate audits shuffle partials only (q257/q258)") {
     // IVF census: the argmin assignment collapses n·k candidate rows to
     // n map-side before the vec_id exchange

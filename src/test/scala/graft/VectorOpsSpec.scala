@@ -507,6 +507,24 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfadc index root is path-hashed, per-process, and atomically staged") {
+    // Round-9 advisor ask: the root must be unique per (absolute data
+    // dir, pid) — so same-basename dirs and concurrent processes can
+    // never share or clobber a root — and the .build staging dir must
+    // not survive a completed build (the atomic rename either fully
+    // publishes an index or leaves nothing resolvable).
+    val root = new java.io.File(VectorOps.ensureIvfadcIndex(spark, sf001))
+    assert(root.exists, s"index root $root missing")
+    val pid = ProcessHandle.current.pid
+    assert(root.getName.matches(s"graft_ivfadc_[^_]+_[0-9a-f]{8}_p$pid"),
+      s"root name ${root.getName} lacks the path-hash + pid key")
+    assert(!new java.io.File(root.getParentFile, root.getName + ".build").exists,
+      "staging dir survived a completed build")
+    Seq("centroids", "codebooks", "codes").foreach { rel =>
+      assert(new java.io.File(root, rel).exists, s"missing stored relation $rel")
+    }
+  }
+
   test("rrpq recall: bounds hold and rerank dominates raw adc (q266)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     val rows = VectorOps.queries("q266_rrpq_adc_recall")(spark, sf001).collect()
