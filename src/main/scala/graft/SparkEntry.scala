@@ -32,6 +32,7 @@ object SparkEntry {
       (ops.VectorOps.queries, ops.VectorOps.oracle),
       (ops.EventOps.queries, ops.EventOps.oracle),
       (ops.LinkageOps.queries, ops.LinkageOps.oracle),
+      (ops.PreferenceOps.queries, ops.PreferenceOps.oracle),
       (ops.GraphOps.queries, ops.GraphOps.oracle),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracle)
     )
