@@ -37,6 +37,15 @@ object CorpusOps {
   private def h32(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** DSIR (q270) dials: hashed-bigram bucket count and the top-k
+    * selection size. B=256 keeps the bucket tables broadcast-trivial
+    * at ANY corpus size (the paper uses 10k buckets at web scale — the
+    * same broadcast posture, just a bigger tiny table); k=25 stays
+    * meaningful at every test SF.
+    */
+  val DSIR_B = 256
+  val DSIR_SEL = 25
+
   /** Engine-neutral 40-bit hash (md5 prefix) — the KMV sketch domain.
     * 2^40 ≫ any per-key distinct count we estimate, so the k-th
     * minimum stays well inside the domain and the (k−1)·2^40/h_k
@@ -1569,8 +1578,86 @@ object CorpusOps {
           expr("CAST(coalesce(ni, 0) * 10000 div (n1 + n2 - coalesce(ni, 0)) AS BIGINT)")
             .as("exact_j_bp"))
         .orderBy(col("s1"), col("s2"))
-    })
+    }),
+
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling" — the hashed-ngram
+    // importance-weighting method behind target-domain corpus
+    // curation): score every raw doc by how target-like its
+    // hashed-bigram feature distribution is,
+    //   logw(doc) = Σ_b c_doc(b) · ln λ_b,
+    //   λ_b = ((t_b+1)/(T+B)) / ((r_b+1)/(R+B)),
+    // the add-one-smoothed bucket probability ratio of the TARGET
+    // (here the lang='en' slice — the stand-in for a high-quality
+    // target domain) vs the RAW corpus, over B=256 md5-hashed
+    // word-bigram buckets. Docs are then selected by global logw rank
+    // (top 25). DSIR proper resamples with Gumbel noise ∝ weight; the
+    // deterministic top-k keeps the op oracle-replayable — the same
+    // determinism trade q137's WSWoR entry documents, in the other
+    // direction.
+    // Plan shape: one corpus scan → doc-keyed lead window (doc-sized
+    // partitions, high-card key) → the bucket tables are B-row
+    // aggregates that come back BROADCAST; per-doc weights are one
+    // (doc, b)-keyed partial agg + a doc rollup; the global float
+    // ranking rides ScalableRank under a constant key (never a
+    // single-task window). Nothing exceeds |B| + |docs| keyed
+    // partials at any corpus size.
+    "q270_dsir_weights" -> ((s, d) =>
+      dsirRanked(s, d)
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          round(col("w"), 4).as("dsir_logw_4"),
+          when(col("rn") <= DSIR_SEL, 1).otherwise(0).as("selected"))
+        .orderBy(col("doc_id")))
   )
+
+  /** The q270 DSIR chain up to the UNROUNDED weights + global rank —
+    * public so CorpusOpsSpec can audit boundary distances (the round-4
+    * digits and the rank-25 selection edge) directly, the same role
+    * PreferenceOps.btStrengths plays for q268.
+    */
+  def dsirRanked(s: SparkSession, d: String): DataFrame = {
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    ScalableRank.withRanks(dsirWeighted(s, d), Seq("g"),
+        Seq(col("w").desc, col("doc_id")),
+        Seq(col("w"), col("doc_id")), p)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("w"), col("rn"))
+  }
+
+  /** q270's pre-rank relation (doc_id, lang, n_bigrams, w, g) — public
+    * so PlanAuditSpec can pin the broadcast-λ / partial-agg shape
+    * directly: inside [[dsirRanked]] this whole subtree sits behind
+    * ScalableRank's localCheckpoint, invisible to a plan audit of the
+    * full query.
+    */
+  def dsirWeighted(s: SparkSession, d: String): DataFrame = {
+    val tok = T.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val f = tok.withColumn("w2", lead(col("w"), 1).over(wd))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        (h32(concat(col("w"), lit(" "), col("w2"))) % DSIR_B).as("b"))
+    val r = f.groupBy(col("b")).agg(count(lit(1)).as("r"))
+    val t = f.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("t"))
+    val tots = broadcast(f.agg(count(lit(1)).as("rt"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt")))
+    val lam = broadcast(r.join(t, Seq("b"), "left_outer")
+      .crossJoin(tots)
+      .select(col("b"),
+        (log((coalesce(col("t"), lit(0L)) + 1).cast("double") /
+              (col("tt") + DSIR_B)) -
+         log((col("r") + 1).cast("double") / (col("rt") + DSIR_B)))
+          .as("lam")))
+    f.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(lam, Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_bigrams"),
+           sum(col("c") * col("lam")).as("w"))
+      .withColumn("g", lit(0))
+  }
 
   /** Per-source Gini + top-decile share over (source, doc_id, n_chars)
     * — see the q162 entry comment for the closed form and exactness
@@ -2733,6 +2820,49 @@ object CorpusOps {
         |LEFT JOIN iv ON es.s1 = iv.s1 AND es.s2 = iv.s2
         |JOIN sz z1 ON es.s1 = z1.source
         |JOIN sz z2 ON es.s2 = z2.source
-        |ORDER BY es.s1, es.s2""".stripMargin
+        |ORDER BY es.s1, es.s2""".stripMargin,
+
+    // The identical smoothing/feature algebra replayed verbatim: same
+    // md5-bucket coin, same add-one λ ratio, and the per-doc sum runs
+    // over the SAME (doc, b) pre-aggregated relation Spark reduces
+    // (sum of c·λ_b, not per-occurrence) so the two engines differ
+    // only in float association order — CorpusOpsSpec's boundary
+    // audit shows every rounded digit and the rank-25 selection edge
+    // sit far from any flip boundary.
+    "q270_dsir_weights" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS w,
+         |         generate_subscripts(string_split(text,' '),1) AS i
+         |  FROM documents
+         |), f AS (
+         |  SELECT a.doc_id, a.lang,
+         |         CAST(('0x' || substr(md5(a.w || ' ' || b.w), 1, 8)) AS BIGINT)
+         |           % $DSIR_B AS b
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |), r AS (SELECT b, count(*) AS r FROM f GROUP BY 1),
+         |t AS (SELECT b, count(*) AS t FROM f WHERE lang = 'en' GROUP BY 1),
+         |tot AS (
+         |  SELECT count(*) AS rt,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+         |  FROM f
+         |), lam AS (
+         |  SELECT r.b,
+         |         ln(CAST(coalesce(t.t, 0) + 1 AS DOUBLE) / (tot.tt + $DSIR_B)) -
+         |         ln(CAST(r.r + 1 AS DOUBLE) / (tot.rt + $DSIR_B)) AS lam
+         |  FROM r LEFT JOIN t USING (b) CROSS JOIN tot
+         |), pdc AS (
+         |  SELECT doc_id, lang, b, count(*) AS c FROM f GROUP BY 1, 2, 3
+         |), pd AS (
+         |  SELECT p.doc_id, p.lang, CAST(sum(p.c) AS BIGINT) AS n_bigrams,
+         |         sum(p.c * lam.lam) AS w
+         |  FROM pdc p JOIN lam USING (b) GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT doc_id, lang, n_bigrams, w,
+         |         row_number() OVER (ORDER BY w DESC, doc_id) AS rn
+         |  FROM pd
+         |)
+         |SELECT doc_id, lang, n_bigrams, round(w, 4) AS dsir_logw_4,
+         |       CASE WHEN rn <= $DSIR_SEL THEN 1 ELSE 0 END AS selected
+         |FROM rk ORDER BY doc_id""".stripMargin
   )
 }

@@ -1292,8 +1292,55 @@ object VectorOps {
           col("n_overlap_rerank"),
           (col("n_overlap_rerank") * 2000).as("recall_rerank_bp"))
         .orderBy(col("q_id"))
-    })
+    }),
+
+    // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    // at web-scale through semantic deduplication"): semantic dedup
+    // blocked by LEARNED kmeans cells instead of q64's given labels —
+    // the production answer to "which pairs do we even compare?" when
+    // the corpus has no label column. The cluster key comes from the
+    // STORED IVFADC index (q262's cell-partitioned codes relation —
+    // the dedup path runs NO kmeans, the same serve-from-index
+    // posture as q263), pairs inside a cell go through the chunked
+    // triangle join (one dominant cell can never concentrate its
+    // quadratic pair set in one task), and the drop rule is
+    // deterministic: a vector is dropped iff SOME smaller-id vector
+    // in its cell sits at cosine ≥ 0.35. (The paper keeps one random
+    // representative per dup neighborhood; min-id keeps the op
+    // oracle-replayable — the q137/q270 determinism trade.)
+    // witness_id is the smallest such neighbor — a per-drop audit
+    // trail, not a transitive canonical (q67/q106 own that
+    // semantics). Oracle: replays the audited IVF chain (g5 IS the
+    // stored cell assignment — the q262 substrate-agreement
+    // invariant) + the identical pair predicate.
+    "q269_semdedup" -> ((s, d) =>
+      chunkedPairs(semdedupInput(s, d), chunkSize = 64)
+        .filter(col("cos") >= 0.35)
+        .groupBy(col("id2"), col("__lbl"))
+        .agg(min(col("id1")).as("witness_id"),
+             count(lit(1)).as("n_dups"),
+             max(col("cos")).as("max_cos"))
+        .select(col("id2").as("vec_id"), col("__lbl").as("cell"),
+          col("witness_id"), col("n_dups"),
+          round(col("max_cos"), 4).as("max_cos4"))
+        .orderBy(col("vec_id")))
   )
+
+  /** q269's input relation: every vector tagged with its STORED IVF
+    * cell (read from the q262 index's cell-partitioned codes files —
+    * no kmeans on the dedup path), shaped for [[chunkedPairs]]
+    * (cell plays the blocking `label`). Public so PlanAuditSpec can
+    * pin the serve-from-index claim directly — inside the query this
+    * relation sits behind ScalableRank's localCheckpoint, invisible
+    * to a plan audit of the whole query.
+    */
+  def semdedupInput(s: SparkSession, d: String): DataFrame = {
+    val root = ensureIvfadcIndex(s, d)
+    val cells = s.read.parquet(s"$root/codes")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    emb(s, d).join(cells, Seq("vec_id"))
+      .select(col("vec_id"), col("cell").as("label"), col("v"), col("nrm"))
+  }
 
   private val embCte =
     """WITH e AS (SELECT vec_id, label, unnest(embedding) AS v,
@@ -2232,7 +2279,36 @@ object VectorOps {
          |       n_overlap_rerank,
          |       CAST(n_overlap_rerank * 2000 AS BIGINT) AS recall_rerank_bp
          |FROM ova JOIN ovr ON ova.q_id = ovr.q_id
-         |ORDER BY ova.q_id""".stripMargin
+         |ORDER BY ova.q_id""".stripMargin,
+
+    // SemDeDup: the IVF chain replayed (g5 = the stored cell
+    // assignment — q262's substrate-agreement invariant makes the
+    // chain and the stored codes/ relation interchangeable here),
+    // then within-cell pairs + the same cosine-threshold drop rule.
+    // Cross-engine stability rests on the q64 precedent: pair dots
+    // associate differently but every pair's cosine sits far from the
+    // 0.35 gate and the round-4 boundary (VectorOpsSpec margin
+    // audit).
+    "q269_semdedup" ->
+      s"""$ivfChainCte,
+         |nn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+         |p AS (
+         |  SELECT ga.vec_id AS id1, gb.vec_id AS id2, ga.cell,
+         |         sum(a.v * b.v) AS dot
+         |  FROM g5 ga JOIN g5 gb ON ga.cell = gb.cell AND ga.vec_id < gb.vec_id
+         |       JOIN e a ON a.vec_id = ga.vec_id
+         |       JOIN e b ON b.vec_id = gb.vec_id AND b.i = a.i
+         |  GROUP BY 1, 2, 3
+         |), c AS (
+         |  SELECT id1, id2, cell, dot / (n1.nrm * n2.nrm) AS cos
+         |  FROM p JOIN nn n1 ON p.id1 = n1.vec_id
+         |         JOIN nn n2 ON p.id2 = n2.vec_id
+         |  WHERE dot / (n1.nrm * n2.nrm) >= 0.35
+         |)
+         |SELECT id2 AS vec_id, CAST(cell AS BIGINT) AS cell,
+         |       min(id1) AS witness_id, CAST(count(*) AS BIGINT) AS n_dups,
+         |       round(max(cos), 4) AS max_cos4
+         |FROM c GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
     // q255_compression_gate is the one remaining spec-only entry:
     // DEFLATE output length is genuinely not SQL-expressible.
   )

@@ -1282,4 +1282,75 @@ class CorpusOpsSpec extends SparkSpec {
     }.sum
     assert(math.abs(top.getDouble(2) - mi) < 1e-3)
   }
+
+  test("DSIR: weights replay from scratch in the driver, en target separates, boundaries wide (q270)") {
+    val out = CorpusOps.queries("q270_dsir_weights")(spark, sf001).collect()
+    val docs = graft.T.documents(spark, sf001).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.length === docs.length)
+
+    // from-scratch recompute of every weight (md5 coin included) —
+    // guards the FORMULA, not just Spark-vs-DuckDB agreement on it
+    def h32(x: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val feats = docs.map { case (id, lang, text) =>
+      val ws = text.split(" ")
+      val bs = ws.zip(ws.drop(1)).map { case (a, b) =>
+        h32(s"$a $b") % CorpusOps.DSIR_B
+      }
+      (id, lang, bs)
+    }
+    val rCnt = feats.flatMap(_._3).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tCnt = feats.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = rCnt.values.sum.toDouble
+    val tt = tCnt.values.sum.toDouble
+    val lam = rCnt.map { case (b, r) =>
+      b -> (math.log((tCnt.getOrElse(b, 0L) + 1) / (tt + CorpusOps.DSIR_B)) -
+            math.log((r + 1) / (rt + CorpusOps.DSIR_B)))
+    }
+    val expW = feats.map { case (id, _, bs) =>
+      // mirror the (doc, b)-preaggregated sum shape
+      id -> bs.groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (b, os) => os.length * lam(b) }.sum
+    }.toMap
+    val ranked = CorpusOps.dsirRanked(spark, sf001).collect()
+    ranked.foreach { r =>
+      assert(math.abs(r.getDouble(3) - expW(r.getLong(0))) < 1e-9,
+        s"doc ${r.getLong(0)}: weight ${r.getDouble(3)} != recomputed ${expW(r.getLong(0))}")
+    }
+
+    // target separation: en docs must average a higher importance
+    // weight than the rest (the whole point of the method)
+    val (en, rest) = ranked.partition(_.getString(1) == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    val meanEn = en.map(_.getDouble(3)).sum / en.length
+    val meanRest = rest.map(_.getDouble(3)).sum / rest.length
+    assert(meanEn > meanRest,
+      s"en mean $meanEn must exceed non-en mean $meanRest")
+
+    // selection: exactly top-DSIR_SEL by (w desc, doc_id), and the
+    // flag in the oracle-checked output matches
+    val byW = ranked.sortBy(r => (-r.getDouble(3), r.getLong(0)))
+    val topIds = byW.take(CorpusOps.DSIR_SEL).map(_.getLong(0)).toSet
+    val selIds = out.filter(_.getInt(4) == 1).map(_.getLong(0)).toSet
+    assert(selIds === topIds)
+
+    // engine-stability margins: every round-4 digit far from a .5
+    // boundary, and the rank-25 selection edge has a real gap
+    val minRoundDist = ranked.map { r =>
+      val s = math.abs(r.getDouble(3)) * 1e4
+      math.abs(s - math.floor(s) - 0.5)
+    }.min
+    assert(minRoundDist > 1e-6,
+      s"a rounded weight digit sits $minRoundDist from a .5 boundary")
+    if (byW.length > CorpusOps.DSIR_SEL) {
+      val gap = byW(CorpusOps.DSIR_SEL - 1).getDouble(3) -
+        byW(CorpusOps.DSIR_SEL).getDouble(3)
+      assert(gap > 1e-9, s"selection edge gap $gap within float drift")
+    }
+  }
 }

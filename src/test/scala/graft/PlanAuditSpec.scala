@@ -153,7 +153,9 @@ class PlanAuditSpec extends SparkSpec {
                          // constant key of the budget-selection cumsum
                          "q117_token_budget_select" -> "g",
                          // 20-value source key of the weighted reservoir
-                         "q137_weighted_sample" -> "source")) {
+                         "q137_weighted_sample" -> "source",
+                         // constant key of the DSIR global weight rank
+                         "q270_dsir_weights" -> "g")) {
       val p = physical(q)
       assert(shuffles(p).exists(_.outputPartitioning.isInstanceOf[RangePartitioning]),
         s"$q: expected a range-partitioned exchange")
@@ -762,6 +764,49 @@ class PlanAuditSpec extends SparkSpec {
         f.partitionFilters.exists(_.toString.contains("dynamicpruning")),
         s"$qn: codes scan must carry a dynamic partition-pruning filter; got ${f.partitionFilters}"))
     }
+  }
+
+  test("semdedup serves its cluster key from the stored index — no live chain, no dim explode (q269)") {
+    // q269's 100 TB claim: the dedup path reads cell assignments from
+    // the stored codes files and never recomputes kmeans. A leaked
+    // chain would show up as exchanges carrying the exploded-dim
+    // column `i` (the (cell, i) centroid-update shuffle / the
+    // dim-keyed distance aggregations) — q269 itself never explodes
+    // dims (cosine rides the codegen'd graft_dot kernel).
+    // The full query's plan hides its input behind ScalableRank's
+    // localCheckpoint (the chunked triangle's ranking), so the input
+    // relation is audited directly — that is where a live chain would
+    // live — and the post-checkpoint query plan is audited for the
+    // dim-explode signature as well.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val in = physical(graft.ops.VectorOps.semdedupInput(spark, sf001))
+    val codeScans = in.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_ivfadc")) &&
+           f.relation.location.rootPaths.exists(_.toString.contains("codes")) => f
+    }
+    assert(codeScans.nonEmpty, "q269: expected a scan of the stored codes files")
+    (in.collect { case e: ShuffleExchangeExec => e } ++
+      shuffles(physical("q269_semdedup"))).foreach { e =>
+      assert(!hashKeys(e).contains("i"),
+        "q269: found an exploded-dim exchange — a live kmeans chain leaked in")
+    }
+  }
+
+  test("dsir bucket tables come back broadcast — the corpus never shuffles on b (q270)") {
+    // λ is a B=256-row relation; the per-doc weight join must be a
+    // broadcast hash join. Exchanges keyed on `b` are allowed ONLY as
+    // aggregation shuffles fed by map-side partials (P × B rows move,
+    // not the corpus) — the q93/q105 rule. The pre-rank relation is
+    // audited directly (the full query hides it behind ScalableRank's
+    // localCheckpoint — the q269 note).
+    val pw = physical(graft.ops.CorpusOps.dsirWeighted(spark, sf001))
+    assert(pw.toString.contains("BroadcastHashJoin"), "q270: λ join must broadcast")
+    val bKeyed = pw.collect { case e: ShuffleExchangeExec => e }
+      .filter(e => hashKeys(e).contains("b"))
+    assert(bKeyed.nonEmpty, "q270: expected b-keyed aggregation exchanges")
+    bKeyed.foreach(e => assert(partialAggFed(e),
+      s"q270: b-hashed exchange not fed by a partial aggregate: ${unwrap(e.child).nodeName}"))
   }
 
   test("adc shortlists plan a WindowGroupLimit prune, not a full sort-rank (q260/q261/q263/q264/q266)") {

@@ -655,4 +655,56 @@ class VectorOpsSpec extends SparkSpec {
       .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
     rows.foreach(r => assert(sigCounts(r.getLong(0)) === r.getLong(1)))
   }
+
+  test("semdedup: drop rule replays brute-force from the stored cells, margins wide (q269)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val out = VectorOps.queries("q269_semdedup")(spark, sf001).collect()
+    assert(out.nonEmpty, "sf0.001 should contain within-cell cos >= 0.35 pairs")
+
+    // brute-force recompute from the STORED index's cell assignment +
+    // the raw vectors — the exact relation the operator's chunked
+    // triangle join must reproduce
+    val root = VectorOps.ensureIvfadcIndex(spark, sf001)
+    val cellOf = spark.read.parquet(s"$root/codes").select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getAs[Number]("cell").longValue).toMap
+    val vecs = T.embeddings(spark, sf001).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val pairs = for {
+      i <- ids; j <- ids if i < j && cellOf(i) == cellOf(j)
+    } yield (i, j, cos(vecs(i), vecs(j)))
+
+    // engine-stability margins: no pair's cosine sits near the 0.35
+    // gate, and no surviving max_cos digit sits near a round-4 edge
+    val minGateDist = pairs.map(p => math.abs(p._3 - 0.35)).min
+    assert(minGateDist > 1e-6, s"a pair cosine sits $minGateDist from the 0.35 gate")
+
+    val hits = pairs.filter(_._3 >= 0.35)
+    assert(hits.nonEmpty)
+    val expected = hits.groupBy(_._2).map { case (id2, ps) =>
+      id2 -> ((ps.map(_._1).min, ps.length.toLong, ps.map(_._3).max))
+    }
+    assert(out.length === expected.size, "dropped set size mismatch")
+    out.foreach { r =>
+      val (id, cell) = (r.getLong(0), r.getLong(1))
+      val (wit, nd, mc) = expected(id)
+      assert(cell === cellOf(id))
+      assert(r.getLong(2) === wit, s"vec $id witness")
+      assert(r.getLong(3) === nd, s"vec $id n_dups")
+      assert(math.abs(r.getDouble(4) - mc) < 5.1e-5, s"vec $id max_cos")
+      val frac = mc * 1e4
+      assert(math.abs(frac - math.floor(frac) - 0.5) > 1e-6,
+        s"vec $id max_cos $mc within round-4 drift of a .5 edge")
+    }
+    // survivors really survive: no output row means no smaller-id
+    // >= 0.35 neighbor, which the equality of the two maps implies
+    val survivors = ids.toSet -- expected.keySet
+    assert(survivors.forall(id => !out.exists(_.getLong(0) == id)))
+  }
 }
