@@ -1638,16 +1638,16 @@ object CorpusOps {
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), col("lang"),
         (h32(concat(col("w"), lit(" "), col("w2"))) % DSIR_B).as("b"))
-    val r = f.groupBy(col("b")).agg(count(lit(1)).as("r"))
-    val t = f.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("t"))
-    val tots = broadcast(f.agg(count(lit(1)).as("rt"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt")))
-    val lam = broadcast(r.join(t, Seq("b"), "left_outer")
-      .crossJoin(tots)
+    // ONE bucket pass serves raw counts, target counts AND the totals
+    // (the totals are sums of the B-row relation itself) — the corpus
+    // is touched exactly twice: this pass and the per-doc pass below.
+    val bt = f.groupBy(col("b"))
+      .agg(count(lit(1)).as("r"),
+           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
+    val tots = broadcast(bt.agg(sum(col("r")).as("rt"), sum(col("t")).as("tt")))
+    val lam = broadcast(bt.crossJoin(tots)
       .select(col("b"),
-        (log((coalesce(col("t"), lit(0L)) + 1).cast("double") /
-              (col("tt") + DSIR_B)) -
+        (log((col("t") + 1).cast("double") / (col("tt") + DSIR_B)) -
          log((col("r") + 1).cast("double") / (col("rt") + DSIR_B)))
           .as("lam")))
     f.groupBy(col("doc_id"), col("lang"), col("b"))
