@@ -1323,7 +1323,24 @@ object VectorOps {
         .select(col("id2").as("vec_id"), col("__lbl").as("cell"),
           col("witness_id"), col("n_dups"),
           round(col("max_cos"), 4).as("max_cos4"))
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // k-center greedy coreset (farthest-point traversal — the
+    // diversity-sampling construction of coreset selection, Sener &
+    // Savarese 2018 / Gonzalez 1985): seed at the md5-min vector,
+    // then 7 times pick the corpus point farthest (squared L2) from
+    // the selected set. Output is the selection order + the coverage
+    // radius curve (the picked point's min-distance to the previous
+    // centers — the 2-approximation bound's certificate, non-
+    // increasing by construction). Every draw is the md5/argmax-
+    // margin idiom, so the chain is FULLY oracle-checked — the
+    // DuckDB SQL replays all 7 unrolled selection steps. See
+    // [[kcenterChain]]/[[kcenterFarthest]] for the scale shape.
+    "q271_kcenter_coreset" -> ((s, d) =>
+      kcenterChain(s, d)
+        .select(col("t"), col("cid").as("center_id"),
+          round(col("dsel"), 4).as("far_d2_4"))
+        .orderBy(col("t")))
   )
 
   /** q269's input relation: every vector tagged with its STORED IVF
@@ -1340,6 +1357,57 @@ object VectorOps {
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
     emb(s, d).join(cells, Seq("vec_id"))
       .select(col("vec_id"), col("cell").as("label"), col("v"), col("nrm"))
+  }
+
+  /** Number of centers the q271 k-center greedy chain selects. */
+  val KC_K = 8
+
+  /** One farthest-point selection step (public for the plan audit):
+    * the corpus point maximizing min-distance to the current center
+    * set. Centers BROADCAST (≤ k·dim doubles); per-(vector, center)
+    * squared distance via the codegen'd kernel; the min over centers
+    * is a partial-aggregable vec_id-keyed groupBy (assignCells'
+    * shape, never a window); the global argmax is a 1-row
+    * max(struct(dmin, -vec_id)) aggregate — partial-aggregable too,
+    * so the whole step shuffles n post-combine rows then 1-row
+    * partials. Ties break to the smaller vec_id (struct ordering).
+    */
+  def kcenterFarthest(e: DataFrame, sel: DataFrame): DataFrame =
+    e.crossJoin(broadcast(sel.select(col("cv"))))
+      .withColumn("__d2",
+        dot("v", "v") - lit(2.0) * dot("v", "cv") + dot("cv", "cv"))
+      .groupBy(col("vec_id")).agg(min(col("__d2")).as("dmin"))
+      .agg(max(struct(col("dmin").as("d"), (-col("vec_id")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as("vec_id"), col("m.d").as("dmin"))
+
+  /** The q271 farthest-point traversal chain: (t, cid, cv, dsel) for
+    * t = 1..k, dsel = the selected point's min-distance to the
+    * previous centers (the k-center coverage radius curve; NULL for
+    * the seed). Seed = the md5-min vector — the kmeansCentroids init
+    * coin. Each iteration re-derives min-distances from the FULL
+    * center set (k ≤ 8 corpus-pass-sized distance evals total) so
+    * only the k-row center relation is ever checkpointed — the
+    * kmeans-chain discipline; no corpus-sized state, no driver
+    * collect. Public so the spec can audit argmax margins.
+    */
+  def kcenterChain(s: SparkSession, d: String, k: Int = KC_K): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(s)
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    var sel = e
+      .select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(1)
+      .select(lit(1).as("t"), col("vec_id").as("cid"), col("v").as("cv"),
+        lit(null).cast("double").as("dsel"))
+      .localCheckpoint(true)
+    for (t <- 2 to k) {
+      val nxt = kcenterFarthest(e, sel)
+      sel = sel.unionByName(
+        e.join(broadcast(nxt), Seq("vec_id"))
+          .select(lit(t).as("t"), col("vec_id").as("cid"), col("v").as("cv"),
+            col("dmin").as("dsel")))
+        .localCheckpoint(true)
+    }
+    sel
   }
 
   private val embCte =
@@ -2308,8 +2376,47 @@ object VectorOps {
          |SELECT id2 AS vec_id, CAST(cell AS BIGINT) AS cell,
          |       min(id1) AS witness_id, CAST(count(*) AS BIGINT) AS n_dups,
          |       round(max(cos), 4) AS max_cos4
-         |FROM c GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+         |FROM c GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+
+    // k-center greedy: the 7 selection steps unrolled verbatim — the
+    // per-(vector, center) distance is the ivfIterSql algebra
+    // (Σv² − 2Σv·cv + Σcv²), the min over centers and the
+    // (dmin DESC, vec_id) argmax mirror the Spark aggregates exactly.
+    // sel CTEs are MATERIALIZED (multiply referenced — the CTE-
+    // inlining discipline).
+    "q271_kcenter_coreset" ->
+      s"""WITH $eCteBody,
+         |sel1 AS MATERIALIZED (
+         |  SELECT 1 AS t, vec_id AS cid, CAST(NULL AS DOUBLE) AS dmin FROM (
+         |    SELECT vec_id FROM embeddings
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)
+         |),
+         |${(2 to KC_K).map(kcenterIterSql).mkString(",\n")}
+         |SELECT t, cid AS center_id, round(dmin, 4) AS far_d2_4
+         |FROM sel$KC_K ORDER BY t""".stripMargin
     // q255_compression_gate is the one remaining spec-only entry:
     // DEFLATE output length is genuinely not SQL-expressible.
   )
+
+  /** One unrolled q271 selection step (t ≥ 2): distances of every
+    * corpus vector to every selected center, min over centers, argmax
+    * by (dmin DESC, vec_id), appended to the selection.
+    */
+  private def kcenterIterSql(t: Int): String = {
+    val prev = s"sel${t - 1}"
+    s"""d$t AS (
+       |  SELECT a.vec_id, s.cid,
+       |         sum(a.v * a.v) - 2 * sum(a.v * b.v) + sum(b.v * b.v) AS d2
+       |  FROM $prev s JOIN e b ON b.vec_id = s.cid
+       |       JOIN e a ON a.i = b.i
+       |  GROUP BY 1, 2
+       |), g$t AS (
+       |  SELECT vec_id, min(d2) AS dmin FROM d$t GROUP BY 1
+       |), n$t AS (
+       |  SELECT vec_id, dmin FROM g$t ORDER BY dmin DESC, vec_id LIMIT 1
+       |), sel$t AS MATERIALIZED (
+       |  SELECT t, cid, dmin FROM $prev
+       |  UNION ALL SELECT $t AS t, vec_id AS cid, dmin FROM n$t
+       |)""".stripMargin
+  }
 }

@@ -793,6 +793,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("k-center step: broadcast centers, partial-agg min, 1-row partial-agg argmax (q271)") {
+    // One selection step audited directly (the chain checkpoints each
+    // step — the q269 note): the center set must broadcast, the
+    // min-over-centers must shuffle vec_id-keyed partials only
+    // (assignCells' shape), and the argmax must be an aggregate, not
+    // a window.
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = T.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val sel = e.filter(col("vec_id") < 3)
+      .select(lit(1).as("t"), col("vec_id").as("cid"), col("v").as("cv"))
+    val p = physical(graft.ops.VectorOps.kcenterFarthest(e, sel))
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.nonEmpty, "q271: centers must broadcast")
+    val vecKeyed = p.collect { case x: ShuffleExchangeExec => x }
+      .filter(x => hashKeys(x) == Seq("vec_id"))
+    assert(vecKeyed.nonEmpty && vecKeyed.forall(partialAggFed),
+      "q271: the min-over-centers exchange must carry vec_id-keyed partials")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "q271: the argmax must not plan a window")
+  }
+
   test("dsir bucket tables come back broadcast — the corpus never shuffles on b (q270)") {
     // λ is a B=256-row relation; the per-doc weight join must be a
     // broadcast hash join. Exchanges keyed on `b` are allowed ONLY as

@@ -707,4 +707,58 @@ class VectorOpsSpec extends SparkSpec {
     val survivors = ids.toSet -- expected.keySet
     assert(survivors.forall(id => !out.exists(_.getLong(0) == id)))
   }
+
+  test("k-center coreset: full chain replays from scratch, radii non-increasing, margins wide (q271)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val out = VectorOps.queries("q271_kcenter_coreset")(spark, sf001)
+      .collect()
+    assert(out.length === VectorOps.KC_K)
+    assert(out.map(_.getInt(0)).toSeq === (1 to VectorOps.KC_K))
+    assert(out.map(_.getLong(1)).distinct.length === VectorOps.KC_K,
+      "centers must be distinct")
+
+    // coverage radius curve is non-increasing (the 2-approximation
+    // certificate of farthest-point traversal)
+    val radii = out.drop(1).map(_.getDouble(2))
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"radius increased: $a -> $b")
+    }
+
+    // from-scratch greedy replay in the driver (md5 seed included)
+    val vecs = T.embeddings(spark, sf001).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+    val seed = vecs.minBy { case (id, _) => (md5hex(id.toString), id) }._1
+    var centers = Vector(seed)
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val gaps = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 2 to VectorOps.KC_K) {
+      val dm = vecs.map { case (id, v) =>
+        id -> centers.map(c => d2(v, vecs.find(_._1 == c).get._2)).min
+      }
+      val sorted = dm.sortBy { case (id, dd) => (-dd, id) }
+      picks += ((sorted.head._1, sorted.head._2))
+      gaps += (sorted.head._2 - sorted(1)._2).abs
+      centers :+= sorted.head._1
+    }
+    assert(out.head.getLong(1) === seed)
+    out.drop(1).zip(picks).foreach { case (r, (id, dd)) =>
+      assert(r.getLong(1) === id, s"step ${r.getInt(0)} picked ${r.getLong(1)}, expected $id")
+      assert(math.abs(r.getDouble(2) - dd) < 5.1e-5, s"step ${r.getInt(0)} radius")
+      // round-4 digits far from a .5 edge
+      val frac = dd * 1e4
+      assert(math.abs(frac - math.floor(frac) - 0.5) > 1e-6)
+    }
+    // engine-stability: every argmax decided by a gap far above
+    // cross-engine sum-order drift... except genuine ties broken by
+    // vec_id, which are exact-integer decisions
+    gaps.filter(_ > 0).foreach(g => assert(g > 1e-9, s"argmax gap $g"))
+  }
 }
