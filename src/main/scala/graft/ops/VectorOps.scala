@@ -1340,7 +1340,42 @@ object VectorOps {
       kcenterChain(s, d)
         .select(col("t"), col("cid").as("center_id"),
           round(col("dsel"), 4).as("far_d2_4"))
-        .orderBy(col("t")))
+        .orderBy(col("t"))),
+
+    // D4-style prototype pruning (Tirumala 2023, "D4: Improving LLM
+    // Pretraining via Document De-Duplication and Diversification"):
+    // the published recipe is exactly SemDeDup (q269) followed by
+    // prototype pruning — drop the most PROTOTYPICAL quarter of each
+    // cluster (the survivors closest to their cluster centroid),
+    // keeping the diverse tail. Cluster key AND centroids both serve
+    // from the STORED index (q262); survivors = corpus minus q269's
+    // dropped set (the same chunked pair relation); the within-cell
+    // closeness ranking is a float rank over a 10-value key —
+    // ScalableRank territory, never a bare window — and the cut is
+    // the exact-integer rank <= ntot div 4. Output: the pruned rows
+    // with their prototype rank and cell census.
+    "q272_d4_prune" -> ((s, d) => {
+      val root = ensureIvfadcIndex(s, d)
+      val centroids = s.read.parquet(s"$root/centroids")
+        .select(col("cell").cast("long").as("label"), col("cv"))
+      val in = semdedupInput(s, d)
+      val dropped = chunkedPairs(in, chunkSize = 64)
+        .filter(col("cos") >= 0.35)
+        .select(col("id2").as("vec_id")).distinct()
+      val surv = in.join(dropped, Seq("vec_id"), "left_anti")
+        .join(broadcast(centroids), Seq("label"))
+        .withColumn("d2",
+          dot("v", "v") - lit(2.0) * dot("v", "cv") + dot("cv", "cv"))
+        .select(col("vec_id"), col("label"), col("d2"))
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      ScalableRank.withRanks(surv, Seq("label"),
+          Seq(col("d2"), col("vec_id")), Seq(col("d2"), col("vec_id")), p)
+        .filter(expr("rn <= ntot div 4"))
+        .select(col("vec_id"), col("label").as("cell"),
+          col("rn").as("proto_rank"), col("ntot").as("n_survivors"),
+          round(col("d2"), 4).as("d2_4"))
+        .orderBy(col("vec_id"))
+    })
   )
 
   /** q269's input relation: every vector tagged with its STORED IVF
@@ -2393,7 +2428,43 @@ object VectorOps {
          |),
          |${(2 to KC_K).map(kcenterIterSql).mkString(",\n")}
          |SELECT t, cid AS center_id, round(dmin, 4) AS far_d2_4
-         |FROM sel$KC_K ORDER BY t""".stripMargin
+         |FROM sel$KC_K ORDER BY t""".stripMargin,
+
+    // D4 prune: the chain (g5 cells + c4 centroids = the stored
+    // index bits), q269's dropped set, then the centroid-distance
+    // rank and the integer quarter cut replayed verbatim.
+    "q272_d4_prune" ->
+      s"""$ivfChainCte,
+         |nn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+         |pp AS (
+         |  SELECT ga.vec_id AS id1, gb.vec_id AS id2, sum(a.v * b.v) AS dot
+         |  FROM g5 ga JOIN g5 gb ON ga.cell = gb.cell AND ga.vec_id < gb.vec_id
+         |       JOIN e a ON a.vec_id = ga.vec_id
+         |       JOIN e b ON b.vec_id = gb.vec_id AND b.i = a.i
+         |  GROUP BY 1, 2
+         |), dr AS (
+         |  SELECT DISTINCT id2 AS vec_id
+         |  FROM pp JOIN nn n1 ON pp.id1 = n1.vec_id
+         |          JOIN nn n2 ON pp.id2 = n2.vec_id
+         |  WHERE dot / (n1.nrm * n2.nrm) >= 0.35
+         |), sd AS (
+         |  SELECT g.vec_id, g.cell,
+         |         sum(e.v * e.v) - 2 * sum(e.v * c.cv) + sum(c.cv * c.cv) AS d2
+         |  FROM g5 g JOIN e ON e.vec_id = g.vec_id
+         |       JOIN c4 c ON c.cell = g.cell AND c.i = e.i
+         |  WHERE g.vec_id NOT IN (SELECT vec_id FROM dr)
+         |  GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT vec_id, cell, d2,
+         |         row_number() OVER (PARTITION BY cell ORDER BY d2, vec_id) AS rn,
+         |         count(*) OVER (PARTITION BY cell) AS ntot
+         |  FROM sd
+         |)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+         |       CAST(rn AS BIGINT) AS proto_rank,
+         |       CAST(ntot AS BIGINT) AS n_survivors,
+         |       round(d2, 4) AS d2_4
+         |FROM rk WHERE rn <= ntot // 4 ORDER BY vec_id""".stripMargin
     // q255_compression_gate is the one remaining spec-only entry:
     // DEFLATE output length is genuinely not SQL-expressible.
   )

@@ -155,7 +155,9 @@ class PlanAuditSpec extends SparkSpec {
                          // 20-value source key of the weighted reservoir
                          "q137_weighted_sample" -> "source",
                          // constant key of the DSIR global weight rank
-                         "q270_dsir_weights" -> "g")) {
+                         "q270_dsir_weights" -> "g",
+                         // 10-value stored-cell key of the D4 prototype rank
+                         "q272_d4_prune" -> "label")) {
       val p = physical(q)
       assert(shuffles(p).exists(_.outputPartitioning.isInstanceOf[RangePartitioning]),
         s"$q: expected a range-partitioned exchange")

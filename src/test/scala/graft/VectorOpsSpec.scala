@@ -761,4 +761,71 @@ class VectorOpsSpec extends SparkSpec {
     // vec_id, which are exact-integer decisions
     gaps.filter(_ > 0).foreach(g => assert(g > 1e-9, s"argmax gap $g"))
   }
+
+  test("d4 prune: survivors + quarter cut recomputed in the driver, rank margins wide (q272)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val out = VectorOps.queries("q272_d4_prune")(spark, sf001).collect()
+    assert(out.nonEmpty)
+
+    // driver recompute: stored cells + centroids, q269 drop rule,
+    // centroid distances, per-cell quarter cut
+    val root = VectorOps.ensureIvfadcIndex(spark, sf001)
+    val cellOf = spark.read.parquet(s"$root/codes").select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getAs[Number]("cell").longValue).toMap
+    val cents = spark.read.parquet(s"$root/centroids").select("cell", "cv")
+      .collect().map(r => r.getAs[Number]("cell").longValue ->
+        r.getSeq[Double](1).toArray).toMap
+    val vecs = T.embeddings(spark, sf001).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val droppedSem = (for {
+      i <- ids; j <- ids
+      if i < j && cellOf(i) == cellOf(j) && cos(vecs(i), vecs(j)) >= 0.35
+    } yield j).toSet
+    val surv = ids.filterNot(droppedSem)
+    val byCell = surv.groupBy(cellOf)
+    val expected = byCell.flatMap { case (cell, members) =>
+      val ranked = members.map(id => (id, d2(vecs(id), cents(cell))))
+        .sortBy { case (id, dd) => (dd, id) }
+      val cut = ranked.length / 4
+      ranked.take(cut).zipWithIndex.map { case ((id, dd), i) =>
+        id -> ((cell, (i + 1).toLong, ranked.length.toLong, dd))
+      }
+    }
+    assert(out.length === expected.size,
+      s"pruned ${out.length} rows, expected ${expected.size}")
+    out.foreach { r =>
+      val (cell, rk, nt, dd) = expected(r.getLong(0))
+      assert(r.getLong(1) === cell)
+      assert(r.getLong(2) === rk, s"vec ${r.getLong(0)} rank")
+      assert(r.getLong(3) === nt)
+      assert(math.abs(r.getDouble(4) - dd) < 5.1e-5)
+    }
+    // engine-stability: adjacent ranked distances inside each cell
+    // (through one past the cut) separated far beyond drift, and no
+    // rounded digit near a .5 edge
+    byCell.foreach { case (cell, members) =>
+      val ds = members.map(id => d2(vecs(id), cents(cell))).sorted
+      val cut = ds.length / 4
+      ds.take(cut + 1).sliding(2).foreach { w =>
+        if (w.length == 2 && w(1) != w(0))
+          assert(w(1) - w(0) > 1e-9, s"cell $cell adjacent d2 gap ${w(1) - w(0)}")
+      }
+      ds.take(cut).foreach { dd =>
+        val frac = dd * 1e4
+        assert(math.abs(frac - math.floor(frac) - 0.5) > 1e-6)
+      }
+    }
+  }
 }
