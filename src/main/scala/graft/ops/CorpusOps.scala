@@ -1607,6 +1607,24 @@ object CorpusOps {
         .select(col("doc_id"), col("lang"), col("n_bigrams"),
           round(col("w"), 4).as("dsir_logw_4"),
           when(col("rn") <= DSIR_SEL, 1).otherwise(0).as("selected"))
+        .orderBy(col("doc_id"))),
+
+    // In-engine quality classifier (the fastText/CCNet-style gate
+    // every web-scale pipeline trains: a linear classifier on hashed
+    // n-gram features scoring docs against a target domain): batch-GD
+    // LOGISTIC REGRESSION, en-vs-rest, over q270's md5-bucket bigram
+    // features (normalized) + bias, LR_ITERS unrolled iterations at
+    // η=LR_ETA, trained and served entirely as DataFrame aggregations
+    // — and FULLY oracle-checked, because every iteration is
+    // deterministic given the md5 coin and batch gradients average
+    // float drift instead of amplifying it (measured: 1e-11 jitter →
+    // <3e-14 final movement). Honest result on the synthetic corpus:
+    // AUC ≈ 0.80 after 6 iterations (partial convergence — the
+    // audited trainer is the deliverable, same posture as q266/q268).
+    "q273_quality_lr" -> ((s, d) =>
+      lrScores(s, d)
+        .select(col("doc_id"), col("lang"),
+          round(col("score"), 4).as("lr_score_4"))
         .orderBy(col("doc_id")))
   )
 
@@ -1621,6 +1639,79 @@ object CorpusOps {
         Seq(col("w").desc, col("doc_id")),
         Seq(col("w"), col("doc_id")), p)
       .select(col("doc_id"), col("lang"), col("n_bigrams"), col("w"), col("rn"))
+  }
+
+  /** q273 trainer dials: learning rate and unrolled batch-GD
+    * iteration count. η=8/T=6 measured: AUC 0.80 on the en-vs-rest
+    * task at sf0.01, and a 1e-11 per-score jitter moves the final
+    * scores by < 3e-14 (batch gradients AVERAGE cross-engine float
+    * drift away rather than amplifying it — the property that makes
+    * an iterative float trainer oracle-checkable at all).
+    */
+  val LR_ETA = 8.0
+  val LR_ITERS = 6
+
+  /** q273 feature relation: per-doc NORMALIZED hashed-bigram
+    * frequencies (the q270 md5-bucket coin, x = c_db / n_d) plus a
+    * constant bias feature at b = −1. Public for the plan audit.
+    */
+  def lrFeatures(s: SparkSession, d: String): DataFrame = {
+    val tok = T.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val f = tok.withColumn("w2", lead(col("w"), 1).over(wd))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        (h32(concat(col("w"), lit(" "), col("w2"))) % DSIR_B).as("b"))
+    val nd = f.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    f.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(nd, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("b"),
+        (col("c").cast("double") / col("n")).as("x"))
+      .unionByName(T.documents(s, d)
+        .select(col("doc_id"), col("lang"), lit(-1L).as("b"), lit(1.0).as("x")))
+  }
+
+  /** The q273 trainer: batch-GD logistic regression (en-vs-rest) on
+    * [[lrFeatures]], LR_ITERS unrolled iterations, final per-doc
+    * logit scores (doc_id, lang, score) UNROUNDED — public for the
+    * spec's from-scratch replay.
+    *
+    * The feature relation is localCheckpoint'ed ONCE — that is the
+    * feature-extraction materialization every epoch-style trainer
+    * performs (unlike the kmeans chains, whose iterations only need
+    * the k-row centroid relation, GD re-reads every doc's features
+    * each iteration — recomputing the tokenize+window pass ×2T would
+    * be the real waste). Per iteration: the 257-row weight relation
+    * BROADCASTS into a doc-keyed scoring agg, residuals join back
+    * feature-keyed, and the gradient is a b-keyed partial agg —
+    * nothing beyond |docs| + |B| keyed partials moves, at any corpus
+    * size.
+    */
+  def lrScores(s: SparkSession, d: String): DataFrame = {
+    val feats = lrFeatures(s, d).localCheckpoint(true)
+    val n = broadcast(T.documents(s, d).agg(count(lit(1)).as("n")))
+    var w = feats.select(col("b")).distinct()
+      .select(col("b"), lit(0.0).as("w")).localCheckpoint(true)
+    for (_ <- 1 to LR_ITERS) {
+      val res = feats.join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("x") * col("w")).as("s"))
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("s"))) -
+           when(col("lang") === "en", 1.0).otherwise(0.0)).as("r"))
+      val grad = feats.join(res, Seq("doc_id"))
+        .groupBy(col("b")).agg(sum(col("r") * col("x")).as("g"))
+      w = w.join(grad, Seq("b")).crossJoin(n)
+        .select(col("b"),
+          (col("w") - lit(LR_ETA) * col("g") / col("n")).as("w"))
+        .localCheckpoint(true)
+    }
+    feats.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("x") * col("w")).as("score"))
   }
 
   /** q270's pre-rank relation (doc_id, lang, n_bigrams, w, g) — public
@@ -2863,6 +2954,62 @@ object CorpusOps {
          |)
          |SELECT doc_id, lang, n_bigrams, round(w, 4) AS dsir_logw_4,
          |       CASE WHEN rn <= $DSIR_SEL THEN 1 ELSE 0 END AS selected
-         |FROM rk ORDER BY doc_id""".stripMargin
+         |FROM rk ORDER BY doc_id""".stripMargin,
+
+    // The trainer replayed verbatim: same feature coin, same
+    // normalized x, all LR_ITERS batch-GD iterations unrolled (w and
+    // feats MATERIALIZED — multiply referenced). Per-doc score sums
+    // and per-bucket gradient sums associate differently across
+    // engines; the measured <3e-14 drift headroom (see the q273
+    // entry) and CorpusOpsSpec's boundary audit cover the round-4
+    // digits.
+    "q273_quality_lr" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS w,
+         |         generate_subscripts(string_split(text,' '),1) AS i
+         |  FROM documents
+         |), fb AS (
+         |  SELECT a.doc_id, a.lang,
+         |         CAST(('0x' || substr(md5(a.w || ' ' || b.w), 1, 8)) AS BIGINT)
+         |           % $DSIR_B AS b
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |), nd AS (SELECT doc_id, count(*) AS n FROM fb GROUP BY 1),
+         |feats AS MATERIALIZED (
+         |  SELECT fb.doc_id, fb.lang, fb.b,
+         |         CAST(count(*) AS DOUBLE) / any_value(nd.n) AS x
+         |  FROM fb JOIN nd USING (doc_id) GROUP BY fb.doc_id, fb.lang, fb.b
+         |  UNION ALL SELECT doc_id, lang, -1, 1.0 FROM documents
+         |),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |w0 AS (SELECT DISTINCT b, CAST(0 AS DOUBLE) AS w FROM feats),
+         |$lrIterSql,
+         |sfin AS (
+         |  SELECT f.doc_id, f.lang, sum(f.x * w.w) AS s
+         |  FROM feats f JOIN w$LR_ITERS w USING (b) GROUP BY 1, 2
+         |)
+         |SELECT doc_id, lang, round(s, 4) AS lr_score_4
+         |FROM sfin ORDER BY doc_id""".stripMargin
   )
+
+  /** The q273 GD iterations unrolled (score → residual → gradient →
+    * weight update), mirroring [[lrScores]]' aggregates exactly.
+    */
+  private lazy val lrIterSql: String = (1 to LR_ITERS).map { t =>
+    val prev = s"w${t - 1}"
+    s"""s$t AS (
+       |  SELECT f.doc_id, f.lang, sum(f.x * w.w) AS s
+       |  FROM feats f JOIN $prev w USING (b) GROUP BY 1, 2
+       |), r$t AS (
+       |  SELECT doc_id,
+       |         (1 / (1 + exp(-s)) -
+       |          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS r
+       |  FROM s$t
+       |), g$t AS (
+       |  SELECT f.b, sum(r.r * f.x) AS g
+       |  FROM feats f JOIN r$t r USING (doc_id) GROUP BY 1
+       |), w$t AS MATERIALIZED (
+       |  SELECT w.b, w.w - $LR_ETA * g.g / nn.n AS w
+       |  FROM $prev w JOIN g$t g USING (b) CROSS JOIN nn
+       |)""".stripMargin
+  }.mkString(",\n")
 }

@@ -1353,4 +1353,70 @@ class CorpusOpsSpec extends SparkSpec {
       assert(gap > 1e-9, s"selection edge gap $gap within float drift")
     }
   }
+
+  test("quality LR: full batch-GD training replays from scratch, separates en, boundaries wide (q273)") {
+    val out = CorpusOps.queries("q273_quality_lr")(spark, sf001).collect()
+    val docs = graft.T.documents(spark, sf001).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.length === docs.length)
+
+    // from-scratch trainer replay (features, all 6 GD iterations)
+    def h32(x: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val feats: Map[Long, (String, Seq[(Long, Double)])] = docs.map {
+      case (id, lang, text) =>
+        val ws = text.split(" ")
+        val bs = ws.zip(ws.drop(1)).map { case (a, b) =>
+          h32(s"$a $b") % CorpusOps.DSIR_B
+        }
+        val n = bs.length.toDouble
+        val xb = bs.groupBy(identity).toSeq
+          .map { case (b, os) => (b, os.length / n) } :+ ((-1L, 1.0))
+        id -> ((lang, xb))
+    }.toMap
+    val n = docs.length.toDouble
+    var w = Map.empty[Long, Double].withDefaultValue(0.0)
+    for (_ <- 1 to CorpusOps.LR_ITERS) {
+      val grad = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      feats.foreach { case (_, (lang, xb)) =>
+        val s = xb.map { case (b, x) => x * w(b) }.sum
+        val r = 1.0 / (1.0 + math.exp(-s)) - (if (lang == "en") 1.0 else 0.0)
+        xb.foreach { case (b, x) => grad(b) += r * x }
+      }
+      w = w ++ grad.map { case (b, g) =>
+        b -> (w(b) - CorpusOps.LR_ETA * g / n)
+      }
+    }
+    val expScore = feats.map { case (id, (_, xb)) =>
+      id -> xb.map { case (b, x) => x * w(b) }.sum
+    }
+    val scored = CorpusOps.lrScores(spark, sf001).collect()
+    scored.foreach { r =>
+      assert(math.abs(r.getDouble(2) - expScore(r.getLong(0))) < 1e-9,
+        s"doc ${r.getLong(0)}: score ${r.getDouble(2)} != ${expScore(r.getLong(0))}")
+    }
+
+    // separability: the 6-iteration classifier must rank en docs above
+    // the rest well beyond chance (measured AUC ~0.8)
+    val en = scored.filter(_.getString(1) == "en").map(_.getDouble(2)).sorted
+    val rest = scored.filter(_.getString(1) != "en").map(_.getDouble(2)).sorted
+    assert(en.nonEmpty && rest.nonEmpty)
+    val auc = en.map { s =>
+      val lt = rest.count(_ < s); val eq = rest.count(_ == s)
+      lt + 0.5 * eq
+    }.sum / (en.length.toDouble * rest.length)
+    assert(auc > 0.72, s"AUC $auc — classifier failed to separate en")
+
+    // boundary audit: round-4 digits sit far from the .5 edge
+    // relative to the measured <3e-14 cross-engine drift
+    scored.foreach { r =>
+      val frac = math.abs(r.getDouble(2)) * 1e4
+      assert(math.abs(frac - math.floor(frac) - 0.5) > 1e-6,
+        s"doc ${r.getLong(0)} score within drift of a round-4 edge")
+    }
+  }
 }

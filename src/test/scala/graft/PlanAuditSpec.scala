@@ -836,6 +836,23 @@ class PlanAuditSpec extends SparkSpec {
       s"q270: b-hashed exchange not fed by a partial aggregate: ${unwrap(e.child).nodeName}"))
   }
 
+  test("quality-LR serving: weights broadcast, scoring shuffles doc-keyed partials only (q273)") {
+    // The visible plan is the final scoring pass (training iterations
+    // sit behind the feature checkpoint): the 257-row weight relation
+    // must broadcast and the per-doc score aggregation must shuffle
+    // partial rows. The gradient/bucket shape inside the loop is the
+    // same aggregates over the same checkpointed relation.
+    val p = physical("q273_quality_lr")
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.nonEmpty, "q273: weights must broadcast")
+    val hashed = shuffles(p).filter(e => hashKeys(e).nonEmpty)
+    hashed.foreach { e =>
+      assert(hashKeys(e).contains("doc_id") && partialAggFed(e),
+        s"q273: unexpected non-doc-keyed or raw-row exchange ${hashKeys(e)}")
+    }
+  }
+
   test("adc shortlists plan a WindowGroupLimit prune, not a full sort-rank (q260/q261/q263/q264/q266)") {
     // The rn <= 50 / rn <= 5 shortlist filters must push into the
     // window as a group-limit (each task keeps a bounded heap per
