@@ -1303,9 +1303,13 @@ object VectorOps {
     // the dedup path runs NO kmeans, the same serve-from-index
     // posture as q263), pairs inside a cell go through the chunked
     // triangle join (one dominant cell can never concentrate its
-    // quadratic pair set in one task), and the drop rule is
-    // deterministic: a vector is dropped iff SOME smaller-id vector
-    // in its cell sits at cosine ≥ 0.35. (The paper keeps one random
+    // quadratic pair set in one task — and at 100 TB the paper's k
+    // scales with n: SemDeDup uses 11k clusters on LAION, keeping
+    // cells roughly constant-sized so the within-cell pair space
+    // stays ~linear in n; the chunked triangle bounds whatever skew
+    // the clustering leaves). The drop rule is deterministic: a
+    // vector is dropped iff SOME smaller-id vector in its cell sits
+    // at cosine ≥ 0.35. (The paper keeps one random
     // representative per dup neighborhood; min-id keeps the op
     // oracle-replayable — the q137/q270 determinism trade.)
     // witness_id is the smallest such neighbor — a per-drop audit

@@ -1419,4 +1419,21 @@ class CorpusOpsSpec extends SparkSpec {
         s"doc ${r.getLong(0)} score within drift of a round-4 edge")
     }
   }
+
+  test("quality LR output is partition-layout-invariant (q273's engine-stability property)") {
+    // Gradient partials merge in a layout-dependent order; the claim
+    // behind the oracle is that the trained scores' rounded digits
+    // absorb that drift (measured <3e-14). Property-test it: the full
+    // rounded output must be bit-identical under 2 / 4 / 32 shuffle
+    // partitions.
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    val runs = Seq("2", "4", "32").map { sp =>
+      spark.conf.set("spark.sql.shuffle.partitions", sp)
+      try CorpusOps.queries("q273_quality_lr")(spark, sf001)
+        .collect().map(_.toSeq).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+    }
+    assert(runs.distinct.size === 1,
+      "trained scores must not depend on the partition layout")
+  }
 }

@@ -640,6 +640,23 @@ class VectorOpsSpec extends SparkSpec {
       "census must not depend on the partition layout")
   }
 
+  test("k-center selection is partition-layout-invariant (q271's engine-stability property)") {
+    // Same property as the census test, for the new iterative chain:
+    // the per-step argmax absorbs partial-merge ulp drift, so the
+    // selected sequence must be bit-identical under 2 / 4 / 32
+    // shuffle partitions.
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    val runs = Seq("2", "4", "32").map { sp =>
+      spark.conf.set("spark.sql.shuffle.partitions", sp)
+      try VectorOps.queries("q271_kcenter_coreset")(spark, sf001)
+        .collect().map(_.toSeq).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+    }
+    assert(runs.distinct.size === 1,
+      "selection must not depend on the partition layout")
+  }
+
   test("lsh bucket audit conserves the corpus and stays in the 8-bit domain (q258)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     val rows = VectorOps.queries("q258_lsh_bucket_audit")(spark, sf001).collect()
