@@ -46,6 +46,20 @@ object CorpusOps {
   val DSIR_B = 256
   val DSIR_SEL = 25
 
+  /** BPE trainer (q274) dial: number of unrolled merge-learning steps.
+    * 8 is enough to produce multi-character merges on the synthetic
+    * vocabulary at every SF while keeping the oracle's unrolled WITH
+    * chain readable; a production tokenizer build runs the identical
+    * loop to 30-50k merges — each step costs one |vocab|-sized pass,
+    * never a corpus pass (see the q274 entry).
+    */
+  val BPE_T = 8
+
+  /** BM25 (q275) dials: Robertson k1/b at their textbook defaults and
+    * the per-query result depth.
+    */
+  val BM25_K = 10
+
   /** Engine-neutral 40-bit hash (md5 prefix) — the KMV sketch domain.
     * 2^40 ≫ any per-key distinct count we estimate, so the k-th
     * minimum stays well inside the domain and the (k−1)·2^40/h_k
@@ -1625,7 +1639,63 @@ object CorpusOps {
       lrScores(s, d)
         .select(col("doc_id"), col("lang"),
           round(col("score"), 4).as("lr_score_4"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // In-engine BPE tokenizer induction (Sennrich et al. 2016 — the
+    // byte-pair-encoding merge-learning loop every tokenizer build
+    // runs before training starts): BPE_T unrolled merge steps. Each
+    // step picks the globally most frequent adjacent symbol pair
+    // (count desc, then lexicographic — a total order, so the argmax
+    // is deterministic) and rewrites every vocabulary word by the
+    // standard greedy leftmost non-overlapping merge. q104 computes
+    // ONE step's pair statistics; this is the full training loop.
+    // Plan shape: the corpus collapses to the (word, count) vocabulary
+    // in ONE pass and never reappears — all BPE_T iterations run on
+    // the |vocab| relation (Heaps-sublinear in corpus size), exactly
+    // how a production BPE trainer is structured. The per-word merge
+    // rewrite is an aggregate-HOF left fold: interpreted, but over
+    // |vocab| rows only (the documented q104 trade); the pair argmax
+    // is a codegen'd (pa,pb)-keyed agg bounded by |symbol-vocab|².
+    // The fold IS greedy-leftmost BPE: merging whenever the
+    // accumulator's last symbol is pa and the next is pb reproduces
+    // leftmost non-overlapping semantics including the a=a run case
+    // ("aaaa" -> "aa","aa"), spec'd in CorpusOpsSpec.
+    "q274_bpe_trainer" -> ((s, d) => bpeMergeChain(s, d)),
+
+    // BM25 retrieval top-k (Robertson-Sparck Jones Okapi BM25 at
+    // k1=1.2, b=0.75 — the lexical-retrieval baseline every
+    // data-curation stack keeps next to its ANN tier, and the scoring
+    // rule behind retrieval-based decontamination): three 2-term
+    // queries derived deterministically from the corpus (the top-6
+    // document-frequency terms, round-robin by df rank), each scored
+    // against every matching document, top BM25_K per query.
+    // Plan shape: tf is the (doc,term)-keyed agg, df/dl are its
+    // rollups; the 6-row query relation (with per-term idf) and the
+    // 1-row avgdl scalar BROADCAST, so the corpus-sized tf relation
+    // is filtered to query terms map-side before the doc-keyed dl
+    // join; the per-query ranking rides ScalableRank (qid is a
+    // 3-value key — never a single-task window). Exactly 2 terms per
+    // query keeps the float score a 2-addend sum: IEEE addition is
+    // commutative, so the cross-engine sum is order-proof without a
+    // fixed-order pivot; ln(idf) is the one libm call (q208's
+    // documented risk class), covered by round-4 output + the
+    // rank-boundary margin audit in CorpusOpsSpec.
+    "q275_bm25_topk" -> ((s, d) =>
+      bm25Ranked(s, d)
+        .filter(col("rn") <= BM25_K)
+        .select(col("qid"), col("rn").as("rk"), col("doc_id"),
+          round(col("score"), 4).as("bm25_4"), col("n_hit"))
+        .orderBy(col("qid"), col("rk"))),
+
+    // BPE compression curve (the metric a tokenizer build tracks per
+    // merge: corpus tokens after each learned merge, step 0 = raw
+    // characters). Uses q274's chain states — zero extra corpus
+    // passes; each point is a 1-row sum over the vocab relation.
+    // Exact-integer invariant spec'd in CorpusOpsSpec: for a pa≠pb
+    // merge the drop equals the winning pair count exactly; for a
+    // pa=pb merge it is the greedy run count (≤ the raw adjacency
+    // count — overlaps in runs collapse).
+    "q278_bpe_curve" -> ((s, d) => bpeTokenCurve(s, d))
   )
 
   /** The q270 DSIR chain up to the UNROUNDED weights + global rank —
@@ -1639,6 +1709,121 @@ object CorpusOps {
         Seq(col("w").desc, col("doc_id")),
         Seq(col("w"), col("doc_id")), p)
       .select(col("doc_id"), col("lang"), col("n_bigrams"), col("w"), col("rn"))
+  }
+
+  /** The q274 BPE merge-learning chain: (step, pa, pb, n_occ), one row
+    * per learned merge. Public so CorpusOpsSpec can replay it
+    * from-scratch and audit the argmax margins. The corpus is read
+    * ONCE (the word-count agg, checkpointed); each of the `iters`
+    * steps is a pair-stats argmax over the vocabulary (codegen'd
+    * keyed agg, total-order tiebreak count desc/pa/pb) followed by
+    * the greedy-leftmost fold rewrite against the broadcast 1-row
+    * winner. Vocab and winner relations localCheckpoint per step —
+    * the kmeans-chain lineage discipline (each is referenced by the
+    * next step AND the output union).
+    */
+  def bpeMergeChain(s: SparkSession, d: String, iters: Int = BPE_T): DataFrame =
+    bpeChainState(s, d, iters)._1.reduce(_ unionByName _)
+      .select(col("step"), col("pa").as("merge_left"), col("pb").as("merge_right"),
+        col("n_occ"))
+      .orderBy(col("step"))
+
+  /** The shared BPE loop state: (per-step winning merges, per-step
+    * vocab relations bv0..bvT). q274 formats the merges; q278 folds
+    * the vocab states into the compression curve.
+    */
+  private def bpeChainState(s: SparkSession, d: String,
+      iters: Int): (List[DataFrame], List[DataFrame]) = {
+    val wc = T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    var vocab = wc
+      .select(col("c"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .localCheckpoint(true)
+    var steps = List.empty[DataFrame]
+    var vocabs = List(vocab)
+    for (t <- 1 to iters) {
+      // size >= 2 filter BEFORE the sequence: sequence(1, 0) is
+      // DESCENDING in Spark, not empty (the q99 trap).
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> named_struct(" +
+            "'pa', element_at(syms, i), 'pb', element_at(syms, i + 1)))")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("c")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pa"), col("pb")).limit(1)
+        .select(lit(t).as("step"), col("pa"), col("pb"), col("n_occ"))
+        .localCheckpoint(true)
+      steps = steps :+ best
+      vocab = vocab.crossJoin(broadcast(best.select(col("pa"), col("pb"))))
+        .select(col("c"), expr(
+          """aggregate(slice(syms, 2, size(syms) - 1), array(element_at(syms, 1)),
+            |  (acc, x) -> CASE WHEN element_at(acc, -1) = pa AND x = pb
+            |              THEN concat(slice(acc, 1, size(acc) - 1), array(concat(pa, pb)))
+            |              ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"))
+        .localCheckpoint(true)
+      vocabs = vocabs :+ vocab
+    }
+    (steps, vocabs)
+  }
+
+  /** The q278 compression curve: corpus token count after each merge
+    * step (step 0 = characters). Each point is a 1-row sum over the
+    * |vocab| relation the chain already checkpointed — no extra
+    * corpus work beyond q274's one pass.
+    */
+  def bpeTokenCurve(s: SparkSession, d: String, iters: Int = BPE_T): DataFrame = {
+    val (_, vocabs) = bpeChainState(s, d, iters)
+    vocabs.zipWithIndex.map { case (vb, t) =>
+      vb.agg(sum(col("c") * size(col("syms"))).cast("long").as("corpus_tokens"))
+        .select(lit(t).as("step"), col("corpus_tokens"))
+    }.reduce(_ unionByName _).orderBy(col("step"))
+  }
+
+  /** The q275 BM25 chain up to the UNROUNDED ranked scores — public so
+    * CorpusOpsSpec can audit the rank-boundary margins (the role
+    * dsirRanked plays for q270). Query set: the top-6 df terms,
+    * qid = ((df-rank − 1) % 3) + 1 — three 2-term queries. The 6-row
+    * ranking window runs on a single task by construction (the
+    * kmeans-init precedent); everything corpus-sized is keyed aggs +
+    * one broadcast-filtered doc join.
+    */
+  def bm25Ranked(s: SparkSession, d: String): DataFrame = {
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val tok = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("dfw"))
+    val scalars = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tok.agg(count(lit(1)).as("n_toks")))
+      .select(col("n_docs"),
+        (col("n_toks").cast("double") / col("n_docs")).as("avgdl"))
+    val wTop = Window.orderBy(col("dfw").desc, col("w"))
+    val qx = dft.orderBy(col("dfw").desc, col("w")).limit(6)
+      // 6 rows: the rank window runs on a single task by construction
+      .select(row_number().over(wTop).as("rk6"), col("w"), col("dfw"))
+      .crossJoin(broadcast(scalars))
+      .select((((col("rk6") - 1) % 3) + 1).as("qid"), col("w"),
+        log(lit(1.0) +
+          (col("n_docs") - col("dfw") + lit(0.5)) / (col("dfw") + lit(0.5))).as("idf"),
+        col("avgdl"))
+    val contrib = tf.join(broadcast(qx), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .select(col("qid"), col("doc_id"),
+        (col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))).as("contrib"))
+    val scored = contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_hit"))
+    ScalableRank.withRanks(scored, Seq("qid"),
+        Seq(col("score").desc, col("doc_id")),
+        Seq(col("score"), col("doc_id")), p)
+      .select(col("qid"), col("rn"), col("doc_id"), col("score"), col("n_hit"))
   }
 
   /** q273 trainer dials: learning rate and unrolled batch-GD
@@ -2988,7 +3173,91 @@ object CorpusOps {
          |  FROM feats f JOIN w$LR_ITERS w USING (b) GROUP BY 1, 2
          |)
          |SELECT doc_id, lang, round(s, 4) AS lr_score_4
-         |FROM sfin ORDER BY doc_id""".stripMargin
+         |FROM sfin ORDER BY doc_id""".stripMargin,
+
+    // The full merge loop replayed: per-step pair argmax (same total
+    // order) + the greedy-leftmost rewrite as a list_reduce fold over
+    // singleton-wrapped symbols. DuckDB slice bounds are INCLUSIVE:
+    // acc[:-2] drops the last element (acc[:-1] would keep it). All
+    // arithmetic is exact integers + strings — no float anywhere.
+    "q274_bpe_trainer" ->
+      s"""WITH wc AS MATERIALIZED (
+         |  SELECT w, count(*) AS c
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY 1
+         |), bv0 AS MATERIALIZED (
+         |  SELECT c, list_transform(generate_series(1, length(w)),
+         |                           i -> substr(w, CAST(i AS INT), 1)) AS syms
+         |  FROM wc WHERE w <> ''
+         |),
+         |$bpeIterSql
+         |SELECT step, pa AS merge_left, pb AS merge_right, n_occ
+         |FROM (${(1 to BPE_T).map(t => s"SELECT * FROM bp$t").mkString(" UNION ALL ")})
+         |ORDER BY step""".stripMargin,
+
+    // BM25 replayed with the identical association order in the score
+    // expression (the only cross-engine float risk is ln — round-4
+    // output plus the spec's rank-margin audit cover it; the 2-addend
+    // per-(qid,doc) sum is order-proof because IEEE addition is
+    // commutative).
+    "q275_bm25_topk" ->
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, w
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> ''
+         |), tf AS MATERIALIZED (
+         |  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+         |), sc AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |         CAST((SELECT count(*) FROM tok) AS DOUBLE) /
+         |           (SELECT count(*) FROM documents) AS avgdl
+         |), dft AS (
+         |  SELECT w, count(*) AS dfw FROM tf GROUP BY 1
+         |), qx AS (
+         |  SELECT CAST((rk6 - 1) % 3 + 1 AS INT) AS qid, w,
+         |         ln(1 + (n_docs - dfw + CAST(0.5 AS DOUBLE)) /
+         |                (dfw + CAST(0.5 AS DOUBLE))) AS idf,
+         |         avgdl
+         |  FROM (SELECT w, dfw, row_number() OVER (ORDER BY dfw DESC, w) AS rk6
+         |        FROM dft ORDER BY dfw DESC, w LIMIT 6)
+         |  CROSS JOIN sc
+         |), co AS (
+         |  SELECT q.qid, t.doc_id,
+         |         q.idf * (t.tf * CAST(2.2 AS DOUBLE)) /
+         |         (t.tf + CAST(1.2 AS DOUBLE) *
+         |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * d.dl / q.avgdl))
+         |           AS contrib
+         |  FROM tf t JOIN qx q USING (w) JOIN dl d USING (doc_id)
+         |), sco AS (
+         |  SELECT qid, doc_id, sum(contrib) AS score,
+         |         CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM co GROUP BY 1, 2
+         |), rkd AS (
+         |  SELECT qid, doc_id, score, n_hit,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+         |  FROM sco
+         |)
+         |SELECT qid, rk, doc_id, round(score, 4) AS bm25_4, n_hit
+         |FROM rkd WHERE rk <= $BM25_K ORDER BY qid, rk""".stripMargin,
+
+    // q274's chain, read out as the per-step corpus token sums.
+    "q278_bpe_curve" ->
+      s"""WITH wc AS MATERIALIZED (
+         |  SELECT w, count(*) AS c
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY 1
+         |), bv0 AS MATERIALIZED (
+         |  SELECT c, list_transform(generate_series(1, length(w)),
+         |                           i -> substr(w, CAST(i AS INT), 1)) AS syms
+         |  FROM wc WHERE w <> ''
+         |),
+         |$bpeIterSql
+         |SELECT step, corpus_tokens FROM (${(0 to BPE_T).map(t =>
+              s"SELECT $t AS step, CAST(sum(c * len(syms)) AS BIGINT) AS corpus_tokens FROM bv$t")
+              .mkString(" UNION ALL ")})
+         |ORDER BY step""".stripMargin
   )
 
   /** The q273 GD iterations unrolled (score → residual → gradient →
@@ -3010,6 +3279,27 @@ object CorpusOps {
        |), w$t AS MATERIALIZED (
        |  SELECT w.b, w.w - $LR_ETA * g.g / nn.n AS w
        |  FROM $prev w JOIN g$t g USING (b) CROSS JOIN nn
+       |)""".stripMargin
+  }.mkString(",\n")
+
+  /** The q274 merge steps unrolled (pair argmax → fold rewrite),
+    * mirroring [[bpeMergeChain]] exactly. Both bp$t (the output AND
+    * the rewrite input) and bv$t (next step's input) are multiply
+    * referenced → MATERIALIZED per the CTE-inlining discipline.
+    */
+  private lazy val bpeIterSql: String = (1 to BPE_T).map { t =>
+    val prev = s"bv${t - 1}"
+    s"""bp$t AS MATERIALIZED (
+       |  SELECT $t AS step, pa, pb, CAST(sum(c) AS BIGINT) AS n_occ FROM (
+       |    SELECT c, syms[i] AS pa, syms[i + 1] AS pb
+       |    FROM $prev, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+       |    WHERE len(syms) >= 2)
+       |  GROUP BY 2, 3 ORDER BY n_occ DESC, pa, pb LIMIT 1
+       |), bv$t AS MATERIALIZED (
+       |  SELECT c, list_reduce(list_transform(syms, x -> [x]),
+       |      (acc, x) -> CASE WHEN acc[-1] = p.pa AND x[1] = p.pb
+       |                  THEN acc[:-2] || [p.pa || p.pb] ELSE acc || x END) AS syms
+       |  FROM $prev CROSS JOIN bp$t p
        |)""".stripMargin
   }.mkString(",\n")
 }

@@ -1379,8 +1379,128 @@ object VectorOps {
           col("rn").as("proto_rank"), col("ntot").as("n_survivors"),
           round(col("d2"), 4).as("d2_4"))
         .orderBy(col("vec_id"))
-    })
+    }),
+
+    // Top principal direction of the embedding corpus via power
+    // iteration (the anisotropy/dominant-direction health check every
+    // embedding pipeline runs — Mu & Viswanath 2018's "all-but-the-
+    // top" post-processing starts from exactly this vector), computed
+    // in EXACT fixed-point arithmetic so every iteration is
+    // bit-replayable: embeddings quantize to xq = floor(x·2^20)
+    // (float·2^20 is exact in double — a power-of-two scale — so the
+    // floor is deterministic), the 64×64 Gram matrix G = ΣxᵀX is
+    // accumulated in DECIMAL(38,0)/HUGEINT (order-free exact integer
+    // sums — the q248 overflow class), and all PCA_ITERS iterations
+    // v ← Gv with max-abs integer renormalization run on the
+    // 4096-row G. Plan shape at 100 TB: ONE corpus scan + one
+    // (i,j)-keyed partial-agg reduce (the self-join reuses its own
+    // exchange); the iterations never touch the corpus again —
+    // unlike a per-iteration matvec against the data, which would
+    // cost 2T corpus shuffles. Overflow envelope documented at
+    // [[pcaPowerChain]]. Deterministic by exactness: bit-identical
+    // at ANY partition count (property-spec'd), no float-drift
+    // argument needed — the strongest determinism class in the
+    // catalog's iterative chains.
+    "q276_pca_power" -> ((s, d) => pcaPowerChain(s, d)),
+
+    // Dominant-direction outlier audit (the "all-but-the-top" USE of
+    // q276's principal direction — Mu & Viswanath 2018 remove it;
+    // this surfaces the vectors most aligned with it, the rows a
+    // curation pass inspects or downweights first): every vector's
+    // EXACT fixed-point projection onto the learned direction
+    // (scaled 2^40), top-8 by |projection|. Same bit-exact class as
+    // q276: integer sums + integer ranking, no float anywhere —
+    // exact ties (if any) break by vec_id identically in both
+    // engines. Scale shape: the 64-row direction broadcasts; the
+    // projection is one vec-keyed partial agg over the quantized
+    // corpus; the global rank rides ScalableRank (constant key).
+    "q277_pca_outliers" -> ((s, d) => pcaOutliers(s, d))
   )
+
+  /** The q276 exact fixed-point power-iteration chain: (i, pc1_q,
+    * pc1_ppm), 64 rows — the top principal direction at 2^-20
+    * resolution. Public so VectorOpsSpec can replay it from scratch
+    * with BigInt arithmetic and property-test partition invariance.
+    *
+    * All sums are DECIMAL(38,0) integer sums (exact, order-free);
+    * the renormalization v ← sign(y)·((|y|·2^20) div max|y|) is
+    * integer division on nonnegative operands (floor = trunc — no
+    * cross-engine negative-division ambiguity; the sign is split
+    * out). The Gram matrix is checkpointed ONCE (the q273 feature-
+    * materialization trade: every iteration reads it); per-iteration
+    * state is the 64-row v, checkpointed kmeans-style.
+    */
+  def pcaPowerChain(s: SparkSession, d: String): DataFrame =
+    pcaDirection(s, d)
+      .select(col("i").cast("long").as("i"), col("vq").cast("long").as("pc1_q"),
+        (when(col("vq") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr(s"(abs(vq) * 1000000) div $PCA_SCALE")).as("pc1_ppm"))
+      .orderBy(col("i"))
+
+  /** The quantized per-dimension corpus relation (vec_id, i, xq) —
+    * q276/q277's shared exact substrate.
+    */
+  def pcaQuantized(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"),
+        floor(col("col").cast("double") * lit(PCA_SCALE.toDouble))
+          .cast("decimal(38,0)").as("xq"))
+
+  /** The converged 64-row direction (i, vq) after PCA_ITERS exact
+    * renormalized matvecs — unformatted so q277 can reuse it.
+    */
+  def pcaDirection(s: SparkSession, d: String): DataFrame = {
+    val S = PCA_SCALE
+    val xq = pcaQuantized(s, d)
+    val gram = xq.as("a")
+      .join(xq.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.xq") * col("b.xq")).as("g"))
+      .localCheckpoint(true)
+    var v = gram.select(col("i")).distinct()
+      .select(col("i"),
+        when(conv(substring(md5(concat(lit("pca:"), col("i").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2 === 0, lit(S)).otherwise(lit(-S))
+          .cast("decimal(38,0)").as("vq"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PCA_ITERS) {
+      val y = gram
+        .join(broadcast(v.select(col("i").as("j"), col("vq"))), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("g") * col("vq")).as("y"))
+      val m = y.agg(max(abs(col("y"))).as("m"))
+      v = y.crossJoin(broadcast(m))
+        .select(col("i"),
+          (when(col("y") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr(s"(abs(y) * $S) div m")).cast("decimal(38,0)").as("vq"))
+        .localCheckpoint(true)
+    }
+    v
+  }
+
+  /** q277 dial: how many dominant-direction outliers to surface. */
+  val PCA_TOPK = 8
+
+  /** The q277 outlier audit: every vector's EXACT projection onto the
+    * q276 direction (scaled 2^40), top PCA_TOPK by |projection|.
+    * Corpus side: one broadcast join against the 64-row direction +
+    * a vec-keyed partial agg; the global rank rides ScalableRank
+    * under a constant key. All-integer → ties are engine-safe.
+    */
+  def pcaOutliers(s: SparkSession, d: String): DataFrame = {
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val proj = pcaQuantized(s, d)
+      .join(broadcast(pcaDirection(s, d)), Seq("i"))
+      .groupBy(col("vec_id")).agg(sum(col("xq") * col("vq")).as("proj"))
+      .select(col("vec_id"), col("proj"), abs(col("proj")).as("aproj"),
+        lit(0).as("g"))
+    graft.functions.ScalableRank
+      .withRanks(proj, Seq("g"), Seq(col("aproj").desc, col("vec_id")),
+        Seq(col("aproj"), col("vec_id")), p)
+      .filter(col("rn") <= PCA_TOPK)
+      .select(col("vec_id"), col("rn").as("rk"), col("proj").cast("long").as("proj_q2"))
+      .orderBy(col("rn"))
+  }
 
   /** q269's input relation: every vector tagged with its STORED IVF
     * cell (read from the q262 index's cell-partitioned codes files —
@@ -1400,6 +1520,20 @@ object VectorOps {
 
   /** Number of centers the q271 k-center greedy chain selects. */
   val KC_K = 8
+
+  /** q276 dials: power-iteration count and the 2^20 fixed-point
+    * scale. 6 iterations measured cos(v5, v6) ≈ 0.995 on the
+    * synthetic embeddings (near-converged; the exact-replay trainer
+    * is the deliverable — the q273 posture). S = 2^20 makes the
+    * quantization exact (float·2^20 never rounds in double) and
+    * keeps every intermediate far inside DECIMAL(38,0): |xq| ≤ 2^20,
+    * G entries ≤ N·2^40 (2^80 at N = 10^12 — a 100 TB corpus), and
+    * y = G·v ≤ 64·2^80·2^20 = 2^106 < 10^38 ≈ 2^126. The renorm
+    * division (|y|·2^20 ≤ 2^126) is the binding envelope — beyond
+    * ~10^12 vectors the renorm would downshift y first.
+    */
+  val PCA_ITERS = 6
+  val PCA_SCALE = 1048576L
 
   /** One farthest-point selection step (public for the plan audit):
     * the corpus point maximizing min-distance to the current center
@@ -2468,10 +2602,81 @@ object VectorOps {
          |       CAST(rn AS BIGINT) AS proto_rank,
          |       CAST(ntot AS BIGINT) AS n_survivors,
          |       round(d2, 4) AS d2_4
-         |FROM rk WHERE rn <= ntot // 4 ORDER BY vec_id""".stripMargin
+         |FROM rk WHERE rn <= ntot // 4 ORDER BY vec_id""".stripMargin,
+
+    // The exact fixed-point chain replayed in HUGEINT: same floor
+    // quantization, same Gram matrix, same md5-coin v0, all
+    // PCA_ITERS renormalized matvecs. Everything is exact integer
+    // arithmetic — the hash must match bit-for-bit with no rounding
+    // anywhere.
+    "q276_pca_power" ->
+      s"""WITH $eCteBody,
+         |xq AS MATERIALIZED (
+         |  SELECT vec_id, i, CAST(floor(v * $PCA_SCALE.0) AS HUGEINT) AS xq FROM e
+         |),
+         |gm AS MATERIALIZED (
+         |  SELECT a.i, b.i AS j, sum(a.xq * b.xq) AS g
+         |  FROM xq a JOIN xq b USING (vec_id) GROUP BY 1, 2
+         |),
+         |pv0 AS MATERIALIZED (
+         |  SELECT i, CAST(CASE WHEN CAST(('0x' || substr(md5('pca:' || CAST(i AS VARCHAR)), 1, 8))
+         |                           AS BIGINT) % 2 = 0
+         |                 THEN $PCA_SCALE ELSE -$PCA_SCALE END AS HUGEINT) AS vq
+         |  FROM (SELECT DISTINCT i FROM e)
+         |),
+         |$pcaIterSql
+         |SELECT CAST(i AS BIGINT) AS i, CAST(vq AS BIGINT) AS pc1_q,
+         |       (CASE WHEN vq < 0 THEN -1 ELSE 1 END) *
+         |         CAST((abs(vq) * 1000000) // $PCA_SCALE AS BIGINT) AS pc1_ppm
+         |FROM pv$PCA_ITERS ORDER BY i""".stripMargin,
+
+    // q276's chain + the exact projection join + the |proj| rank —
+    // all integers, bit-exact.
+    "q277_pca_outliers" ->
+      s"""WITH $eCteBody,
+         |xq AS MATERIALIZED (
+         |  SELECT vec_id, i, CAST(floor(v * $PCA_SCALE.0) AS HUGEINT) AS xq FROM e
+         |),
+         |gm AS MATERIALIZED (
+         |  SELECT a.i, b.i AS j, sum(a.xq * b.xq) AS g
+         |  FROM xq a JOIN xq b USING (vec_id) GROUP BY 1, 2
+         |),
+         |pv0 AS MATERIALIZED (
+         |  SELECT i, CAST(CASE WHEN CAST(('0x' || substr(md5('pca:' || CAST(i AS VARCHAR)), 1, 8))
+         |                           AS BIGINT) % 2 = 0
+         |                 THEN $PCA_SCALE ELSE -$PCA_SCALE END AS HUGEINT) AS vq
+         |  FROM (SELECT DISTINCT i FROM e)
+         |),
+         |$pcaIterSql,
+         |prj AS (
+         |  SELECT x.vec_id, sum(x.xq * v.vq) AS proj
+         |  FROM xq x JOIN pv$PCA_ITERS v USING (i) GROUP BY 1
+         |), rkd AS (
+         |  SELECT vec_id, proj,
+         |         row_number() OVER (ORDER BY abs(proj) DESC, vec_id) AS rk
+         |  FROM prj
+         |)
+         |SELECT vec_id, rk, CAST(proj AS BIGINT) AS proj_q2
+         |FROM rkd WHERE rk <= $PCA_TOPK ORDER BY rk""".stripMargin
     // q255_compression_gate is the one remaining spec-only entry:
     // DEFLATE output length is genuinely not SQL-expressible.
   )
+
+  /** The q276 power iterations unrolled (matvec → max-abs → integer
+    * renorm), mirroring [[pcaPowerChain]] exactly. DuckDB's `//` on
+    * the nonnegative |y|·S is the same floor-division the Spark
+    * side's sign-split `div` computes.
+    */
+  private lazy val pcaIterSql: String = (1 to PCA_ITERS).map { t =>
+    val prev = s"pv${t - 1}"
+    s"""py$t AS MATERIALIZED (
+       |  SELECT gm.i, sum(gm.g * v.vq) AS y FROM gm JOIN $prev v ON v.i = gm.j GROUP BY 1
+       |), pm$t AS MATERIALIZED (SELECT max(abs(y)) AS m FROM py$t),
+       |pv$t AS MATERIALIZED (
+       |  SELECT i, (CASE WHEN y < 0 THEN -1 ELSE 1 END) * ((abs(y) * $PCA_SCALE) // m) AS vq
+       |  FROM py$t CROSS JOIN pm$t
+       |)""".stripMargin
+  }.mkString(",\n")
 
   /** One unrolled q271 selection step (t ≥ 2): distances of every
     * corpus vector to every selected center, min over centers, argmax

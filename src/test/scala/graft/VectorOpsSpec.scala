@@ -845,4 +845,78 @@ class VectorOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("pca power iteration: exact BigInt replay, convergence, layout invariance (q276)") {
+    import graft.ops.VectorOps
+    val out = VectorOps.queries("q276_pca_power")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 64)
+
+    // From-scratch replay in BigInt — exact equality required: the
+    // operator's claim is bit-exactness, not agreement-within-drift.
+    val S = VectorOps.PCA_SCALE
+    val embRows = graft.T.embeddings(spark, sf001).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val d = 64
+    val xq = embRows.map(_._2.map(f => BigInt(math.floor(f.toDouble * S).toLong)))
+    val g = Array.ofDim[BigInt](d, d)
+    for (i <- 0 until d; j <- 0 until d)
+      g(i)(j) = xq.iterator.map(r => r(i) * r(j)).sum
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    var v = (1 to d).map { i =>
+      if (java.lang.Long.parseLong(md5hex(s"pca:$i"), 16) % 2 == 0) BigInt(S)
+      else BigInt(-S)
+    }.toArray
+    var prev = v
+    for (_ <- 1 to VectorOps.PCA_ITERS) {
+      prev = v
+      val y = (0 until d).map(i => (0 until d).map(j => g(i)(j) * v(j)).sum).toArray
+      val m = y.map(_.abs).max
+      // BigInt / truncates toward zero = floor on the nonnegative
+      // operands — the same sign-split integer division both engines run
+      v = y.map(yi => (if (yi < 0) BigInt(-1) else BigInt(1)) * (yi.abs * S / m))
+    }
+    out.foreach { case (i, q, ppm) =>
+      val e = v(i.toInt - 1)
+      assert(BigInt(q) === e, s"dim $i: pc1_q $q != exact $e")
+      val eppm = (if (e < 0) BigInt(-1) else BigInt(1)) * (e.abs * 1000000 / S)
+      assert(BigInt(ppm) === eppm, s"dim $i: pc1_ppm $ppm != exact $eppm")
+    }
+
+    // Convergence claim behind the PCA_ITERS dial: the direction has
+    // stabilized (cosine of the last two iterates well above 0.9).
+    def cosv(a: Array[BigInt], b: Array[BigInt]): Double = {
+      val dot = a.zip(b).map { case (x, y) => (x * y).toDouble }.sum
+      dot / math.sqrt(a.map(x => (x * x).toDouble).sum *
+        b.map(x => (x * x).toDouble).sum)
+    }
+    assert(math.abs(cosv(prev, v)) > 0.9,
+      s"power iteration far from converged: cos=${cosv(prev, v)}")
+
+    // Exact arithmetic must be bit-identical under any layout.
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    val runs = Seq("2", "4", "32").map { sp =>
+      spark.conf.set("spark.sql.shuffle.partitions", sp)
+      try VectorOps.queries("q276_pca_power")(spark, sf001)
+        .collect().map(_.toSeq).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+    }
+    assert(runs.distinct.size === 1,
+      "exact fixed-point chain must not depend on the partition layout")
+
+    // q277: the outlier audit must be exactly the BigInt top-8 by
+    // |projection| of the SAME final direction
+    val expTop = embRows.map(_._1).zip(xq).map { case (id, row) =>
+      (id, (0 until d).map(j => row(j) * v(j)).sum)
+    }.sortBy { case (id, pr) => (-pr.abs, id) }.take(VectorOps.PCA_TOPK)
+    val outl = VectorOps.queries("q277_pca_outliers")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(outl.length === VectorOps.PCA_TOPK)
+    outl.zip(expTop).foreach { case ((id, rk, pq), (eid, epr)) =>
+      assert(id === eid && BigInt(pq) === epr,
+        s"outlier rank $rk: ($id, $pq) != exact ($eid, $epr)")
+    }
+  }
 }
