@@ -1793,6 +1793,17 @@ object CorpusOps {
     */
   def bm25Ranked(s: SparkSession, d: String): DataFrame = {
     val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    ScalableRank.withRanks(bm25Scored(s, d), Seq("qid"),
+        Seq(col("score").desc, col("doc_id")),
+        Seq(col("score"), col("doc_id")), p)
+      .select(col("qid"), col("rn"), col("doc_id"), col("score"), col("n_hit"))
+  }
+
+  /** The pre-rank (qid, doc_id, score, n_hit) relation — public so
+    * PlanAuditSpec can pin the broadcast shape (ScalableRank's
+    * localCheckpoint hides it from a whole-query plan audit).
+    */
+  def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val tok = T.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -1818,12 +1829,8 @@ object CorpusOps {
         (col("idf") * (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) *
             (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))).as("contrib"))
-    val scored = contrib.groupBy(col("qid"), col("doc_id"))
+    contrib.groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_hit"))
-    ScalableRank.withRanks(scored, Seq("qid"),
-        Seq(col("score").desc, col("doc_id")),
-        Seq(col("score"), col("doc_id")), p)
-      .select(col("qid"), col("rn"), col("doc_id"), col("score"), col("n_hit"))
   }
 
   /** q273 trainer dials: learning rate and unrolled batch-GD

@@ -1450,14 +1450,41 @@ object VectorOps {
   /** The converged 64-row direction (i, vq) after PCA_ITERS exact
     * renormalized matvecs — unformatted so q277 can reuse it.
     */
-  def pcaDirection(s: SparkSession, d: String): DataFrame = {
-    val S = PCA_SCALE
+  /** The UNCHECKPOINTED upper-triangle Gram relation (i ≤ j) — G is
+    * symmetric, so the self-join carries the i ≤ j cut in its
+    * condition and the pair stream into the partial agg HALVES; the
+    * strict lower triangle is mirrored from the checkpointed result
+    * in [[pcaDirection]] (2016 tiny rows, zero corpus work). Public
+    * so PlanAuditSpec can pin the one-corpus-exchange claim (the
+    * self-join's two sides reuse a single shuffle; the (i,j) rollup
+    * is partial-agg-fed).
+    */
+  def pcaGramHalf(s: SparkSession, d: String): DataFrame = {
     val xq = pcaQuantized(s, d)
-    val gram = xq.as("a")
-      .join(xq.as("b"), col("a.vec_id") === col("b.vec_id"))
+    xq.as("a")
+      .join(xq.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
       .groupBy(col("a.i").as("i"), col("b.i").as("j"))
       .agg(sum(col("a.xq") * col("b.xq")).as("g"))
-      .localCheckpoint(true)
+  }
+
+  def pcaDirection(s: SparkSession, d: String): DataFrame = {
+    val S = PCA_SCALE
+    // checkpoint the half BEFORE mirroring — a naive union would
+    // reference the corpus join twice and recompute it. The mirror is
+    // an explode (1 row for the diagonal, 2 for strict pairs), NOT a
+    // self-union: Catalyst's union-constraint rewrite chokes on a
+    // self-union whose second child swap-aliases the first's columns
+    // (NoSuchElementException in UnionBase.rewriteConstraints, even
+    // behind localCheckpoint — LogicalRDD carries constraints over).
+    val half = pcaGramHalf(s, d).localCheckpoint(true)
+    val gram = half
+      .select(col("g"), explode(
+        when(col("i") < col("j"),
+          array(struct(col("i").as("a"), col("j").as("b")),
+            struct(col("j").as("a"), col("i").as("b"))))
+          .otherwise(array(struct(col("i").as("a"), col("j").as("b"))))).as("p"))
+      .select(col("p.a").as("i"), col("p.b").as("j"), col("g"))
     var v = gram.select(col("i")).distinct()
       .select(col("i"),
         when(conv(substring(md5(concat(lit("pca:"), col("i").cast("string"))), 1, 8), 16, 10)
@@ -1487,11 +1514,18 @@ object VectorOps {
     * a vec-keyed partial agg; the global rank rides ScalableRank
     * under a constant key. All-integer → ties are engine-safe.
     */
-  def pcaOutliers(s: SparkSession, d: String): DataFrame = {
-    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val proj = pcaQuantized(s, d)
+  /** Per-vector exact projections onto the learned direction — the
+    * q277 pre-rank phase, public for the plan pin (the rank's
+    * localCheckpoint hides it from a whole-query audit).
+    */
+  def pcaProjections(s: SparkSession, d: String): DataFrame =
+    pcaQuantized(s, d)
       .join(broadcast(pcaDirection(s, d)), Seq("i"))
       .groupBy(col("vec_id")).agg(sum(col("xq") * col("vq")).as("proj"))
+
+  def pcaOutliers(s: SparkSession, d: String): DataFrame = {
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val proj = pcaProjections(s, d)
       .select(col("vec_id"), col("proj"), abs(col("proj")).as("aproj"),
         lit(0).as("g"))
     graft.functions.ScalableRank
@@ -2614,9 +2648,14 @@ object VectorOps {
          |xq AS MATERIALIZED (
          |  SELECT vec_id, i, CAST(floor(v * $PCA_SCALE.0) AS HUGEINT) AS xq FROM e
          |),
-         |gm AS MATERIALIZED (
+         |gmh AS MATERIALIZED (
          |  SELECT a.i, b.i AS j, sum(a.xq * b.xq) AS g
-         |  FROM xq a JOIN xq b USING (vec_id) GROUP BY 1, 2
+         |  FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY 1, 2
+         |),
+         |gm AS MATERIALIZED (
+         |  SELECT i, j, g FROM gmh
+         |  UNION ALL SELECT j AS i, i AS j, g FROM gmh WHERE i < j
          |),
          |pv0 AS MATERIALIZED (
          |  SELECT i, CAST(CASE WHEN CAST(('0x' || substr(md5('pca:' || CAST(i AS VARCHAR)), 1, 8))
@@ -2637,9 +2676,14 @@ object VectorOps {
          |xq AS MATERIALIZED (
          |  SELECT vec_id, i, CAST(floor(v * $PCA_SCALE.0) AS HUGEINT) AS xq FROM e
          |),
-         |gm AS MATERIALIZED (
+         |gmh AS MATERIALIZED (
          |  SELECT a.i, b.i AS j, sum(a.xq * b.xq) AS g
-         |  FROM xq a JOIN xq b USING (vec_id) GROUP BY 1, 2
+         |  FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY 1, 2
+         |),
+         |gm AS MATERIALIZED (
+         |  SELECT i, j, g FROM gmh
+         |  UNION ALL SELECT j AS i, i AS j, g FROM gmh WHERE i < j
          |),
          |pv0 AS MATERIALIZED (
          |  SELECT i, CAST(CASE WHEN CAST(('0x' || substr(md5('pca:' || CAST(i AS VARCHAR)), 1, 8))

@@ -866,6 +866,68 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bm25 scoring broadcasts the query relation — the corpus never shuffles on the bare term (q275)") {
+    // The 6-row idf relation must reach the corpus-sized tf stream as
+    // a broadcast; any exchange hash-keyed on the bare term would be
+    // the corpus shuffling on a 31-value key (the q31/q93 trap).
+    val p = physical(graft.ops.CorpusOps.bm25Scored(spark, sf001))
+    assert(p.toString.contains("BroadcastHashJoin"),
+      "the idf query relation must broadcast")
+    // The only w-keyed exchange allowed is the df rollup — fed by a
+    // partial aggregate of the already-collapsed tf relation (P×|vocab|
+    // partial rows move). A raw-row w exchange would be the corpus.
+    shuffles(p).filter(e => hashKeys(e) == Seq("w")).foreach { e =>
+      assert(partialAggFed(e),
+        "a w-keyed exchange must be the partial-agg-fed df rollup")
+    }
+  }
+
+  test("pca gram shuffles the corpus once — the self-join's sides are the same exchange (q276)") {
+    // The one-corpus-pass claim: the Gram self-join's two vec_id
+    // exchanges must canonicalize identically (ReuseExchange/AQE
+    // collapses them to a single physical shuffle), and the (i,j)
+    // rollup exchange must be partial-agg-fed (4096 rows per map
+    // partition move, never the joined pair stream).
+    val p = physical(graft.ops.VectorOps.pcaGramHalf(spark, sf001))
+    val vecSides = shuffles(p).filter(e => hashKeys(e) == Seq("vec_id"))
+    if (vecSides.isEmpty)
+      // below the broadcast threshold the self-join plans as a
+      // broadcast hash join — zero corpus exchanges, trivially one pass
+      assert(p.toString.contains("BroadcastHashJoin"),
+        "no vec_id exchange and no broadcast join - unexpected shape")
+    else {
+      // above it, the two sides must canonicalize identically so
+      // ReuseExchange/AQE collapses them to ONE physical shuffle
+      assert(vecSides.size == 2, s"expected 2 self-join sides, got ${vecSides.size}")
+      assert(vecSides(0).child.canonicalized == vecSides(1).child.canonicalized,
+        "self-join sides differ - the corpus would shuffle twice")
+    }
+    shuffles(p).filter(e => hashKeys(e).contains("i")).foreach { e =>
+      assert(partialAggFed(e), "the (i,j) rollup must be partial-agg-fed")
+    }
+    // Force the at-scale regime (broadcast off): the shuffled
+    // self-join's two vec_id exchanges must canonicalize identically.
+    val orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pb = physical(graft.ops.VectorOps.pcaGramHalf(spark, sf001))
+      val sides = shuffles(pb).filter(e => hashKeys(e) == Seq("vec_id"))
+      assert(sides.size == 2, s"expected 2 shuffled sides, got ${sides.size}")
+      assert(sides(0).child.canonicalized == sides(1).child.canonicalized,
+        "at-scale self-join sides differ - the corpus would shuffle twice")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+  }
+
+  test("pca outlier projection joins the 64-row direction by broadcast (q277)") {
+    val p = physical(graft.ops.VectorOps.pcaProjections(spark, sf001))
+    assert(p.toString.contains("BroadcastHashJoin"),
+      "the direction must broadcast")
+    // the vec-keyed projection rollup is partial-agg-fed
+    shuffles(p).filter(e => hashKeys(e) == Seq("vec_id")).foreach { e =>
+      assert(partialAggFed(e), "projection rollup must be partial-agg-fed")
+    }
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would
