@@ -414,6 +414,37 @@ object TextOps {
         .agg(sum(col("ce")).as("n_bigrams"),
              round(sum(col("ce") * log(col("p"))) / sum(col("ce")), 4).as("avg_lp"))
         .orderBy(col("src_e"), col("src_t"))
+    }),
+
+    // CCNet head/middle/tail partition (Wenzek et al. 2020): per
+    // LANGUAGE, rank documents by LM score (per-doc mean unigram
+    // ln-prob under the corpus model — q91's fluency proxy) and cut
+    // into exact-integer terciles; CCNet trains on 'head', holds out
+    // 'tail'. Plan shape: one token explode, a vocabulary-keyed count
+    // agg, ONE broadcast scalar, a doc-keyed avg — then the per-lang
+    // float ranking rides ScalableRank (lang is a low-card key, the
+    // q31 trap) and the cuts are integer comparisons rn·3 ≤ ntot /
+    // rn·3 ≤ 2·ntot. Rank-boundary margins audited in TextOpsSpec
+    // (avg-of-logs drift is ~1e-14; boundary gaps measured far wider).
+    "q279_ccnet_buckets" -> ((s, d) => {
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val tok = T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n = vocab.agg(sum(col("c")).cast("double").as("n"))
+      val lp = tok.join(vocab, "w").crossJoin(broadcast(n))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(avg(log(col("c").cast("double") / col("n"))).as("lp"))
+      graft.functions.ScalableRank.withRanks(lp, Seq("lang"),
+          Seq(col("lp").desc, col("doc_id")),
+          Seq(col("lp"), col("doc_id")), p)
+        .select(col("doc_id"), col("lang"), round(col("lp"), 4).as("lp_4"),
+          when(col("rn") * 3 <= col("ntot"), "head")
+            .when(col("rn") * 3 <= col("ntot") * 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -744,6 +775,32 @@ object TextOps {
         |SELECT src_e, src_t, CAST(sum(ce) AS BIGINT) AS n_bigrams,
         |       round(sum(ce * ln(p)) / sum(ce), 4) AS avg_lp
         |FROM cell GROUP BY 1, 2
-        |ORDER BY src_e, src_t""".stripMargin
+        |ORDER BY src_e, src_t""".stripMargin,
+
+    // q91's unigram model + the per-lang rank and the exact-integer
+    // tercile cuts replayed.
+    "q279_ccnet_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, w
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> ''
+        |), voc AS (
+        |  SELECT w, count(*) AS c FROM tok GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(sum(c) AS DOUBLE) AS n FROM voc
+        |), lp AS (
+        |  SELECT t.doc_id, t.lang, avg(ln(CAST(v.c AS DOUBLE) / nn.n)) AS lp
+        |  FROM tok t JOIN voc v USING (w) CROSS JOIN nn GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT doc_id, lang, lp,
+        |         row_number() OVER (PARTITION BY lang ORDER BY lp DESC, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS ntot
+        |  FROM lp
+        |)
+        |SELECT doc_id, lang, round(lp, 4) AS lp_4,
+        |       CASE WHEN rn * 3 <= ntot THEN 'head'
+        |            WHEN rn * 3 <= ntot * 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM rk ORDER BY doc_id""".stripMargin
   )
 }

@@ -1568,4 +1568,54 @@ class CorpusOpsSpec extends SparkSpec {
     assert(minRoundDist > 1e-6,
       s"a rounded BM25 digit sits $minRoundDist from a .5 boundary")
   }
+
+  test("CCNet buckets: lp replays from scratch, terciles are exact-integer, edges sit in gaps (q279)") {
+    val out = graft.ops.TextOps.queries("q279_ccnet_buckets")(spark, sf001)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    val docs = graft.T.documents(spark, sf001).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.map { case (id, lang, t) =>
+      (id, lang, t.split(" ").filter(_.nonEmpty).toSeq)
+    }
+    val voc = toks.flatMap(_._3).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val n = voc.values.sum.toDouble
+    val lp = toks.map { case (id, lang, ws) =>
+      (id, lang, ws.map(w => math.log(voc(w) / n)).sum / ws.length)
+    }
+    val expBucket = lp.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy { case (id, _, s) => (-s, id) }
+      val ntot = sorted.length
+      sorted.zipWithIndex.map { case ((id, _, s), ix) =>
+        val rn = ix + 1L
+        id -> ((s, if (rn * 3 <= ntot) "head"
+                   else if (rn * 3 <= ntot * 2L) "middle" else "tail"))
+      }
+    }.toMap
+    assert(out.length === docs.length)
+    out.foreach { case (id, _, lp4, bucket) =>
+      val (es, eb) = expBucket(id)
+      assert(math.abs(lp4 - es) < 1e-4 + 1e-9, s"doc $id lp $lp4 != $es")
+      assert(bucket === eb, s"doc $id bucket $bucket != $eb")
+    }
+    // census: per lang, |head| = ntot div 3 and |middle| = 2·ntot div 3 − head
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val nt = rows.length
+      assert(rows.count(_._4 == "head") === nt / 3, s"$lang head census")
+      assert(rows.count(_._4 == "middle") === nt * 2 / 3 - nt / 3,
+        s"$lang middle census")
+    }
+    // boundary margins: the avg-of-logs drift class (~1e-14) must sit
+    // far from every tercile edge (exact ties are engine-safe)
+    lp.groupBy(_._2).foreach { case (lang, rows) =>
+      val sorted = rows.map(_._3).sorted(Ordering[Double].reverse)
+      val nt = sorted.length
+      Seq(nt / 3, nt * 2 / 3).filter(c => c >= 1 && c < nt).foreach { c =>
+        val gap = sorted(c - 1) - sorted(c)
+        assert(gap == 0.0 || gap > 1e-9,
+          s"$lang tercile edge gap $gap within avg-of-logs drift")
+      }
+    }
+  }
 }
