@@ -1414,7 +1414,23 @@ object VectorOps {
     // engines. Scale shape: the 64-row direction broadcasts; the
     // projection is one vec-keyed partial agg over the quantized
     // corpus; the global rank rides ScalableRank (constant key).
-    "q277_pca_outliers" -> ((s, d) => pcaOutliers(s, d))
+    "q277_pca_outliers" -> ((s, d) => pcaOutliers(s, d)),
+
+    // Johnson-Lindenstrauss random projection (the ±1 sign variant of
+    // Achlioptas 2003 — the database-friendly JL construction every
+    // cheap pre-ANN compression uses): project the quantized
+    // embeddings 64 → 16 dims through a FIXED md5-coin sign matrix,
+    // then audit distance preservation on a deterministic O(N) pair
+    // sample (the q211/q268 md5-bucket neighbor pairing — never
+    // all-pairs). Everything is exact integer arithmetic (the q276
+    // class): reduced coords are ±1-weighted DECIMAL sums, both
+    // distances are exact squared sums, and the distortion ratio is
+    // the integer d2_red·10^6 div (k·d2_orig) — for ±1 signs
+    // E‖Rx‖² = k‖x‖², so ratios concentrate at 10^6 with ~√(2/k)
+    // spread (audited in VectorOpsSpec, not assumed). Scale shape:
+    // the 1024-row sign matrix broadcasts, z is a (vec,k)-keyed
+    // partial agg, pairs are rank-adjacent equi-joins.
+    "q280_jl_projection" -> ((s, d) => jlDistortion(s, d))
   )
 
   /** The q276 exact fixed-point power-iteration chain: (i, pc1_q,
@@ -1534,6 +1550,62 @@ object VectorOps {
       .filter(col("rn") <= PCA_TOPK)
       .select(col("vec_id"), col("rn").as("rk"), col("proj").cast("long").as("proj_q2"))
       .orderBy(col("rn"))
+  }
+
+  /** q280 dials: reduced dimension and the pair-sample bucket count
+    * (256 = the q268 sorted-neighborhood dial).
+    */
+  val JL_K = 16
+  val JL_BUCKETS = 256
+
+  /** The q280 JL distortion audit: one row per sampled neighbor pair
+    * with exact original/reduced squared distances (2^40-scaled) and
+    * the distortion ratio in ppm of the unbiased k·d2_orig baseline.
+    * Public so VectorOpsSpec can replay it from scratch.
+    */
+  def jlDistortion(s: SparkSession, d: String): DataFrame = {
+    val xq = pcaQuantized(s, d)
+    val rmat = xq.select(col("i")).distinct()
+      .crossJoin(s.range(JL_K).select(col("id").cast("int").as("k")))
+      .select(col("k"), col("i"),
+        when(conv(substring(md5(concat(lit("jl:"), col("k").cast("string"),
+            lit(":"), col("i").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)).as("r"))
+    val z = xq.join(broadcast(rmat), Seq("i"))
+      .groupBy(col("vec_id"), col("k")).agg(sum(col("r") * col("xq")).as("z"))
+    val h = T.embeddings(s, d)
+      .select(col("vec_id"),
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("hv"))
+      .withColumn("bucket", col("hv") % JL_BUCKETS)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("hv"), col("vec_id"))
+    val rk = h.withColumn("rn", row_number().over(w))
+    val pairs = rk
+      .select(col("bucket").as("bk"), col("rn").as("ra"), col("vec_id").as("id1"))
+      .join(rk.select(col("bucket").as("bk"), (col("rn") - 1).as("ra"),
+        col("vec_id").as("id2")), Seq("bk", "ra"))
+      .select(col("id1"), col("id2"))
+    val d2o = pairs
+      .join(xq.select(col("vec_id").as("id1"), col("i"), col("xq").as("xa")), Seq("id1"))
+      .join(xq.select(col("vec_id").as("id2"), col("i"), col("xq").as("xb")),
+        Seq("id2", "i"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum((col("xa") - col("xb")) * (col("xa") - col("xb"))).as("d2o"))
+    val d2r = pairs
+      .join(z.select(col("vec_id").as("id1"), col("k"), col("z").as("za")), Seq("id1"))
+      .join(z.select(col("vec_id").as("id2"), col("k"), col("z").as("zb")),
+        Seq("id2", "k"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum((col("za") - col("zb")) * (col("za") - col("zb"))).as("d2r"))
+    d2o.join(d2r, Seq("id1", "id2"))
+      // d2o = 0 (an exact quantized duplicate) would be a 0-division;
+      // such a pair carries no distortion signal — drop it
+      .filter(col("d2o") > 0)
+      .select(col("id1"), col("id2"),
+        col("d2o").cast("long").as("d2_orig_q2"),
+        col("d2r").cast("long").as("d2_red_q2"),
+        expr(s"CAST((d2r * 1000000) div (d2o * $JL_K) AS BIGINT)").as("ratio_ppm"))
+      .orderBy(col("id1"), col("id2"))
   }
 
   /** q269's input relation: every vector tagged with its STORED IVF
@@ -2701,7 +2773,55 @@ object VectorOps {
          |  FROM prj
          |)
          |SELECT vec_id, rk, CAST(proj AS BIGINT) AS proj_q2
-         |FROM rkd WHERE rk <= $PCA_TOPK ORDER BY rk""".stripMargin
+         |FROM rkd WHERE rk <= $PCA_TOPK ORDER BY rk""".stripMargin,
+
+    // The same quantization, sign matrix, projection, pair sample and
+    // integer ratio — all exact, hash must match bit-for-bit.
+    "q280_jl_projection" ->
+      s"""WITH $eCteBody,
+         |xq AS MATERIALIZED (
+         |  SELECT vec_id, i, CAST(floor(v * $PCA_SCALE.0) AS HUGEINT) AS xq FROM e
+         |),
+         |rm AS (
+         |  SELECT k, i,
+         |         CASE WHEN CAST(('0x' || substr(md5('jl:' || CAST(k AS VARCHAR) || ':'
+         |                          || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+         |              THEN 1 ELSE -1 END AS r
+         |  FROM (SELECT DISTINCT i FROM e)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${JL_K - 1})) AS k)
+         |),
+         |z AS MATERIALIZED (
+         |  SELECT x.vec_id, r.k, sum(r.r * x.xq) AS z
+         |  FROM xq x JOIN rm r USING (i) GROUP BY 1, 2
+         |),
+         |hh AS (
+         |  SELECT vec_id,
+         |         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+         |  FROM embeddings
+         |), rkb AS MATERIALIZED (
+         |  SELECT vec_id, hv % $JL_BUCKETS AS bucket,
+         |         row_number() OVER (PARTITION BY hv % $JL_BUCKETS
+         |                            ORDER BY hv, vec_id) AS rn
+         |  FROM hh
+         |), pr AS MATERIALIZED (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM rkb a JOIN rkb b ON a.bucket = b.bucket AND b.rn = a.rn + 1
+         |), do2 AS (
+         |  SELECT p.id1, p.id2, sum((a.xq - b.xq) * (a.xq - b.xq)) AS d2o
+         |  FROM pr p JOIN xq a ON a.vec_id = p.id1
+         |            JOIN xq b ON b.vec_id = p.id2 AND b.i = a.i
+         |  GROUP BY 1, 2
+         |), dr2 AS (
+         |  SELECT p.id1, p.id2, sum((a.z - b.z) * (a.z - b.z)) AS d2r
+         |  FROM pr p JOIN z a ON a.vec_id = p.id1
+         |            JOIN z b ON b.vec_id = p.id2 AND b.k = a.k
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id1, id2, CAST(d2o AS BIGINT) AS d2_orig_q2,
+         |       CAST(d2r AS BIGINT) AS d2_red_q2,
+         |       CAST((d2r * 1000000) // (d2o * $JL_K) AS BIGINT) AS ratio_ppm
+         |FROM do2 JOIN dr2 USING (id1, id2)
+         |WHERE d2o > 0 ORDER BY id1, id2""".stripMargin
     // q255_compression_gate is the one remaining spec-only entry:
     // DEFLATE output length is genuinely not SQL-expressible.
   )

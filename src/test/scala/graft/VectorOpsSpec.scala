@@ -906,6 +906,50 @@ class VectorOpsSpec extends SparkSpec {
     assert(runs.distinct.size === 1,
       "exact fixed-point chain must not depend on the partition layout")
 
+    // q280: JL distortion replays from scratch in BigInt, and the
+    // ratios concentrate where the ±1-sign construction puts them
+    // (E = 10^6, spread ~ √(2/k))
+    def md5h(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    val byId = embRows.map(_._1).zip(xq).toMap
+    val k16 = VectorOps.JL_K
+    val signs = (0 until k16).map { kk =>
+      (1 to d).map(i => if (md5h(s"jl:$kk:$i") % 2 == 0) BigInt(1) else BigInt(-1))
+    }
+    val zById = byId.view.mapValues { row =>
+      (0 until k16).map(kk => (0 until d).map(j => signs(kk)(j) * row(j)).sum)
+    }.toMap
+    val buckets = embRows.map(_._1)
+      .map(id => (id, md5h(id.toString)))
+      .groupBy { case (_, hv) => hv % VectorOps.JL_BUCKETS }
+    val expPairs = buckets.values.flatMap { members =>
+      val sorted = members.sortBy { case (id, hv) => (hv, id) }
+      sorted.zip(sorted.drop(1)).map { case ((a, _), (b, _)) => (a, b) }
+    }.toSeq
+    val expRows = expPairs.map { case (a, b) =>
+      val d2o = (0 until d).map(j => (byId(a)(j) - byId(b)(j)).pow(2)).sum
+      val d2r = (0 until k16).map(kk => (zById(a)(kk) - zById(b)(kk)).pow(2)).sum
+      (a, b, d2o, d2r, d2r * 1000000 / (d2o * k16))
+    }.filter(_._3 > 0).sortBy(r => (r._1, r._2))
+    val jl = VectorOps.queries("q280_jl_projection")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(jl.length === expRows.length)
+    jl.zip(expRows).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 &&
+        BigInt(g._3) == e._3 && BigInt(g._4) == e._4 && BigInt(g._5) == e._5,
+        s"pair row $g != exact $e")
+    }
+    // concentration: mean within 3·√(2/k)/√n of 1, honest spread band
+    val ratios = jl.map(_._5.toDouble / 1e6)
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 3 * math.sqrt(2.0 / k16) / math.sqrt(ratios.length.toDouble) + 0.05,
+      s"JL ratio mean $mean far from 1")
+    val sd = math.sqrt(ratios.map(r => (r - mean) * (r - mean)).sum / ratios.length)
+    assert(sd > 0.05 && sd < 3 * math.sqrt(2.0 / k16),
+      s"JL ratio spread $sd outside the k=16 band")
+
     // q277: the outlier audit must be exactly the BigInt top-8 by
     // |projection| of the SAME final direction
     val expTop = embRows.map(_._1).zip(xq).map { case (id, row) =>
