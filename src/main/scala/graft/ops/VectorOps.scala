@@ -1430,7 +1430,23 @@ object VectorOps {
     // spread (audited in VectorOpsSpec, not assumed). Scale shape:
     // the 1024-row sign matrix broadcasts, z is a (vec,k)-keyed
     // partial agg, pairs are rank-adjacent equi-joins.
-    "q280_jl_projection" -> ((s, d) => jlDistortion(s, d))
+    "q280_jl_projection" -> ((s, d) => jlDistortion(s, d)),
+
+    // Second principal direction via Hotelling deflation (the top-2
+    // anisotropy PLANE — what embedding-health reports actually plot;
+    // Mu & Viswanath remove the top-D directions, not just one):
+    // G₂ = G − (y yᵀ)/(v₁ᵀy) computed in deterministic fixed point
+    // (y downshifted 2^40, sign-split integer divisions — quantized
+    // but exactly replayable), then the same renormalized power loop
+    // under an independent md5 coin. All the q276 scale properties
+    // carry over: the corpus is touched only by the shared Gram pass;
+    // deflation and both loops run on 64/4096-row relations.
+    "q281_pca_deflation" -> ((s, d) =>
+      pcaSecondDirection(s, d)
+        .select(col("i").cast("long").as("i"), col("vq").cast("long").as("pc2_q"),
+          (when(col("vq") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr(s"(abs(vq) * 1000000) div $PCA_SCALE")).as("pc2_ppm"))
+        .orderBy(col("i")))
   )
 
   /** The q276 exact fixed-point power-iteration chain: (i, pc1_q,
@@ -1484,33 +1500,61 @@ object VectorOps {
       .agg(sum(col("a.xq") * col("b.xq")).as("g"))
   }
 
-  def pcaDirection(s: SparkSession, d: String): DataFrame = {
-    val S = PCA_SCALE
-    // checkpoint the half BEFORE mirroring — a naive union would
-    // reference the corpus join twice and recompute it. The mirror is
-    // an explode (1 row for the diagonal, 2 for strict pairs), NOT a
-    // self-union: Catalyst's union-constraint rewrite chokes on a
-    // self-union whose second child swap-aliases the first's columns
-    // (NoSuchElementException in UnionBase.rewriteConstraints, even
-    // behind localCheckpoint — LogicalRDD carries constraints over).
-    val half = pcaGramHalf(s, d).localCheckpoint(true)
-    val gram = half
+  /** The mirrored full Gram relation over a CHECKPOINTED half —
+    * checkpoint the half BEFORE mirroring (a naive union would
+    * reference the corpus join twice and recompute it). The mirror is
+    * an explode (1 row for the diagonal, 2 for strict pairs), NOT a
+    * self-union: Catalyst's union-constraint rewrite chokes on a
+    * self-union whose second child swap-aliases the first's columns
+    * (NoSuchElementException in UnionBase.rewriteConstraints, even
+    * behind localCheckpoint — LogicalRDD carries constraints over).
+    */
+  private def mirrorGram(half: DataFrame): DataFrame =
+    half
       .select(col("g"), explode(
         when(col("i") < col("j"),
           array(struct(col("i").as("a"), col("j").as("b")),
             struct(col("j").as("a"), col("i").as("b"))))
           .otherwise(array(struct(col("i").as("a"), col("j").as("b"))))).as("p"))
       .select(col("p.a").as("i"), col("p.b").as("j"), col("g"))
+
+  /** PCA_ITERS renormalized power iterations over a (i, j, g) matrix
+    * relation, md5-coin init keyed by `seed` — shared by q276 (on G)
+    * and q281 (on the deflated G₂).
+    */
+  /** `ortho`, when set, re-projects each matvec against the given
+    * unit-scale direction BEFORE renormalizing (textbook deflated
+    * power iteration): y ← y − v₁·((v₁ᵀy) div (v₁ᵀv₁)), sign-split
+    * integer division. Deflation of G alone is NOT enough on
+    * near-isotropic spectra — v₁'s own convergence residue re-grows
+    * under iteration (measured cos(v₁,v₂) ≈ 0.41 without this);
+    * re-projection pins the overlap to quantization noise.
+    */
+  private def powerLoop(gram: DataFrame, seed: String,
+      ortho: Option[DataFrame] = None): DataFrame = {
+    val S = PCA_SCALE
+    val vv = ortho.map(v1 =>
+      v1.agg(sum(col("vq") * col("vq")).as("vv")).localCheckpoint(true))
     var v = gram.select(col("i")).distinct()
       .select(col("i"),
-        when(conv(substring(md5(concat(lit("pca:"), col("i").cast("string"))), 1, 8), 16, 10)
+        when(conv(substring(md5(concat(lit(s"$seed:"), col("i").cast("string"))), 1, 8), 16, 10)
             .cast("long") % 2 === 0, lit(S)).otherwise(lit(-S))
           .cast("decimal(38,0)").as("vq"))
       .localCheckpoint(true)
     for (_ <- 1 to PCA_ITERS) {
-      val y = gram
+      var y = gram
         .join(broadcast(v.select(col("i").as("j"), col("vq"))), Seq("j"))
         .groupBy(col("i")).agg(sum(col("g") * col("vq")).as("y"))
+      for (v1 <- ortho) {
+        val r = y.join(broadcast(v1.select(col("i"), col("vq").as("v1q"))), Seq("i"))
+          .agg(sum(col("v1q") * col("y")).as("rn"))
+          .crossJoin(broadcast(vv.get))
+          .select((when(col("rn") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("abs(rn) div vv")).cast("decimal(38,0)").as("r"))
+        y = y.join(broadcast(v1.select(col("i"), col("vq").as("v1q"))), Seq("i"))
+          .crossJoin(broadcast(r))
+          .select(col("i"), (col("y") - col("v1q") * col("r")).as("y"))
+      }
       val m = y.agg(max(abs(col("y"))).as("m"))
       v = y.crossJoin(broadcast(m))
         .select(col("i"),
@@ -1519,6 +1563,50 @@ object VectorOps {
         .localCheckpoint(true)
     }
     v
+  }
+
+  def pcaDirection(s: SparkSession, d: String): DataFrame =
+    powerLoop(mirrorGram(pcaGramHalf(s, d).localCheckpoint(true)), "pca")
+
+  /** q281 dial: the deflation downshift 2^40. y = G·v₁ is truncated
+    * to yp = y div 2^40 before the rank-1 subtraction so the
+    * numerator yp_i·yp_j·2^20 stays inside DECIMAL(38,0): with
+    * |x| ≤ 1 the envelope binds at ~10^8 vectors (N²·2^72 ≤ 2^126);
+    * beyond that the shift is re-sized. The truncation costs ~2^-30
+    * relative precision in the deflation term at the test SFs —
+    * deterministic (exact replay) even though no longer exact math.
+    */
+  val PCA_DEFL_SHIFT = 1099511627776L
+
+  /** The q281 second-principal-direction chain: Hotelling deflation
+    * G₂ = G − (y yᵀ)/(v₁ᵀy) in deterministic fixed point (sign-split
+    * integer divisions), then the same PCA_ITERS power loop under an
+    * independent md5 coin. Orthogonality to v₁ is AUDITED in the
+    * spec (measured, not assumed — the deflation is quantized).
+    */
+  def pcaSecondDirection(s: SparkSession, d: String): DataFrame = {
+    val S = PCA_SCALE
+    val half = pcaGramHalf(s, d).localCheckpoint(true)
+    val gram = mirrorGram(half)
+    val v1 = powerLoop(gram, "pca")
+    val y = gram
+      .join(broadcast(v1.select(col("i").as("j"), col("vq"))), Seq("j"))
+      .groupBy(col("i")).agg(sum(col("g") * col("vq")).as("y"))
+    val yp = y.select(col("i"),
+        (when(col("y") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr(s"abs(y) div $PCA_DEFL_SHIFT")).cast("decimal(38,0)").as("yp"))
+      .localCheckpoint(true)
+    val den = yp.join(v1, Seq("i")).agg(sum(col("vq") * col("yp")).as("den"))
+    val g2 = gram
+      .join(broadcast(yp.select(col("i"), col("yp").as("ypi"))), Seq("i"))
+      .join(broadcast(yp.select(col("i").as("j"), col("yp").as("ypj"))), Seq("j"))
+      .crossJoin(broadcast(den))
+      .select(col("i"), col("j"),
+        (col("g") -
+          when(col("ypi") * col("ypj") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr(s"(abs(ypi * ypj) * $S) div den")).cast("decimal(38,0)").as("g"))
+      .localCheckpoint(true)
+    powerLoop(g2, "pca2", ortho = Some(v1))
   }
 
   /** q277 dial: how many dominant-direction outliers to surface. */
@@ -2716,26 +2804,7 @@ object VectorOps {
     // arithmetic — the hash must match bit-for-bit with no rounding
     // anywhere.
     "q276_pca_power" ->
-      s"""WITH $eCteBody,
-         |xq AS MATERIALIZED (
-         |  SELECT vec_id, i, CAST(floor(v * $PCA_SCALE.0) AS HUGEINT) AS xq FROM e
-         |),
-         |gmh AS MATERIALIZED (
-         |  SELECT a.i, b.i AS j, sum(a.xq * b.xq) AS g
-         |  FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND a.i <= b.i
-         |  GROUP BY 1, 2
-         |),
-         |gm AS MATERIALIZED (
-         |  SELECT i, j, g FROM gmh
-         |  UNION ALL SELECT j AS i, i AS j, g FROM gmh WHERE i < j
-         |),
-         |pv0 AS MATERIALIZED (
-         |  SELECT i, CAST(CASE WHEN CAST(('0x' || substr(md5('pca:' || CAST(i AS VARCHAR)), 1, 8))
-         |                           AS BIGINT) % 2 = 0
-         |                 THEN $PCA_SCALE ELSE -$PCA_SCALE END AS HUGEINT) AS vq
-         |  FROM (SELECT DISTINCT i FROM e)
-         |),
-         |$pcaIterSql
+      s"""WITH $pcaChainCte
          |SELECT CAST(i AS BIGINT) AS i, CAST(vq AS BIGINT) AS pc1_q,
          |       (CASE WHEN vq < 0 THEN -1 ELSE 1 END) *
          |         CAST((abs(vq) * 1000000) // $PCA_SCALE AS BIGINT) AS pc1_ppm
@@ -2744,26 +2813,7 @@ object VectorOps {
     // q276's chain + the exact projection join + the |proj| rank —
     // all integers, bit-exact.
     "q277_pca_outliers" ->
-      s"""WITH $eCteBody,
-         |xq AS MATERIALIZED (
-         |  SELECT vec_id, i, CAST(floor(v * $PCA_SCALE.0) AS HUGEINT) AS xq FROM e
-         |),
-         |gmh AS MATERIALIZED (
-         |  SELECT a.i, b.i AS j, sum(a.xq * b.xq) AS g
-         |  FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND a.i <= b.i
-         |  GROUP BY 1, 2
-         |),
-         |gm AS MATERIALIZED (
-         |  SELECT i, j, g FROM gmh
-         |  UNION ALL SELECT j AS i, i AS j, g FROM gmh WHERE i < j
-         |),
-         |pv0 AS MATERIALIZED (
-         |  SELECT i, CAST(CASE WHEN CAST(('0x' || substr(md5('pca:' || CAST(i AS VARCHAR)), 1, 8))
-         |                           AS BIGINT) % 2 = 0
-         |                 THEN $PCA_SCALE ELSE -$PCA_SCALE END AS HUGEINT) AS vq
-         |  FROM (SELECT DISTINCT i FROM e)
-         |),
-         |$pcaIterSql,
+      s"""WITH $pcaChainCte,
          |prj AS (
          |  SELECT x.vec_id, sum(x.xq * v.vq) AS proj
          |  FROM xq x JOIN pv$PCA_ITERS v USING (i) GROUP BY 1
@@ -2821,7 +2871,43 @@ object VectorOps {
          |       CAST(d2r AS BIGINT) AS d2_red_q2,
          |       CAST((d2r * 1000000) // (d2o * $JL_K) AS BIGINT) AS ratio_ppm
          |FROM do2 JOIN dr2 USING (id1, id2)
-         |WHERE d2o > 0 ORDER BY id1, id2""".stripMargin
+         |WHERE d2o > 0 ORDER BY id1, id2""".stripMargin,
+
+    // v₁'s chain + the quantized deflation + the second power loop
+    // under the pca2 coin, replayed step for step.
+    "q281_pca_deflation" ->
+      s"""WITH $pcaChainCte,
+         |dy AS MATERIALIZED (
+         |  SELECT g.i, sum(g.g * v.vq) AS y
+         |  FROM gm g JOIN pv$PCA_ITERS v ON v.i = g.j GROUP BY 1
+         |), dyp AS MATERIALIZED (
+         |  SELECT i, (CASE WHEN y < 0 THEN -1 ELSE 1 END) *
+         |            (abs(y) // $PCA_DEFL_SHIFT) AS yp
+         |  FROM dy
+         |), dden AS MATERIALIZED (
+         |  SELECT sum(v.vq * p.yp) AS den
+         |  FROM pv$PCA_ITERS v JOIN dyp p USING (i)
+         |), g2 AS MATERIALIZED (
+         |  SELECT g.i, g.j,
+         |         g.g - (CASE WHEN a.yp * b.yp < 0 THEN -1 ELSE 1 END) *
+         |               ((abs(a.yp * b.yp) * $PCA_SCALE) // d.den) AS g
+         |  FROM gm g JOIN dyp a ON a.i = g.i JOIN dyp b ON b.i = g.j
+         |       CROSS JOIN dden d
+         |),
+         |vvq AS MATERIALIZED (
+         |  SELECT sum(vq * vq) AS vv FROM pv$PCA_ITERS
+         |),
+         |qv0 AS MATERIALIZED (
+         |  SELECT i, CAST(CASE WHEN CAST(('0x' || substr(md5('pca2:' || CAST(i AS VARCHAR)), 1, 8))
+         |                           AS BIGINT) % 2 = 0
+         |                 THEN $PCA_SCALE ELSE -$PCA_SCALE END AS HUGEINT) AS vq
+         |  FROM (SELECT DISTINCT i FROM e)
+         |),
+         |${pcaOrthoIterSql("q", "g2", s"pv$PCA_ITERS")}
+         |SELECT CAST(i AS BIGINT) AS i, CAST(vq AS BIGINT) AS pc2_q,
+         |       (CASE WHEN vq < 0 THEN -1 ELSE 1 END) *
+         |         CAST((abs(vq) * 1000000) // $PCA_SCALE AS BIGINT) AS pc2_ppm
+         |FROM qv$PCA_ITERS ORDER BY i""".stripMargin
     // q255_compression_gate is the one remaining spec-only entry:
     // DEFLATE output length is genuinely not SQL-expressible.
   )
@@ -2831,16 +2917,66 @@ object VectorOps {
     * the nonnegative |y|·S is the same floor-division the Spark
     * side's sign-split `div` computes.
     */
-  private lazy val pcaIterSql: String = (1 to PCA_ITERS).map { t =>
-    val prev = s"pv${t - 1}"
-    s"""py$t AS MATERIALIZED (
-       |  SELECT gm.i, sum(gm.g * v.vq) AS y FROM gm JOIN $prev v ON v.i = gm.j GROUP BY 1
-       |), pm$t AS MATERIALIZED (SELECT max(abs(y)) AS m FROM py$t),
-       |pv$t AS MATERIALIZED (
-       |  SELECT i, (CASE WHEN y < 0 THEN -1 ELSE 1 END) * ((abs(y) * $PCA_SCALE) // m) AS vq
-       |  FROM py$t CROSS JOIN pm$t
-       |)""".stripMargin
-  }.mkString(",\n")
+  private def pcaIterSqlFor(p: String, gram: String): String =
+    (1 to PCA_ITERS).map { t =>
+      val prev = s"${p}v${t - 1}"
+      s"""${p}y$t AS MATERIALIZED (
+         |  SELECT g.i, sum(g.g * v.vq) AS y FROM $gram g JOIN $prev v ON v.i = g.j GROUP BY 1
+         |), ${p}m$t AS MATERIALIZED (SELECT max(abs(y)) AS m FROM ${p}y$t),
+         |${p}v$t AS MATERIALIZED (
+         |  SELECT i, (CASE WHEN y < 0 THEN -1 ELSE 1 END) * ((abs(y) * $PCA_SCALE) // m) AS vq
+         |  FROM ${p}y$t CROSS JOIN ${p}m$t
+         |)""".stripMargin
+    }.mkString(",\n")
+
+  private lazy val pcaIterSql: String = pcaIterSqlFor("p", "gm")
+
+  /** The re-orthogonalized loop (q281): matvec → subtract the v₁
+    * component (sign-split integer div by the vvq scalar) → renorm.
+    */
+  private def pcaOrthoIterSql(p: String, gram: String, v1: String): String =
+    (1 to PCA_ITERS).map { t =>
+      val prev = s"${p}v${t - 1}"
+      s"""${p}y$t AS MATERIALIZED (
+         |  SELECT g.i, sum(g.g * v.vq) AS y FROM $gram g JOIN $prev v ON v.i = g.j GROUP BY 1
+         |), ${p}r$t AS MATERIALIZED (
+         |  SELECT (CASE WHEN rn < 0 THEN -1 ELSE 1 END) * (abs(rn) // vv) AS r
+         |  FROM (SELECT sum(v.vq * y.y) AS rn FROM $v1 v JOIN ${p}y$t y USING (i))
+         |  CROSS JOIN vvq
+         |), ${p}z$t AS MATERIALIZED (
+         |  SELECT y.i, y.y - v.vq * r.r AS y
+         |  FROM ${p}y$t y JOIN $v1 v USING (i) CROSS JOIN ${p}r$t r
+         |), ${p}m$t AS MATERIALIZED (SELECT max(abs(y)) AS m FROM ${p}z$t),
+         |${p}v$t AS MATERIALIZED (
+         |  SELECT i, (CASE WHEN y < 0 THEN -1 ELSE 1 END) * ((abs(y) * $PCA_SCALE) // m) AS vq
+         |  FROM ${p}z$t CROSS JOIN ${p}m$t
+         |)""".stripMargin
+    }.mkString(",\n")
+
+  /** The shared q276/q277/q281 chain prefix: quantization, the
+    * half+mirror Gram, the md5 init and all PCA_ITERS v₁ iterations.
+    */
+  private lazy val pcaChainCte: String =
+    s"""$eCteBody,
+       |xq AS MATERIALIZED (
+       |  SELECT vec_id, i, CAST(floor(v * $PCA_SCALE.0) AS HUGEINT) AS xq FROM e
+       |),
+       |gmh AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j, sum(a.xq * b.xq) AS g
+       |  FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2
+       |),
+       |gm AS MATERIALIZED (
+       |  SELECT i, j, g FROM gmh
+       |  UNION ALL SELECT j AS i, i AS j, g FROM gmh WHERE i < j
+       |),
+       |pv0 AS MATERIALIZED (
+       |  SELECT i, CAST(CASE WHEN CAST(('0x' || substr(md5('pca:' || CAST(i AS VARCHAR)), 1, 8))
+       |                           AS BIGINT) % 2 = 0
+       |                 THEN $PCA_SCALE ELSE -$PCA_SCALE END AS HUGEINT) AS vq
+       |  FROM (SELECT DISTINCT i FROM e)
+       |),
+       |$pcaIterSql""".stripMargin
 
   /** One unrolled q271 selection step (t ≥ 2): distances of every
     * corpus vector to every selected center, min over centers, argmax

@@ -950,6 +950,52 @@ class VectorOpsSpec extends SparkSpec {
     assert(sd > 0.05 && sd < 3 * math.sqrt(2.0 / k16),
       s"JL ratio spread $sd outside the k=16 band")
 
+    // q281: the deflated second direction replays from scratch in
+    // BigInt, is near-orthogonal to v1 (the quantized-deflation claim
+    // — measured, not assumed), and carries less Rayleigh energy
+    val SHIFT = VectorOps.PCA_DEFL_SHIFT
+    val y1 = (0 until d).map(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+    val yp = y1.map(yi => (if (yi < 0) BigInt(-1) else BigInt(1)) * (yi.abs / SHIFT))
+    val den = (0 until d).map(i => v(i) * yp(i)).sum
+    val g2 = Array.tabulate(d, d) { (i, j) =>
+      val num = yp(i) * yp(j)
+      g(i)(j) - (if (num < 0) BigInt(-1) else BigInt(1)) * (num.abs * S / den)
+    }
+    var v2 = (1 to d).map { i =>
+      if (java.lang.Long.parseLong(md5hex(s"pca2:$i"), 16) % 2 == 0) BigInt(S)
+      else BigInt(-S)
+    }.toArray
+    val vv = v.map(x => x * x).sum
+    for (_ <- 1 to VectorOps.PCA_ITERS) {
+      val y0 = (0 until d).map(i => (0 until d).map(j => g2(i)(j) * v2(j)).sum)
+      // re-orthogonalization against v1, sign-split integer division
+      val rn = (0 until d).map(i => v(i) * y0(i)).sum
+      val r = (if (rn < 0) BigInt(-1) else BigInt(1)) * (rn.abs / vv)
+      val y = (0 until d).map(i => y0(i) - v(i) * r).toArray
+      val m = y.map(_.abs).max
+      v2 = y.map(yi => (if (yi < 0) BigInt(-1) else BigInt(1)) * (yi.abs * S / m))
+    }
+    val out2 = VectorOps.queries("q281_pca_deflation")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out2.length === 64)
+    out2.foreach { case (i, q, ppm) =>
+      val e = v2(i.toInt - 1)
+      assert(BigInt(q) === e, s"dim $i: pc2_q $q != exact $e")
+      val eppm = (if (e < 0) BigInt(-1) else BigInt(1)) * (e.abs * 1000000 / S)
+      assert(BigInt(ppm) === eppm, s"dim $i: pc2_ppm $ppm != exact $eppm")
+    }
+    assert(math.abs(cosv(v, v2)) < 0.01,
+      s"deflated direction not orthogonal: cos=${cosv(v, v2)}")
+    // Rayleigh ordering on the ORIGINAL G: the top direction must
+    // carry at least as much quadratic energy as the deflated one
+    def rayleigh(u: Array[BigInt]): Double = {
+      val num = (0 until d).map(i =>
+        (0 until d).map(j => u(i) * g(i)(j) * u(j)).sum).sum
+      num.toDouble / u.map(x => (x * x).toDouble).sum
+    }
+    assert(rayleigh(v) > rayleigh(v2),
+      s"lambda1 ${rayleigh(v)} !> lambda2 ${rayleigh(v2)}")
+
     // q277: the outlier audit must be exactly the BigInt top-8 by
     // |projection| of the SAME final direction
     val expTop = embRows.map(_._1).zip(xq).map { case (id, row) =>
