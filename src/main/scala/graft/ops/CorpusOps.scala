@@ -1687,6 +1687,56 @@ object CorpusOps {
           round(col("score"), 4).as("bm25_4"), col("n_hit"))
         .orderBy(col("qid"), col("rk"))),
 
+    // UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    // More Effective Language Sampling for Large-Scale Multilingual
+    // Pretraining"): allocate a token budget across languages as
+    // uniformly as possible, capping each language at its available
+    // tokens — exact integer WATERFILLING. Closed form over the
+    // ascending-by-count language relation: langs below the water
+    // level take everything; the rest split the remaining budget
+    // evenly (t* = remaining div remaining_count, the first r of them
+    // in sort order absorbing the +1 remainder — the deterministic
+    // integer-remainder rule the paper's expectation form doesn't
+    // need but an exact engine does). Plan shape: ONE corpus pass
+    // (the (lang)-keyed token-count agg, partial-agg-fed); everything
+    // after runs on the |langs|-row relation — its global window is
+    // single-task by construction (the kmeans-init precedent).
+    // Negative water levels on unused rows: Spark `div` truncates
+    // while DuckDB `//` floors, but those rows only feed the n > t
+    // filter, where any negative level passes in both engines.
+    "q282_unimax_alloc" -> ((s, d) => {
+      val counts = T.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("totn"), count(lit(1)).as("nl"))
+      val wAsc = Window.orderBy(col("n"), col("lang"))
+      val base = counts.crossJoin(broadcast(tot))
+        // |langs| rows: the window runs on a single task by construction
+        .withColumn("p", row_number().over(wAsc).cast("long"))
+        .withColumn("cum",
+          sum(col("n")).over(wAsc.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("budget", expr("totn div 2"))
+        .withColumn("tp", expr("(budget - (cum - n)) div (nl - p + 1)"))
+      val bstar = base.filter(col("n") > col("tp"))
+        .agg(min(struct(col("p").as("pstar"), col("tp").as("tstar"),
+          (col("cum") - col("n")).as("cumb"), col("budget").as("budget"),
+          col("nl").as("nl"))).as("m"))
+        .select(col("m.pstar").as("pstar"), col("m.tstar").as("tstar"),
+          (col("m.budget") - col("m.cumb") -
+            col("m.tstar") * (col("m.nl") - col("m.pstar") + 1)).as("r"))
+      base.crossJoin(broadcast(bstar))
+        .select(col("lang"), col("n").as("n_tok"),
+          when(col("p") < col("pstar"), col("n"))
+            .otherwise(col("tstar") +
+              when(col("p") - col("pstar") < col("r"), 1L).otherwise(0L))
+            .as("alloc"),
+          expr("""CAST((10000 * (CASE WHEN p < pstar THEN n
+                                 ELSE tstar + (CASE WHEN p - pstar < r THEN 1 ELSE 0 END)
+                                 END)) div n AS BIGINT)""").as("used_bp"))
+        .orderBy(col("lang"))
+    }),
+
     // BPE compression curve (the metric a tokenizer build tracks per
     // merge: corpus tokens after each learned merge, step 0 = raw
     // characters). Uses q274's chain states — zero extra corpus
@@ -3248,6 +3298,41 @@ object CorpusOps {
          |)
          |SELECT qid, rk, doc_id, round(score, 4) AS bm25_4, n_hit
          |FROM rkd WHERE rk <= $BM25_K ORDER BY qid, rk""".stripMargin,
+
+    // The waterfilling closed form replayed: ascending rank, running
+    // sums, the first-overflow boundary, the +1 remainder rule.
+    "q282_unimax_alloc" ->
+      """WITH tok AS (
+        |  SELECT lang, w
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''
+        |), cnt AS (
+        |  SELECT lang, count(*) AS n FROM tok GROUP BY 1
+        |), tt AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS totn, count(*) AS nl FROM cnt
+        |), base AS MATERIALIZED (
+        |  SELECT lang, n,
+        |         row_number() OVER (ORDER BY n, lang) AS p,
+        |         sum(n) OVER (ORDER BY n, lang
+        |                      ROWS UNBOUNDED PRECEDING) AS cum,
+        |         totn // 2 AS budget, nl
+        |  FROM cnt CROSS JOIN tt
+        |), bs AS MATERIALIZED (
+        |  SELECT pstar, tstar, budget - cumb - tstar * (nl - pstar + 1) AS r
+        |  FROM (SELECT p AS pstar, (budget - (cum - n)) // (nl - p + 1) AS tstar,
+        |               cum - n AS cumb, budget, nl,
+        |               row_number() OVER (ORDER BY p) AS rn1
+        |        FROM base WHERE n > (budget - (cum - n)) // (nl - p + 1))
+        |  WHERE rn1 = 1
+        |)
+        |SELECT lang, CAST(n AS BIGINT) AS n_tok,
+        |       CAST(CASE WHEN p < pstar THEN n
+        |            ELSE tstar + (CASE WHEN p - pstar < r THEN 1 ELSE 0 END)
+        |            END AS BIGINT) AS alloc,
+        |       CAST((10000 * (CASE WHEN p < pstar THEN n
+        |                      ELSE tstar + (CASE WHEN p - pstar < r THEN 1 ELSE 0 END)
+        |                      END)) // n AS BIGINT) AS used_bp
+        |FROM base CROSS JOIN bs ORDER BY lang""".stripMargin,
 
     // q274's chain, read out as the per-step corpus token sums.
     "q278_bpe_curve" ->

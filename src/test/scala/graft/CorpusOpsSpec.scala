@@ -1569,6 +1569,58 @@ class CorpusOpsSpec extends SparkSpec {
       s"a rounded BM25 digit sits $minRoundDist from a .5 boundary")
   }
 
+  test("UniMax waterfilling: exact budget conservation, full absorption below the level, replayed from scratch (q282)") {
+    import spark.implicits._
+    // From-scratch waterfilling reference (the closed form's sequential twin)
+    def ref(counts: Seq[(String, Long)]): Map[String, Long] = {
+      val sorted = counts.sortBy { case (l, n) => (n, l) }
+      val budget = counts.map(_._2).sum / 2
+      var remaining = budget
+      var left = sorted.length
+      val full = scala.collection.mutable.Map.empty[String, Long]
+      var capped = List.empty[String]
+      sorted.foreach { case (l, n) =>
+        val t = remaining / left
+        if (capped.isEmpty && n <= t) { full(l) = n; remaining -= n; left -= 1 }
+        else capped = capped :+ l
+      }
+      val t = if (capped.nonEmpty) remaining / capped.length else 0L
+      val r = if (capped.nonEmpty) remaining - t * capped.length else 0L
+      full.toMap ++ capped.zipWithIndex.map { case (l, ix) =>
+        l -> (t + (if (ix < r) 1L else 0L))
+      }
+    }
+
+    // Crafted corpus: 'xx' sits far below the uniform share and must
+    // be absorbed in FULL (the p < pstar branch the real corpus's
+    // balanced languages never exercise)
+    val crafted = Seq(
+      (1L, "a b", "xx"), (2L, Seq.fill(40)("w").mkString(" "), "en"),
+      (3L, Seq.fill(30)("v").mkString(" "), "de"))
+    val dir = java.nio.file.Files.createTempDirectory("unimax").toString
+    crafted.toDF("doc_id", "text", "lang").withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val outC = CorpusOps.queries("q282_unimax_alloc")(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val expC = ref(Seq(("xx", 2L), ("en", 40L), ("de", 30L)))
+    assert(outC("xx")._2 === 2L, "below-level lang must be fully absorbed")
+    outC.foreach { case (l, (_, a)) => assert(a === expC(l), s"$l alloc") }
+    assert(outC.values.map(_._2).sum === (72L / 2), "budget conservation")
+
+    // Real corpus at sf0.001: closed form == sequential reference,
+    // and the budget is conserved to the token
+    val counts = graft.T.documents(spark, sf001).select("lang", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").count(_.nonEmpty).toLong))
+      .groupBy(_._1).map { case (l, rs) => (l, rs.map(_._2).sum) }.toSeq
+    val exp = ref(counts)
+    val out = CorpusOps.queries("q282_unimax_alloc")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    out.foreach { case (l, a) => assert(a === exp(l), s"$l alloc mismatch") }
+    assert(out.map(_._2).sum === counts.map(_._2).sum / 2,
+      "sum(alloc) must equal the integer budget exactly")
+  }
+
   test("CCNet buckets: lp replays from scratch, terciles are exact-integer, edges sit in gaps (q279)") {
     val out = graft.ops.TextOps.queries("q279_ccnet_buckets")(spark, sf001)
       .collect().map(r =>
