@@ -1446,7 +1446,16 @@ object VectorOps {
         .select(col("i").cast("long").as("i"), col("vq").cast("long").as("pc2_q"),
           (when(col("vq") < 0, lit(-1L)).otherwise(lit(1L)) *
             expr(s"(abs(vq) * 1000000) div $PCA_SCALE")).as("pc2_ppm"))
-        .orderBy(col("i")))
+        .orderBy(col("i"))),
+
+    // Explained-variance decomposition (the summary an embedding-
+    // health report leads with: how much of the corpus energy the
+    // top directions carry — near-isotropic vs collapsed): total
+    // energy and exact PC1/PC2 Rayleigh energies with ppm shares,
+    // all in the q276 fixed-point class, one shared Gram pass for
+    // both directions. λ₁ ≥ λ₂ is visible in the output ordering
+    // and asserted in the spec.
+    "q283_pca_variance" -> ((s, d) => pcaVariance(s, d))
   )
 
   /** The q276 exact fixed-point power-iteration chain: (i, pc1_q,
@@ -1585,10 +1594,16 @@ object VectorOps {
     * spec (measured, not assumed — the deflation is quantized).
     */
   def pcaSecondDirection(s: SparkSession, d: String): DataFrame = {
+    val gram = mirrorGram(pcaGramHalf(s, d).localCheckpoint(true))
+    deflatedSecond(gram, powerLoop(gram, "pca"))
+  }
+
+  /** The deflation + re-orthogonalized loop given an already-built
+    * Gram and v₁ — shared by q281 and q283 (which needs both
+    * directions without re-running the v₁ chain).
+    */
+  private def deflatedSecond(gram: DataFrame, v1: DataFrame): DataFrame = {
     val S = PCA_SCALE
-    val half = pcaGramHalf(s, d).localCheckpoint(true)
-    val gram = mirrorGram(half)
-    val v1 = powerLoop(gram, "pca")
     val y = gram
       .join(broadcast(v1.select(col("i").as("j"), col("vq"))), Seq("j"))
       .groupBy(col("i")).agg(sum(col("g") * col("vq")).as("y"))
@@ -1609,15 +1624,42 @@ object VectorOps {
     powerLoop(g2, "pca2", ortho = Some(v1))
   }
 
+  /** The q283 explained-variance decomposition: total embedding
+    * energy Σ‖x‖² and the exact PC1/PC2 energies
+    * Σ(xᵀv)² div (vᵀv), each with its share of total in ppm — all
+    * 2^40-scaled integers (the q276 class). One shared Gram pass
+    * builds both directions; the corpus is touched twice more for
+    * the two projection aggs (vec-keyed partials under broadcast
+    * 64-row directions) and once for the total.
+    */
+  def pcaVariance(s: SparkSession, d: String): DataFrame = {
+    val xq = pcaQuantized(s, d)
+    val gram = mirrorGram(pcaGramHalf(s, d).localCheckpoint(true))
+    val v1 = powerLoop(gram, "pca")
+    val v2 = deflatedSecond(gram, v1)
+    def energy(v: DataFrame): DataFrame = {
+      val vv = v.agg(sum(col("vq") * col("vq")).as("vv"))
+      xq.join(broadcast(v), Seq("i"))
+        .groupBy(col("vec_id")).agg(sum(col("xq") * col("vq")).as("proj"))
+        .agg(sum(col("proj") * col("proj")).as("pp"))
+        .crossJoin(broadcast(vv))
+        .select(expr("pp div vv").cast("decimal(38,0)").as("e"))
+    }
+    val etot = xq.agg(sum(col("xq") * col("xq")).as("e")).localCheckpoint(true)
+    val rows = Seq(
+      etot.select(lit("total").as("component"), col("e")),
+      energy(v1).select(lit("pc1").as("component"), col("e")),
+      energy(v2).select(lit("pc2").as("component"), col("e")))
+    rows.reduce(_ unionByName _)
+      .crossJoin(broadcast(etot.select(col("e").as("et"))))
+      .select(col("component"), col("e").cast("long").as("energy_q2"),
+        expr("(e * 1000000) div et").as("share_ppm"))
+      .orderBy(col("component"))
+  }
+
   /** q277 dial: how many dominant-direction outliers to surface. */
   val PCA_TOPK = 8
 
-  /** The q277 outlier audit: every vector's EXACT projection onto the
-    * q276 direction (scaled 2^40), top PCA_TOPK by |projection|.
-    * Corpus side: one broadcast join against the 64-row direction +
-    * a vec-keyed partial agg; the global rank rides ScalableRank
-    * under a constant key. All-integer → ties are engine-safe.
-    */
   /** Per-vector exact projections onto the learned direction — the
     * q277 pre-rank phase, public for the plan pin (the rank's
     * localCheckpoint hides it from a whole-query audit).
@@ -1627,6 +1669,12 @@ object VectorOps {
       .join(broadcast(pcaDirection(s, d)), Seq("i"))
       .groupBy(col("vec_id")).agg(sum(col("xq") * col("vq")).as("proj"))
 
+  /** The q277 outlier audit: every vector's EXACT projection onto the
+    * q276 direction (scaled 2^40), top PCA_TOPK by |projection|.
+    * Corpus side: one broadcast join against the 64-row direction +
+    * a vec-keyed partial agg; the global rank rides ScalableRank
+    * under a constant key. All-integer → ties are engine-safe.
+    */
   def pcaOutliers(s: SparkSession, d: String): DataFrame = {
     val p = s.conf.get("spark.sql.shuffle.partitions").toInt
     val proj = pcaProjections(s, d)
@@ -2877,37 +2925,33 @@ object VectorOps {
     // under the pca2 coin, replayed step for step.
     "q281_pca_deflation" ->
       s"""WITH $pcaChainCte,
-         |dy AS MATERIALIZED (
-         |  SELECT g.i, sum(g.g * v.vq) AS y
-         |  FROM gm g JOIN pv$PCA_ITERS v ON v.i = g.j GROUP BY 1
-         |), dyp AS MATERIALIZED (
-         |  SELECT i, (CASE WHEN y < 0 THEN -1 ELSE 1 END) *
-         |            (abs(y) // $PCA_DEFL_SHIFT) AS yp
-         |  FROM dy
-         |), dden AS MATERIALIZED (
-         |  SELECT sum(v.vq * p.yp) AS den
-         |  FROM pv$PCA_ITERS v JOIN dyp p USING (i)
-         |), g2 AS MATERIALIZED (
-         |  SELECT g.i, g.j,
-         |         g.g - (CASE WHEN a.yp * b.yp < 0 THEN -1 ELSE 1 END) *
-         |               ((abs(a.yp * b.yp) * $PCA_SCALE) // d.den) AS g
-         |  FROM gm g JOIN dyp a ON a.i = g.i JOIN dyp b ON b.i = g.j
-         |       CROSS JOIN dden d
-         |),
-         |vvq AS MATERIALIZED (
-         |  SELECT sum(vq * vq) AS vv FROM pv$PCA_ITERS
-         |),
-         |qv0 AS MATERIALIZED (
-         |  SELECT i, CAST(CASE WHEN CAST(('0x' || substr(md5('pca2:' || CAST(i AS VARCHAR)), 1, 8))
-         |                           AS BIGINT) % 2 = 0
-         |                 THEN $PCA_SCALE ELSE -$PCA_SCALE END AS HUGEINT) AS vq
-         |  FROM (SELECT DISTINCT i FROM e)
-         |),
-         |${pcaOrthoIterSql("q", "g2", s"pv$PCA_ITERS")}
+         |$pcaSecondCte
          |SELECT CAST(i AS BIGINT) AS i, CAST(vq AS BIGINT) AS pc2_q,
          |       (CASE WHEN vq < 0 THEN -1 ELSE 1 END) *
          |         CAST((abs(vq) * 1000000) // $PCA_SCALE AS BIGINT) AS pc2_ppm
-         |FROM qv$PCA_ITERS ORDER BY i""".stripMargin
+         |FROM qv$PCA_ITERS ORDER BY i""".stripMargin,
+
+    // Both direction chains + the three exact energy aggregates.
+    "q283_pca_variance" ->
+      s"""WITH $pcaChainCte,
+         |$pcaSecondCte,
+         |etot AS MATERIALIZED (SELECT sum(xq * xq) AS e FROM xq),
+         |e1 AS (
+         |  SELECT sum(proj * proj) // (SELECT sum(vq * vq) FROM pv$PCA_ITERS) AS e
+         |  FROM (SELECT x.vec_id, sum(x.xq * v.vq) AS proj
+         |        FROM xq x JOIN pv$PCA_ITERS v USING (i) GROUP BY 1)
+         |), e2 AS (
+         |  SELECT sum(proj * proj) // (SELECT sum(vq * vq) FROM qv$PCA_ITERS) AS e
+         |  FROM (SELECT x.vec_id, sum(x.xq * v.vq) AS proj
+         |        FROM xq x JOIN qv$PCA_ITERS v USING (i) GROUP BY 1)
+         |), un AS (
+         |  SELECT 'total' AS component, e FROM etot
+         |  UNION ALL SELECT 'pc1', e FROM e1
+         |  UNION ALL SELECT 'pc2', e FROM e2
+         |)
+         |SELECT component, CAST(e AS BIGINT) AS energy_q2,
+         |       CAST((e * 1000000) // (SELECT e FROM etot) AS BIGINT) AS share_ppm
+         |FROM un ORDER BY component""".stripMargin
     // q255_compression_gate is the one remaining spec-only entry:
     // DEFLATE output length is genuinely not SQL-expressible.
   )
@@ -2977,6 +3021,39 @@ object VectorOps {
        |  FROM (SELECT DISTINCT i FROM e)
        |),
        |$pcaIterSql""".stripMargin
+
+  /** The q281/q283 second-direction chain (deflation + vvq + the
+    * re-orthogonalized loop), appended after [[pcaChainCte]].
+    */
+  private lazy val pcaSecondCte: String =
+    s"""dy AS MATERIALIZED (
+         |  SELECT g.i, sum(g.g * v.vq) AS y
+         |  FROM gm g JOIN pv$PCA_ITERS v ON v.i = g.j GROUP BY 1
+         |), dyp AS MATERIALIZED (
+         |  SELECT i, (CASE WHEN y < 0 THEN -1 ELSE 1 END) *
+         |            (abs(y) // $PCA_DEFL_SHIFT) AS yp
+         |  FROM dy
+         |), dden AS MATERIALIZED (
+         |  SELECT sum(v.vq * p.yp) AS den
+         |  FROM pv$PCA_ITERS v JOIN dyp p USING (i)
+         |), g2 AS MATERIALIZED (
+         |  SELECT g.i, g.j,
+         |         g.g - (CASE WHEN a.yp * b.yp < 0 THEN -1 ELSE 1 END) *
+         |               ((abs(a.yp * b.yp) * $PCA_SCALE) // d.den) AS g
+         |  FROM gm g JOIN dyp a ON a.i = g.i JOIN dyp b ON b.i = g.j
+         |       CROSS JOIN dden d
+         |),
+         |vvq AS MATERIALIZED (
+         |  SELECT sum(vq * vq) AS vv FROM pv$PCA_ITERS
+         |),
+         |qv0 AS MATERIALIZED (
+         |  SELECT i, CAST(CASE WHEN CAST(('0x' || substr(md5('pca2:' || CAST(i AS VARCHAR)), 1, 8))
+         |                           AS BIGINT) % 2 = 0
+         |                 THEN $PCA_SCALE ELSE -$PCA_SCALE END AS HUGEINT) AS vq
+         |  FROM (SELECT DISTINCT i FROM e)
+         |),
+         |${pcaOrthoIterSql("q", "g2", s"pv$PCA_ITERS")}""".stripMargin
+
 
   /** One unrolled q271 selection step (t ≥ 2): distances of every
     * corpus vector to every selected center, min over centers, argmax

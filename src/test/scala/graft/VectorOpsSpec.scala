@@ -996,6 +996,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(rayleigh(v) > rayleigh(v2),
       s"lambda1 ${rayleigh(v)} !> lambda2 ${rayleigh(v2)}")
 
+    // q283: the variance decomposition must equal the exact BigInt
+    // energies of THESE directions, and order lambda1 >= lambda2
+    val vrows = VectorOps.queries("q283_pca_variance")(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val etot = xq.map(row => row.map(x => x * x).sum).sum
+    def energyOf(u: Array[BigInt]): BigInt = {
+      val uu = u.map(x => x * x).sum
+      xq.map(row => (0 until d).map(j => row(j) * u(j)).sum.pow(2)).sum / uu
+    }
+    assert(BigInt(vrows("total")._1) === etot)
+    assert(vrows("total")._2 === 1000000L)
+    assert(BigInt(vrows("pc1")._1) === energyOf(v), "pc1 energy")
+    assert(BigInt(vrows("pc2")._1) === energyOf(v2), "pc2 energy")
+    assert(vrows("pc1")._2 >= vrows("pc2")._2, "share ordering")
+
     // q277: the outlier audit must be exactly the BigInt top-8 by
     // |projection| of the SAME final direction
     val expTop = embRows.map(_._1).zip(xq).map { case (id, row) =>
