@@ -1782,16 +1782,22 @@ object CorpusOps {
     * vocab relations bv0..bvT). q274 formats the merges; q278 folds
     * the vocab states into the compression curve.
     */
-  private def bpeChainState(s: SparkSession, d: String,
-      iters: Int): (List[DataFrame], List[DataFrame]) = {
-    val wc = T.documents(s, d)
+  /** The UNCHECKPOINTED (c, syms) vocabulary relation — q274/q278's
+    * one corpus pass, public so PlanAuditSpec can pin that its only
+    * exchange is the partial-agg-fed word-count rollup (the
+    * checkpoint hides it from a whole-query audit).
+    */
+  def bpeVocab(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    var vocab = wc
       .select(col("c"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
-      .localCheckpoint(true)
+
+  private def bpeChainState(s: SparkSession, d: String,
+      iters: Int): (List[DataFrame], List[DataFrame]) = {
+    var vocab = bpeVocab(s, d).localCheckpoint(true)
     var steps = List.empty[DataFrame]
     var vocabs = List(vocab)
     for (t <- 1 to iters) {

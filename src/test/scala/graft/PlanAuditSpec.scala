@@ -928,6 +928,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bpe's one corpus pass is the partial-agg-fed word-count rollup (q274/q278)") {
+    // Every exchange in the vocabulary relation must be fed by a
+    // partial aggregate — the corpus collapses map-side; the merge
+    // loop never sees raw rows.
+    val p = physical(graft.ops.CorpusOps.bpeVocab(spark, sf001))
+    val ex = shuffles(p)
+    assert(ex.nonEmpty, "expected the word-count rollup exchange")
+    ex.foreach { e =>
+      assert(partialAggFed(e), s"raw-row exchange on ${hashKeys(e)}")
+    }
+  }
+
+  test("unimax's corpus pass is the partial-agg-fed lang rollup; the rest is |langs|-sized (q282)") {
+    val p = physical("q282_unimax_alloc")
+    // lang is a 5-value key: its exchanges must carry partial rows
+    shuffles(p).filter(e => hashKeys(e).contains("lang")).foreach { e =>
+      assert(partialAggFed(e), "lang-keyed exchange must be partial-agg-fed")
+    }
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would
