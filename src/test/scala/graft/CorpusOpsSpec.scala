@@ -1569,6 +1569,53 @@ class CorpusOpsSpec extends SparkSpec {
       s"a rounded BM25 digit sits $minRoundDist from a .5 boundary")
   }
 
+  test("BPE fold equals greedy-leftmost on randomized run-heavy vocabularies (q274 property)") {
+    import spark.implicits._
+    // Adversarial alphabet {a, b}: maximizes overlapping-run cases
+    // (the one place a fold could diverge from the leftmost scan).
+    def mergeWord(syms: List[String], pa: String, pb: String): List[String] =
+      syms match {
+        case x :: y :: rest if x == pa && y == pb =>
+          (pa + pb) :: mergeWord(rest, pa, pb)
+        case x :: rest => x :: mergeWord(rest, pa, pb)
+        case Nil => Nil
+      }
+    def refBpe(wcs: Seq[(String, Long)], iters: Int): Seq[(Int, String, String, Long)] = {
+      var vocab = wcs.map { case (w, c) => (w.map(_.toString).toList, c) }
+      (1 to iters).flatMap { t =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          syms.zip(syms.drop(1)).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + c
+          }
+        }
+        if (counts.isEmpty) Nil
+        else {
+          val ((pa, pb), n) =
+            counts.toSeq.sortBy { case ((a, b), m) => (-m, a, b) }.head
+          vocab = vocab.map { case (syms, c) => (mergeWord(syms, pa, pb), c) }
+          Seq((t, pa, pb, n))
+        }
+      }
+    }
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 3).foreach { trial =>
+      val words = (1 to 25).map { _ =>
+        (1 to (2 + rnd.nextInt(9))).map(_ => if (rnd.nextBoolean()) "a" else "b").mkString
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"bpeprop$trial").toString
+      words.zipWithIndex.map { case (w, ix) => (ix.toLong, w) }
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val wc = words.groupBy(identity).map { case (w, os) => (w, os.length.toLong) }.toSeq
+      val exp = refBpe(wc, 4)
+      val got = CorpusOps.bpeMergeChain(spark, dir, iters = 4).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(got.toSeq === exp, s"trial $trial: $got != $exp over ${words.mkString(",")}")
+    }
+  }
+
   test("UniMax waterfilling: exact budget conservation, full absorption below the level, replayed from scratch (q282)") {
     import spark.implicits._
     // From-scratch waterfilling reference (the closed form's sequential twin)
