@@ -1687,6 +1687,47 @@ object CorpusOps {
           round(col("score"), 4).as("bm25_4"), col("n_hit"))
         .orderBy(col("qid"), col("rk"))),
 
+    // Rho-1-style selective token scoring (Lin et al. 2024, "Rho-1:
+    // Not All Tokens Are What You Need" — score each token by the
+    // EXCESS of a reference model's likelihood over the training
+    // distribution's, and train only where the reference approves).
+    // In-engine proxy: reference = the lang='en' slice's add-one
+    // unigram model, train = the full-corpus model; token excess
+    // s(w) = ln((c_en+1)/(T_en+V)) − ln((c+1)/(T+V)). Per doc: token
+    // count, selected count (s > 0), selection share in bp, mean
+    // excess. Plan: one token explode; both models are vocabulary-
+    // keyed aggs joined back on the vocab key (the q84/q91 posture)
+    // with the three scalars broadcast; the per-doc rollup is a
+    // doc-keyed partial agg. The s > 0 gate is a float compare on an
+    // identical 2-ln expression — CorpusOpsSpec audits that no
+    // vocabulary word's |s| sits inside ULP drift of the threshold.
+    "q285_rho1_tokens" -> ((s, d) => {
+      val tok = T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val call = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val cen = tok.filter(col("lang") === "en")
+        .groupBy(col("w")).agg(count(lit(1)).as("ce"))
+      val scal = call.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+        .crossJoin(cen.agg(sum(col("ce")).as("te")))
+      val sw = call.join(cen, Seq("w"), "left_outer")
+        .select(col("w"), col("c"), coalesce(col("ce"), lit(0L)).as("ce"))
+        .crossJoin(broadcast(scal))
+        .select(col("w"),
+          (log((col("ce") + 1).cast("double") / (col("te") + col("v"))) -
+            log((col("c") + 1).cast("double") / (col("t") + col("v")))).as("sx"))
+      tok.join(sw, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("sx") > 0, 1L).otherwise(0L)).as("n_sel"),
+          round(avg(col("sx")), 4).as("mean_excess_4"))
+        .select(col("doc_id"), col("n_tok"), col("n_sel"),
+          expr("(10000 * n_sel) div n_tok").as("sel_bp"),
+          col("mean_excess_4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
     // More Effective Language Sampling for Large-Scale Multilingual
     // Pretraining"): allocate a token budget across languages as
@@ -3304,6 +3345,37 @@ object CorpusOps {
          |)
          |SELECT qid, rk, doc_id, round(score, 4) AS bm25_4, n_hit
          |FROM rkd WHERE rk <= $BM25_K ORDER BY qid, rk""".stripMargin,
+
+    // Both unigram models and the identical 2-ln excess replayed.
+    "q285_rho1_tokens" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, w
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> ''
+        |), ca AS (
+        |  SELECT w, count(*) AS c FROM tok GROUP BY 1
+        |), ce AS (
+        |  SELECT w, count(*) AS ce FROM tok WHERE lang = 'en' GROUP BY 1
+        |), sc AS (
+        |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM ca) AS t,
+        |         (SELECT count(*) FROM ca) AS v,
+        |         (SELECT CAST(sum(ce) AS BIGINT) FROM ce) AS te
+        |), sw AS (
+        |  SELECT ca.w,
+        |         ln(CAST(coalesce(ce.ce, 0) + 1 AS DOUBLE) / (sc.te + sc.v)) -
+        |         ln(CAST(ca.c + 1 AS DOUBLE) / (sc.t + sc.v)) AS sx
+        |  FROM ca LEFT JOIN ce USING (w) CROSS JOIN sc
+        |), per AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |         CAST(sum(CASE WHEN s.sx > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+        |         round(avg(s.sx), 4) AS mean_excess_4
+        |  FROM tok t JOIN sw s USING (w) GROUP BY 1
+        |)
+        |SELECT doc_id, n_tok, n_sel,
+        |       CAST((10000 * n_sel) // n_tok AS BIGINT) AS sel_bp,
+        |       mean_excess_4
+        |FROM per ORDER BY doc_id""".stripMargin,
 
     // The waterfilling closed form replayed: ascending rank, running
     // sums, the first-overflow boundary, the +1 remainder rule.

@@ -919,6 +919,31 @@ object Dedup {
     "q131_data_card" -> ((s, d) => {
       val docs = T.documents(s, d)
       dataCardFrom(docs, canonicalizeLsh(docs))
+    }),
+
+    // SoftDedup-style reweighting (He et al. 2024, "SoftDedup: an
+    // Efficient Data Reweighting Method for Speeding Up Language
+    // Model Pre-training" — DOWN-WEIGHT common data instead of
+    // dropping it, so high-multiplicity content still contributes
+    // signal without dominating the sampler): every document keeps
+    // its near-dup cluster's inverse multiplicity as an exact-integer
+    // sampling weight (10^6 div cluster_size; singletons = 10^6).
+    // The removal-free alternative to q69's drop rule, on the SAME
+    // production canonicalization substrate — the cluster relation is
+    // canonicalizeLsh's output, so the only new work is one
+    // canonical-keyed size agg and a keyed join back.
+    "q284_soft_dedup" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val full = docs.select(col("doc_id"))
+        .join(canonicalizeLsh(docs), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      val sz = full.groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      full.join(sz, Seq("canonical_id"))
+        .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+          expr("1000000 div cluster_size").as("keep_weight_ppm"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1520,6 +1545,32 @@ object Dedup {
          |       (10000 * dup.n_dups) // a.n_docs AS dup_bp,
          |       (1000 * a.n_pass) // a.n_docs AS pass_pm
          |FROM agg a JOIN dup USING (source)
-         |ORDER BY a.source""".stripMargin
+         |ORDER BY a.source""".stripMargin,
+
+    // The q109 canonical map + one cluster-size rollup and the
+    // exact-integer inverse weight.
+    "q284_soft_dedup" ->
+      s"""WITH RECURSIVE pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |), e(a, b) AS (
+         |  SELECT id1, id2 FROM pr UNION SELECT id2, id1 FROM pr
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+         |), canon AS (
+         |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS canonical_id
+         |  FROM reach GROUP BY a
+         |), lab AS (
+         |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+         |  FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
+         |), szs AS (
+         |  SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM lab GROUP BY 1
+         |)
+         |SELECT l.doc_id, l.canonical_id, s.cluster_size,
+         |       CAST(1000000 // s.cluster_size AS BIGINT) AS keep_weight_ppm
+         |FROM lab l JOIN szs s USING (canonical_id)
+         |ORDER BY l.doc_id""".stripMargin
   )
 }

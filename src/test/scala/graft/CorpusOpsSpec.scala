@@ -1616,6 +1616,46 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("Rho-1 token selection: excess replays from scratch, threshold margins wide, en direction holds (q285)") {
+    val docs = graft.T.documents(spark, sf001).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.map { case (id, lang, t) =>
+      (id, lang, t.split(" ").filter(_.nonEmpty).toSeq)
+    }
+    val call = toks.flatMap(_._3).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val cen = toks.filter(_._2 == "en").flatMap(_._3).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val t = call.values.sum; val v = call.size.toLong; val te = cen.values.sum
+    val sx = call.map { case (w, c) =>
+      w -> (math.log((cen.getOrElse(w, 0L) + 1).toDouble / (te + v)) -
+        math.log((c + 1).toDouble / (t + v)))
+    }
+    // threshold margin: the s > 0 gate must sit far outside ln's
+    // ULP drift for EVERY vocabulary word
+    assert(sx.values.map(math.abs).min > 1e-9,
+      s"a token excess sits ${sx.values.map(math.abs).min} from the gate")
+    val out = CorpusOps.queries("q285_rho1_tokens")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.length === docs.length)
+    val byId = toks.map(tk => tk._1 -> tk).toMap
+    out.foreach { case (id, nTok, nSel, selBp, mex) =>
+      val ws = byId(id)._3
+      assert(nTok === ws.length.toLong)
+      val expSel = ws.count(w => sx(w) > 0).toLong
+      assert(nSel === expSel, s"doc $id n_sel $nSel != $expSel")
+      assert(selBp === 10000L * expSel / ws.length)
+      val expMex = ws.map(sx).sum / ws.length
+      assert(math.abs(mex - expMex) < 1e-4 + 1e-9, s"doc $id mean excess")
+    }
+    // the Rho-1 premise on this corpus: the reference (en) slice's
+    // own docs select a larger token share than the rest
+    val (en, rest) = out.partition(o => byId(o._1)._2 == "en")
+    val shEn = en.map(_._4).sum.toDouble / en.length
+    val shRest = rest.map(_._4).sum.toDouble / rest.length
+    assert(shEn > shRest, s"en sel share $shEn !> rest $shRest")
+  }
+
   test("UniMax waterfilling: exact budget conservation, full absorption below the level, replayed from scratch (q282)") {
     import spark.implicits._
     // From-scratch waterfilling reference (the closed form's sequential twin)

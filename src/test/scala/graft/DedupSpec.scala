@@ -587,4 +587,34 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(4) === bp)
     assert(r.getLong(4) >= 0L && r.getLong(4) <= 10000L)
   }
+
+  test("soft dedup: inverse-multiplicity weight law, cluster consistency with the canonical map (q284)") {
+    val out = graft.ops.Dedup.queries("q284_soft_dedup")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = graft.T.documents(spark, sf001).count()
+    assert(out.length.toLong === nDocs, "every document keeps a weight row")
+    out.foreach { case (_, _, size, w) =>
+      // w = floor(1e6 / size): the tightest integer inverse weight
+      assert(size * w <= 1000000L && 1000000L < size * (w + 1),
+        s"weight $w violates the floor law for size $size")
+      if (size == 1L) assert(w === 1000000L)
+    }
+    // docs sharing a canonical id must share size and weight, and the
+    // size must equal the actual member count
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(m => (m._3, m._4)).distinct.length === 1,
+        s"cluster $cid: inconsistent size/weight")
+      assert(members.head._3 === members.length.toLong,
+        s"cluster $cid: size ${members.head._3} != ${members.length}")
+    }
+    // the effective corpus (sum of weights) equals the cluster count
+    // up to the per-cluster truncation residue < size ppm
+    val nClusters = out.map(_._2).distinct.length.toLong
+    val sumW = out.map(_._4).sum
+    // per-cluster contribution: 1e6 − (size·floor-residue) with the
+    // residue < size, so the total sits in [n·1e6 − (docs − n), n·1e6]
+    assert(sumW <= nClusters * 1000000L &&
+        sumW >= nClusters * 1000000L - (nDocs - nClusters),
+      s"effective size $sumW vs $nClusters clusters / $nDocs docs")
+  }
 }
