@@ -64,6 +64,17 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
+        finally {
+          // Round-11 (driver r10: q271 39.8 s in-run vs 2.97 s
+          // isolated): 55 eager localCheckpoint sites leave their RDD
+          // blocks cached forever in a one-JVM run — by the vector
+          // chain the block manager holds hundreds of checkpoint sets
+          // and every query pays the memory pressure. Each run builds
+          // its own checkpoints, so sweeping between runs (outside the
+          // timed region) frees them without breaking any lineage.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
       }
       val best = if (times.isEmpty) -1.0 else times.min
       // live progress on STDERR only — stdout stays exactly the parsed

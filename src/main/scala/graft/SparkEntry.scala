@@ -11,8 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `oracleSql` carries the DuckDB-equivalent ANSI SQL for the driver's
   * hash-compare correctness gate; ops whose semantics are not
   * SQL-expressible are checked by ScalaTest specs instead and omitted
-  * here — since round 8 that is ONLY q255 (DEFLATE output length) and
-  * the streaming surface (spec-by-design): the approximate-ANN tiers
+  * here — since round 8 that is ONLY q255 (DEFLATE output length; the
+  * local gate still replays it bit-exact via a CPython-zlib oracle in
+  * tools/check.py, measured byte-identical to Deflater(6)) and the
+  * streaming surface (spec-by-design): the approximate-ANN tiers
   * (IVF, LSH, PQ, IVFADC) turned out fully replayable in SQL because
   * their coins are md5/fixed-seed, and are oracle-checked like
   * everything else.

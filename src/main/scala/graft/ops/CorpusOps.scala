@@ -1694,13 +1694,27 @@ object CorpusOps {
     // In-engine proxy: reference = the lang='en' slice's add-one
     // unigram model, train = the full-corpus model; token excess
     // s(w) = ln((c_en+1)/(T_en+V)) − ln((c+1)/(T+V)). Per doc: token
-    // count, selected count (s > 0), selection share in bp, mean
-    // excess. Plan: one token explode; both models are vocabulary-
-    // keyed aggs joined back on the vocab key (the q84/q91 posture)
-    // with the three scalars broadcast; the per-doc rollup is a
-    // doc-keyed partial agg. The s > 0 gate is a float compare on an
-    // identical 2-ln expression — CorpusOpsSpec audits that no
-    // vocabulary word's |s| sits inside ULP drift of the threshold.
+    // count, selected count (s > 0), selection share in bp, and the
+    // 2^20-quantized excess SUM. Plan: one token explode; both models
+    // are vocabulary-keyed aggs joined back on the vocab key (the
+    // q84/q91 posture) with the three scalars broadcast; the per-doc
+    // rollup is a doc-keyed partial agg.
+    // Cross-engine discipline (round-10 driver red → round-11 fix):
+    // the previous round(avg(sx),4) summed libm doubles in engine-
+    // specific order — non-associative, boundary docs flip. Now BOTH
+    // float sensitivities are per-VOCAB-WORD (deterministic values,
+    // auditable) and every per-doc aggregate is an integer sum:
+    //  - the s > 0 gate is the EXACT integer compare
+    //    (ce+1)*(t+v) > (c+1)*(te+v) — no float at all. BIGINT
+    //    envelope: products ≤ (te+1)(t+v), binding at t ≈ 3e9 corpus
+    //    tokens (sqrt(2^63)); beyond that widen both engines to
+    //    DECIMAL(38,0)/HUGEINT (the q248 pattern). Gate SFs: t ≤ ~5e6.
+    //  - mean excess ships as excess_q20 = Σ_tokens floor(sx·2^20), a
+    //    BIGINT (mean recoverable as excess_q20/n_tok/2^20). The only
+    //    float op left is the per-word floor, and CorpusOpsSpec audits
+    //    that every vocab word's sx·2^20 sits ≥1e-6 from its floor
+    //    boundary — 500× the ~2e-9 worst-case cross-engine ln drift
+    //    (3 ulps at |sx|≤20, scaled by 2^20).
     "q285_rho1_tokens" -> ((s, d) => {
       val tok = T.documents(s, d)
         .select(col("doc_id"), col("lang"),
@@ -1715,16 +1729,21 @@ object CorpusOps {
         .select(col("w"), col("c"), coalesce(col("ce"), lit(0L)).as("ce"))
         .crossJoin(broadcast(scal))
         .select(col("w"),
-          (log((col("ce") + 1).cast("double") / (col("te") + col("v"))) -
-            log((col("c") + 1).cast("double") / (col("t") + col("v")))).as("sx"))
+          // exact integer gate — see envelope note above
+          when((col("ce") + 1) * (col("t") + col("v")) >
+               (col("c") + 1) * (col("te") + col("v")), 1L)
+            .otherwise(0L).as("selw"),
+          floor((log((col("ce") + 1).cast("double") / (col("te") + col("v"))) -
+            log((col("c") + 1).cast("double") / (col("t") + col("v")))) *
+            lit(1048576.0)).as("qx"))
       tok.join(sw, Seq("w"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tok"),
-          sum(when(col("sx") > 0, 1L).otherwise(0L)).as("n_sel"),
-          round(avg(col("sx")), 4).as("mean_excess_4"))
+          sum(col("selw")).as("n_sel"),
+          sum(col("qx")).as("excess_q20"))
         .select(col("doc_id"), col("n_tok"), col("n_sel"),
           expr("(10000 * n_sel) div n_tok").as("sel_bp"),
-          col("mean_excess_4"))
+          col("excess_q20"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2284,8 +2303,12 @@ object CorpusOps {
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     // q255_compression_gate: no SQL oracle (DEFLATE output length is
-    // not SQL-expressible) — driver records the rows-only check;
-    // planted-corpus behavior pinned in CorpusOpsSpec.
+    // not SQL-expressible) — the driver records the rows-only check,
+    // but the LOCAL gate replays it bit-exact: tools/check.py carries
+    // a CPython-zlib oracle, justified by the measured byte-identity
+    // of Deflater(6) and zlib.compress(·,6) on 124 cross-SF payloads
+    // (DESIGN.md "q255 oracle"). Planted-corpus behavior additionally
+    // pinned in CorpusOpsSpec.
 
     "q253_snake_sharding" ->
       """WITH docs AS (
@@ -3346,7 +3369,11 @@ object CorpusOps {
          |SELECT qid, rk, doc_id, round(score, 4) AS bm25_4, n_hit
          |FROM rkd WHERE rk <= $BM25_K ORDER BY qid, rk""".stripMargin,
 
-    // Both unigram models and the identical 2-ln excess replayed.
+    // Both unigram models replayed; the gate is the exact integer
+    // cross-product compare and the excess ships 2^20-quantized per
+    // word (floor boundary margins audited in CorpusOpsSpec) so every
+    // per-doc aggregate is an order-proof integer sum — no float avg
+    // crosses the engine boundary.
     "q285_rho1_tokens" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, w
@@ -3363,18 +3390,23 @@ object CorpusOps {
         |         (SELECT CAST(sum(ce) AS BIGINT) FROM ce) AS te
         |), sw AS (
         |  SELECT ca.w,
-        |         ln(CAST(coalesce(ce.ce, 0) + 1 AS DOUBLE) / (sc.te + sc.v)) -
-        |         ln(CAST(ca.c + 1 AS DOUBLE) / (sc.t + sc.v)) AS sx
+        |         CASE WHEN (coalesce(ce.ce, 0) + 1) * (sc.t + sc.v) >
+        |                   (ca.c + 1) * (sc.te + sc.v)
+        |              THEN 1 ELSE 0 END AS selw,
+        |         CAST(floor((
+        |           ln(CAST(coalesce(ce.ce, 0) + 1 AS DOUBLE) / (sc.te + sc.v)) -
+        |           ln(CAST(ca.c + 1 AS DOUBLE) / (sc.t + sc.v))
+        |         ) * 1048576) AS BIGINT) AS qx
         |  FROM ca LEFT JOIN ce USING (w) CROSS JOIN sc
         |), per AS (
         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-        |         CAST(sum(CASE WHEN s.sx > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
-        |         round(avg(s.sx), 4) AS mean_excess_4
+        |         CAST(sum(s.selw) AS BIGINT) AS n_sel,
+        |         CAST(sum(s.qx) AS BIGINT) AS excess_q20
         |  FROM tok t JOIN sw s USING (w) GROUP BY 1
         |)
         |SELECT doc_id, n_tok, n_sel,
         |       CAST((10000 * n_sel) // n_tok AS BIGINT) AS sel_bp,
-        |       mean_excess_4
+        |       excess_q20
         |FROM per ORDER BY doc_id""".stripMargin,
 
     // The waterfilling closed form replayed: ascending rank, running

@@ -68,8 +68,13 @@ object PreferenceOps {
     * κ = (3aN − 2b)/(18N² − 2b) with a = 6c9+2c5, b = Σm_j², all
     * BIGINT. Output as sign-split magnitude ppm (toward-zero on both
     * engines — DuckDB `//` floors, so the division runs on |num|).
-    * At 10⁹ docs/lang the 18N²·10⁶ product needs the q248
-    * DECIMAL(38,0) widening; BIGINT is exact at every gate SF.
+    * BIGINT envelope (round-11 advisor correction): the ppm scaling
+    * multiplies the numerator by 10⁶, so the binding product is
+    * 18N²·10⁶ — it crosses 2⁶³ at N ≈ 7×10⁵ docs per language, not
+    * the 10⁹ a bare 18N² would allow. Past that, Spark (non-ANSI)
+    * wraps silently while DuckDB throws; widen both engines to
+    * DECIMAL(38,0)/HUGEINT (the q248 pattern). Gate SFs are ≤ ~2×10³
+    * docs/lang — exact with 5 orders of headroom.
     */
   private def kappaSql(idiv: String): String =
     s"""WITH r AS (
@@ -109,27 +114,33 @@ object PreferenceOps {
        |FROM langagg la JOIN bsum b ON la.lang = b.lang
        |ORDER BY la.lang""".stripMargin
 
-  /** The Bradley-Terry chain up to the UNROUNDED strengths — public so
-    * the spec can audit the distance of every strength to its
-    * round-4 boundary (the same role VectorOpsSpec's margin audits
-    * play for the kmeans oracles: the per-source Σ_j n_ij/(p_i+p_j)
-    * and the normalizing Σ praw merge in engine-specific order, so the
-    * doubles agree only to O(ulp); the audit shows every rounded digit
-    * sits far from a boundary).
-    *
-    * Duels: each doc meets its next TWO neighbors in md5 order inside
-    * its md5%B bucket (the q211 sorted-neighborhood shape — O(N)
-    * comparisons, bucket-bounded windows); the longer document wins
-    * (n_chars, doc_id tiebreak — all-integer, engine-exact). Duels
-    * between same-source docs are dropped. MM updates with add-one win
-    * smoothing — (W_i + 1)/Σ_j n_ij/(p_i+p_j), renormalized to sum 1
-    * each step — the α=1 pseudo-count regularizer that keeps every
-    * strength strictly positive, so no 0/0 corner exists for engines
-    * to disagree on. wl (the ≤|S|² duel-count relation) is eagerly
-    * checkpointed: the corpus scan and the bucket window run ONCE, and
-    * the BT_ITERS iterations touch only broadcast-sized relations.
+  /** One MM step over the ≤|S|²-row duel relations: strength lookups
+    * and the win counts join by BROADCAST, the renorm total comes back
+    * as a 1-row broadcast. Package-private so PlanAuditSpec can pin
+    * the broadcast-iteration claim on the step plan itself — the
+    * training loop checkpoints each state, so these joins are not
+    * visible in the final query's plan.
     */
-  def btStrengths(s: SparkSession, d: String): DataFrame = {
+  private[graft] def btStep(nij: DataFrame, wi: DataFrame, p: DataFrame): DataFrame = {
+    val u = nij
+      .join(broadcast(p.select(col("source").as("s1"), col("p").as("pi"))), Seq("s1"))
+      .join(broadcast(p.select(col("source").as("s2"), col("p").as("pj"))), Seq("s2"))
+      .join(broadcast(wi.select(col("source").as("s1"), col("wins"))), Seq("s1"))
+      .groupBy(col("s1"))
+      .agg(first(col("wins")).as("wins"),
+           sum(col("n") / (col("pi") + col("pj"))).as("den"))
+      .select(col("s1").as("source"),
+        ((col("wins") + lit(1)) / col("den")).as("praw"))
+    val tot = u.agg(sum(col("praw")).as("tot"))
+    u.crossJoin(broadcast(tot))
+      .select(col("source"), (col("praw") / col("tot")).as("p"))
+  }
+
+  /** The duel-derived relations the MM loop iterates on: symmetric
+    * comparison counts nij, win counts wi, and the uniform start p0.
+    * Package-private for the same plan-pin reason as [[btStep]].
+    */
+  private[graft] def btDuelRelations(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val h = T.documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"),
         h32(col("doc_id").cast("string")).as("hv"))
@@ -149,28 +160,49 @@ object PreferenceOps {
               when(winFirst, col("s2d")).otherwise(col("s1d")).as("ls"))
     val wl = duels.groupBy(col("ws"), col("ls")).agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
+    // nij and wi are ≤|S|²-row relations built ONCE and re-read every
+    // MM iteration (and in the final report join) — checkpointing them
+    // cuts the union/distinct/outer-join lineage out of every
+    // iteration and makes the broadcast-only iteration claim literal
+    // in btStep's plan (pinned in PlanAuditSpec).
     val nij = wl.select(col("ws").as("s1"), col("ls").as("s2"), col("n"))
       .unionByName(wl.select(col("ls").as("s1"), col("ws").as("s2"), col("n")))
       .groupBy(col("s1"), col("s2")).agg(sum(col("n")).as("n"))
+      .localCheckpoint(true)
     val wi = nij.select(col("s1").as("source")).distinct()
       .join(wl.select(col("ws").as("source"), col("n")), Seq("source"), "left_outer")
       .groupBy(col("source")).agg(coalesce(sum(col("n")), lit(0L)).as("wins"))
-    var p = wi.select(col("source"), lit(1.0).as("p")).localCheckpoint(true)
-    for (_ <- 1 to BT_ITERS) {
-      val u = nij
-        .join(broadcast(p.select(col("source").as("s1"), col("p").as("pi"))), Seq("s1"))
-        .join(broadcast(p.select(col("source").as("s2"), col("p").as("pj"))), Seq("s2"))
-        .join(broadcast(wi.select(col("source").as("s1"), col("wins"))), Seq("s1"))
-        .groupBy(col("s1"))
-        .agg(first(col("wins")).as("wins"),
-             sum(col("n") / (col("pi") + col("pj"))).as("den"))
-        .select(col("s1").as("source"),
-          ((col("wins") + lit(1)) / col("den")).as("praw"))
-      val tot = u.agg(sum(col("praw")).as("tot"))
-      p = u.crossJoin(broadcast(tot))
-        .select(col("source"), (col("praw") / col("tot")).as("p"))
-        .localCheckpoint(true)
-    }
+      .localCheckpoint(true)
+    val p0 = wi.select(col("source"), lit(1.0).as("p")).localCheckpoint(true)
+    (nij, wi, p0)
+  }
+
+  /** The Bradley-Terry chain up to the UNROUNDED strengths — public so
+    * the spec can audit the distance of every strength to its
+    * round-4 boundary (the same role VectorOpsSpec's margin audits
+    * play for the kmeans oracles: the per-source Σ_j n_ij/(p_i+p_j)
+    * and the normalizing Σ praw merge in engine-specific order, so the
+    * doubles agree only to O(ulp); the audit shows every rounded digit
+    * sits far from a boundary).
+    *
+    * Duels: each doc meets its next TWO neighbors in md5 order inside
+    * its md5%B bucket (the q211 sorted-neighborhood shape — O(N)
+    * comparisons, bucket-bounded windows); the longer document wins
+    * (n_chars, doc_id tiebreak — all-integer, engine-exact). Duels
+    * between same-source docs are dropped. MM updates with add-one win
+    * smoothing — (W_i + 1)/Σ_j n_ij/(p_i+p_j), renormalized to sum 1
+    * each step — the α=1 pseudo-count regularizer that keeps every
+    * strength strictly positive, so no 0/0 corner exists for engines
+    * to disagree on. wl (the ≤|S|² duel-count relation) is eagerly
+    * checkpointed: the corpus scan and the bucket window run ONCE, and
+    * the BT_ITERS iterations touch only broadcast-sized relations
+    * ([[btStep]], plan-pinned in PlanAuditSpec).
+    */
+  def btStrengths(s: SparkSession, d: String): DataFrame = {
+    val (nij, wi, p0) = btDuelRelations(s, d)
+    var p = p0
+    for (_ <- 1 to BT_ITERS)
+      p = btStep(nij, wi, p).localCheckpoint(true)
     val ncomp = nij.groupBy(col("s1")).agg(sum(col("n")).as("n_comps"))
       .select(col("s1").as("source"), col("n_comps"))
     wi.join(ncomp, Seq("source")).join(p, Seq("source"))

@@ -424,8 +424,9 @@ object TextOps {
     // agg, ONE broadcast scalar, a doc-keyed avg — then the per-lang
     // float ranking rides ScalableRank (lang is a low-card key, the
     // q31 trap) and the cuts are integer comparisons rn·3 ≤ ntot /
-    // rn·3 ≤ 2·ntot. Rank-boundary margins audited in TextOpsSpec
-    // (avg-of-logs drift is ~1e-14; boundary gaps measured far wider).
+    // rn·3 ≤ 2·ntot. Rank-boundary margins audited in CorpusOpsSpec
+    // ("CCNet buckets" test; avg-of-logs drift is ~1e-14, boundary
+    // gaps measured far wider).
     "q279_ccnet_buckets" -> ((s, d) => {
       val p = s.conf.get("spark.sql.shuffle.partitions").toInt
       val tok = T.documents(s, d)

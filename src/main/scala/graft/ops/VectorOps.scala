@@ -63,6 +63,13 @@ object VectorOps {
   val PQ_K = 16
   val PQ_ITERS = 2
 
+  /** Size of q286's EXTERNAL query set — vectors that are NOT corpus
+    * rows, generated from exact dyadic-rational arithmetic
+    * (qv[i] = ((q·31 + i·17) mod 13 − 6)/8) so both engines replay
+    * them bit-identically without reading the corpus.
+    */
+  val EXTQ_N = 4
+
   /** ±1 diagonal of the fixed RR-PQ rotation (q265/q266): sign i is
     * the parity of the first 8 hex chars of md5("rot" + i), the
     * md5-coin idiom every deterministic draw in this file uses — so
@@ -345,6 +352,24 @@ object VectorOps {
       val root = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_ivfadc_${new java.io.File(d).getName}_${pathTag}_p${ProcessHandle.current.pid}")
       val stage = new java.io.File(root.getParentFile, root.getName + ".build")
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      // Round-11 (advisor): pid-keyed roots made concurrent processes
+      // safe but turned every JVM exit into a leaked index directory
+      // (plus any crash-orphaned .build stage). Sweep siblings of this
+      // index whose owning pid is gone before staging the new one —
+      // a LIVE pid's root is never touched, so the concurrency
+      // guarantee is unchanged.
+      val sibling = s"graft_ivfadc_${new java.io.File(d).getName}_${pathTag}_p(\\d+)(\\.build)?".r
+      Option(root.getParentFile.listFiles()).foreach(_.foreach { f =>
+        f.getName match {
+          case sibling(pid, _) if pid.toLong != ProcessHandle.current.pid &&
+            ProcessHandle.of(pid.toLong).isEmpty =>
+            rmTree(f)
+          case _ => ()
+        }
+      })
       val sp = stage.getAbsolutePath
       val e64 = emb(s, d)
       val cent10 = kmeansCentroids(e64, k = 10, iters = 4)
@@ -360,12 +385,7 @@ object VectorOps {
       assignCells(e64, cent10).select(col("vec_id"), col("cell"))
         .join(pqCodesFused(slices, cbF), Seq("vec_id"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$sp/codes")
-      if (root.exists()) {  // same pid re-ran after a memo-less restart
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(root)
-      }
+      if (root.exists()) rmTree(root)  // same pid re-ran after a memo-less restart
       java.nio.file.Files.move(stage.toPath, root.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       root.getAbsolutePath
@@ -1058,6 +1078,82 @@ object VectorOps {
       // between the two window operators, so the count stays over the
       // full candidate set while the sort-rank keeps a bounded heap
       // (both plan-pinned in PlanAuditSpec).
+      val wAll = Window.partitionBy(col("q_id"))
+      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("id2"))
+      val short50 = cand0.join(dqs(0), Seq("q_id", "c0"))
+        .join(dqs(1), Seq("q_id", "c1"))
+        .join(dqs(2), Seq("q_id", "c2"))
+        .join(dqs(3), Seq("q_id", "c3"))
+        .select(col("q_id"), col("vec_id").as("id2"),
+          expr("d0 + d1 + d2 + d3").as("adc"))
+        .withColumn("n_cand", count(lit(1)).over(wAll))
+        .withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= 50).select(col("q_id"), col("id2"), col("n_cand"))
+      val qq = broadcast(q0.withColumn("qq", expr("graft_dot(qv, qv)")))
+      val c = base.select(col("vec_id").as("id2"), col("v").as("v2"))
+      val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id2"))
+      c.join(broadcast(short50.join(qq, Seq("q_id"))), Seq("id2"))
+        .withColumn("d2",
+          expr("qq - 2 * graft_dot(qv, v2) + graft_dot(v2, v2)"))
+        .withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("n_cand"), col("rn"),
+                col("id2").as("neighbor_id"), round(col("d2"), 4).as("l2_4"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // IVFADC over an ARBITRARY EXTERNAL query set (round-11 reach —
+    // the missing piece between q263 and a real retrieval endpoint):
+    // q263's probes are corpus rows (vec_id < 5), so a user could only
+    // ever ask "neighbors of something already indexed". This tier
+    // serves top-5 ANN for a query relation that exists NOWHERE in the
+    // index: EXTQ_N vectors generated from exact dyadic-rational
+    // arithmetic (integers mod 13, divided by 8 — every value a small
+    // dyadic rational, so Spark and DuckDB materialize bit-identical
+    // doubles with no libm and no corpus read). In production the
+    // query relation is whatever DataFrame the caller hands in; the
+    // generated one stands in because the driver contract runs each
+    // query standalone — the serving path (probe → pruned cell read →
+    // ADC → bounded exact re-rank) is IDENTICAL, and everything it
+    // reads is q262's stored bits, so the oracle replays the chains +
+    // the same tail. Differences from q263: no self-exclusion (an
+    // external query has no corpus row), and the dq tables build from
+    // the generated relation. Scale posture unchanged: |Q| broadcast
+    // everywhere, nprobe cell directories read under DPP, ≤50-vector
+    // exact re-rank by id-fetch.
+    "q286_ivfadc_external_query" -> ((s, d) => {
+      graft.functions.VectorKernels.ensureRegistered(s)
+      val root = ensureIvfadcIndex(s, d)
+      val cent10 = s.read.parquet(s"$root/centroids")
+      val cbs = s.read.parquet(s"$root/codebooks")
+      val codes = s.read.parquet(s"$root/codes")
+      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      // the external query relation (see EXTQ_N) — |Q| rows, no
+      // corpus scan; the 64-element transform runs once per QUERY
+      // (the HOF-interpretation trap only bites per corpus row)
+      val q0 = s.range(EXTQ_N).select(col("id").as("q_id"),
+          expr("transform(sequence(1, 64), " +
+            "i -> CAST((id * 31 + i * 17) % 13 - 6 AS DOUBLE) / 8.0)").as("qv"))
+        .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
+        .localCheckpoint(true)
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+      // probes stays a LAZY plan: its pr <= 4 filter is the selective
+      // predicate DPP needs to prune the codes scan (the q263 rule)
+      val probes = broadcast(q0.crossJoin(broadcast(cent10))
+        .withColumn("ccos", dot("qv", "cv") / (col("qn") * col("cn")))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= 4)
+        .select(col("q_id"), col("cell")))
+      val cand0 = codes.join(probes, Seq("cell"))
+      val dqs = (0 until PQ_M).map { sb =>
+        broadcast(q0.select(col("q_id"),
+            expr(s"slice(qv, ${PQ_D * sb + 1}, $PQ_D)").as("qs"))
+          .crossJoin(broadcast(cbs.filter(col("sub") === sb)
+            .select(col("cell").cast("byte").as(s"c$sb"), col("cv"))))
+          .select(col("q_id"), col(s"c$sb"),
+            expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cv) + graft_dot(cv, cv)")
+              .as(s"d$sb")))
+      }
       val wAll = Window.partitionBy(col("q_id"))
       val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("id2"))
       val short50 = cand0.join(dqs(0), Seq("q_id", "c0"))
@@ -2564,6 +2660,83 @@ object VectorOps {
          |    SELECT dt.q_id, dt.id2, sa.s - 2*dt.dot + sb.s AS d2
          |    FROM tr50 JOIN dt ON tr50.q_id = dt.q_id AND tr50.id2 = dt.id2
          |         JOIN sq sa ON dt.q_id = sa.vec_id
+         |         JOIN sq sb ON dt.id2 = sb.vec_id)
+         |)
+         |SELECT trr.q_id, nc.n_cand, trr.rn, trr.id2 AS neighbor_id,
+         |       round(trr.d2, 4) AS l2_4
+         |FROM trr JOIN nc ON trr.q_id = nc.q_id
+         |WHERE trr.rn <= 5
+         |ORDER BY trr.q_id, trr.rn""".stripMargin,
+
+    // External-query IVFADC: the qe relation is generated from the
+    // same exact integer/dyadic formula as the Spark side (no corpus
+    // read, no libm), the index bits replay through the shared chains,
+    // and the tail mirrors q263 minus the self-exclusion. The dq
+    // tables build inline from qe (the chain fragment's own dq CTE is
+    // hardwired to corpus probes).
+    "q286_ivfadc_external_query" ->
+      s"""WITH $eCteBody,
+         |$ivfChainBody,
+         |$pqChainBody,
+         |qe AS MATERIALIZED (
+         |  SELECT q_id, i,
+         |         CAST((q_id * 31 + i * 17) % 13 - 6 AS DOUBLE) / 8.0 AS v
+         |  FROM generate_series(0, ${EXTQ_N - 1}) t(q_id)
+         |       CROSS JOIN generate_series(1, 64) s(i)
+         |), qn AS (SELECT q_id, sqrt(sum(v*v)) AS nrm FROM qe GROUP BY 1),
+         |cnn AS (SELECT cell, sqrt(sum(cv*cv)) AS cn FROM c4 GROUP BY 1),
+         |ccos AS (
+         |  SELECT q.q_id, c.cell, sum(q.v * c.cv) AS dot
+         |  FROM qe q JOIN c4 c ON q.i = c.i GROUP BY 1, 2
+         |), pr AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT ccos.q_id, ccos.cell, row_number() OVER (
+         |        PARTITION BY ccos.q_id
+         |        ORDER BY ccos.dot/(nq.nrm*cnn.cn) DESC, ccos.cell) AS pr
+         |    FROM ccos JOIN qn nq ON ccos.q_id = nq.q_id
+         |              JOIN cnn ON ccos.cell = cnn.cell)
+         |  WHERE pr <= 4
+         |), codes AS (
+         |  SELECT g0.vec_id, g0.cell AS c0, g1.cell AS c1,
+         |         g2.cell AS c2, g3.cell AS c3
+         |  FROM s0gf g0 JOIN s1gf g1 USING (vec_id)
+         |       JOIN s2gf g2 USING (vec_id) JOIN s3gf g3 USING (vec_id)
+         |), cand0 AS (
+         |  SELECT pr.q_id, g5.vec_id FROM pr JOIN g5 ON pr.cell = g5.cell
+         |), nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+         |          FROM cand0 GROUP BY 1),
+         |${(0 until PQ_M).map(sb =>
+             s"""s${sb}dqx AS (
+                |  SELECT q.q_id, c.cell,
+                |         sum(q.v*q.v) - 2*sum(q.v*c.cv) + sum(c.cv*c.cv) AS d
+                |  FROM qe q JOIN s${sb}c$PQ_ITERS c ON q.i = c.i GROUP BY 1, 2
+                |)""".stripMargin).mkString(",\n")},
+         |cand AS (
+         |  SELECT cd.q_id, cd.vec_id AS id2,
+         |         d0.d + d1.d + d2.d + d3.d AS adc
+         |  FROM cand0 cd JOIN codes ON cd.vec_id = codes.vec_id
+         |  JOIN s0dqx d0 ON d0.q_id = cd.q_id AND codes.c0 = d0.cell
+         |  JOIN s1dqx d1 ON d1.q_id = cd.q_id AND codes.c1 = d1.cell
+         |  JOIN s2dqx d2 ON d2.q_id = cd.q_id AND codes.c2 = d2.cell
+         |  JOIN s3dqx d3 ON d3.q_id = cd.q_id AND codes.c3 = d3.cell
+         |), tr50 AS (
+         |  SELECT q_id, id2 FROM (
+         |    SELECT q_id, id2, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc, id2) AS rn FROM cand)
+         |  WHERE rn <= 50
+         |), sq AS (SELECT vec_id, sum(v*v) AS s FROM e GROUP BY 1),
+         |qsq AS (SELECT q_id, sum(v*v) AS s FROM qe GROUP BY 1),
+         |dt AS (
+         |  SELECT a.q_id, b.vec_id AS id2, sum(a.v*b.v) AS dot
+         |  FROM qe a JOIN e b ON a.i = b.i
+         |  GROUP BY 1, 2
+         |), trr AS (
+         |  SELECT q_id, id2, d2, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY d2, id2) AS rn
+         |  FROM (
+         |    SELECT dt.q_id, dt.id2, sa.s - 2*dt.dot + sb.s AS d2
+         |    FROM tr50 JOIN dt ON tr50.q_id = dt.q_id AND tr50.id2 = dt.id2
+         |         JOIN qsq sa ON dt.q_id = sa.q_id
          |         JOIN sq sb ON dt.id2 = sb.vec_id)
          |)
          |SELECT trr.q_id, nc.n_cand, trr.rn, trr.id2 AS neighbor_id,

@@ -1631,22 +1631,40 @@ class CorpusOpsSpec extends SparkSpec {
       w -> (math.log((cen.getOrElse(w, 0L) + 1).toDouble / (te + v)) -
         math.log((c + 1).toDouble / (t + v)))
     }
-    // threshold margin: the s > 0 gate must sit far outside ln's
-    // ULP drift for EVERY vocabulary word
+    // exact-integer gate (the shipped one): (ce+1)(t+v) > (c+1)(te+v);
+    // it must agree with the float s > 0 gate on every vocab word, and
+    // the float gate itself must sit far outside ln's ULP drift
+    val selRef = call.map { case (w, c) =>
+      w -> ((cen.getOrElse(w, 0L) + 1) * (t + v) > (c + 1) * (te + v))
+    }
     assert(sx.values.map(math.abs).min > 1e-9,
       s"a token excess sits ${sx.values.map(math.abs).min} from the gate")
+    sx.foreach { case (w, s) =>
+      assert((s > 0) === selRef(w), s"float/integer gate disagree on '$w'")
+    }
+    // floor-boundary margin for the 2^20 quantization: every vocab
+    // word's sx*2^20 must sit ≥1e-6 from an integer boundary — 500×
+    // the worst-case cross-engine ln drift at this magnitude
+    val qx = sx.map { case (w, s) => w -> math.floor(s * 1048576.0).toLong }
+    val minFracDist = sx.values.map { s =>
+      val x = s * 1048576.0
+      val f = x - math.floor(x)
+      math.min(f, 1.0 - f)
+    }.min
+    assert(minFracDist > 1e-6,
+      s"a quantized excess sits $minFracDist from a floor boundary")
     val out = CorpusOps.queries("q285_rho1_tokens")(spark, sf001).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(out.length === docs.length)
     val byId = toks.map(tk => tk._1 -> tk).toMap
-    out.foreach { case (id, nTok, nSel, selBp, mex) =>
+    out.foreach { case (id, nTok, nSel, selBp, exq) =>
       val ws = byId(id)._3
       assert(nTok === ws.length.toLong)
-      val expSel = ws.count(w => sx(w) > 0).toLong
+      val expSel = ws.count(selRef).toLong
       assert(nSel === expSel, s"doc $id n_sel $nSel != $expSel")
       assert(selBp === 10000L * expSel / ws.length)
-      val expMex = ws.map(sx).sum / ws.length
-      assert(math.abs(mex - expMex) < 1e-4 + 1e-9, s"doc $id mean excess")
+      val expExq = ws.map(qx).sum
+      assert(exq === expExq, s"doc $id excess_q20 $exq != $expExq")
     }
     // the Rho-1 premise on this corpus: the reference (en) slice's
     // own docs select a larger token share than the rest

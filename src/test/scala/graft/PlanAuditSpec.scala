@@ -755,7 +755,8 @@ class PlanAuditSpec extends SparkSpec {
     // carry both the assignment and the codes (a second codes read
     // joined on vec_id would scan every partition).
     import org.apache.spark.sql.execution.FileSourceScanExec
-    Seq("q261_ivfadc_recall", "q263_ivfadc_query", "q264_ivfadc_residual").foreach { qn =>
+    Seq("q261_ivfadc_recall", "q263_ivfadc_query", "q264_ivfadc_residual",
+        "q286_ivfadc_external_query").foreach { qn =>
       val scans = physical(qn).collect {
         case f: FileSourceScanExec
           if f.relation.location.rootPaths.exists(_.toString.contains("graft_ivfadc")) &&
@@ -860,7 +861,8 @@ class PlanAuditSpec extends SparkSpec {
     // the ADC entries' comments argue, pinned here.
     import org.apache.spark.sql.execution.window.WindowGroupLimitExec
     Seq("q260_pq_adc_recall", "q261_ivfadc_recall", "q263_ivfadc_query",
-        "q264_ivfadc_residual", "q266_rrpq_adc_recall").foreach { qn =>
+        "q264_ivfadc_residual", "q266_rrpq_adc_recall",
+        "q286_ivfadc_external_query").foreach { qn =>
       val limits = physical(qn).collect { case w: WindowGroupLimitExec => w }
       assert(limits.nonEmpty, s"$qn: expected a WindowGroupLimit prune")
     }
@@ -946,6 +948,67 @@ class PlanAuditSpec extends SparkSpec {
     shuffles(p).filter(e => hashKeys(e).contains("lang")).foreach { e =>
       assert(partialAggFed(e), "lang-keyed exchange must be partial-agg-fed")
     }
+    // the waterfilling window runs single-task BY CONSTRUCTION: every
+    // single-partition exchange must sit ABOVE an aggregation (the
+    // |langs|-row rollup), never funnel pre-aggregation corpus rows
+    val singles = shuffles(p).filter(_.outputPartitioning.numPartitions == 1)
+    assert(singles.nonEmpty, "expected the |langs|-row single-task window exchange")
+    singles.foreach { e =>
+      assert(e.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"q282: single-partition exchange fed by pre-aggregation rows\n$e")
+    }
+  }
+
+  test("fleiss kappa is one scan of partial-agg-fed keyed rollups — no window, no raw-doc exchange (q267)") {
+    val p = physical("q267_rater_agreement")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "q267 must plan no window at all")
+    // the (doc, lang, cat) count and every rollup above it collapse
+    // map-side — an exchange fed by raw union-all rows would triple
+    // the corpus over the wire
+    val ex = shuffles(p)
+    assert(ex.exists(e => hashKeys(e).contains("doc_id")),
+      "expected the (doc, lang, cat) aggregation exchange")
+    ex.filter(e => hashKeys(e).contains("doc_id")).foreach { e =>
+      assert(partialAggFed(e),
+        s"q267: doc-keyed exchange not partial-agg-fed; child is ${unwrap(e.child).nodeName}")
+    }
+  }
+
+  test("bradley-terry MM step rides broadcasts only — strengths, wins and the renorm total never shuffle (q268)") {
+    // The loop checkpoints each state, so the iteration joins are not
+    // visible in q268's final plan — pin the step plan itself on the
+    // live duel relations (btStep is the exact function the loop runs).
+    val (nij, wi, p0) = graft.ops.PreferenceOps.btDuelRelations(spark, sf001)
+    val p = physical(graft.ops.PreferenceOps.btStep(nij, wi, p0))
+    val smj = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    val shj = p.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(smj.isEmpty && shj.isEmpty,
+      s"q268: an MM-step join shuffles (smj=${smj.size}, shj=${shj.size})")
+    val bcast = p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(bcast.size >= 4,
+      s"q268: expected pi/pj/wins lookups + renorm total as broadcasts, got ${bcast.size}")
+  }
+
+  test("soft dedup adds ONE canonical-keyed size agg on the existing map — no nested-loop join (q284)") {
+    val p = physical("q284_soft_dedup")
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "q284 must keep all joins keyed")
+    // the cluster-size rollup collapses map-side; the join back is a
+    // keyed equi-join (broadcast or shuffled — both acceptable: sz is
+    // cluster-count-sized, full is corpus-sized)
+    val agg = shuffles(p).filter(e =>
+      hashKeys(e).contains("canonical_id") && partialAggFed(e))
+    assert(agg.nonEmpty,
+      "expected the partial-agg-fed canonical_id cluster-size exchange")
   }
 
   test("no query plans a CartesianProduct") {

@@ -491,6 +491,85 @@ class VectorOpsSpec extends SparkSpec {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("external-query ivfadc: full driver replay from the stored bits, rank + round margins wide (q286)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val out = VectorOps.queries("q286_ivfadc_external_query")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(out.map(_._1).distinct.sorted.toSeq ===
+      (0L until VectorOps.EXTQ_N.toLong))
+    // ---- driver replay, entirely from the STORED index bits (whose
+    // chain-equality is audited elsewhere) + the generated queries ----
+    def dotLR(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val root = VectorOps.ensureIvfadcIndex(spark, sf001)
+    val cents = spark.read.parquet(s"$root/centroids")
+      .select("cell", "cv", "cn").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val cbs = spark.read.parquet(s"$root/codebooks")
+      .selectExpr("sub", "cell", "cv").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val codes = spark.read.parquet(s"$root/codes")
+      .selectExpr("vec_id", "CAST(cell AS INT) AS cell",
+        "CAST(c0 AS INT) c0", "CAST(c1 AS INT) c1",
+        "CAST(c2 AS INT) c2", "CAST(c3 AS INT) c3").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Array(r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+    val corpus = T.embeddings(spark, sf001).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val qvs = (0 until VectorOps.EXTQ_N).map { q =>
+      q.toLong -> Array.tabulate(64)(k =>
+        (((q * 31 + (k + 1) * 17) % 13) - 6).toDouble / 8.0)
+    }.toMap
+    // a float rank edge is engine-safe when EXACTLY tied (identical
+    // inputs → identical doubles; the id tiebreak is integer) — only a
+    // tiny NONZERO gap flags cross-engine sum-order risk
+    def safeGap(gap: Double, what: String): Unit =
+      assert(gap == 0.0 || gap > 1e-9, s"$what gap $gap within drift headroom")
+    qvs.toSeq.sortBy(_._1).foreach { case (q, qv) =>
+      val qn = math.sqrt(dotLR(qv, qv))
+      val pcos = cents.map { case (cell, cv, cn) =>
+        (dotLR(qv, cv) / (qn * cn), cell)
+      }.sortBy { case (cos, cell) => (-cos, cell) }
+      safeGap(pcos(3)._1 - pcos(4)._1, s"q$q probe 4/5")
+      val probed = pcos.take(4).map(_._2).toSet
+      val cand = codes.filter(c => probed(c._2))
+      assert(out.filter(_._1 == q).map(_._2).distinct.toSeq === Seq(cand.length.toLong),
+        s"q$q n_cand")
+      val adc = cand.map { case (id2, _, cw) =>
+        val d = (0 until VectorOps.PQ_M).map { sb =>
+          val qs = qv.slice(VectorOps.PQ_D * sb, VectorOps.PQ_D * (sb + 1))
+          val cv = cbs((sb, cw(sb)))
+          dotLR(qs, qs) - 2 * dotLR(qs, cv) + dotLR(cv, cv)
+        }.sum
+        (d, id2)
+      }.sortBy { case (d, id2) => (d, id2) }
+      if (adc.length > 50) safeGap(adc(50)._1 - adc(49)._1, s"q$q ADC 50/51")
+      val short = adc.take(50).map(_._2).toSet
+      val exact = cand.filter(c => short(c._1)).map { case (id2, _, _) =>
+        val v2 = corpus(id2)
+        (dotLR(qv, qv) - 2 * dotLR(qv, v2) + dotLR(v2, v2), id2)
+      }.sortBy { case (d, id2) => (d, id2) }
+      if (exact.length > 5) safeGap(exact(5)._1 - exact(4)._1, s"q$q exact 5/6")
+      val top5 = exact.take(5)
+      val got = out.filter(_._1 == q).sortBy(_._3)
+      assert(got.map(_._4).toSeq === top5.map(_._2).toSeq, s"q$q neighbors")
+      got.zip(top5).foreach { case ((_, _, _, _, l2r), (d2, _)) =>
+        // the replayed distance agrees to the rounded digit, and the
+        // rounded digit sits far from its .5 boundary
+        assert(math.abs(l2r - math.rint(d2 * 1e4) / 1e4) < 1e-9 ||
+               l2r === math.floor(d2 * 1e4 + 0.5) / 1e4, s"q$q l2_4 vs replay")
+        val frac = d2 * 1e4 - math.floor(d2 * 1e4)
+        assert(math.abs(frac - 0.5) > 1e-6, s"q$q round-4 boundary margin $frac")
+      }
+    }
+    // a second serve from the already-built index is identical
+    val again = VectorOps.queries("q286_ivfadc_external_query")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("residual ivfadc: bounds hold, scan counts exact, rerank dominates raw adc (q264)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     val rows = VectorOps.queries("q264_ivfadc_residual")(spark, sf001).collect()

@@ -10,8 +10,31 @@ Usage: python3 tools/check.py [sfdir] [outdir]
      (rows compared in order; queries are required to end in a total
      ORDER BY).
 """
-import sys, os, json, math, subprocess
+import sys, os, json, math, subprocess, zlib
 import duckdb
+
+# --- Python-computed oracles (round-11): queries whose semantics are
+# deterministic but not SQL-expressible. q255's DEFLATE length: CPython
+# zlib.compress(data, 6) was measured BYTE-IDENTICAL (length and sha256
+# of the full stream) to java.util.zip.Deflater(6) on 124 payloads
+# drawn from all three SFs plus adversarial cases (empty, 1-byte,
+# 100k-run, 50k-repeat) — both link madler zlib (1.2.13 here); the
+# fixed-level, default-strategy DEFLATE encode is deterministic for a
+# given zlib lineage. Evidence recorded in DESIGN.md ("q255 oracle").
+def _q255_oracle(con, sf):
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet') "
+        f"ORDER BY doc_id").fetchall()
+    out = []
+    for doc_id, text in rows:
+        raw = text.encode("utf-8")
+        n = len(zlib.compress(raw, 6))
+        ratio = 10000 * n // max(len(raw), 1)
+        keep = 1 if 2000 <= ratio <= 9500 else 0
+        out.append((doc_id, len(raw), n, ratio, keep))
+    return ["doc_id", "raw_bytes", "zip_bytes", "ratio_bp", "keep"], out
+
+PY_ORACLES = {"q255_compression_gate": _q255_oracle}
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -78,6 +101,36 @@ for name, sql in sorted(oracle.items()):
             n_type_fail += 1
 
 n_pass = n_fail = 0
+py_checked = {name: PY_ORACLES[name] for name in sorted(PY_ORACLES)
+              if os.path.isdir(f"{OUT}/{name}")}
+for name, fn in py_checked.items():
+    try:
+        exp_cols, exp_rows = fn(con, SF)
+        got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+        got_cols = list(got.columns)
+        got_rows = got.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: py-oracle error {str(e)[:200]}")
+        n_fail += 1
+        continue
+    ok = sorted(exp_cols) == sorted(got_cols) and len(exp_rows) == len(got_rows)
+    if not ok:
+        print(f"FAIL {name}: cols/rows exp=({sorted(exp_cols)},{len(exp_rows)}) "
+              f"got=({sorted(got_cols)},{len(got_rows)})")
+    else:
+        ei = [exp_cols.index(c) for c in sorted(exp_cols)]
+        gi = [got_cols.index(c) for c in sorted(got_cols)]
+        for rn, (er, gr) in enumerate(zip(exp_rows, got_rows)):
+            e = [norm(er[i]) for i in ei]; g = [norm(gr[i]) for i in gi]
+            if e != g:
+                print(f"FAIL {name}: row {rn} exp={e} got={g}")
+                ok = False
+                break
+    if ok:
+        print(f"PASS {name} ({len(exp_rows)} rows, python oracle)")
+        n_pass += 1
+    else:
+        n_fail += 1
 for name, sql in sorted(oracle.items()):
     try:
         exp = con.sql(sql)
@@ -116,10 +169,11 @@ for name, sql in sorted(oracle.items()):
 # queries without oracle => rows-only check
 for q in sorted(os.listdir(OUT)):
     p = os.path.join(OUT, q)
-    if os.path.isdir(p) and q not in oracle:
+    if os.path.isdir(p) and q not in oracle and q not in PY_ORACLES:
         n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
         print(f"INFO {q}: no oracle, {n} rows")
 
-print(f"\n{n_pass} passed, {n_fail} failed, {len(oracle)} total oracles, "
+print(f"\n{n_pass} passed, {n_fail} failed, "
+      f"{len(oracle) + len(py_checked)} total oracles, "
       f"{n_type_fail} type-audit failures")
 sys.exit(1 if (n_fail or n_type_fail) else 0)
