@@ -1705,10 +1705,10 @@ object CorpusOps {
     // float sensitivities are per-VOCAB-WORD (deterministic values,
     // auditable) and every per-doc aggregate is an integer sum:
     //  - the s > 0 gate is the EXACT integer compare
-    //    (ce+1)*(t+v) > (c+1)*(te+v) — no float at all. BIGINT
-    //    envelope: products ≤ (te+1)(t+v), binding at t ≈ 3e9 corpus
-    //    tokens (sqrt(2^63)); beyond that widen both engines to
-    //    DECIMAL(38,0)/HUGEINT (the q248 pattern). Gate SFs: t ≤ ~5e6.
+    //    (ce+1)*(t+v) > (c+1)*(te+v) — no float at all, widened to
+    //    DECIMAL(38,0)/HUGEINT (the q246b/q248 discipline) so the
+    //    products ≤ (te+1)(t+v) stay exact to t ≈ 10¹⁹ corpus tokens
+    //    (bare BIGINT would wrap silently in Spark past t ≈ 3e9).
     //  - mean excess ships as excess_q20 = Σ_tokens floor(sx·2^20), a
     //    BIGINT (mean recoverable as excess_q20/n_tok/2^20). The only
     //    float op left is the per-word floor, and CorpusOpsSpec audits
@@ -1729,9 +1729,9 @@ object CorpusOps {
         .select(col("w"), col("c"), coalesce(col("ce"), lit(0L)).as("ce"))
         .crossJoin(broadcast(scal))
         .select(col("w"),
-          // exact integer gate — see envelope note above
-          when((col("ce") + 1) * (col("t") + col("v")) >
-               (col("c") + 1) * (col("te") + col("v")), 1L)
+          // exact integer gate, DECIMAL-widened — see note above
+          when((col("ce") + 1).cast("decimal(38,0)") * (col("t") + col("v")) >
+               (col("c") + 1).cast("decimal(38,0)") * (col("te") + col("v")), 1L)
             .otherwise(0L).as("selw"),
           floor((log((col("ce") + 1).cast("double") / (col("te") + col("v"))) -
             log((col("c") + 1).cast("double") / (col("t") + col("v")))) *
@@ -3390,8 +3390,8 @@ object CorpusOps {
         |         (SELECT CAST(sum(ce) AS BIGINT) FROM ce) AS te
         |), sw AS (
         |  SELECT ca.w,
-        |         CASE WHEN (coalesce(ce.ce, 0) + 1) * (sc.t + sc.v) >
-        |                   (ca.c + 1) * (sc.te + sc.v)
+        |         CASE WHEN CAST(coalesce(ce.ce, 0) + 1 AS HUGEINT) * (sc.t + sc.v) >
+        |                   CAST(ca.c + 1 AS HUGEINT) * (sc.te + sc.v)
         |              THEN 1 ELSE 0 END AS selw,
         |         CAST(floor((
         |           ln(CAST(coalesce(ce.ce, 0) + 1 AS DOUBLE) / (sc.te + sc.v)) -

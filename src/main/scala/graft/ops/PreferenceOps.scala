@@ -72,11 +72,19 @@ object PreferenceOps {
     * multiplies the numerator by 10⁶, so the binding product is
     * 18N²·10⁶ — it crosses 2⁶³ at N ≈ 7×10⁵ docs per language, not
     * the 10⁹ a bare 18N² would allow. Past that, Spark (non-ANSI)
-    * wraps silently while DuckDB throws; widen both engines to
-    * DECIMAL(38,0)/HUGEINT (the q248 pattern). Gate SFs are ≤ ~2×10³
-    * docs/lang — exact with 5 orders of headroom.
+    * wraps silently while DuckDB throws — q267b is the widened
+    * DECIMAL(38,0)/HUGEINT tier (the q246b/q248 pattern, good to
+    * N ≈ 2×10¹⁵). Gate SFs are ≤ ~2×10³ docs/lang — exact with 5
+    * orders of headroom in the BIGINT tier too.
     */
-  private def kappaSql(idiv: String): String =
+  private def kappaSql(idiv: String): String = kappaSql(idiv, identity)
+
+  /** `big` wraps each overflow-prone product's first factor in a
+    * widening CAST — DECIMAL(38,0) on the Spark side, HUGEINT in the
+    * DuckDB oracle (the q246b/q248 discipline). With identity the SQL
+    * is the original all-BIGINT form.
+    */
+  private def kappaSql(idiv: String, big: String => String): String =
     s"""WITH r AS (
        |  SELECT doc_id, lang,
        |         CASE WHEN n_chars < 175 THEN 0
@@ -108,9 +116,9 @@ object PreferenceOps {
        |bsum AS (SELECT lang, CAST(sum(m * m) AS BIGINT) AS b FROM mj GROUP BY lang)
        |SELECT la.lang, la.n_docs,
        |       la.c9 AS n_full_agree, la.c5 AS n_partial_agree, la.c3 AS n_no_agree,
-       |       CAST(sign(3 * (6 * la.c9 + 2 * la.c5) * la.n_docs - 2 * b.b) AS BIGINT) *
-       |         ((1000000 * abs(3 * (6 * la.c9 + 2 * la.c5) * la.n_docs - 2 * b.b)) $idiv
-       |          nullif(18 * la.n_docs * la.n_docs - 2 * b.b, 0)) AS kappa_ppm
+       |       CAST(sign(3 * (6 * la.c9 + 2 * la.c5) * ${big("la.n_docs")} - 2 * b.b) AS BIGINT) *
+       |         CAST(((1000000 * abs(3 * (6 * la.c9 + 2 * la.c5) * ${big("la.n_docs")} - 2 * b.b)) $idiv
+       |          nullif(18 * ${big("la.n_docs")} * la.n_docs - 2 * b.b, 0)) AS BIGINT) AS kappa_ppm
        |FROM langagg la JOIN bsum b ON la.lang = b.lang
        |ORDER BY la.lang""".stripMargin
 
@@ -222,6 +230,20 @@ object PreferenceOps {
       s.sql(kappaSql("div"))
     }),
 
+    // Production ppm tier of q267 (round-11, the q246b/q248 overflow
+    // discipline, closing the advisor's envelope finding for real
+    // instead of just documenting it): identical raters and identical
+    // exact kappa ratio, with every overflow-prone product widened to
+    // DECIMAL(38,0) — the binding 18N²·10⁶ product now overflows at
+    // N ≈ 2×10¹⁵ docs/lang instead of ~7×10⁵. Only BIGINT columns
+    // ship (`div` on decimals yields LONG); the DuckDB oracle mirrors
+    // via native HUGEINT. Spec asserts row-for-row equality to q267
+    // at the gate SF (the values are exact integers in both tiers).
+    "q267b_rater_agreement_wide" -> ((s, d) => {
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(kappaSql("div", e => s"CAST($e AS DECIMAL(38,0))"))
+    }),
+
     // Bradley-Terry strength per source from length-preference duels.
     // On the synthetic corpus sources are i.i.d., so the fitted
     // strengths correctly cluster near 1/|S| = 0.05 (spread is duel
@@ -252,6 +274,10 @@ object PreferenceOps {
 
   val oracle: Map[String, String] = Map(
     "q267_rater_agreement" -> kappaSql("//"),
+
+    // HUGEINT mirror of the DECIMAL(38,0) widening; only BIGINT ships.
+    "q267b_rater_agreement_wide" ->
+      kappaSql("//", e => s"CAST($e AS HUGEINT)"),
 
     // The duel sample, counts and the 3 MM iterations replayed
     // verbatim: same md5 coin, same bucket/rank/neighbor pairing,

@@ -50,6 +50,16 @@ class PreferenceOpsSpec extends SparkSpec {
     }
   }
 
+  test("widened kappa tier equals the BIGINT tier row-for-row (q267b)") {
+    // both tiers compute the same exact integer ratio; the DECIMAL
+    // widening only moves the overflow envelope (7e5 → 2e15 docs/lang)
+    val base = PreferenceOps.queries("q267_rater_agreement")(spark, sf001).collect()
+      .map(_.toSeq)
+    val wide = PreferenceOps.queries("q267b_rater_agreement_wide")(spark, sf001).collect()
+      .map(_.toSeq)
+    assert(wide.toSeq === base.toSeq)
+  }
+
   test("bradley-terry: conservation, positivity, fixed-point sanity, boundary margins (q268)") {
     val raw = PreferenceOps.btStrengths(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

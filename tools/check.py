@@ -36,6 +36,23 @@ def _q255_oracle(con, sf):
 
 PY_ORACLES = {"q255_compression_gate": _q255_oracle}
 
+# Lineage canary: the q255 oracle's validity rests on this Python's
+# zlib emitting the SAME streams as the JVM Deflater — true for madler
+# zlib (both wrap it), NOT guaranteed for a zlib-ng-linked CPython.
+# Rather than spuriously failing the gate in such an environment,
+# demote q255 to the rows-only check with a loud WARN when a fixed
+# canary payload stops matching the digest measured on the swept stack
+# (zlib 1.2.13 / OpenJDK 17.0.20 — byte-identical on 124 payloads).
+import hashlib
+_CANARY = (b"graft zlib lineage canary \x00\x01\x02" + b"ab" * 4096 +
+           bytes(range(256)))
+_CANARY_SHA = "2a8a62d9a2349ed739a1c7abdebe63c74fa718274caabcfb302d9cab88ccfb3d"
+if hashlib.sha256(zlib.compress(_CANARY, 6)).hexdigest() != _CANARY_SHA:
+    print("WARN zlib lineage differs from the swept stack (zlib-ng?): "
+          "q255's python oracle would diverge from the JVM Deflater — "
+          "demoting q255 to the rows-only check")
+    PY_ORACLES = {}
+
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 TABLES = ["region","nation","customer","supplier","part","orders",
