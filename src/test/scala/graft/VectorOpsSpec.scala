@@ -493,7 +493,13 @@ class VectorOpsSpec extends SparkSpec {
 
   test("external-query ivfadc: full driver replay from the stored bits, rank + round margins wide (q286)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
-    val out = VectorOps.queries("q286_ivfadc_external_query")(spark, sf001).collect()
+    // audited at sf0.001 AND sf0.01 — the margin audit must hold at
+    // the SF the driver's gate hashes (the q285 round-10 lesson)
+    for (d <- Seq(sf001, sf("sf0.01"))) q286ReplayAudit(d)
+  }
+
+  private def q286ReplayAudit(d: String): Unit = {
+    val out = VectorOps.queries("q286_ivfadc_external_query")(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
     assert(out.map(_._1).distinct.sorted.toSeq ===
       (0L until VectorOps.EXTQ_N.toLong))
@@ -503,7 +509,7 @@ class VectorOpsSpec extends SparkSpec {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
-    val root = VectorOps.ensureIvfadcIndex(spark, sf001)
+    val root = VectorOps.ensureIvfadcIndex(spark, d)
     val cents = spark.read.parquet(s"$root/centroids")
       .select("cell", "cv", "cn").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
@@ -516,7 +522,7 @@ class VectorOpsSpec extends SparkSpec {
         "CAST(c2 AS INT) c2", "CAST(c3 AS INT) c3").collect()
       .map(r => (r.getLong(0), r.getInt(1),
         Array(r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))))
-    val corpus = T.embeddings(spark, sf001).select("vec_id", "embedding").collect()
+    val corpus = T.embeddings(spark, d).select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     val qvs = (0 until VectorOps.EXTQ_N).map { q =>
       q.toLong -> Array.tabulate(64)(k =>
@@ -565,7 +571,7 @@ class VectorOpsSpec extends SparkSpec {
       }
     }
     // a second serve from the already-built index is identical
-    val again = VectorOps.queries("q286_ivfadc_external_query")(spark, sf001).collect()
+    val again = VectorOps.queries("q286_ivfadc_external_query")(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
     assert(again.toSeq === out.toSeq)
   }
