@@ -391,6 +391,78 @@ object VectorOps {
       root.getAbsolutePath
     })
 
+  /** The IVFADC serving tail shared by the corpus-probe (q263) and
+    * external-query (q286) tiers — nprobe=4 probe against the stored
+    * centroids, DPP-pruned candidate fetch from the cell-partitioned
+    * codes, broadcast ADC tables from the stored codebooks, exact
+    * re-rank of the ≤50 shortlist by id-fetch.
+    *
+    * `q0` carries (q_id, qv, qn) and must be CHECKPOINTED by the
+    * caller (it is referenced from the probes, the 4 dq tables, the
+    * re-rank, and the DPP subqueries the codes scans host). probes
+    * itself must stay a LAZY plan: its pr <= 4 filter is the
+    * selective predicate Spark's partition-pruning rule looks for on
+    * the filtering side — checkpointing it into an opaque RDD kills
+    * the dynamic pruning (measured: the codes scan reverts to reading
+    * every cell). `selfExclude` drops the query's own corpus row —
+    * meaningless for external queries, which have none.
+    */
+  private def ivfadcServe(s: SparkSession, d: String, q0: DataFrame,
+                          selfExclude: Boolean): DataFrame = {
+    val root = ensureIvfadcIndex(s, d)
+    val cent10 = s.read.parquet(s"$root/centroids")
+    val cbs = s.read.parquet(s"$root/codebooks")
+    val codes = s.read.parquet(s"$root/codes")
+    val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+    val probes = broadcast(q0.crossJoin(broadcast(cent10))
+      .withColumn("ccos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= 4)
+      .select(col("q_id"), col("cell")))
+    val joined = codes.join(probes, Seq("cell"))
+    val cand0 = if (selfExclude) joined.filter(col("q_id") =!= col("vec_id"))
+                else joined
+    val dqs = (0 until PQ_M).map { sb =>
+      broadcast(q0.select(col("q_id"),
+          expr(s"slice(qv, ${PQ_D * sb + 1}, $PQ_D)").as("qs"))
+        .crossJoin(broadcast(cbs.filter(col("sub") === sb)
+          .select(col("cell").cast("byte").as(s"c$sb"), col("cv"))))
+        .select(col("q_id"), col(s"c$sb"),
+          expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cv) + graft_dot(cv, cv)")
+            .as(s"d$sb")))
+    }
+    // n_cand rides the SAME q_id partitioning as the ADC rank (a
+    // count window below the rank window — the shared exchange is
+    // reused and the codes files are scanned exactly once); the
+    // rn <= 50 filter still inserts its WindowGroupLimit prune
+    // between the two window operators, so the count stays over the
+    // full candidate set while the sort-rank keeps a bounded heap
+    // (both plan-pinned in PlanAuditSpec).
+    val wAll = Window.partitionBy(col("q_id"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("id2"))
+    val short50 = cand0.join(dqs(0), Seq("q_id", "c0"))
+      .join(dqs(1), Seq("q_id", "c1"))
+      .join(dqs(2), Seq("q_id", "c2"))
+      .join(dqs(3), Seq("q_id", "c3"))
+      .select(col("q_id"), col("vec_id").as("id2"),
+        expr("d0 + d1 + d2 + d3").as("adc"))
+      .withColumn("n_cand", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= 50).select(col("q_id"), col("id2"), col("n_cand"))
+    val qq = broadcast(q0.withColumn("qq", expr("graft_dot(qv, qv)")))
+    val c = base.select(col("vec_id").as("id2"), col("v").as("v2"))
+    val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id2"))
+    c.join(broadcast(short50.join(qq, Seq("q_id"))), Seq("id2"))
+      .withColumn("d2",
+        expr("qq - 2 * graft_dot(qv, v2) + graft_dot(v2, v2)"))
+      .withColumn("rn", row_number().over(wEx))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("n_cand"), col("rn"),
+              col("id2").as("neighbor_id"), round(col("d2"), 4).as("l2_4"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Label-blocked near-duplicate pairs by cosine ≥ 0.35 — enumerated
     // through the chunked triangle join so a dominant label stays
@@ -1037,69 +1109,17 @@ object VectorOps {
     // stored bits, then the same probe/ADC/re-rank tail.
     "q263_ivfadc_query" -> ((s, d) => {
       graft.functions.VectorKernels.ensureRegistered(s)
-      val root = ensureIvfadcIndex(s, d)
-      val cent10 = s.read.parquet(s"$root/centroids")
-      val cbs = s.read.parquet(s"$root/codebooks")
-      val codes = s.read.parquet(s"$root/codes")
-      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
       // q0 (5 rows) is referenced from many operators (probes, 4 dq
       // tables, the re-rank, and the DPP subqueries the codes scans
       // host) — localCheckpoint it so ONE embeddings probe-read serves
-      // every use. probes itself must stay a LAZY plan: its
-      // filter(pr <= 4) is the selective predicate Spark's
-      // partition-pruning rule looks for on the filtering side —
-      // checkpointing it into an opaque RDD kills the dynamic pruning
-      // (measured: the codes scan reverts to reading every cell).
-      val q0 = base.filter(col("vec_id") < 5)
+      // every use (see ivfadcServe for why probes stays lazy).
+      val q0 = T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
         .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
         .localCheckpoint(true)
-      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
-      val probes = broadcast(q0.crossJoin(broadcast(cent10))
-        .withColumn("ccos", dot("qv", "cv") / (col("qn") * col("cn")))
-        .withColumn("pr", row_number().over(wProbe))
-        .filter(col("pr") <= 4)
-        .select(col("q_id"), col("cell")))
-      val cand0 = codes.join(probes, Seq("cell"))
-        .filter(col("q_id") =!= col("vec_id"))
-      val dqs = (0 until PQ_M).map { sb =>
-        broadcast(q0.select(col("q_id"),
-            expr(s"slice(qv, ${PQ_D * sb + 1}, $PQ_D)").as("qs"))
-          .crossJoin(broadcast(cbs.filter(col("sub") === sb)
-            .select(col("cell").cast("byte").as(s"c$sb"), col("cv"))))
-          .select(col("q_id"), col(s"c$sb"),
-            expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cv) + graft_dot(cv, cv)")
-              .as(s"d$sb")))
-      }
-      // n_cand rides the SAME q_id partitioning as the ADC rank (a
-      // count window below the rank window — the shared exchange is
-      // reused and the codes files are scanned exactly once); the
-      // rn <= 50 filter still inserts its WindowGroupLimit prune
-      // between the two window operators, so the count stays over the
-      // full candidate set while the sort-rank keeps a bounded heap
-      // (both plan-pinned in PlanAuditSpec).
-      val wAll = Window.partitionBy(col("q_id"))
-      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("id2"))
-      val short50 = cand0.join(dqs(0), Seq("q_id", "c0"))
-        .join(dqs(1), Seq("q_id", "c1"))
-        .join(dqs(2), Seq("q_id", "c2"))
-        .join(dqs(3), Seq("q_id", "c3"))
-        .select(col("q_id"), col("vec_id").as("id2"),
-          expr("d0 + d1 + d2 + d3").as("adc"))
-        .withColumn("n_cand", count(lit(1)).over(wAll))
-        .withColumn("rn", row_number().over(wAdc))
-        .filter(col("rn") <= 50).select(col("q_id"), col("id2"), col("n_cand"))
-      val qq = broadcast(q0.withColumn("qq", expr("graft_dot(qv, qv)")))
-      val c = base.select(col("vec_id").as("id2"), col("v").as("v2"))
-      val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id2"))
-      c.join(broadcast(short50.join(qq, Seq("q_id"))), Seq("id2"))
-        .withColumn("d2",
-          expr("qq - 2 * graft_dot(qv, v2) + graft_dot(v2, v2)"))
-        .withColumn("rn", row_number().over(wEx))
-        .filter(col("rn") <= 5)
-        .select(col("q_id"), col("n_cand"), col("rn"),
-                col("id2").as("neighbor_id"), round(col("d2"), 4).as("l2_4"))
-        .orderBy(col("q_id"), col("rn"))
+      ivfadcServe(s, d, q0, selfExclude = true)
     }),
 
     // IVFADC over an ARBITRARY EXTERNAL query set (round-11 reach —
@@ -1123,11 +1143,6 @@ object VectorOps {
     // exact re-rank by id-fetch.
     "q286_ivfadc_external_query" -> ((s, d) => {
       graft.functions.VectorKernels.ensureRegistered(s)
-      val root = ensureIvfadcIndex(s, d)
-      val cent10 = s.read.parquet(s"$root/centroids")
-      val cbs = s.read.parquet(s"$root/codebooks")
-      val codes = s.read.parquet(s"$root/codes")
-      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
       // the external query relation (see EXTQ_N) — |Q| rows, no
       // corpus scan; the 64-element transform runs once per QUERY
       // (the HOF-interpretation trap only bites per corpus row)
@@ -1136,46 +1151,7 @@ object VectorOps {
             "i -> CAST((id * 31 + i * 17) % 13 - 6 AS DOUBLE) / 8.0)").as("qv"))
         .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
         .localCheckpoint(true)
-      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
-      // probes stays a LAZY plan: its pr <= 4 filter is the selective
-      // predicate DPP needs to prune the codes scan (the q263 rule)
-      val probes = broadcast(q0.crossJoin(broadcast(cent10))
-        .withColumn("ccos", dot("qv", "cv") / (col("qn") * col("cn")))
-        .withColumn("pr", row_number().over(wProbe))
-        .filter(col("pr") <= 4)
-        .select(col("q_id"), col("cell")))
-      val cand0 = codes.join(probes, Seq("cell"))
-      val dqs = (0 until PQ_M).map { sb =>
-        broadcast(q0.select(col("q_id"),
-            expr(s"slice(qv, ${PQ_D * sb + 1}, $PQ_D)").as("qs"))
-          .crossJoin(broadcast(cbs.filter(col("sub") === sb)
-            .select(col("cell").cast("byte").as(s"c$sb"), col("cv"))))
-          .select(col("q_id"), col(s"c$sb"),
-            expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cv) + graft_dot(cv, cv)")
-              .as(s"d$sb")))
-      }
-      val wAll = Window.partitionBy(col("q_id"))
-      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("id2"))
-      val short50 = cand0.join(dqs(0), Seq("q_id", "c0"))
-        .join(dqs(1), Seq("q_id", "c1"))
-        .join(dqs(2), Seq("q_id", "c2"))
-        .join(dqs(3), Seq("q_id", "c3"))
-        .select(col("q_id"), col("vec_id").as("id2"),
-          expr("d0 + d1 + d2 + d3").as("adc"))
-        .withColumn("n_cand", count(lit(1)).over(wAll))
-        .withColumn("rn", row_number().over(wAdc))
-        .filter(col("rn") <= 50).select(col("q_id"), col("id2"), col("n_cand"))
-      val qq = broadcast(q0.withColumn("qq", expr("graft_dot(qv, qv)")))
-      val c = base.select(col("vec_id").as("id2"), col("v").as("v2"))
-      val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id2"))
-      c.join(broadcast(short50.join(qq, Seq("q_id"))), Seq("id2"))
-        .withColumn("d2",
-          expr("qq - 2 * graft_dot(qv, v2) + graft_dot(v2, v2)"))
-        .withColumn("rn", row_number().over(wEx))
-        .filter(col("rn") <= 5)
-        .select(col("q_id"), col("n_cand"), col("rn"),
-                col("id2").as("neighbor_id"), round(col("d2"), 4).as("l2_4"))
-        .orderBy(col("q_id"), col("rn"))
+      ivfadcServe(s, d, q0, selfExclude = false)
     }),
 
     // Residual-encoded IVFADC (round-9 reach): the FAITHFUL FAISS
@@ -2074,6 +2050,78 @@ object VectorOps {
     s"""$init16Cte,
        |${(0 until PQ_M).map(pqChainSql).mkString(",\n")}""".stripMargin
 
+  /** The IVFADC serving-tail SQL shared by the q263 and q286 oracles
+    * (the exact mirror of [[ivfadcServe]]): expects a `qe(q_id, i, v)`
+    * query CTE plus the e/ivf/pq chain bodies in scope. Norms, probe
+    * ranking, candidate fetch (optionally self-excluded), per-subspace
+    * ADC tables built from qe, the 50-shortlist, exact re-rank, top-5
+    * readout. The chain fragment's own `dq` CTEs (hardwired to corpus
+    * probes) are not referenced here — the tail builds its ADC tables
+    * from whatever qe the caller supplies.
+    */
+  private def ivfadcTailSql(exclude: Boolean): String =
+    s"""qn AS (SELECT q_id, sqrt(sum(v*v)) AS nrm FROM qe GROUP BY 1),
+       |cnn AS (SELECT cell, sqrt(sum(cv*cv)) AS cn FROM c4 GROUP BY 1),
+       |ccos AS (
+       |  SELECT q.q_id, c.cell, sum(q.v * c.cv) AS dot
+       |  FROM qe q JOIN c4 c ON q.i = c.i GROUP BY 1, 2
+       |), pr AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT ccos.q_id, ccos.cell, row_number() OVER (
+       |        PARTITION BY ccos.q_id
+       |        ORDER BY ccos.dot/(nq.nrm*cnn.cn) DESC, ccos.cell) AS pr
+       |    FROM ccos JOIN qn nq ON ccos.q_id = nq.q_id
+       |              JOIN cnn ON ccos.cell = cnn.cell)
+       |  WHERE pr <= 4
+       |), codes AS (
+       |  SELECT g0.vec_id, g0.cell AS c0, g1.cell AS c1,
+       |         g2.cell AS c2, g3.cell AS c3
+       |  FROM s0gf g0 JOIN s1gf g1 USING (vec_id)
+       |       JOIN s2gf g2 USING (vec_id) JOIN s3gf g3 USING (vec_id)
+       |), cand0 AS (
+       |  SELECT pr.q_id, g5.vec_id FROM pr JOIN g5 ON pr.cell = g5.cell
+       |  ${if (exclude) "WHERE g5.vec_id <> pr.q_id" else ""}
+       |), nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+       |          FROM cand0 GROUP BY 1),
+       |${(0 until PQ_M).map(sb =>
+           s"""s${sb}dqx AS (
+              |  SELECT q.q_id, c.cell,
+              |         sum(q.v*q.v) - 2*sum(q.v*c.cv) + sum(c.cv*c.cv) AS d
+              |  FROM qe q JOIN s${sb}c$PQ_ITERS c ON q.i = c.i GROUP BY 1, 2
+              |)""".stripMargin).mkString(",\n")},
+       |cand AS (
+       |  SELECT cd.q_id, cd.vec_id AS id2,
+       |         d0.d + d1.d + d2.d + d3.d AS adc
+       |  FROM cand0 cd JOIN codes ON cd.vec_id = codes.vec_id
+       |  JOIN s0dqx d0 ON d0.q_id = cd.q_id AND codes.c0 = d0.cell
+       |  JOIN s1dqx d1 ON d1.q_id = cd.q_id AND codes.c1 = d1.cell
+       |  JOIN s2dqx d2 ON d2.q_id = cd.q_id AND codes.c2 = d2.cell
+       |  JOIN s3dqx d3 ON d3.q_id = cd.q_id AND codes.c3 = d3.cell
+       |), tr50 AS (
+       |  SELECT q_id, id2 FROM (
+       |    SELECT q_id, id2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY adc, id2) AS rn FROM cand)
+       |  WHERE rn <= 50
+       |), sq AS (SELECT vec_id, sum(v*v) AS s FROM e GROUP BY 1),
+       |qsq AS (SELECT q_id, sum(v*v) AS s FROM qe GROUP BY 1),
+       |dt AS (
+       |  SELECT a.q_id, b.vec_id AS id2, sum(a.v*b.v) AS dot
+       |  FROM qe a JOIN e b ON a.i = b.i GROUP BY 1, 2
+       |), trr AS (
+       |  SELECT q_id, id2, d2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, id2) AS rn
+       |  FROM (
+       |    SELECT dt.q_id, dt.id2, sa.s - 2*dt.dot + sb.s AS d2
+       |    FROM tr50 JOIN dt ON tr50.q_id = dt.q_id AND tr50.id2 = dt.id2
+       |         JOIN qsq sa ON dt.q_id = sa.q_id
+       |         JOIN sq sb ON dt.id2 = sb.vec_id)
+       |)
+       |SELECT trr.q_id, nc.n_cand, trr.rn, trr.id2 AS neighbor_id,
+       |       round(trr.d2, 4) AS l2_4
+       |FROM trr JOIN nc ON trr.q_id = nc.q_id
+       |WHERE trr.rn <= 5
+       |ORDER BY trr.q_id, trr.rn""".stripMargin
+
   /** The fixed RR-PQ rotation as SQL (no WITH, needs e): the signed
     * diagonal from the md5('rot'||i) coin ([[hdSigns]] computes the
     * identical draw on the JVM), then the rotated corpus from the
@@ -2611,62 +2659,8 @@ object VectorOps {
       s"""WITH $eCteBody,
          |$ivfChainBody,
          |$pqChainBody,
-         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY 1),
-         |cnn AS (SELECT cell, sqrt(sum(cv*cv)) AS cn FROM c4 GROUP BY 1),
-         |ccos AS (
-         |  SELECT e.vec_id AS q_id, c.cell, sum(e.v * c.cv) AS dot
-         |  FROM e JOIN c4 c ON e.i = c.i WHERE e.vec_id < 5 GROUP BY 1, 2
-         |), pr AS (
-         |  SELECT q_id, cell FROM (
-         |    SELECT ccos.q_id, ccos.cell, row_number() OVER (
-         |        PARTITION BY ccos.q_id
-         |        ORDER BY ccos.dot/(nq.nrm*cnn.cn) DESC, ccos.cell) AS pr
-         |    FROM ccos JOIN vn nq ON ccos.q_id = nq.vec_id
-         |              JOIN cnn ON ccos.cell = cnn.cell)
-         |  WHERE pr <= 4
-         |), codes AS (
-         |  SELECT g0.vec_id, g0.cell AS c0, g1.cell AS c1,
-         |         g2.cell AS c2, g3.cell AS c3
-         |  FROM s0gf g0 JOIN s1gf g1 USING (vec_id)
-         |       JOIN s2gf g2 USING (vec_id) JOIN s3gf g3 USING (vec_id)
-         |), cand0 AS (
-         |  SELECT pr.q_id, g5.vec_id FROM pr JOIN g5 ON pr.cell = g5.cell
-         |  WHERE g5.vec_id <> pr.q_id
-         |), nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
-         |          FROM cand0 GROUP BY 1),
-         |cand AS (
-         |  SELECT cd.q_id, cd.vec_id AS id2,
-         |         d0.d + d1.d + d2.d + d3.d AS adc
-         |  FROM cand0 cd JOIN codes ON cd.vec_id = codes.vec_id
-         |  JOIN s0dq d0 ON d0.q_id = cd.q_id AND codes.c0 = d0.cell
-         |  JOIN s1dq d1 ON d1.q_id = cd.q_id AND codes.c1 = d1.cell
-         |  JOIN s2dq d2 ON d2.q_id = cd.q_id AND codes.c2 = d2.cell
-         |  JOIN s3dq d3 ON d3.q_id = cd.q_id AND codes.c3 = d3.cell
-         |), tr50 AS (
-         |  SELECT q_id, id2 FROM (
-         |    SELECT q_id, id2, row_number() OVER (
-         |      PARTITION BY q_id ORDER BY adc, id2) AS rn FROM cand)
-         |  WHERE rn <= 50
-         |), sq AS (SELECT vec_id, sum(v*v) AS s FROM e GROUP BY 1),
-         |dt AS (
-         |  SELECT a.vec_id AS q_id, b.vec_id AS id2, sum(a.v*b.v) AS dot
-         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 5
-         |                    AND b.vec_id <> a.vec_id
-         |  GROUP BY 1, 2
-         |), trr AS (
-         |  SELECT q_id, id2, d2, row_number() OVER (
-         |      PARTITION BY q_id ORDER BY d2, id2) AS rn
-         |  FROM (
-         |    SELECT dt.q_id, dt.id2, sa.s - 2*dt.dot + sb.s AS d2
-         |    FROM tr50 JOIN dt ON tr50.q_id = dt.q_id AND tr50.id2 = dt.id2
-         |         JOIN sq sa ON dt.q_id = sa.vec_id
-         |         JOIN sq sb ON dt.id2 = sb.vec_id)
-         |)
-         |SELECT trr.q_id, nc.n_cand, trr.rn, trr.id2 AS neighbor_id,
-         |       round(trr.d2, 4) AS l2_4
-         |FROM trr JOIN nc ON trr.q_id = nc.q_id
-         |WHERE trr.rn <= 5
-         |ORDER BY trr.q_id, trr.rn""".stripMargin,
+         |qe AS (SELECT vec_id AS q_id, i, v FROM e WHERE vec_id < 5),
+         |${ivfadcTailSql(exclude = true)}""".stripMargin,
 
     // External-query IVFADC: the qe relation is generated from the
     // same exact integer/dyadic formula as the Spark side (no corpus
@@ -2683,67 +2677,8 @@ object VectorOps {
          |         CAST((q_id * 31 + i * 17) % 13 - 6 AS DOUBLE) / 8.0 AS v
          |  FROM generate_series(0, ${EXTQ_N - 1}) t(q_id)
          |       CROSS JOIN generate_series(1, 64) s(i)
-         |), qn AS (SELECT q_id, sqrt(sum(v*v)) AS nrm FROM qe GROUP BY 1),
-         |cnn AS (SELECT cell, sqrt(sum(cv*cv)) AS cn FROM c4 GROUP BY 1),
-         |ccos AS (
-         |  SELECT q.q_id, c.cell, sum(q.v * c.cv) AS dot
-         |  FROM qe q JOIN c4 c ON q.i = c.i GROUP BY 1, 2
-         |), pr AS (
-         |  SELECT q_id, cell FROM (
-         |    SELECT ccos.q_id, ccos.cell, row_number() OVER (
-         |        PARTITION BY ccos.q_id
-         |        ORDER BY ccos.dot/(nq.nrm*cnn.cn) DESC, ccos.cell) AS pr
-         |    FROM ccos JOIN qn nq ON ccos.q_id = nq.q_id
-         |              JOIN cnn ON ccos.cell = cnn.cell)
-         |  WHERE pr <= 4
-         |), codes AS (
-         |  SELECT g0.vec_id, g0.cell AS c0, g1.cell AS c1,
-         |         g2.cell AS c2, g3.cell AS c3
-         |  FROM s0gf g0 JOIN s1gf g1 USING (vec_id)
-         |       JOIN s2gf g2 USING (vec_id) JOIN s3gf g3 USING (vec_id)
-         |), cand0 AS (
-         |  SELECT pr.q_id, g5.vec_id FROM pr JOIN g5 ON pr.cell = g5.cell
-         |), nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
-         |          FROM cand0 GROUP BY 1),
-         |${(0 until PQ_M).map(sb =>
-             s"""s${sb}dqx AS (
-                |  SELECT q.q_id, c.cell,
-                |         sum(q.v*q.v) - 2*sum(q.v*c.cv) + sum(c.cv*c.cv) AS d
-                |  FROM qe q JOIN s${sb}c$PQ_ITERS c ON q.i = c.i GROUP BY 1, 2
-                |)""".stripMargin).mkString(",\n")},
-         |cand AS (
-         |  SELECT cd.q_id, cd.vec_id AS id2,
-         |         d0.d + d1.d + d2.d + d3.d AS adc
-         |  FROM cand0 cd JOIN codes ON cd.vec_id = codes.vec_id
-         |  JOIN s0dqx d0 ON d0.q_id = cd.q_id AND codes.c0 = d0.cell
-         |  JOIN s1dqx d1 ON d1.q_id = cd.q_id AND codes.c1 = d1.cell
-         |  JOIN s2dqx d2 ON d2.q_id = cd.q_id AND codes.c2 = d2.cell
-         |  JOIN s3dqx d3 ON d3.q_id = cd.q_id AND codes.c3 = d3.cell
-         |), tr50 AS (
-         |  SELECT q_id, id2 FROM (
-         |    SELECT q_id, id2, row_number() OVER (
-         |      PARTITION BY q_id ORDER BY adc, id2) AS rn FROM cand)
-         |  WHERE rn <= 50
-         |), sq AS (SELECT vec_id, sum(v*v) AS s FROM e GROUP BY 1),
-         |qsq AS (SELECT q_id, sum(v*v) AS s FROM qe GROUP BY 1),
-         |dt AS (
-         |  SELECT a.q_id, b.vec_id AS id2, sum(a.v*b.v) AS dot
-         |  FROM qe a JOIN e b ON a.i = b.i
-         |  GROUP BY 1, 2
-         |), trr AS (
-         |  SELECT q_id, id2, d2, row_number() OVER (
-         |      PARTITION BY q_id ORDER BY d2, id2) AS rn
-         |  FROM (
-         |    SELECT dt.q_id, dt.id2, sa.s - 2*dt.dot + sb.s AS d2
-         |    FROM tr50 JOIN dt ON tr50.q_id = dt.q_id AND tr50.id2 = dt.id2
-         |         JOIN qsq sa ON dt.q_id = sa.q_id
-         |         JOIN sq sb ON dt.id2 = sb.vec_id)
-         |)
-         |SELECT trr.q_id, nc.n_cand, trr.rn, trr.id2 AS neighbor_id,
-         |       round(trr.d2, 4) AS l2_4
-         |FROM trr JOIN nc ON trr.q_id = nc.q_id
-         |WHERE trr.rn <= 5
-         |ORDER BY trr.q_id, trr.rn""".stripMargin,
+         |),
+         |${ivfadcTailSql(exclude = false)}""".stripMargin,
 
     // Residual IVFADC: the residual relation er is a pure function of
     // the replayed IVF chain; the residual PQ chains reuse the SAME

@@ -1672,26 +1672,32 @@ class CorpusOpsSpec extends SparkSpec {
     val shEn = en.map(_._4).sum.toDouble / en.length
     val shRest = rest.map(_._4).sum.toDouble / rest.length
     assert(shEn > shRest, s"en sel share $shEn !> rest $shRest")
-    // the same floor-boundary margin audit at sf0.01 — the SF the
-    // driver's gate actually hashes (the round-10 q285 red was a
-    // driver-environment flip this audit exists to rule out)
-    val docs01 = graft.T.documents(spark, sf("sf0.01"))
-      .select("doc_id", "lang", "text").collect()
-      .map(r => (r.getString(1), r.getString(2).split(" ").filter(_.nonEmpty)))
-    val ca01 = docs01.flatMap(_._2).groupBy(identity).view
-      .mapValues(_.length.toLong).toMap
-    val ce01 = docs01.filter(_._1 == "en").flatMap(_._2).groupBy(identity).view
-      .mapValues(_.length.toLong).toMap
-    val t01 = ca01.values.sum; val v01 = ca01.size.toLong; val te01 = ce01.values.sum
-    val worst01 = ca01.map { case (w, c) =>
-      val s = math.log((ce01.getOrElse(w, 0L) + 1).toDouble / (te01 + v01)) -
-        math.log((c + 1).toDouble / (t01 + v01))
-      val x = s * 1048576.0
-      val f = x - math.floor(x)
-      math.min(f, 1.0 - f)
-    }.min
-    assert(worst01 > 1e-6,
-      s"sf0.01: a quantized excess sits $worst01 from a floor boundary")
+    // the same floor-boundary margin audit at EVERY SF the driver's
+    // gate hashes (the round-10 q285 red was a driver-environment
+    // flip this audit exists to rule out; sf0.1 carries the thinnest
+    // measured margin, 2.7e-4)
+    def worstFloorMargin(dir: String): Double = {
+      val ds = graft.T.documents(spark, dir)
+        .select("doc_id", "lang", "text").collect()
+        .map(r => (r.getString(1), r.getString(2).split(" ").filter(_.nonEmpty)))
+      val ca = ds.flatMap(_._2).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap
+      val ce = ds.filter(_._1 == "en").flatMap(_._2).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap
+      val tD = ca.values.sum; val vD = ca.size.toLong; val teD = ce.values.sum
+      ca.map { case (w, c) =>
+        val s = math.log((ce.getOrElse(w, 0L) + 1).toDouble / (teD + vD)) -
+          math.log((c + 1).toDouble / (tD + vD))
+        val x = s * 1048576.0
+        val f = x - math.floor(x)
+        math.min(f, 1.0 - f)
+      }.min
+    }
+    for (d <- Seq("sf0.01", "sf0.1")) {
+      val worst = worstFloorMargin(sf(d))
+      assert(worst > 1e-6,
+        s"$d: a quantized excess sits $worst from a floor boundary")
+    }
   }
 
   test("UniMax waterfilling: exact budget conservation, full absorption below the level, replayed from scratch (q282)") {

@@ -493,9 +493,9 @@ class VectorOpsSpec extends SparkSpec {
 
   test("external-query ivfadc: full driver replay from the stored bits, rank + round margins wide (q286)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
-    // audited at sf0.001 AND sf0.01 — the margin audit must hold at
-    // the SF the driver's gate hashes (the q285 round-10 lesson)
-    for (d <- Seq(sf001, sf("sf0.01"))) q286ReplayAudit(d)
+    // audited at ALL THREE SFs — the margin audit must hold at every
+    // SF the driver's gate hashes (the q285 round-10 lesson)
+    for (d <- Seq(sf001, sf("sf0.01"), sf("sf0.1"))) q286ReplayAudit(d)
   }
 
   private def q286ReplayAudit(d: String): Unit = {

@@ -118,33 +118,46 @@ for name, sql in sorted(oracle.items()):
             n_type_fail += 1
 
 n_pass = n_fail = 0
+
+def compare(name, exp_cols, exp_rows, tag=""):
+    """One comparison policy for BOTH oracle tiers (SQL and python):
+    schema by sorted column names, row count, then cell values with
+    columns aligned by sorted name (the driver sorts by name before
+    hashing). Returns True on PASS and does its own accounting prints.
+    """
+    try:
+        got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+        got_cols = list(got.columns)
+        got_rows = got.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: error {str(e)[:200]}")
+        return False
+    if sorted(exp_cols) != sorted(got_cols):
+        print(f"FAIL {name}: cols exp={sorted(exp_cols)} got={sorted(got_cols)}")
+        return False
+    if len(exp_rows) != len(got_rows):
+        print(f"FAIL {name}: rows exp={len(exp_rows)} got={len(got_rows)}")
+        return False
+    ei = [exp_cols.index(c) for c in sorted(exp_cols)]
+    gi = [got_cols.index(c) for c in sorted(got_cols)]
+    for rn, (er, gr) in enumerate(zip(exp_rows, got_rows)):
+        e = [norm(er[i]) for i in ei]; g = [norm(gr[i]) for i in gi]
+        if e != g:
+            print(f"FAIL {name}: row {rn} exp={e} got={g}")
+            return False
+    print(f"PASS {name} ({len(exp_rows)} rows{tag})")
+    return True
+
 py_checked = {name: PY_ORACLES[name] for name in sorted(PY_ORACLES)
               if os.path.isdir(f"{OUT}/{name}")}
 for name, fn in py_checked.items():
     try:
         exp_cols, exp_rows = fn(con, SF)
-        got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
-        got_cols = list(got.columns)
-        got_rows = got.fetchall()
     except Exception as e:
         print(f"FAIL {name}: py-oracle error {str(e)[:200]}")
         n_fail += 1
         continue
-    ok = sorted(exp_cols) == sorted(got_cols) and len(exp_rows) == len(got_rows)
-    if not ok:
-        print(f"FAIL {name}: cols/rows exp=({sorted(exp_cols)},{len(exp_rows)}) "
-              f"got=({sorted(got_cols)},{len(got_rows)})")
-    else:
-        ei = [exp_cols.index(c) for c in sorted(exp_cols)]
-        gi = [got_cols.index(c) for c in sorted(got_cols)]
-        for rn, (er, gr) in enumerate(zip(exp_rows, got_rows)):
-            e = [norm(er[i]) for i in ei]; g = [norm(gr[i]) for i in gi]
-            if e != g:
-                print(f"FAIL {name}: row {rn} exp={e} got={g}")
-                ok = False
-                break
-    if ok:
-        print(f"PASS {name} ({len(exp_rows)} rows, python oracle)")
+    if compare(name, exp_cols, exp_rows, tag=", python oracle"):
         n_pass += 1
     else:
         n_fail += 1
@@ -153,32 +166,11 @@ for name, sql in sorted(oracle.items()):
         exp = con.sql(sql)
         exp_cols = list(exp.columns)
         exp_rows = exp.fetchall()
-        got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
-        got_cols = list(got.columns)
-        got_rows = got.fetchall()
     except Exception as e:
         print(f"FAIL {name}: error {str(e)[:200]}")
         n_fail += 1
         continue
-    ok = True
-    if sorted(exp_cols) != sorted(got_cols):
-        print(f"FAIL {name}: cols exp={sorted(exp_cols)} got={sorted(got_cols)}")
-        ok = False
-    elif len(exp_rows) != len(got_rows):
-        print(f"FAIL {name}: rows exp={len(exp_rows)} got={len(got_rows)}")
-        ok = False
-    else:
-        # align columns by sorted name (driver sorts by name before hashing)
-        ei = [exp_cols.index(c) for c in sorted(exp_cols)]
-        gi = [got_cols.index(c) for c in sorted(got_cols)]
-        for rn, (er, gr) in enumerate(zip(exp_rows, got_rows)):
-            e = [norm(er[i]) for i in ei]; g = [norm(gr[i]) for i in gi]
-            if e != g:
-                print(f"FAIL {name}: row {rn} exp={e} got={g}")
-                ok = False
-                break
-    if ok:
-        print(f"PASS {name} ({len(exp_rows)} rows)")
+    if compare(name, exp_cols, exp_rows):
         n_pass += 1
     else:
         n_fail += 1
