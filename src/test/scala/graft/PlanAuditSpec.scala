@@ -959,20 +959,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("fleiss kappa is one scan of partial-agg-fed keyed rollups — no window, no raw-doc exchange (q267)") {
-    val p = physical("q267_rater_agreement")
-    assert(p.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }.isEmpty, "q267 must plan no window at all")
-    // the (doc, lang, cat) count and every rollup above it collapse
-    // map-side — an exchange fed by raw union-all rows would triple
-    // the corpus over the wire
-    val ex = shuffles(p)
-    assert(ex.exists(e => hashKeys(e).contains("doc_id")),
-      "expected the (doc, lang, cat) aggregation exchange")
-    ex.filter(e => hashKeys(e).contains("doc_id")).foreach { e =>
-      assert(partialAggFed(e),
-        s"q267: doc-keyed exchange not partial-agg-fed; child is ${unwrap(e.child).nodeName}")
+  test("fleiss kappa is one scan of partial-agg-fed keyed rollups — no window, no raw-doc exchange (q267/q267b)") {
+    for (q <- Seq("q267_rater_agreement", "q267b_rater_agreement_wide")) {
+      val p = physical(q)
+      assert(p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$q must plan no window at all")
+      // the (doc, lang, cat) count and every rollup above it collapse
+      // map-side — an exchange fed by raw union-all rows would triple
+      // the corpus over the wire
+      val ex = shuffles(p)
+      assert(ex.exists(e => hashKeys(e).contains("doc_id")),
+        s"$q: expected the (doc, lang, cat) aggregation exchange")
+      ex.filter(e => hashKeys(e).contains("doc_id")).foreach { e =>
+        assert(partialAggFed(e),
+          s"$q: doc-keyed exchange not partial-agg-fed; child is ${unwrap(e.child).nodeName}")
+      }
     }
   }
 
