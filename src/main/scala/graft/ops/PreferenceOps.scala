@@ -73,18 +73,25 @@ object PreferenceOps {
     * 18N²·10⁶ — it crosses 2⁶³ at N ≈ 7×10⁵ docs per language, not
     * the 10⁹ a bare 18N² would allow. Past that, Spark (non-ANSI)
     * wraps silently while DuckDB throws — q267b is the widened
-    * DECIMAL(38,0)/HUGEINT tier (the q246b/q248 pattern, good to
-    * N ≈ 2×10¹⁵). Gate SFs are ≤ ~2×10³ docs/lang — exact with 5
-    * orders of headroom in the BIGINT tier too.
+    * DECIMAL(38,0)/HUGEINT tier (the q246b/q248 pattern; with EVERY
+    * product widened — including b = Σm² and the 2b terms, round-12 —
+    * the binding 18N²·10⁶ < 10³⁸ envelope holds to N ≈ 2×10¹⁵).
+    * Gate SFs are ≤ ~2×10³ docs/lang — exact with 5 orders of
+    * headroom in the BIGINT tier too.
     */
-  private def kappaSql(idiv: String): String = kappaSql(idiv, identity)
+  private def kappaSql(idiv: String): String = kappaSql(idiv, identity, "BIGINT")
 
   /** `big` wraps each overflow-prone product's first factor in a
     * widening CAST — DECIMAL(38,0) on the Spark side, HUGEINT in the
-    * DuckDB oracle (the q246b/q248 discipline). With identity the SQL
-    * is the original all-BIGINT form.
+    * DuckDB oracle (the q246b/q248 discipline) — and `sumTy` is the
+    * type bsum's Σm² lands in. EVERY product on the kappa ratio's
+    * path routes through them (round-12, closing the round-11
+    * advisor's finding that sum(m·m) and the 2·b terms stayed BIGINT,
+    * which silently capped the widened tier at N ≈ 10⁹ docs/lang —
+    * m ≤ 3N crosses 2⁶³/2 in m² at N ≈ 10⁹, and 2b at N ≈ 7×10⁸).
+    * With identity/BIGINT the SQL is the original all-BIGINT form.
     */
-  private def kappaSql(idiv: String, big: String => String): String =
+  private def kappaSql(idiv: String, big: String => String, sumTy: String): String =
     s"""WITH r AS (
        |  SELECT doc_id, lang,
        |         CASE WHEN n_chars < 175 THEN 0
@@ -113,12 +120,12 @@ object PreferenceOps {
        |  FROM perdoc GROUP BY lang),
        |mj AS (
        |  SELECT lang, cat, CAST(sum(nij) AS BIGINT) AS m FROM cat GROUP BY lang, cat),
-       |bsum AS (SELECT lang, CAST(sum(m * m) AS BIGINT) AS b FROM mj GROUP BY lang)
+       |bsum AS (SELECT lang, CAST(sum(${big("m")} * m) AS $sumTy) AS b FROM mj GROUP BY lang)
        |SELECT la.lang, la.n_docs,
        |       la.c9 AS n_full_agree, la.c5 AS n_partial_agree, la.c3 AS n_no_agree,
-       |       CAST(sign(3 * (6 * la.c9 + 2 * la.c5) * ${big("la.n_docs")} - 2 * b.b) AS BIGINT) *
-       |         CAST(((1000000 * abs(3 * (6 * la.c9 + 2 * la.c5) * ${big("la.n_docs")} - 2 * b.b)) $idiv
-       |          nullif(18 * ${big("la.n_docs")} * la.n_docs - 2 * b.b, 0)) AS BIGINT) AS kappa_ppm
+       |       CAST(sign(3 * (6 * la.c9 + 2 * la.c5) * ${big("la.n_docs")} - 2 * ${big("b.b")}) AS BIGINT) *
+       |         CAST(((1000000 * abs(3 * (6 * la.c9 + 2 * la.c5) * ${big("la.n_docs")} - 2 * ${big("b.b")})) $idiv
+       |          nullif(18 * ${big("la.n_docs")} * la.n_docs - 2 * ${big("b.b")}, 0)) AS BIGINT) AS kappa_ppm
        |FROM langagg la JOIN bsum b ON la.lang = b.lang
        |ORDER BY la.lang""".stripMargin
 
@@ -233,15 +240,18 @@ object PreferenceOps {
     // Production ppm tier of q267 (round-11, the q246b/q248 overflow
     // discipline, closing the advisor's envelope finding for real
     // instead of just documenting it): identical raters and identical
-    // exact kappa ratio, with every overflow-prone product widened to
-    // DECIMAL(38,0) — the binding 18N²·10⁶ product now overflows at
-    // N ≈ 2×10¹⁵ docs/lang instead of ~7×10⁵. Only BIGINT columns
+    // exact kappa ratio, with EVERY overflow-prone product widened to
+    // DECIMAL(38,0) — the aN products, b = Σm² itself, and the 2b
+    // terms (round-12: the round-11 advisor found sum(m·m) and 2·b
+    // still BIGINT, capping the tier at N ≈ 10⁹) — so the binding
+    // 18N²·10⁶ product now overflows at N ≈ 2×10¹⁵ docs/lang instead
+    // of ~7×10⁵. Only BIGINT columns
     // ship (`div` on decimals yields LONG); the DuckDB oracle mirrors
     // via native HUGEINT. Spec asserts row-for-row equality to q267
     // at the gate SF (the values are exact integers in both tiers).
     "q267b_rater_agreement_wide" -> ((s, d) => {
       T.documents(s, d).createOrReplaceTempView("documents")
-      s.sql(kappaSql("div", e => s"CAST($e AS DECIMAL(38,0))"))
+      s.sql(kappaSql("div", e => s"CAST($e AS DECIMAL(38,0))", "DECIMAL(38,0)"))
     }),
 
     // Bradley-Terry strength per source from length-preference duels.
@@ -277,7 +287,7 @@ object PreferenceOps {
 
     // HUGEINT mirror of the DECIMAL(38,0) widening; only BIGINT ships.
     "q267b_rater_agreement_wide" ->
-      kappaSql("//", e => s"CAST($e AS HUGEINT)"),
+      kappaSql("//", e => s"CAST($e AS HUGEINT)", "HUGEINT"),
 
     // The duel sample, counts and the 3 MM iterations replayed
     // verbatim: same md5 coin, same bucket/rank/neighbor pairing,
