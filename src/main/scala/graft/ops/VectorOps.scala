@@ -70,6 +70,30 @@ object VectorOps {
     */
   val EXTQ_N = 4
 
+  /** IVF cell count (nlist) for the coarse quantizer — the whole IVF
+    * substrate (live q66/q257 chain AND the stored q262 index; they
+    * must agree, see the q262 substrate-agreement spec) uses ONE dial.
+    * Round-12 (scale-hardening the serving tail): the old fixed k=10
+    * made each query's nprobe=4 candidate set a constant ~40% of the
+    * corpus at any scale; nlist = max(10, ⌈√N⌉) — the FAISS default
+    * sizing this tier otherwise mirrors — shrinks candidates-per-probe
+    * as the corpus grows (≈ 4√N rows per query at 100 TB).
+    * `SPARK_GRAFT_IVF_NLIST` overrides for experiments; the DuckDB
+    * oracle computes the SAME value via [[ivfNlistSqlExpr]] (both
+    * sides run ⌈√N⌉ through IEEE double sqrt/ceil on the same integer,
+    * so they can never disagree).
+    */
+  def ivfNlist(n: Long): Int = sys.env.get("SPARK_GRAFT_IVF_NLIST")
+    .map(_.toInt)
+    .getOrElse(math.max(10, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** The nlist rule as a DuckDB scalar expression (LIMIT accepts
+    * subqueries), mirroring [[ivfNlist]] including the env override.
+    */
+  private lazy val ivfNlistSqlExpr: String =
+    sys.env.getOrElse("SPARK_GRAFT_IVF_NLIST",
+      "greatest(10, CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))")
+
   /** ±1 diagonal of the fixed RR-PQ rotation (q265/q266): sign i is
     * the parity of the first 8 hex chars of md5("rot" + i), the
     * md5-coin idiom every deterministic draw in this file uses — so
@@ -316,7 +340,7 @@ object VectorOps {
   /** BUILD tier of the stored IVFADC index (q262) — materializes the
     * layout q261's composition previously only documented:
     *
-    *  - `centroids/`  — the 10 IVF centroids (cell, cv, cn);
+    *  - `centroids/`  — the nlist = ⌈√N⌉ IVF centroids (cell, cv, cn);
     *  - `codebooks/`  — the 4 PQ codebooks, 64 rows (sub, cell, cv);
     *  - `codes/`      — the corpus as 4-byte PQ codes (vec_id,
     *    c0..c3 TINYINT), written `partitionBy(cell)` so the directory
@@ -349,8 +373,11 @@ object VectorOps {
       val abs = new java.io.File(d).getAbsolutePath
       val pathTag = java.security.MessageDigest.getInstance("MD5")
         .digest(abs.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
+      // nlist from the corpus size (round-12): the index regenerates
+      // per dial, so the dial is part of the root's identity.
+      val nlist = ivfNlist(T.embeddings(s, d).count())
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivfadc_${new java.io.File(d).getName}_${pathTag}_p${ProcessHandle.current.pid}")
+        s"graft_ivfadc_${new java.io.File(d).getName}_${pathTag}_k${nlist}_p${ProcessHandle.current.pid}")
       val stage = new java.io.File(root.getParentFile, root.getName + ".build")
       def rmTree(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
@@ -360,8 +387,15 @@ object VectorOps {
       // (plus any crash-orphaned .build stage). Sweep siblings of this
       // index whose owning pid is gone before staging the new one —
       // a LIVE pid's root is never touched, so the concurrency
-      // guarantee is unchanged.
-      val sibling = s"graft_ivfadc_${new java.io.File(d).getName}_${pathTag}_p(\\d+)(\\.build)?".r
+      // guarantee is unchanged. The literal prefix is regex-QUOTED
+      // (round-11 advisor: '.' in names like sf0.01 matched any
+      // character, so a dead process's root for a DIFFERENT dataset
+      // could be swept); the optional k segment keeps pre-round-12
+      // roots sweepable, and a dead pid's root is swept whatever its
+      // nlist dial was.
+      val sibling = (java.util.regex.Pattern.quote(
+        s"graft_ivfadc_${new java.io.File(d).getName}_${pathTag}_") +
+        "(?:k\\d+_)?p(\\d+)(\\.build)?").r
       Option(root.getParentFile.listFiles()).foreach(_.foreach { f =>
         f.getName match {
           case sibling(pid, _) if pid.toLong != ProcessHandle.current.pid &&
@@ -372,8 +406,8 @@ object VectorOps {
       })
       val sp = stage.getAbsolutePath
       val e64 = emb(s, d)
-      val cent10 = kmeansCentroids(e64, k = 10, iters = 4)
-      cent10.coalesce(1).write.mode("overwrite").parquet(s"$sp/centroids")
+      val cents = kmeansCentroids(e64, k = nlist, iters = 4)
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$sp/centroids")
       val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
       // all four subquantizers train in ONE fused chain — one corpus
       // pass per Lloyd iteration instead of PQ_M (see
@@ -382,7 +416,7 @@ object VectorOps {
       val slices = pqSubSlices(base)
       val cbF = kmeansCentroidsFused(base, slices, k = PQ_K, iters = PQ_ITERS)
       cbF.coalesce(1).write.mode("overwrite").parquet(s"$sp/codebooks")
-      assignCells(e64, cent10).select(col("vec_id"), col("cell"))
+      assignCells(e64, cents).select(col("vec_id"), col("cell"))
         .join(pqCodesFused(slices, cbF), Seq("vec_id"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$sp/codes")
       if (root.exists()) rmTree(root)  // same pid re-ran after a memo-less restart
@@ -410,12 +444,12 @@ object VectorOps {
   private def ivfadcServe(s: SparkSession, d: String, q0: DataFrame,
                           selfExclude: Boolean): DataFrame = {
     val root = ensureIvfadcIndex(s, d)
-    val cent10 = s.read.parquet(s"$root/centroids")
+    val centsStored = s.read.parquet(s"$root/centroids")
     val cbs = s.read.parquet(s"$root/codebooks")
     val codes = s.read.parquet(s"$root/codes")
     val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
-    val probes = broadcast(q0.crossJoin(broadcast(cent10))
+    val probes = broadcast(q0.crossJoin(broadcast(centsStored))
       .withColumn("ccos", dot("qv", "cv") / (col("qn") * col("cn")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= 4)
@@ -432,24 +466,30 @@ object VectorOps {
           expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cv) + graft_dot(cv, cv)")
             .as(s"d$sb")))
     }
-    // n_cand rides the SAME q_id partitioning as the ADC rank (a
-    // count window below the rank window — the shared exchange is
-    // reused and the codes files are scanned exactly once); the
-    // rn <= 50 filter still inserts its WindowGroupLimit prune
-    // between the two window operators, so the count stays over the
-    // full candidate set while the sort-rank keeps a bounded heap
-    // (both plan-pinned in PlanAuditSpec).
-    val wAll = Window.partitionBy(col("q_id"))
+    // n_cand is a partial-aggregable groupBy(q_id).count joined back
+    // BROADCAST (round-12, the round-11 verdict's scale finding: the
+    // old count(1) OVER (PARTITION BY q_id) was a full-frame window —
+    // deliberately outside the WindowGroupLimit prune — that funneled
+    // each query's ENTIRE candidate set through one task; the groupBy
+    // combines map-side, so no task ever holds a query's candidates).
+    // Output is bit-identical: both count the same post-ADC-join rows.
+    // The candidate relation is consumed twice (count + rank) — both
+    // branches keep the lazy `probes` filter, so both codes scans stay
+    // DPP-pruned to the probed cells (plan-pinned; a checkpoint here
+    // would kill the pruning, the q263 localCheckpoint rule).
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("id2"))
-    val short50 = cand0.join(dqs(0), Seq("q_id", "c0"))
+    val candAdc = cand0.join(dqs(0), Seq("q_id", "c0"))
       .join(dqs(1), Seq("q_id", "c1"))
       .join(dqs(2), Seq("q_id", "c2"))
       .join(dqs(3), Seq("q_id", "c3"))
       .select(col("q_id"), col("vec_id").as("id2"),
         expr("d0 + d1 + d2 + d3").as("adc"))
-      .withColumn("n_cand", count(lit(1)).over(wAll))
+    val nCand = candAdc.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+    val short50 = candAdc
       .withColumn("rn", row_number().over(wAdc))
-      .filter(col("rn") <= 50).select(col("q_id"), col("id2"), col("n_cand"))
+      .filter(col("rn") <= 50)
+      .join(broadcast(nCand), Seq("q_id"))
+      .select(col("q_id"), col("id2"), col("n_cand"))
     val qq = broadcast(q0.withColumn("qq", expr("graft_dot(qv, qv)")))
     val c = base.select(col("vec_id").as("id2"), col("v").as("v2"))
     val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id2"))
@@ -536,15 +576,16 @@ object VectorOps {
         .orderBy(col("q_id"), col("dim"))
     }),
 
-    // IVF approximate top-k: k=10 centroids learned by label-free
-    // deterministic kmeans, corpus indexed by nearest centroid, each
-    // query probes its nprobe=4 closest cells and searches exactly
-    // within them. At 100 TB the corpus is partitioned by cell, so a
-    // query touches nprobe partitions instead of all data — and the
-    // index build (assignCells) is a broadcast + one keyed shuffle.
+    // IVF approximate top-k: nlist = ⌈√N⌉ centroids (see [[ivfNlist]])
+    // learned by label-free deterministic kmeans, corpus indexed by
+    // nearest centroid, each query probes its nprobe=4 closest cells
+    // and searches exactly within them. At 100 TB the corpus is
+    // partitioned by cell, so a query touches nprobe partitions —
+    // ≈ 4N/√N = 4√N rows — instead of all data, and the index build
+    // (assignCells) is a broadcast + one keyed shuffle.
     "q66_ann_topk_ivf" -> ((s, d) => {
       val e = emb(s, d)
-      val cent = kmeansCentroids(e, k = 10, iters = 4)
+      val cent = kmeansCentroids(e, k = ivfNlist(e.count()), iters = 4)
       val corpus = assignCells(e, cent)
       val q = corpus.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -845,7 +886,7 @@ object VectorOps {
     // q66's own full oracle.)
     "q257_ivf_cell_audit" -> ((s, d) => {
       val e = emb(s, d)
-      val cent = kmeansCentroids(e, k = 10, iters = 4)
+      val cent = kmeansCentroids(e, k = ivfNlist(e.count()), iters = 4)
       val counts = assignCells(e, cent)
         .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
       cent.join(counts, Seq("cell"), "left_outer")
@@ -982,7 +1023,7 @@ object VectorOps {
       // read from q262's files — only the probe ranking and the dq
       // lookup tables compute. Bits identical; oracle unchanged.
       val root = ensureIvfadcIndex(s, d)
-      val cent10 = s.read.parquet(s"$root/centroids")
+      val centsStored = s.read.parquet(s"$root/centroids")
       val cbs = s.read.parquet(s"$root/codebooks")
       val stored = s.read.parquet(s"$root/codes")
       val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
@@ -991,7 +1032,7 @@ object VectorOps {
         .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
         .localCheckpoint(true)
       val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
-      val probes = broadcast(q0.crossJoin(broadcast(cent10))
+      val probes = broadcast(q0.crossJoin(broadcast(centsStored))
         .withColumn("ccos", dot("qv", "cv") / (col("qn") * col("cn")))
         .withColumn("pr", row_number().over(wProbe))
         .filter(col("pr") <= 4)
@@ -1094,8 +1135,8 @@ object VectorOps {
 
     // IVFADC QUERY tier (round-9 split of q261): serves top-5 ANN
     // from the STORED index — proving the 100 TB query cost the
-    // composed q261 entry only documented. Per query: (1) the 10
-    // stored centroids (a 10-row parquet read) pick nprobe=4 cells;
+    // composed q261 entry only documented. Per query: (1) the
+    // stored centroids (an nlist-row parquet read) pick nprobe=4 cells;
     // (2) candidates come from joining the cell-partitioned codes
     // files against the broadcast probe list — the partition column
     // is the join key, so only the probed cell directories are read
@@ -1180,7 +1221,7 @@ object VectorOps {
       // index is the audited chain output), so the oracle is
       // unchanged.
       val root = ensureIvfadcIndex(s, d)
-      val cent10 = s.read.parquet(s"$root/centroids")
+      val centsStored = s.read.parquet(s"$root/centroids")
       val cells = s.read.parquet(s"$root/codes").select(col("vec_id"), col("cell"))
       val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
       val q0 = base.filter(col("vec_id") < 5)
@@ -1188,7 +1229,7 @@ object VectorOps {
         .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
         .localCheckpoint(true)
       val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
-      val probes = broadcast(q0.crossJoin(broadcast(cent10))
+      val probes = broadcast(q0.crossJoin(broadcast(centsStored))
         .withColumn("ccos", dot("qv", "cv") / (col("qn") * col("cn")))
         .withColumn("pr", row_number().over(wProbe))
         .filter(col("pr") <= 4)
@@ -1201,7 +1242,7 @@ object VectorOps {
       // residuals are written once before codebook training.
       val resid = cells
         .join(base, Seq("vec_id"))
-        .join(broadcast(cent10.select(col("cell"), col("cv"))), Seq("cell"))
+        .join(broadcast(centsStored.select(col("cell"), col("cv"))), Seq("cell"))
         .select(col("vec_id"), expr("graft_sub(v, cv)").as("r"))
         .localCheckpoint(true)
       // all four residual subquantizers train in ONE fused chain over
@@ -1426,7 +1467,7 @@ object VectorOps {
     // keeping the diverse tail. Cluster key AND centroids both serve
     // from the STORED index (q262); survivors = corpus minus q269's
     // dropped set (the same chunked pair relation); the within-cell
-    // closeness ranking is a float rank over a 10-value key —
+    // closeness ranking is a float rank over an nlist-value key —
     // ScalableRank territory, never a bare window — and the cut is
     // the exact-integer rank <= ntot div 4. Output: the pruned rows
     // with their prototype rank and cell census.
@@ -1946,7 +1987,7 @@ object VectorOps {
        |  SELECT vec_id, row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
        |  FROM embeddings
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ivfNlistSqlExpr
        |), c0 AS MATERIALIZED (
        |  SELECT init.cell, e.i, e.v AS cv FROM init JOIN e USING (vec_id)
        |),

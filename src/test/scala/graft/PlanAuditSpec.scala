@@ -868,6 +868,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ivfadc serving path plans no full-frame window — n_cand is a partial agg (q263/q286)") {
+    // Round-12 (the round-11 verdict's scale finding): n_cand used to
+    // be count(1) OVER (PARTITION BY q_id) with no ORDER BY — a
+    // full-frame window that escapes the WindowGroupLimit prune by
+    // construction and funnels each query's ENTIRE candidate set
+    // through one task. It is now a partial-aggregable
+    // groupBy(q_id).count joined back broadcast; pin that every
+    // window left on the serving path is an ORDERED one (the
+    // rank/shortlist windows, all group-limit prunable).
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("q263_ivfadc_query", "q286_ivfadc_external_query").foreach { qn =>
+      physical(qn).collect { case w: WindowExec => w }.foreach { w =>
+        assert(w.orderSpec.nonEmpty,
+          s"$qn: full-frame (unordered) window on the serving path: $w")
+      }
+    }
+  }
+
   test("bm25 scoring broadcasts the query relation — the corpus never shuffles on the bare term (q275)") {
     // The 6-row idf relation must reach the corpus-sized tf stream as
     // a broadcast; any exchange hash-keyed on the bare term would be

@@ -329,11 +329,12 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
-  test("ivf cell audit partitions the corpus across all 10 cells (q257)") {
+  test("ivf cell audit partitions the corpus across all nlist cells (q257)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     val rows = VectorOps.queries("q257_ivf_cell_audit")(spark, sf001).collect()
     val n = T.embeddings(spark, sf001).count()
-    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+    val nlist = VectorOps.ivfNlist(n)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to nlist.toLong))
     assert(rows.map(_.getLong(1)).sum === n, "every vector assigned exactly once")
     rows.foreach(r => assert(r.getDouble(2) > 0.0, "centroid norm positive"))
     // the census must agree with the substrate q66 actually indexes on
@@ -341,7 +342,7 @@ class VectorOpsSpec extends SparkSpec {
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
     val direct =
-      VectorOps.assignCells(e, VectorOps.kmeansCentroids(e, k = 10, iters = 4))
+      VectorOps.assignCells(e, VectorOps.kmeansCentroids(e, k = nlist, iters = 4))
         .groupBy("cell").count().collect()
         .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
     rows.foreach(r => assert(direct.getOrElse(r.getLong(0), 0L) === r.getLong(1)))
@@ -402,7 +403,8 @@ class VectorOpsSpec extends SparkSpec {
     val e = T.embeddings(spark, sf001)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-    val cent = VectorOps.kmeansCentroids(e, k = 10, iters = 4)
+    val cent = VectorOps.kmeansCentroids(e,
+      k = VectorOps.ivfNlist(e.count()), iters = 4)
     val corpus = VectorOps.assignCells(e, cent)
     val cellSize = corpus.groupBy("cell").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -601,8 +603,8 @@ class VectorOpsSpec extends SparkSpec {
     val root = new java.io.File(VectorOps.ensureIvfadcIndex(spark, sf001))
     assert(root.exists, s"index root $root missing")
     val pid = ProcessHandle.current.pid
-    assert(root.getName.matches(s"graft_ivfadc_[^_]+_[0-9a-f]{8}_p$pid"),
-      s"root name ${root.getName} lacks the path-hash + pid key")
+    assert(root.getName.matches(s"graft_ivfadc_[^_]+_[0-9a-f]{8}_k\\d+_p$pid"),
+      s"root name ${root.getName} lacks the path-hash + nlist + pid key")
     assert(!new java.io.File(root.getParentFile, root.getName + ".build").exists,
       "staging dir survived a completed build")
     Seq("centroids", "codebooks", "codes").foreach { rel =>
@@ -692,7 +694,8 @@ class VectorOpsSpec extends SparkSpec {
       val e = T.embeddings(spark, d)
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-      val (iv, im) = minMargin(e, VectorOps.kmeansCentroids(e, k = 10, iters = 4))
+      val (iv, im) = minMargin(e,
+        VectorOps.kmeansCentroids(e, k = VectorOps.ivfNlist(e.count()), iters = 4))
       assert(im > driftHeadroom,
         s"$d IVF: vec $iv margin $im within drift headroom — a real near-tie")
       (0 until VectorOps.PQ_M).foreach { sb =>
