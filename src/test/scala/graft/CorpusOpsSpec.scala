@@ -1150,6 +1150,46 @@ class CorpusOpsSpec extends SparkSpec {
       "most real docs should pass")
   }
 
+  test("compressibility proxy: features recomputed in the driver, calibrated against the exact DEFLATE gate (q255b)") {
+    // q255b exists so the DRIVER's DuckDB gate has a green
+    // compressibility row (q255's DEFLATE length is only replayable
+    // by the local Python-zlib oracle). Two claims pinned here:
+    // (1) the features are exactly the declared integer ratios —
+    // recomputed per doc in the driver; (2) the calibrated keep_proxy
+    // agrees with the exact tier's keep on >= 97% of the corpus at
+    // both gate SFs (measured 98.9-99.2% at all three SFs, round-12;
+    // the proxy is a gate companion, not a bit-equal replacement —
+    // its misses sit at the DEFLATE header-overhead boundary).
+    for (d <- Seq(sf001, sf("sf0.01"))) {
+      val out = CorpusOps.queries("q255b_compressibility_proxy")(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val docs = graft.T.documents(spark, d).select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.length === docs.size)
+      out.foreach { case (id, nChars, d8bp, bgbp, kp) =>
+        val t = docs(id)
+        assert(nChars === t.length.toLong, s"doc $id n_chars")
+        val t8 = math.max(t.length - 7, 0)
+        val wantD8 = if (t8 == 0) 10000L
+          else 10000L * t.sliding(8).toSeq.distinct.size / t8
+        assert(d8bp === wantD8, s"doc $id distinct8_bp")
+        val t2 = math.max(t.length - 1, 0)
+        val wantBg = if (t2 == 0) 10000L
+          else 10000L * t.sliding(2).toSeq.groupBy(identity).values.map(_.size).max / t2
+        assert(bgbp === wantBg, s"doc $id top_bigram_bp")
+        val wantKp = if ((wantD8 >= 9750 && nChars <= 70) ||
+          wantD8 < 1500 || wantBg >= 3000) 0L else 1L
+        assert(kp === wantKp, s"doc $id keep_proxy")
+      }
+      // calibration against the exact DEFLATE tier
+      val exact = CorpusOps.queries("q255_compression_gate")(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getLong(4)).toMap
+      val agree = out.count { case (id, _, _, _, kp) => kp == exact(id) }
+      assert(10000L * agree / out.length >= 9700L,
+        s"$d: proxy/exact agreement ${10000L * agree / out.length} bp < 9700")
+    }
+  }
+
   test("snake sharding: assignment recomputed, near-balance, beats contiguous blocks (q253)") {
     val rows = CorpusOps.queries("q253_snake_sharding")(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
