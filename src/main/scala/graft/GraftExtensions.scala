@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomKit, DotProduct, HadamardRotate, VecSub, VectorKernels}
+import graft.functions.{BloomKit, DotProduct, HadamardRotate, MatVec, VecSub, VectorKernels}
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hdrot"),
       new ExpressionInfo(classOf[HadamardRotate].getName, "graft_hdrot"),
       (exprs: Seq[Expression]) => VectorKernels.hdrotBuilder(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_matvec"),
+      new ExpressionInfo(classOf[MatVec].getName, "graft_matvec"),
+      (exprs: Seq[Expression]) => VectorKernels.matvecBuilder(exprs)))
     // Bloom build/probe (the runtime-filter machinery as a user
     // surface — BloomKit's scaladoc has the scale argument; q142 the
     // catalog application).

@@ -260,6 +260,90 @@ case class HadamardRotate(left: Expression, right: Expression) extends BinaryExp
     copy(left = newLeft, right = newRight)
 }
 
+/** Dense mat-vec for LEARNED rotations (round-12, the OPQ tier q288):
+  * y = M·x with M a flat ROW-MAJOR n×n matrix (array<double|float>,
+  * length n²) and x a length-n vector. The structured [[HadamardRotate]]
+  * butterfly only covers the FIXED ±1-diagonal rotation; a trained OPQ
+  * rotation is an arbitrary orthogonal matrix, and the higher-order
+  * `transform(sequence(...), i -> aggregate(...))` form would interpret
+  * its lambdas per corpus row (the measured CLAUDE.md HOF trap). Each
+  * output dim accumulates products left-to-right over j — exactly the
+  * per-output-dim sum the DuckDB oracle replays (engines differ only by
+  * the usual O(ulp) sum-order drift the argmin-margin bound absorbs).
+  * Same strict input domain as the other kernels, plus the length
+  * contract |M| = |x|².
+  */
+case class MatVec(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_matvec expects array<float|double> inputs (flat row-major matrix, vector), got ${left.dataType} and ${right.dataType}")
+
+  @transient private lazy val leftFloat = elemType(left).contains(FloatType)
+  @transient private lazy val rightFloat = elemType(right).contains(FloatType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val m = l.asInstanceOf[ArrayData]
+    val x = r.asInstanceOf[ArrayData]
+    val n = VectorKernels.checkedSquare("graft_matvec", m, x)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        val k = i * n + j
+        if (m.isNullAt(k) || x.isNullAt(j)) VectorKernels.nullElement("graft_matvec", k)
+        val a = if (leftFloat) m.getFloat(k).toDouble else m.getDouble(k)
+        val b = if (rightFloat) x.getFloat(j).toDouble else x.getDouble(j)
+        s += a * b
+        j += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, x) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      val getM = if (leftFloat) s"(double) $m.getFloat($k)" else s"$m.getDouble($k)"
+      val getX = if (rightFloat) s"(double) $x.getFloat($j)" else s"$x.getDouble($j)"
+      s"""
+         |int $n = graft.functions.VectorKernels.checkedSquare("graft_matvec", $m, $x);
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    int $k = $i * $n + $j;
+         |    if ($m.isNullAt($k) || $x.isNullAt($j)) graft.functions.VectorKernels.nullElement("graft_matvec", $k);
+         |    $acc += $getM * $getX;
+         |  }
+         |  $out[$i] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MatVec =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorKernels {
   /** Strict-input guards shared by the interpreted and generated paths
     * (round-9 advisor ask): the kernels' bit-identity claim vs the
@@ -293,6 +377,15 @@ object VectorKernels {
     n
   }
 
+  /** The mat-vec length contract: |M| must be exactly |x|². */
+  def checkedSquare(fn: String, m: ArrayData, x: ArrayData): Int = {
+    val n = x.numElements()
+    val mn = m.numElements()
+    if (mn != n.toLong * n) throw new IllegalArgumentException(
+      s"$fn: flat matrix has $mn elements, expected ${n.toLong * n} (= |vector|² for a length-$n vector)")
+    n
+  }
+
   /** Arity-checked builder shared with GraftExtensions: wrong-arity SQL
     * (graft_dot(v), graft_dot()) fails analysis with the expected
     * signature instead of an IndexOutOfBoundsException.
@@ -318,6 +411,13 @@ object VectorKernels {
     HadamardRotate(exprs(0), exprs(1))
   }
 
+  def matvecBuilder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_matvec(array<double>, array<float>) takes exactly 2 arguments (flat row-major matrix, vector), got ${exprs.length}")
+    MatVec(exprs(0), exprs(1))
+  }
+
   /** Idempotently register the SQL-facing kernel names on a session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -326,5 +426,7 @@ object VectorKernels {
       "graft_sub", subBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hdrot", hdrotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_matvec", matvecBuilder, "built-in")
   }
 }

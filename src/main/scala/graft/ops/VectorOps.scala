@@ -503,6 +503,195 @@ object VectorOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Newton–Schulz iterations for the OPQ Procrustes step (q287) —
+    * fixed count. With the ε·R0 completion lifting σ_min to ~0.06
+    * (see [[opqRotation]]), float NS reaches machine precision by
+    * ~iteration 16 (measured); 16 leaves headroom (converged by 12, measured float and fixed-point) and each iteration
+    * is two 64×64 integer matmuls — negligible at any corpus size.
+    * The fixed-point chain's residual floor is set by the 2^-20
+    * truncation, audited in VectorOpsSpec.
+    */
+  val OPQ_NS_ITERS = 16
+
+  /** Sign-split integer renorm division: truncation toward zero on
+    * BOTH engines whatever their native `div`/`//` rounding is (the
+    * q267 idiom — DuckDB-version-proof).
+    */
+  private def sdiv(num: String, den: Long): Column =
+    expr(s"CAST(sign($num) AS BIGINT) * (abs($num) div ${den}L)")
+
+  /** One fixed-point Newton–Schulz step toward the orthogonal polar
+    * factor: X ← X(3I − XᵀX)/2, on (i, j, q) relations at scale
+    * S = 2^20 (q ≈ S·X_ij). All products are exact BIGINT (|q| ≤ ~2S
+    * throughout, so Σ₆₄ q·q ≤ 2^48); the two renorm divisions
+    * truncate identically on both engines via [[sdiv]]. Package-
+    * private so the plan audit can pin the step directly (the chain
+    * checkpoints every iteration).
+    */
+  private[graft] def nsStep(x: DataFrame): DataFrame = {
+    val S = PCA_SCALE
+    val b = x.select(col("i").as("l"), col("j").as("bi"), col("q").as("q1"))
+      .join(x.select(col("i").as("l"), col("j").as("bj"), col("q").as("q2")), Seq("l"))
+      .groupBy(col("bi"), col("bj")).agg(sum(col("q1") * col("q2")).as("p"))
+      .select(col("bi"), col("bj"), sdiv("p", S).as("bq"))
+    val c = b.select(col("bi").as("l"), col("bj").as("cj"),
+      (when(col("bi") === col("bj"), lit(3L * S)).otherwise(lit(0L)) - col("bq")).as("c"))
+    x.select(col("i"), col("j").as("l"), col("q").as("q1"))
+      .join(c, Seq("l"))
+      .groupBy(col("i"), col("cj")).agg(sum(col("q1") * col("c")).as("p"))
+      .select(col("i"), col("cj").as("j"), sdiv("p", 2 * S).as("q"))
+  }
+
+  /** The OPQ-NP trained rotation chain (q287/q288) — see the q287
+    * entry comment for the construction. Returns (i, j, q): the
+    * 64×64 rotation R1 in 2^20 fixed point, row-major 1-based dims.
+    * Engine-stability ledger: the PQ codes are discrete (argmin
+    * margins audited); Ŷ and M are doubles whose partial sums merge
+    * in engine order, absorbed by the ONE quantization boundary
+    * (floor(M·2^(20−k))) whose margins the spec audits (the q285
+    * pattern); k itself derives from bin(ceil(‖M‖_F)) — an integer
+    * crossing audited the same way; everything after ns0 is exact
+    * BIGINT arithmetic, bit-identical at any partition count.
+    */
+  /** The OPQ cross-covariance M_ij = Σ_n ŷ_n[i]·x_n[j] (q287's one
+    * corpus pass), CHECKPOINTED — package-private so the spec can
+    * audit the quantization boundary margins and the plan audit can
+    * pin the (i, j)-keyed partial aggregation directly. ŷ = concat of
+    * assigned codewords, built map-side from 4 broadcast codebook
+    * joins; the only corpus-keyed exchange is ONE vec_id join of two
+    * array rows, then 4096 products per vector explode map-side into
+    * (i, j)-keyed partials — the q276 Gram-pass shape.
+    */
+  private[graft] def opqCrossCov(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(s)
+    val er = rotated(s, d).localCheckpoint(true)
+    val slices = pqSubSlices(er)
+    val cbF = kmeansCentroidsFused(er, slices, k = PQ_K, iters = PQ_ITERS)
+    val codes = pqCodesFused(slices, cbF)
+    val cbs = (0 until PQ_M).map(sb => broadcast(cbF.filter(col("sub") === sb)
+      .select(col("cell").cast("byte").as(s"c$sb"), col("cv").as(s"cv$sb"))))
+    val y64 = codes.join(cbs(0), Seq("c0")).join(cbs(1), Seq("c1"))
+      .join(cbs(2), Seq("c2")).join(cbs(3), Seq("c3"))
+      .select(col("vec_id"), expr("concat(cv0, cv1, cv2, cv3)").as("y"))
+    y64
+      .join(T.embeddings(s, d).select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(posexplode(col("y")).as(Seq("pi", "yv")), col("embedding"))
+      .select((col("pi") + 1).as("i"), col("yv"), posexplode(col("embedding")))
+      .select(col("i"), (col("pos") + 1).as("j"),
+        (col("yv") * col("col").cast("double")).as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("m"))
+  }
+
+  private[graft] def opqRotation(s: SparkSession, d: String): DataFrame = {
+    // checkpointed HERE (not in opqCrossCov, whose lazy plan the
+    // audits inspect): kRel and a0 both consume it
+    val m = opqCrossCov(s, d).localCheckpoint(true)
+    // power-of-two Frobenius normalization: 2^k ≥ ‖M‖_F via the bit
+    // length of ⌈‖M‖_F⌉ — no log2 (whose last-ulp could differ across
+    // engines near an integer); σ_max(M/2^k) ≤ ‖M‖_F/2^k ≤ 1 < √3,
+    // the Newton–Schulz convergence domain
+    val kRel = m.agg(expr("CAST(ceil(sqrt(sum(m * m))) AS BIGINT)").as("f"))
+      .select(length(expr("bin(f)")).as("k"))
+    // ε·R0 null-space completion (measured necessity: on the synthetic
+    // corpus M is rank-deficient — 14 singular values < 0.01, σ_min ≈
+    // 4e-8 — because the PQ centroids cluster near the data mean, so
+    // the polar factor is ill-defined in the null directions and bare
+    // NS crawls there at ×1.5/iter from 4e-8). Any orthogonal
+    // completion of those zero-signal directions is Procrustes-optimal;
+    // adding ε·R0 (ε = 1/16, R0 = the H·D init) picks the one nearest
+    // the initialization and lifts σ_min to ~0.06 (measured), inside
+    // NS's fast-convergence regime. ε·R0's fixed-point image is
+    // EXACTLY ±2^20/(16·8) = ±8192 — an exact integer on both
+    // engines, no new quantization boundary.
+    val prior = (when(expr("bit_count((i - 1) & (j - 1)) % 2 = 0"), lit(1L))
+      .otherwise(lit(-1L)) *
+      element_at(typedlit(hdSigns.toSeq), col("j").cast("int")).cast("long") *
+      lit(8192L))
+    val a0 = m.crossJoin(broadcast(kRel))
+      .select(col("i"), col("j"),
+        (expr("CAST(floor(m * pow(2.0, 20 - k)) AS BIGINT)") + prior).as("q"))
+      .localCheckpoint(true)
+    var x = a0
+    for (_ <- 1 to OPQ_NS_ITERS) {
+      val cp = nsStep(x).localCheckpoint(true)
+      // localCheckpoint truncates LINEAGE but copies the origin
+      // plan's ESTIMATED sizeInBytes into the LogicalRDD, and
+      // nsStep's self-joins CUBE that estimate — 3^16 compounding
+      // had the optimizer multiplying million-digit BigInts by
+      // iteration 12 (measured: ns12 alone 100 s of driver CPU in
+      // the stats visitor). Rebuilding the frame over the
+      // checkpointed rows resets the estimate to the default.
+      x = s.createDataFrame(cp.rdd, cp.schema)
+    }
+    x
+  }
+
+  /** The rotated-space ADC recall audit shared by q266 (fixed H·D
+    * rotation) and q288 (trained OPQ rotation): PQ codebooks trained
+    * on the supplied ROTATED corpus `er` (checkpointed by the
+    * caller), queries rotate with the corpus (er rows vec_id < 5),
+    * ADC candidates and lookup tables in rotated space; the exact
+    * reference top-5 and the 50-deep re-rank run in RAW space —
+    * exact for q266's isometry, and for q288 an audited
+    * near-isometry (recall is measured against raw exact truth
+    * whatever the rotation is).
+    */
+  private def adcRecallOverRotated(s: SparkSession, d: String, er: DataFrame): DataFrame = {
+    val slices = pqSubSlices(er)
+    val cbF = kmeansCentroidsFused(er, slices, k = PQ_K, iters = PQ_ITERS)
+    val codes = pqCodesFused(slices, cbF)
+    val q0 = er.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv0"))
+    val dqs = (0 until PQ_M).map { sb =>
+      broadcast(q0
+        .select(col("q_id"),
+          expr(s"slice(qv0, ${PQ_D * sb + 1}, $PQ_D)").as("qs"))
+        .crossJoin(broadcast(cbF.filter(col("sub") === sb)
+          .select(col("cell").cast("byte").as(s"c$sb"), col("cv"))))
+        .select(col("q_id"), col(s"c$sb"),
+          expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cv) + graft_dot(cv, cv)")
+            .as(s"d$sb")))
+    }
+    val cand = codes.join(dqs(0), Seq("c0"))
+      .join(dqs(1), Seq("q_id", "c1"))
+      .join(dqs(2), Seq("q_id", "c2"))
+      .join(dqs(3), Seq("q_id", "c3"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("id2"),
+        expr("d0 + d1 + d2 + d3").as("adc"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("id2"))
+    val ranked = cand.withColumn("rn", row_number().over(wAdc))
+    val topAdc = ranked.filter(col("rn") <= 5).select(col("q_id"), col("id2"))
+    val short50 = ranked.filter(col("rn") <= 50).select(col("q_id"), col("id2"))
+    val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val ef = base.withColumn("sq", expr("graft_dot(v, v)"))
+    val q = broadcast(ef.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sq").as("qq")))
+    val c = ef.select(col("vec_id").as("id2"), col("v").as("v2"), col("sq").as("s2"))
+    val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id2"))
+    val topEx = q.join(c, col("q_id") =!= col("id2"))
+      .withColumn("d2", expr("qq - 2 * graft_dot(qv, v2) + s2"))
+      .withColumn("rn", row_number().over(wEx))
+      .filter(col("rn") <= 5)
+      .select(col("q_id").as("fq"), col("id2").as("fid"))
+    val rerank = c.join(broadcast(short50.join(broadcast(q), Seq("q_id"))),
+        Seq("id2"))
+      .withColumn("d2", expr("qq - 2 * graft_dot(qv, v2) + s2"))
+      .withColumn("rn", row_number().over(wEx))
+      .filter(col("rn") <= 5).select(col("q_id"), col("id2"))
+    def overlap(top: DataFrame, n: String) =
+      top.join(broadcast(topEx),
+          col("q_id") === col("fq") && col("id2") === col("fid"), "left")
+        .groupBy(col("q_id")).agg(count(col("fid")).as(n))
+    overlap(topAdc, "n_overlap_adc")
+      .join(overlap(rerank, "n_overlap_rerank"), Seq("q_id"))
+      .select(col("q_id"),
+        col("n_overlap_adc"), (col("n_overlap_adc") * 2000).as("recall_adc_bp"),
+        col("n_overlap_rerank"),
+        (col("n_overlap_rerank") * 2000).as("recall_rerank_bp"))
+      .orderBy(col("q_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Label-blocked near-duplicate pairs by cosine ≥ 0.35 — enumerated
     // through the chunked triangle join so a dominant label stays
@@ -1351,60 +1540,57 @@ object VectorOps {
     // unchanged if this tier were promoted to a stored index).
     "q266_rrpq_adc_recall" -> ((s, d) => {
       graft.functions.VectorKernels.ensureRegistered(s)
-      val er = rotated(s, d).localCheckpoint(true)
-      val slices = pqSubSlices(er)
-      val cbF = kmeansCentroidsFused(er, slices, k = PQ_K, iters = PQ_ITERS)
-      val codes = pqCodesFused(slices, cbF)
-      val q0 = er.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv0"))
-      val dqs = (0 until PQ_M).map { sb =>
-        broadcast(q0
-          .select(col("q_id"),
-            expr(s"slice(qv0, ${PQ_D * sb + 1}, $PQ_D)").as("qs"))
-          .crossJoin(broadcast(cbF.filter(col("sub") === sb)
-            .select(col("cell").cast("byte").as(s"c$sb"), col("cv"))))
-          .select(col("q_id"), col(s"c$sb"),
-            expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cv) + graft_dot(cv, cv)")
-              .as(s"d$sb")))
-      }
-      val cand = codes.join(dqs(0), Seq("c0"))
-        .join(dqs(1), Seq("q_id", "c1"))
-        .join(dqs(2), Seq("q_id", "c2"))
-        .join(dqs(3), Seq("q_id", "c3"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .select(col("q_id"), col("vec_id").as("id2"),
-          expr("d0 + d1 + d2 + d3").as("adc"))
-      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("id2"))
-      val ranked = cand.withColumn("rn", row_number().over(wAdc))
-      val topAdc = ranked.filter(col("rn") <= 5).select(col("q_id"), col("id2"))
-      val short50 = ranked.filter(col("rn") <= 50).select(col("q_id"), col("id2"))
-      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
-      val ef = base.withColumn("sq", expr("graft_dot(v, v)"))
-      val q = broadcast(ef.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sq").as("qq")))
-      val c = ef.select(col("vec_id").as("id2"), col("v").as("v2"), col("sq").as("s2"))
-      val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id2"))
-      val topEx = q.join(c, col("q_id") =!= col("id2"))
-        .withColumn("d2", expr("qq - 2 * graft_dot(qv, v2) + s2"))
-        .withColumn("rn", row_number().over(wEx))
-        .filter(col("rn") <= 5)
-        .select(col("q_id").as("fq"), col("id2").as("fid"))
-      val rerank = c.join(broadcast(short50.join(broadcast(q), Seq("q_id"))),
-          Seq("id2"))
-        .withColumn("d2", expr("qq - 2 * graft_dot(qv, v2) + s2"))
-        .withColumn("rn", row_number().over(wEx))
-        .filter(col("rn") <= 5).select(col("q_id"), col("id2"))
-      def overlap(top: DataFrame, n: String) =
-        top.join(broadcast(topEx),
-            col("q_id") === col("fq") && col("id2") === col("fid"), "left")
-          .groupBy(col("q_id")).agg(count(col("fid")).as(n))
-      overlap(topAdc, "n_overlap_adc")
-        .join(overlap(rerank, "n_overlap_rerank"), Seq("q_id"))
-        .select(col("q_id"),
-          col("n_overlap_adc"), (col("n_overlap_adc") * 2000).as("recall_adc_bp"),
-          col("n_overlap_rerank"),
-          (col("n_overlap_rerank") * 2000).as("recall_rerank_bp"))
-        .orderBy(col("q_id"))
+      adcRecallOverRotated(s, d, rotated(s, d).localCheckpoint(true))
+    }),
+
+    // OPQ-NP trained rotation (round-12, Ge/He/Ke/Sun CVPR 2013 §4 —
+    // the natural completion of the PQ family next to q265/q266's
+    // RANDOM-rotation baseline): one non-parametric alternation from
+    // R0 = the fixed H·D rotation — (a) PQ-fit on the R0-rotated
+    // corpus (q265's audited fused chain), (b) the orthogonal
+    // Procrustes update R1 = polar(Ŷ·Xᵀ) computed by a FIXED-POINT
+    // Newton–Schulz iteration (X_{t+1} = X_t(3I − X_tᵀX_t)/2, the
+    // q276 exact-integer discipline: the cross-covariance M is
+    // quantized ONCE at 2^20 after a power-of-two Frobenius
+    // normalization, then every matmul runs in exact BIGINT with
+    // sign-split renorm divisions — bit-identical across engines at
+    // any partition count, so the whole 16-iteration chain is FULLY
+    // oracle-checked). Output: the 64×64 trained rotation in fixed
+    // point. Scale: ONE corpus pass for M ((i,j)-keyed partial aggs
+    // of 4096 map-side products per vector — the q276 Gram shape)
+    // on top of the audited assignment substrate; the NS iterations
+    // touch 64×64 relations only.
+    "q287_opq_rotation" -> ((s, d) =>
+      opqRotation(s, d)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("q").as("r_q"))
+        .orderBy(col("i"), col("j"))),
+
+    // OPQ ADC recall (q266's audit repeated under the TRAINED
+    // rotation — the honest measurement the rotation tier exists
+    // for): codes and ADC tables live in R1-rotated space (the
+    // corpus rotates through the codegen'd graft_matvec kernel; R1's
+    // fixed-point entries divide to exact dyadic doubles, so both
+    // engines rotate with IDENTICAL matrices and differ only by
+    // sum-order ulps — the audited argmin-margin bound), exact
+    // reference and re-rank in RAW space. R1 is only NEAR-orthogonal
+    // (quantized NS, residual audited in spec), which the raw-space
+    // re-rank makes harmless: recall numbers are measured against
+    // raw exact truth whatever the rotation is. On the synthetic
+    // near-isotropic embeddings OPQ is expectedly ~recall-neutral vs
+    // q266 (no subspace correlation to fix) — recording that is the
+    // point, same posture as q266 vs q260.
+    "q288_opq_adc_recall" -> ((s, d) => {
+      graft.functions.VectorKernels.ensureRegistered(s)
+      val rflat = opqRotation(s, d)
+        .agg(array_sort(collect_list(struct(col("i"), col("j"), col("q")))).as("rs"))
+        .select(expr(s"transform(rs, x -> CAST(x.q AS DOUBLE) / $PCA_SCALE.0)")
+          .as("rflat"))
+      val er1 = T.embeddings(s, d)
+        .crossJoin(broadcast(rflat))
+        .select(col("vec_id"), expr("graft_matvec(rflat, embedding)").as("v"))
+        .localCheckpoint(true)
+      adcRecallOverRotated(s, d, er1)
     }),
 
     // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
@@ -2191,6 +2377,129 @@ object VectorOps {
   /** All PQ_M subspace chains plus the shared exploded/init prefix. */
   private lazy val pqPrefixCte: String = s"WITH $eCteBody,\n$pqChainBody"
 
+  /** The fixed-point Newton–Schulz iterations of q287's Procrustes
+    * step, unrolled: B = XᵀX with a sign-split renorm by S, then
+    * X(3S·I − B) with a sign-split renorm by 2S — exact BIGINT
+    * mirrors of [[nsStep]] (sign-split division truncates toward
+    * zero on both engines whatever their native rounding —
+    * DuckDB-version-proof).
+    */
+  private lazy val nsIterSql: String = (1 to OPQ_NS_ITERS).map { t =>
+    val prev = s"ns${t - 1}"
+    s"""nsb$t AS (
+       |  SELECT bi, bj, CAST(sign(p) AS BIGINT) * (abs(p) // $PCA_SCALE) AS bq
+       |  FROM (SELECT a.j AS bi, b.j AS bj, sum(a.q * b.q) AS p
+       |        FROM $prev a JOIN $prev b ON a.i = b.i GROUP BY 1, 2)
+       |), ns$t AS MATERIALIZED (
+       |  SELECT i, j, CAST(sign(p) AS BIGINT) * (abs(p) // ${2 * PCA_SCALE}) AS q
+       |  FROM (SELECT x.i, c.bj AS j, sum(x.q * c.c) AS p
+       |        FROM $prev x JOIN (
+       |          SELECT bi, bj,
+       |                 (CASE WHEN bi = bj THEN ${3 * PCA_SCALE} ELSE 0 END) - bq AS c
+       |          FROM nsb$t) c ON x.j = c.bi
+       |        GROUP BY 1, 2)
+       |)""".stripMargin
+  }.mkString(",\n")
+
+  /** The q287 OPQ-NP chain body (no WITH, needs e): the fixed H·D
+    * rotation, the four PQ chains over it (q265's substrate, prefix
+    * t — shared with the q266 oracle), the reconstruction Ŷ from the
+    * final codes/codebooks, the cross-covariance M = Ŷ·Xᵀ, the
+    * power-of-two Frobenius normalization (bit length of ⌈‖M‖_F⌉ —
+    * no log2, whose last ulp could differ across engines), the ONE
+    * float→int quantization (margins audited in VectorOpsSpec), and
+    * the exact-integer NS iterations.
+    */
+  private lazy val opqChainBody: String = {
+    val yhatArms = (0 until PQ_M).map(sb =>
+      s"  SELECT g.vec_id, c.i, c.cv AS y FROM t${sb}gf g " +
+        s"JOIN t${sb}c$PQ_ITERS c ON g.cell = c.cell")
+    s"""$rotCteBody,
+       |$init16Cte,
+       |${(0 until PQ_M).map(sb => pqChainSqlFrom(sb, "er", "t")).mkString(",\n")},
+       |yhat AS (
+       |${yhatArms.mkString("\n  UNION ALL\n")}
+       |), mm AS MATERIALIZED (
+       |  SELECT y.i, x.i AS j, sum(y.y * x.v) AS m
+       |  FROM yhat y JOIN e x ON y.vec_id = x.vec_id
+       |  GROUP BY 1, 2
+       |), kk AS MATERIALIZED (
+       |  SELECT length(bin(CAST(ceil(sqrt(sum(m * m))) AS BIGINT))) AS k FROM mm
+       |), ns0 AS MATERIALIZED (
+       |  SELECT i, j, CAST(floor(m * pow(2.0, 20 - k)) AS BIGINT)
+       |         + (CASE WHEN bit_count(CAST(i - 1 AS BIGINT) & CAST(j - 1 AS BIGINT)) % 2 = 0
+       |                 THEN 8192 ELSE -8192 END)
+       |           * (CASE WHEN CAST(('0x' || substr(md5('rot' || CAST(j AS VARCHAR)), 1, 8))
+       |                        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) AS q
+       |  FROM mm CROSS JOIN kk
+       |),
+       |$nsIterSql""".stripMargin
+  }
+
+  /** The rotated-space ADC recall tail shared by the q266 and q288
+    * oracles (the SQL mirror of [[adcRecallOverRotated]]): expects
+    * the `$pfx{sb}gf` code and `$pfx{sb}dq` query-distance CTEs plus
+    * raw `e` in scope; exact reference and re-rank in raw space.
+    */
+  private def rotAdcTailSql(pfx: String): String =
+    s"""codes AS (
+       |  SELECT g0.vec_id, g0.cell AS c0, g1.cell AS c1,
+       |         g2.cell AS c2, g3.cell AS c3
+       |  FROM ${pfx}0gf g0 JOIN ${pfx}1gf g1 USING (vec_id)
+       |       JOIN ${pfx}2gf g2 USING (vec_id) JOIN ${pfx}3gf g3 USING (vec_id)
+       |), cand AS (
+       |  SELECT d0.q_id, codes.vec_id AS id2,
+       |         d0.d + d1.d + d2.d + d3.d AS adc
+       |  FROM codes
+       |  JOIN ${pfx}0dq d0 ON codes.c0 = d0.cell
+       |  JOIN ${pfx}1dq d1 ON d1.q_id = d0.q_id AND codes.c1 = d1.cell
+       |  JOIN ${pfx}2dq d2 ON d2.q_id = d0.q_id AND codes.c2 = d2.cell
+       |  JOIN ${pfx}3dq d3 ON d3.q_id = d0.q_id AND codes.c3 = d3.cell
+       |  WHERE codes.vec_id <> d0.q_id
+       |), rk AS (
+       |  SELECT q_id, id2, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY adc, id2) AS rn FROM cand
+       |), ta AS (SELECT q_id, id2 FROM rk WHERE rn <= 5),
+       |tr50 AS (SELECT q_id, id2 FROM rk WHERE rn <= 50),
+       |sq AS (SELECT vec_id, sum(v*v) AS s FROM e GROUP BY 1),
+       |dt AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS id2, sum(a.v*b.v) AS dot
+       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 5
+       |                    AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2
+       |), te AS (
+       |  SELECT q_id, id2 FROM (
+       |    SELECT dt.q_id, dt.id2, row_number() OVER (
+       |      PARTITION BY dt.q_id
+       |      ORDER BY sa.s - 2*dt.dot + sb.s, dt.id2) AS rn
+       |    FROM dt JOIN sq sa ON dt.q_id = sa.vec_id
+       |            JOIN sq sb ON dt.id2 = sb.vec_id)
+       |  WHERE rn <= 5
+       |), trr AS (
+       |  SELECT q_id, id2 FROM (
+       |    SELECT dt.q_id, dt.id2, row_number() OVER (
+       |      PARTITION BY dt.q_id
+       |      ORDER BY sa.s - 2*dt.dot + sb.s, dt.id2) AS rn
+       |    FROM tr50 JOIN dt ON tr50.q_id = dt.q_id AND tr50.id2 = dt.id2
+       |              JOIN sq sa ON dt.q_id = sa.vec_id
+       |              JOIN sq sb ON dt.id2 = sb.vec_id)
+       |  WHERE rn <= 5
+       |), ova AS (
+       |  SELECT ta.q_id, CAST(count(te.id2) AS BIGINT) AS n_overlap_adc
+       |  FROM ta LEFT JOIN te ON ta.q_id = te.q_id AND ta.id2 = te.id2
+       |  GROUP BY 1
+       |), ovr AS (
+       |  SELECT trr.q_id, CAST(count(te.id2) AS BIGINT) AS n_overlap_rerank
+       |  FROM trr LEFT JOIN te ON trr.q_id = te.q_id AND trr.id2 = te.id2
+       |  GROUP BY 1
+       |)
+       |SELECT ova.q_id, n_overlap_adc,
+       |       CAST(n_overlap_adc * 2000 AS BIGINT) AS recall_adc_bp,
+       |       n_overlap_rerank,
+       |       CAST(n_overlap_rerank * 2000 AS BIGINT) AS recall_rerank_bp
+       |FROM ova JOIN ovr ON ova.q_id = ovr.q_id
+       |ORDER BY ova.q_id""".stripMargin
+
   /** The LSH signature substrate as a WITH-chain: the 8×64 fixed-seed
     * plane constants as full-precision %.17E literals (DOUBLE-lexed in
     * DuckDB, exact JVM-double round-trip), exploded doubles, per-plane
@@ -2849,69 +3158,42 @@ object VectorOps {
     // RR-PQ ADC recall: rotated-space codes + dq tables (the t-chains'
     // own dq CTE — queries rotate through the same closed form),
     // raw-space exact reference and re-rank (isometry: identical
-    // ranks). q260's tail verbatim, t-prefixed code/dq sources.
+    // ranks). q260's tail verbatim, t-prefixed code/dq sources
+    // (shared with the q288 oracle via [[rotAdcTailSql]]).
     "q266_rrpq_adc_recall" ->
       s"""WITH $eCteBody,
          |$rotCteBody,
          |$init16Cte,
          |${(0 until PQ_M).map(sb => pqChainSqlFrom(sb, "er", "t")).mkString(",\n")},
-         |codes AS (
-         |  SELECT g0.vec_id, g0.cell AS c0, g1.cell AS c1,
-         |         g2.cell AS c2, g3.cell AS c3
-         |  FROM t0gf g0 JOIN t1gf g1 USING (vec_id)
-         |       JOIN t2gf g2 USING (vec_id) JOIN t3gf g3 USING (vec_id)
-         |), cand AS (
-         |  SELECT d0.q_id, codes.vec_id AS id2,
-         |         d0.d + d1.d + d2.d + d3.d AS adc
-         |  FROM codes
-         |  JOIN t0dq d0 ON codes.c0 = d0.cell
-         |  JOIN t1dq d1 ON d1.q_id = d0.q_id AND codes.c1 = d1.cell
-         |  JOIN t2dq d2 ON d2.q_id = d0.q_id AND codes.c2 = d2.cell
-         |  JOIN t3dq d3 ON d3.q_id = d0.q_id AND codes.c3 = d3.cell
-         |  WHERE codes.vec_id <> d0.q_id
-         |), rk AS (
-         |  SELECT q_id, id2, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY adc, id2) AS rn FROM cand
-         |), ta AS (SELECT q_id, id2 FROM rk WHERE rn <= 5),
-         |tr50 AS (SELECT q_id, id2 FROM rk WHERE rn <= 50),
-         |sq AS (SELECT vec_id, sum(v*v) AS s FROM e GROUP BY 1),
-         |dt AS (
-         |  SELECT a.vec_id AS q_id, b.vec_id AS id2, sum(a.v*b.v) AS dot
-         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 5
-         |                    AND b.vec_id <> a.vec_id
+         |${rotAdcTailSql("t")}""".stripMargin,
+
+    // OPQ-NP trained rotation: the whole chain replayed — H·D
+    // rotation, the four t-chains, Ŷ reconstruction, M, the bin()
+    // Frobenius normalization, the single floor quantization, and
+    // all exact-BIGINT Newton–Schulz iterations (bit-exact by
+    // construction after ns0 — see [[opqChainBody]]).
+    "q287_opq_rotation" ->
+      s"""WITH $eCteBody,
+         |$opqChainBody
+         |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         |       CAST(q AS BIGINT) AS r_q
+         |FROM ns$OPQ_NS_ITERS ORDER BY i, j""".stripMargin,
+
+    // OPQ ADC recall: the q287 chain produces R1; er1 rotates the
+    // corpus by R1's exact dyadic entries (q/2^20 — both engines
+    // build IDENTICAL doubles, per-dim sums differ by the usual
+    // O(ulp)); four fresh PQ chains over er1 (prefix o, same md5
+    // seed order), then the shared rotated-ADC tail.
+    "q288_opq_adc_recall" ->
+      s"""WITH $eCteBody,
+         |$opqChainBody,
+         |er1 AS MATERIALIZED (
+         |  SELECT e.vec_id, r.i, sum((CAST(r.q AS DOUBLE) / $PCA_SCALE.0) * e.v) AS v
+         |  FROM ns$OPQ_NS_ITERS r JOIN e ON e.i = r.j
          |  GROUP BY 1, 2
-         |), te AS (
-         |  SELECT q_id, id2 FROM (
-         |    SELECT dt.q_id, dt.id2, row_number() OVER (
-         |      PARTITION BY dt.q_id
-         |      ORDER BY sa.s - 2*dt.dot + sb.s, dt.id2) AS rn
-         |    FROM dt JOIN sq sa ON dt.q_id = sa.vec_id
-         |            JOIN sq sb ON dt.id2 = sb.vec_id)
-         |  WHERE rn <= 5
-         |), trr AS (
-         |  SELECT q_id, id2 FROM (
-         |    SELECT dt.q_id, dt.id2, row_number() OVER (
-         |      PARTITION BY dt.q_id
-         |      ORDER BY sa.s - 2*dt.dot + sb.s, dt.id2) AS rn
-         |    FROM tr50 JOIN dt ON tr50.q_id = dt.q_id AND tr50.id2 = dt.id2
-         |              JOIN sq sa ON dt.q_id = sa.vec_id
-         |              JOIN sq sb ON dt.id2 = sb.vec_id)
-         |  WHERE rn <= 5
-         |), ova AS (
-         |  SELECT ta.q_id, CAST(count(te.id2) AS BIGINT) AS n_overlap_adc
-         |  FROM ta LEFT JOIN te ON ta.q_id = te.q_id AND ta.id2 = te.id2
-         |  GROUP BY 1
-         |), ovr AS (
-         |  SELECT trr.q_id, CAST(count(te.id2) AS BIGINT) AS n_overlap_rerank
-         |  FROM trr LEFT JOIN te ON trr.q_id = te.q_id AND trr.id2 = te.id2
-         |  GROUP BY 1
-         |)
-         |SELECT ova.q_id, n_overlap_adc,
-         |       CAST(n_overlap_adc * 2000 AS BIGINT) AS recall_adc_bp,
-         |       n_overlap_rerank,
-         |       CAST(n_overlap_rerank * 2000 AS BIGINT) AS recall_rerank_bp
-         |FROM ova JOIN ovr ON ova.q_id = ovr.q_id
-         |ORDER BY ova.q_id""".stripMargin,
+         |),
+         |${(0 until PQ_M).map(sb => pqChainSqlFrom(sb, "er1", "o")).mkString(",\n")},
+         |${rotAdcTailSql("o")}""".stripMargin,
 
     // SemDeDup: the IVF chain replayed (g5 = the stored cell
     // assignment — q262's substrate-agreement invariant makes the

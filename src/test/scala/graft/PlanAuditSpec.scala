@@ -721,16 +721,44 @@ class PlanAuditSpec extends SparkSpec {
     // rows map-side first (the rotation itself is a map-side kernel
     // call — it can add no exchange of its own)
     assertKeyedExchangesPartialAggFed("q265_rrpq_codebook", "vec_id")
-    // q266: the dq lookup tables and the shortlist ride broadcasts;
-    // the codes relation never hash-shuffles on a code column
-    val p = physical("q266_rrpq_adc_recall")
-    assert(p.collect {
-      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
-    }.size >= 4, "q266: expected >= 4 broadcast dq/shortlist exchanges")
-    (0 until 4).foreach { sb =>
-      assert(shuffles(p).forall(e => !hashKeys(e).contains(s"c$sb")),
-        s"q266: codes must never hash-shuffle on c$sb")
+    // q266/q288: the dq lookup tables and the shortlist ride
+    // broadcasts; the codes relation never hash-shuffles on a code
+    // column (q288 is the same tail under the trained rotation)
+    Seq("q266_rrpq_adc_recall", "q288_opq_adc_recall").foreach { qn =>
+      val p = physical(qn)
+      assert(p.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }.size >= 4, s"$qn: expected >= 4 broadcast dq/shortlist exchanges")
+      (0 until 4).foreach { sb =>
+        assert(shuffles(p).forall(e => !hashKeys(e).contains(s"c$sb")),
+          s"$qn: codes must never hash-shuffle on c$sb")
+      }
     }
+  }
+
+  test("opq chain: cross-covariance collapses map-side, NS matmuls shuffle matrix-keyed partials (q287)") {
+    // The one corpus pass (M = Ŷ·Xᵀ) must reach its (i, j) rollup as
+    // map-side partials — 4096 products per vector combine BEFORE the
+    // exchange, so the shuffle carries P×4096 partial rows however
+    // large the corpus (the q276 Gram-pass claim, pinned on the
+    // package-private relation because the full query hides it behind
+    // the chain's checkpoints).
+    val pm = physical(graft.ops.VectorOps.opqCrossCov(spark, sf001))
+    val ijKeyed = pm.collect { case e: ShuffleExchangeExec => e }
+      .filter(e => hashKeys(e) == Seq("i", "j"))
+    assert(ijKeyed.nonEmpty && ijKeyed.forall(partialAggFed),
+      "q287: the (i,j) cross-covariance exchange must carry map-side partials")
+    // One NS step audited directly (the loop checkpoints each
+    // iteration): both 64×64 matmul rollups are partial-agg-fed.
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val x0 = (for (i <- 1 to 64; j <- 1 to 64) yield (i, j, ((i * 7 + j) % 13).toLong))
+      .toDF("i", "j", "q")
+    val pns = physical(graft.ops.VectorOps.nsStep(x0))
+    val aggKeyed = pns.collect { case e: ShuffleExchangeExec => e }
+      .filter(e => hashKeys(e) == Seq("bi", "bj") || hashKeys(e) == Seq("i", "cj"))
+    assert(aggKeyed.nonEmpty && aggKeyed.forall(partialAggFed),
+      "q287: NS matmul rollups must shuffle map-side partials")
   }
 
   test("vector substrate audits shuffle partials only (q257/q258)") {

@@ -155,4 +155,33 @@ class VectorKernelsSpec extends SparkSpec {
     val ex2 = intercept[Exception](uneven2.select(expr("graft_hdrot(f, s)")).collect())
     assert(msgs(ex2).exists(_.contains("differ in length")), ex2.getMessage)
   }
+
+  test("graft_matvec matches the per-output-dim driver recompute with the strict kernel domain") {
+    VectorKernels.ensureRegistered(spark)
+    import spark.implicits._
+    // dense mat-vec against a known matrix: y_i = Σ_j M[i*n+j]·x_j,
+    // accumulated left-to-right — the arithmetic the q288 oracle's
+    // per-dim sums replay (up to sum-order ulps; here n is small
+    // enough that the driver recompute in the same order is exact)
+    val mFlat = (0 until 9).map(k => (k + 1).toDouble)      // 3×3 row-major
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "x")
+    val got = df.select(call_udf("graft_matvec", typedlit(mFlat), col("x")))
+      .collect().head.getSeq[Double](0)
+    assert(got == Seq(14.0, 32.0, 50.0))                     // [1 2 3; 4 5 6; 7 8 9]·[1 2 3]
+    // identity matrix: exact pass-through (float widened to double)
+    val idFlat = (for (i <- 0 until 64; j <- 0 until 64)
+      yield if (i == j) 1.0 else 0.0).toIndexedSeq
+    val e = T.embeddings(spark, sf001).limit(20)
+    e.select(col("embedding"),
+        call_udf("graft_matvec", typedlit(idFlat), col("embedding")).as("y"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Float](0).map(_.toDouble) == r.getSeq[Double](1))
+      }
+    // strict domain: |M| must be exactly |x|²
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val bad = Seq((Seq(1.0f, 2.0f), Seq(1.0d, 2.0d, 3.0d))).toDF("x", "m")
+    val ex = intercept[Exception](bad.select(expr("graft_matvec(m, x)")).collect())
+    assert(msgs(ex).exists(_.contains("expected")), ex.getMessage)
+  }
 }

@@ -633,6 +633,98 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("opq rotation: near-orthogonal, deterministic, layout-invariant, boundary margins wide (q287)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val rows = VectorOps.queries("q287_opq_rotation")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(t => (t._1, t._2)).toSet ===
+      (for (i <- 1L to 64L; j <- 1L to 64L) yield (i, j)).toSet)
+    // orthogonality: the trained R = q/2^20 must be orthogonal to the
+    // fixed-point floor (measured 8e-6; the ε·R0 completion guarantees
+    // NS converges — a regression past 1e-4 means the completion or
+    // the iteration broke)
+    val S = VectorOps.PCA_SCALE.toDouble
+    val R = Array.ofDim[Double](64, 64)
+    rows.foreach { case (i, j, q) => R(i.toInt - 1)(j.toInt - 1) = q / S }
+    var resid = 0.0
+    for (a <- 0 until 64; b <- 0 until 64) {
+      var s2 = 0.0
+      var l = 0
+      while (l < 64) { s2 += R(l)(a) * R(l)(b); l += 1 }
+      resid = math.max(resid, math.abs(s2 - (if (a == b) 1.0 else 0.0)))
+    }
+    assert(resid < 1e-4, s"trained rotation not orthogonal: max |RᵀR−I| = $resid")
+    // the ONE float→int boundary: every M entry's image m·2^(20−k)
+    // must sit far from an integer (the q285 margin discipline —
+    // cross-engine sum-order drift on M is O(ulp), so 1e-6 of margin
+    // is orders of headroom), and ⌈‖M‖_F⌉ must not sit on an integer
+    // crossing (k = its bit length)
+    val m = VectorOps.opqCrossCov(spark, sf001).collect()
+      .map(r => r.getDouble(2))
+    val frob = math.sqrt(m.map(x => x * x).sum)
+    val fFrac = frob - math.floor(frob)
+    assert(math.min(fFrac, 1 - fFrac) > 1e-6, s"‖M‖_F $frob within drift of an integer")
+    val k = java.lang.Long.toBinaryString(math.ceil(frob).toLong).length
+    val minMargin = m.map { x =>
+      val img = x * math.pow(2.0, 20 - k)
+      val frac = img - math.floor(img)
+      math.min(frac, 1 - frac)
+    }.min
+    assert(minMargin > 1e-6, s"quantization boundary margin $minMargin within drift headroom")
+    // determinism + partition-layout invariance (the engine-stability
+    // property the bit-exact oracle rests on): identical bits under
+    // 2 and 32 shuffle partitions
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    val runs = Seq("2", "32").map { sp =>
+      spark.conf.set("spark.sql.shuffle.partitions", sp)
+      try VectorOps.queries("q287_opq_rotation")(spark, sf001)
+        .collect().map(_.toSeq).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+    }
+    assert(runs.distinct.size === 1, "trained rotation must not depend on the partition layout")
+  }
+
+  test("opq recall: bounds hold, rerank dominates, trained-rotation chain margins wide (q288)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val rows = VectorOps.queries("q288_opq_adc_recall")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === (0L to 4L))
+    rows.foreach { case (q, na, ra, nr, rr) =>
+      assert(na >= 0L && na <= 5L && nr >= 0L && nr <= 5L)
+      assert(ra === na * 2000 && rr === nr * 2000)
+      assert(nr >= na, s"query $q: rerank overlap $nr < raw ADC overlap $na")
+    }
+    // the q288 oracle replays Lloyd chains over R1-ROTATED values that
+    // differ across engines by sum-order ulps (the kernel's
+    // left-to-right loop vs DuckDB's unordered per-dim sums) — so the
+    // argmin margins must be re-audited in the TRAINED rotated space,
+    // like the rrpq stability audit does for the fixed rotation
+    val driftHeadroom = 1e-6
+    val d = sf("sf0.01")
+    val S = VectorOps.PCA_SCALE.toDouble
+    val rflat = VectorOps.opqRotation(spark, d).collect()
+      .sortBy(r => (r.getInt(0), r.getInt(1))).map(_.getLong(2) / S).toSeq
+    val er1 = T.embeddings(spark, d).select(col("vec_id"),
+      call_udf("graft_matvec", typedlit(rflat), col("embedding")).as("v"))
+    (0 until VectorOps.PQ_M).foreach { sb =>
+      val es = er1.select(col("vec_id"),
+        expr(s"slice(v, ${VectorOps.PQ_D * sb + 1}, ${VectorOps.PQ_D})").as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val cent = VectorOps.kmeansCentroids(es, k = VectorOps.PQ_K, iters = VectorOps.PQ_ITERS)
+      val r = es.crossJoin(broadcast(cent.select(col("cell"), col("cv"))))
+        .withColumn("d2",
+          expr("graft_dot(v, v) - 2 * graft_dot(v, cv) + graft_dot(cv, cv)"))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("d2"), col("cell")))).as("ds"))
+        .select(col("vec_id"),
+          (element_at(col("ds"), 2).getField("d2") -
+           element_at(col("ds"), 1).getField("d2")).as("margin"))
+        .orderBy(col("margin")).limit(1).collect().head
+      assert(r.getDouble(1) > driftHeadroom,
+        s"opq-rotated sub $sb: vec ${r.getLong(0)} margin ${r.getDouble(1)} within drift headroom")
+    }
+  }
+
   test("rotated-chain assignment margins dwarf cross-engine drift (rrpq stability audit)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     // q265/q266's oracles replay Lloyd chains over ROTATED values that
