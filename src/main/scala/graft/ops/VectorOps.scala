@@ -530,14 +530,21 @@ object VectorOps {
     */
   private[graft] def nsStep(x: DataFrame): DataFrame = {
     val S = PCA_SCALE
+    // both join sides are 64×64 matrices — broadcast the right side so
+    // the only exchanges are the two matrix-keyed partial-agg rollups
+    // (without the hint the LogicalRDD's default stats force sort-merge
+    // joins — extra exchanges + sorts per iteration; measured
+    // wall-NEUTRAL at sf0.1, where the loop cost is checkpoint and
+    // task-scheduling overhead, but a 64-row relation should never
+    // plan a sort-merge join and the shape matters on a real cluster)
     val b = x.select(col("i").as("l"), col("j").as("bi"), col("q").as("q1"))
-      .join(x.select(col("i").as("l"), col("j").as("bj"), col("q").as("q2")), Seq("l"))
+      .join(broadcast(x.select(col("i").as("l"), col("j").as("bj"), col("q").as("q2"))), Seq("l"))
       .groupBy(col("bi"), col("bj")).agg(sum(col("q1") * col("q2")).as("p"))
       .select(col("bi"), col("bj"), sdiv("p", S).as("bq"))
     val c = b.select(col("bi").as("l"), col("bj").as("cj"),
       (when(col("bi") === col("bj"), lit(3L * S)).otherwise(lit(0L)) - col("bq")).as("c"))
     x.select(col("i"), col("j").as("l"), col("q").as("q1"))
-      .join(c, Seq("l"))
+      .join(broadcast(c), Seq("l"))
       .groupBy(col("i"), col("cj")).agg(sum(col("q1") * col("c")).as("p"))
       .select(col("i"), col("cj").as("j"), sdiv("p", 2 * S).as("q"))
   }
