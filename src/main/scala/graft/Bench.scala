@@ -28,6 +28,10 @@ object Bench {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
+        // Adaptive hash-build threshold (see Verify.scala) — the
+        // scale-safe replacement for static shuffle_hash hints.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

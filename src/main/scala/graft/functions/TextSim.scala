@@ -300,9 +300,17 @@ object TextSim {
     */
   def simhashCandidates(sig: DataFrame, blocks: Int = 16, r: Int = 3): DataFrame = {
     val radius = blocks - r
-    // SHUFFLE_HASH: equal-size sides, tiny per-key groups — hash beats
-    // sort-merge (skips two 2.8M-row sorts; measured ~2 s off at sf0.1).
-    val bands = simhashComboBands(sig, blocks, r).hint("shuffle_hash")
+    // No static SHUFFLE_HASH hint here. Hash does beat sort-merge on
+    // this join (equal sides, tiny per-key groups — skips two 2.8M-row
+    // sorts, measured ~2 s off at sf0.1), but a FORCED hash build is a
+    // scale bug: at 100× sf0.1 the fixed-partition-count build side
+    // put ~9M rows under one in-memory hash map and died with
+    // cannotAcquireMemoryToBuildUnsafeHashedRelation. The session
+    // posture (spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold)
+    // re-takes the hash plan from REAL map-output sizes — AQE converts
+    // the sort-merge to a hash build only when every partition fits,
+    // and keeps the spillable sort above it (pinned in PlanAuditSpec).
+    val bands = simhashComboBands(sig, blocks, r)
     bands.as("l").join(bands.as("r"),
       col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col("l.doc_id") < col("r.doc_id") &&

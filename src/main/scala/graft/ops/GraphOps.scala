@@ -142,8 +142,12 @@ object GraphOps {
     // LEFT SEMI probes O(m^1.5) wedge rows against O(m) edges: a
     // sort-merge join pays an O(W log W) sort of the WEDGE side, a
     // shuffled-hash join only hashes the edge side and streams wedges
-    // through it — the hint is what keeps the big side sort-free.
-    val tri = wed.join(probe.hint("shuffle_hash"),
+    // through it. The hash build is left to AQE's
+    // maxShuffledHashJoinLocalMapThreshold (session posture) instead
+    // of a static hint: the edge side grows with the graph, and a
+    // forced per-partition build OOMs once it outgrows executor
+    // memory (the measured q63 failure mode at 100× data).
+    val tri = wed.join(probe,
       col("y") === col("y2") && col("z") === col("z2"), "left_semi")
     val perNode = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
@@ -234,10 +238,12 @@ object GraphOps {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("cn"),
         sum(expr("1000000 div d")).as("ra_ppm"))
-    // hash only the O(m) edge side (q185's measured shuffled-hash win);
-    // a sort-merge anti would sort the larger candidate-pair side
+    // hash only the O(m) edge side (q185's measured shuffled-hash win),
+    // via the session's adaptive hash-build threshold rather than a
+    // static hint — the edge side scales with the graph, so a forced
+    // build is the q63 100× OOM shape; AQE converts when it fits
     scored
-      .join(edges.hint("shuffle_hash"), Seq("a", "b"), "left_anti")
+      .join(edges, Seq("a", "b"), "left_anti")
       .orderBy(col("ra_ppm").desc, col("cn").desc, col("a"), col("b"))
       .limit(topK)
   }

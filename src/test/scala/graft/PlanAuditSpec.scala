@@ -36,6 +36,21 @@ class PlanAuditSpec extends SparkSpec {
   private def physical(q: String): SparkPlan =
     physical(SparkEntry.queries(q)(spark, sf001))
 
+  /** Collect over an EXECUTED adaptive tree: materialized stages are
+    * leaf QueryStageExec nodes to the plain collect, so pins that run
+    * a query first must descend into each stage's plan explicitly.
+    */
+  private def deepCollect[T](p: SparkPlan)(
+      pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+    val kids = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case a: AdaptiveSparkPlanExec                                  => Seq(a.executedPlan)
+      case o                                                         => o.children
+    }
+    here ++ kids.flatMap(deepCollect(_)(pf))
+  }
+
   /** Attribute names an exchange hash-partitions on (Nil when the
     * exchange is not hash-partitioned or keys aren't plain columns).
     */
@@ -127,8 +142,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q119_eval_overlap_report").contains("BroadcastHashJoin"))
   }
 
-  test("simhash candidate pairing is a shuffled hash join (q63)") {
-    assert(plan("q63_neardup_simhash").contains("ShuffledHashJoin"))
+  test("simhash candidate pairing hash-builds adaptively, never forced (q63)") {
+    // The static shuffle_hash hint was removed: a FORCED per-partition
+    // hash build OOM'd at 100× sf0.1 (DESIGN). The session's
+    // maxShuffledHashJoinLocalMapThreshold re-takes the hash plan from
+    // real map sizes, so after execution the band self-join must come
+    // out sort-free (hash or broadcast build — both stream the bands
+    // without the two big sorts the hint used to skip).
+    val df = SparkEntry.queries("q63_neardup_simhash")(spark, sf001)
+    df.collect()
+    // physical() strips the AQE shell; after execution that is the
+    // FINAL plan (the shell's toString would also dump the initial
+    // plan, whose SortMergeJoin is exactly what AQE replaced)
+    val fin = physical(df).toString
+    assert(!fin.contains("SortMergeJoin"),
+      "band self-join must convert to a hash build at a scale where it fits")
+  }
+
+  test("adaptive hash-build threshold converts SMJ→SHJ when partitions fit (posture mechanism)") {
+    // Pins the mechanism the q63/q185/q193 joins now rely on: sides
+    // too big to broadcast, per-partition build well under the 128m
+    // threshold → AQE must land on ShuffledHashJoin, not keep the
+    // initial SortMergeJoin. Sizing: ~48 MB raw of random digits per
+    // side ≈ ~25-30 MB compressed — above the 10 MB adaptive broadcast
+    // threshold, while each of the 4 map partitions stays well under
+    // the 16m hash-build threshold.
+    import org.apache.spark.sql.functions.{col, concat, lit, rand}
+    val side = spark.range(800000L)
+      .select(col("id").as("k"),
+        concat(lit("p"), (rand(7) * 1e9).cast("long").cast("string"),
+          lit("-"), (rand(11) * 1e9).cast("long").cast("string"),
+          lit("-"), (rand(13) * 1e9).cast("long").cast("string")).as("pad"))
+    val j = side.as("l").join(side.as("r"), "k")
+      .select(col("k"), col("l.pad").as("p1"), col("r.pad").as("p2"))
+    // execute THIS QueryExecution (a write would plan a separate one)
+    // without collecting ~90 MB to the driver
+    j.queryExecution.toRdd.foreach(_ => ())
+    val fin = physical(j).toString
+    assert(fin.contains("ShuffledHashJoin"),
+      "AQE must convert the fits-in-memory SMJ to a shuffled hash join")
+    assert(!fin.contains("SortMergeJoin"))
   }
 
   test("low-cardinality ranking range-partitions — never hashes on the 5-value key (q31/q35)") {
@@ -487,19 +540,28 @@ class PlanAuditSpec extends SparkSpec {
       "the partial WindowGroupLimit must sit below an exchange (map-side prune)")
   }
 
-  test("triangle closure probes by shuffled hash — the wedge side never sorts (q185/q185b)") {
+  test("triangle closure probes by hash — the wedge side never sorts (q185/q185b)") {
     // The round-7 3× win: a sort-merge LEFT SEMI pays an O(W log W)
-    // sort of the O(m^1.5) wedge relation; the hint keeps the big side
-    // streaming against a hashed O(m) edge side. If a Spark upgrade
-    // starts ignoring the hint, this fails instead of the bench
-    // silently tripling.
+    // sort of the O(m^1.5) wedge relation; a hash build on the O(m)
+    // edge side streams wedges through. Round 12 moved the build
+    // decision from a static hint (OOMs when the edge side outgrows a
+    // partition — the q63 100× failure) to the session's adaptive
+    // threshold, so the pin now executes and asserts the FINAL plan's
+    // semi join hash-builds (shuffled or broadcast) with no sort above
+    // the wedge side.
     Seq("q185_triangles", "q185b_triangles_sampled").foreach { q =>
-      val semis = physical(q).collect {
-        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+      val df = SparkEntry.queries(q)(spark, sf001)
+      df.collect()
+      val semis = deepCollect(physical(df)) {
+        case j: org.apache.spark.sql.execution.joins.HashJoin
             if j.joinType.sql == "LEFT SEMI" => j
       }
       assert(semis.nonEmpty,
-        s"$q: triangle closure is not a shuffled-hash semi join")
+        s"$q: triangle closure is not a hash-built semi join")
+      assert(deepCollect(physical(df)) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.joinType.sql == "LEFT SEMI" => j
+      }.isEmpty, s"$q: the wedge side is being sorted")
     }
   }
 
@@ -533,7 +595,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("link prediction's edge exclusion is a hashed anti join, never nested-loop (q193)") {
-    val antis = physical("q193_link_prediction").collect {
+    // executed pin (round 12): the hash build comes from the adaptive
+    // threshold, not a static hint, so only the final plan shows it
+    val df = SparkEntry.queries("q193_link_prediction")(spark, sf001)
+    df.collect()
+    val antis = deepCollect(physical(df)) {
       case j: org.apache.spark.sql.execution.joins.HashJoin
           if j.joinType.sql == "LEFT ANTI" => j
     }

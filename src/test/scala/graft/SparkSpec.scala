@@ -10,6 +10,10 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    // Same adaptive hash-build posture as Verify/Bench so plan pins
+    // audit the configuration that actually runs.
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "16m")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
