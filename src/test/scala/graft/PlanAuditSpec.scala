@@ -159,6 +159,27 @@ class PlanAuditSpec extends SparkSpec {
       "band self-join must convert to a hash build at a scale where it fits")
   }
 
+  test("no static join-strategy hints anywhere in operator code (the q63 100× OOM class)") {
+    // A forced hash build OOMs once its per-partition build side
+    // outgrows executor memory; a forced merge/replicate hint freezes
+    // a decision AQE makes better from real map stats. broadcast() of
+    // bounded relations stays allowed (audited case by case) — the
+    // shuffle-strategy hints are what this guard forbids, repo-wide.
+    import scala.jdk.CollectionConverters._
+    val banned = Seq("shuffle_hash", "merge", "shuffle_merge",
+      "merge_join", "shuffle_replicate_nl").map(h => s"""hint("$h"""")
+    val offenders = java.nio.file.Files
+      .walk(java.nio.file.Paths.get("src/main/scala/graft"))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val txt = new String(java.nio.file.Files.readAllBytes(p))
+        banned.filter(txt.contains).map(h => s"$p: $h")
+      }.toList
+    assert(offenders.isEmpty,
+      s"static join-strategy hints found:\n${offenders.mkString("\n")}")
+  }
+
   test("adaptive hash-build threshold converts SMJ→SHJ when partitions fit (posture mechanism)") {
     // Pins the mechanism the q63/q185/q193 joins now rely on: sides
     // too big to broadcast, per-partition build well under the 128m
