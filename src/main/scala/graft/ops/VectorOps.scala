@@ -94,6 +94,61 @@ object VectorOps {
     sys.env.getOrElse("SPARK_GRAFT_IVF_NLIST",
       "greatest(10, CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))")
 
+  /** FAISS-style bounded-training dial (round-12): every Lloyd trainer
+    * fits its centroids on ≈ cap·k vectors instead of the full corpus
+    * (faiss Clustering.cpp's max_points_per_centroid=256 default), so
+    * the dominant build cost drops from iters·N·k distance rows to
+    * iters·(cap·k)·k + the ONE final full-corpus assignment pass —
+    * at N=10⁸ / nlist=10⁴ that is ~40× less training work. The cap
+    * never binds below cap·k vectors (65k at the default for the
+    * coarse chain), so small-SF results are bit-unchanged; it is part
+    * of both engines' plans at EVERY scale (the DuckDB oracles carry
+    * the same predicate), so the substrate-agreement invariant holds
+    * wherever the gate runs. `SPARK_GRAFT_IVF_TRAIN_PER_CELL`
+    * overrides for experiments (mirrored into the SQL at build time
+    * like the nlist dial).
+    */
+  def ivfTrainCap: Int = sys.env.get("SPARK_GRAFT_IVF_TRAIN_PER_CELL")
+    .map(_.toInt).filter(_ > 0).getOrElse(256)
+
+  private lazy val ivfTrainCapSql: String = ivfTrainCap.toString
+
+  /** Lowercase 8-hex md5-prefix threshold admitting ≈ cap·k of n rows
+    * (clamped to the all-pass "ffffffff" when cap·k ≥ n). Both engines
+    * run the SAME IEEE product/quotient (left-associated doubles on
+    * identical integers), so the literal can never disagree.
+    */
+  def trainThrHex(n: Long, k: Int, cap: Int): String = {
+    val v = math.min(4294967295.0,
+      math.floor(4294967296.0 * cap * k / n.toDouble))
+    f"${v.toLong}%08x"
+  }
+
+  /** Train-membership predicate: a deterministic hash-threshold sample
+    * (the distributed form of FAISS's random training subsample) — a
+    * pure map-side FILTER on md5(vec_id), never a global sort or a
+    * single-task top-S, so drawing the sample costs one scan at any N.
+    */
+  def trainPred(n: Long, k: Int, cap: Int = ivfTrainCap): Column =
+    substring(md5(col("vec_id").cast("string")), 1, 8) <= lit(trainThrHex(n, k, cap))
+
+  /** The bounded Lloyd training relation: `df` itself when the cap
+    * does not bind (identical plan, zero cost), else the hash-threshold
+    * sample. Keyed purely on vec_id, so it applies to raw, sliced,
+    * rotated and residual relations alike.
+    */
+  def trainSample(df: DataFrame, n: Long, k: Int, cap: Int = ivfTrainCap): DataFrame =
+    if (cap.toLong * k >= n) df else df.filter(trainPred(n, k, cap))
+
+  /** SQL mirror of [[trainPred]] on relation alias `a` — scale-generic
+    * (DuckDB derives the identical threshold from its own count, the
+    * [[ivfNlistSqlExpr]] pattern).
+    */
+  private def trainPredSql(a: String, kExpr: String, capSql: String): String =
+    s"substr(md5(CAST($a.vec_id AS VARCHAR)),1,8) <= lpad(lower(to_hex(" +
+      s"CAST(least(4294967295, floor(4294967296.0 * $capSql * ($kExpr) / " +
+      "CAST((SELECT count(*) FROM embeddings) AS DOUBLE))) AS BIGINT))), 8, '0')"
+
   /** ±1 diagonal of the fixed RR-PQ rotation (q265/q266): sign i is
     * the parity of the first 8 hex chars of md5("rot" + i), the
     * md5-coin idiom every deterministic draw in this file uses — so
@@ -375,7 +430,8 @@ object VectorOps {
         .digest(abs.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
       // nlist from the corpus size (round-12): the index regenerates
       // per dial, so the dial is part of the root's identity.
-      val nlist = ivfNlist(T.embeddings(s, d).count())
+      val nVecs = T.embeddings(s, d).count()
+      val nlist = ivfNlist(nVecs)
       val root = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_ivfadc_${new java.io.File(d).getName}_${pathTag}_k${nlist}_p${ProcessHandle.current.pid}")
       val stage = new java.io.File(root.getParentFile, root.getName + ".build")
@@ -406,7 +462,10 @@ object VectorOps {
       })
       val sp = stage.getAbsolutePath
       val e64 = emb(s, d)
-      val cents = kmeansCentroids(e64, k = nlist, iters = 4)
+      // trainers fit on the bounded sample (trainSample — all-pass at
+      // driver SFs, iters·cap·k² work instead of iters·N·k at scale);
+      // every ASSIGNMENT below stays full-corpus.
+      val cents = kmeansCentroids(trainSample(e64, nVecs, nlist), k = nlist, iters = 4)
       cents.coalesce(1).write.mode("overwrite").parquet(s"$sp/centroids")
       val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
       // all four subquantizers train in ONE fused chain — one corpus
@@ -414,7 +473,8 @@ object VectorOps {
       // kmeansCentroidsFused; bits equal to the per-sub chains the
       // oracle replays, by the argmin-margin bound)
       val slices = pqSubSlices(base)
-      val cbF = kmeansCentroidsFused(base, slices, k = PQ_K, iters = PQ_ITERS)
+      val baseT = trainSample(base, nVecs, PQ_K)
+      val cbF = kmeansCentroidsFused(baseT, pqSubSlices(baseT), k = PQ_K, iters = PQ_ITERS)
       cbF.coalesce(1).write.mode("overwrite").parquet(s"$sp/codebooks")
       assignCells(e64, cents).select(col("vec_id"), col("cell"))
         .join(pqCodesFused(slices, cbF), Seq("vec_id"))
@@ -562,7 +622,8 @@ object VectorOps {
     graft.functions.VectorKernels.ensureRegistered(s)
     val er = rotated(s, d).localCheckpoint(true)
     val slices = pqSubSlices(er)
-    val cbF = kmeansCentroidsFused(er, slices, k = PQ_K, iters = PQ_ITERS)
+    val erT = trainSample(er, T.embeddings(s, d).count(), PQ_K)
+    val cbF = kmeansCentroidsFused(erT, pqSubSlices(erT), k = PQ_K, iters = PQ_ITERS)
     val codes = pqCodesFused(slices, cbF)
     val cbs = (0 until PQ_M).map(sb => broadcast(cbF.filter(col("sub") === sb)
       .select(col("cell").cast("byte").as(s"c$sb"), col("cv").as(s"cv$sb"))))
@@ -667,7 +728,8 @@ object VectorOps {
     */
   private def adcRecallOverRotated(s: SparkSession, d: String, er: DataFrame): DataFrame = {
     val slices = pqSubSlices(er)
-    val cbF = kmeansCentroidsFused(er, slices, k = PQ_K, iters = PQ_ITERS)
+    val erT = trainSample(er, T.embeddings(s, d).count(), PQ_K)
+    val cbF = kmeansCentroidsFused(erT, pqSubSlices(erT), k = PQ_K, iters = PQ_ITERS)
     val codes = pqCodesFused(slices, cbF)
     val q0 = er.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv0"))
@@ -803,7 +865,8 @@ object VectorOps {
     // (assignCells) is a broadcast + one keyed shuffle.
     "q66_ann_topk_ivf" -> ((s, d) => {
       val e = emb(s, d)
-      val cent = kmeansCentroids(e, k = ivfNlist(e.count()), iters = 4)
+      val n = e.count(); val k = ivfNlist(n)
+      val cent = kmeansCentroids(trainSample(e, n, k), k = k, iters = 4)
       val corpus = assignCells(e, cent)
       val q = corpus.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -1104,12 +1167,39 @@ object VectorOps {
     // q66's own full oracle.)
     "q257_ivf_cell_audit" -> ((s, d) => {
       val e = emb(s, d)
-      val cent = kmeansCentroids(e, k = ivfNlist(e.count()), iters = 4)
+      val n = e.count(); val k = ivfNlist(n)
+      val cent = kmeansCentroids(trainSample(e, n, k), k = k, iters = 4)
       val counts = assignCells(e, cent)
         .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
       cent.join(counts, Seq("cell"), "left_outer")
         .select(col("cell").cast("long").as("cell"),
                 coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+                round(col("cn"), 4).as("cn4"))
+        .orderBy(col("cell"))
+    }),
+
+    // Bounded-sample Lloyd training under a BINDING cap (round-12,
+    // this session): the production dial (ivfTrainCap=256, the FAISS
+    // max_points_per_centroid default every trainer in this file now
+    // rides) only binds above cap·k vectors, so this tier forces
+    // cap=4 — at sf0.01 that is a 60-of-200 training sample — and
+    // oracle-checks that BOTH engines draw the identical
+    // hash-threshold sample, fit the identical centroids on it, and
+    // assign the identical FULL corpus. Census = per-cell total
+    // members, train-sample members, and centroid norm. The sample is
+    // a pure map-side md5-prefix filter (trainPred) — no global sort,
+    // no single-task top-S — so drawing it costs one scan at any N.
+    "q289_ivf_sampled_train" -> ((s, d) => {
+      val e = emb(s, d)
+      val n = e.count(); val k = ivfNlist(n); val cap = 4
+      val cent = kmeansCentroids(trainSample(e, n, k, cap), k = k, iters = 4)
+      val counts = assignCells(e, cent)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"),
+          sum(when(trainPred(n, k, cap), 1L).otherwise(0L)).as("n_train"))
+      cent.join(counts, Seq("cell"), "left_outer")
+        .select(col("cell").cast("long").as("cell"),
+                coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+                coalesce(col("n_train"), lit(0L)).as("n_train"),
                 round(col("cn"), 4).as("cn4"))
         .orderBy(col("cell"))
     }),
@@ -1128,11 +1218,12 @@ object VectorOps {
     "q259_pq_codebook" -> ((s, d) => {
       graft.functions.VectorKernels.ensureRegistered(s)
       val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val n = base.count()
       (0 until PQ_M).map { sb =>
         val e = base.select(col("vec_id"),
           expr(s"slice(embedding, ${PQ_D * sb + 1}, $PQ_D)").as("v"))
           .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-        val cent = kmeansCentroids(e, k = PQ_K, iters = PQ_ITERS)
+        val cent = kmeansCentroids(trainSample(e, n, PQ_K), k = PQ_K, iters = PQ_ITERS)
         val counts = assignCells(e, cent)
           .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
         cent.join(counts, Seq("cell"), "left_outer")
@@ -1469,7 +1560,8 @@ object VectorOps {
       // replays, by the argmin-margin bound)
       val rbase = resid.select(col("vec_id"), col("r").as("v"))
       val rslices = pqSubSlices(rbase)
-      val cbF = kmeansCentroidsFused(rbase, rslices, k = PQ_K, iters = PQ_ITERS)
+      val rbaseT = trainSample(rbase, T.embeddings(s, d).count(), PQ_K)
+      val cbF = kmeansCentroidsFused(rbaseT, pqSubSlices(rbaseT), k = PQ_K, iters = PQ_ITERS)
       val codes = pqCodesFused(rslices, cbF)
       val rdqs = (0 until PQ_M).map { sb =>
         broadcast(probes
@@ -1545,7 +1637,8 @@ object VectorOps {
       // re-reads a local relation, not re-rotates the parquet scan.
       val er = rotated(s, d).localCheckpoint(true)
       val slices = pqSubSlices(er)
-      val cbF = kmeansCentroidsFused(er, slices, k = PQ_K, iters = PQ_ITERS)
+      val erT = trainSample(er, T.embeddings(s, d).count(), PQ_K)
+      val cbF = kmeansCentroidsFused(erT, pqSubSlices(erT), k = PQ_K, iters = PQ_ITERS)
       val counts = assignCellsFused(slices, cbF)
         .groupBy(col("sub"), col("cell")).agg(count(lit(1)).as("n_vecs"))
       cbF.join(counts, Seq("sub", "cell"), "left_outer")
@@ -2162,14 +2255,19 @@ object VectorOps {
   /** One unrolled Lloyd iteration (+ the final assignment pass reuses
     * the a/g shape): distance algebra mirrors [[assignCells]] exactly —
     * Σv² − 2Σv·cv + Σcv², argmin by (d2, cell) — and the empty-cell
-    * coalesce mirrors [[kmeansCentroids]]'s left-outer keep.
+    * coalesce mirrors [[kmeansCentroids]]'s left-outer keep. Iteration
+    * assignments are restricted to the bounded training sample
+    * ([[trainPred]]; all-pass below cap·nlist vectors) — the FINAL
+    * full-corpus assignment (a5/g5) is built by the caller unfiltered.
     */
-  private def ivfIterSql(n: Int): String = {
+  private def ivfIterSql(n: Int, capSql: String): String = {
     val prev = s"c${n - 1}"
     s"""a$n AS (
        |  SELECT e.vec_id, c.cell,
        |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
-       |  FROM e JOIN $prev c ON e.i = c.i GROUP BY 1, 2
+       |  FROM e JOIN $prev c ON e.i = c.i
+       |  WHERE ${trainPredSql("e", ivfNlistSqlExpr, capSql)}
+       |  GROUP BY 1, 2
        |), g$n AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (
@@ -2195,18 +2293,23 @@ object VectorOps {
       |)""".stripMargin
 
   /** IVF chain body (no WITH, no e): md5-coin init, 4 Lloyd iterations
-    * (c1..c4), final corpus assignment (g5).
+    * (c1..c4), final corpus assignment (g5). Seeds and iteration
+    * assignments draw from the bounded training sample (the
+    * [[trainSample]] predicate, all-pass at small N); the final g5
+    * assignment covers the FULL corpus. `capSql` parameterizes the
+    * per-centroid cap so q289 can force a binding sample at test scale.
     */
-  private lazy val ivfChainBody: String =
+  private def ivfChainBodyCap(capSql: String): String =
     s"""init AS MATERIALIZED (
        |  SELECT vec_id, row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
        |  FROM embeddings
+       |  WHERE ${trainPredSql("embeddings", ivfNlistSqlExpr, capSql)}
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ivfNlistSqlExpr
        |), c0 AS MATERIALIZED (
        |  SELECT init.cell, e.i, e.v AS cv FROM init JOIN e USING (vec_id)
        |),
-       |${(1 to 4).map(ivfIterSql).mkString(",\n")},
+       |${(1 to 4).map(ivfIterSql(_, capSql)).mkString(",\n")},
        |a5 AS (
        |  SELECT e.vec_id, c.cell,
        |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
@@ -2217,6 +2320,11 @@ object VectorOps {
        |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
        |    FROM a5) WHERE rn = 1
        |)""".stripMargin
+
+  /** The default-cap instance of [[ivfChainBodyCap]] every production
+    * oracle composes (all-pass below 65k vectors at cap=256).
+    */
+  private lazy val ivfChainBody: String = ivfChainBodyCap(ivfTrainCapSql)
 
   /** The full deterministic IVF substrate as a WITH-chain: shared by
     * the q257 census oracle and the full q66 oracle.
@@ -2251,7 +2359,9 @@ object VectorOps {
       s"""${p}a$n AS (
          |  SELECT e.vec_id, c.cell,
          |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
-         |  FROM $src e JOIN $prev c ON e.i = c.i GROUP BY 1, 2
+         |  FROM $src e JOIN $prev c ON e.i = c.i
+         |  WHERE ${trainPredSql("e", PQ_K.toString, ivfTrainCapSql)}
+         |  GROUP BY 1, 2
          |), ${p}g$n AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT vec_id, cell, row_number() OVER (
@@ -2298,6 +2408,7 @@ object VectorOps {
        |  SELECT vec_id, row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
        |  FROM embeddings
+       |  WHERE ${trainPredSql("embeddings", PQ_K.toString, ivfTrainCapSql)}
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PQ_K
        |)""".stripMargin
 
@@ -2768,6 +2879,25 @@ object VectorOps {
          |nrm AS (SELECT cell, sqrt(sum(cv*cv)) AS cn FROM c4 GROUP BY 1)
          |SELECT CAST(nrm.cell AS BIGINT) AS cell,
          |       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_vecs,
+         |       round(nrm.cn, 4) AS cn4
+         |FROM nrm LEFT JOIN cnt ON nrm.cell = cnt.cell
+         |ORDER BY cell""".stripMargin,
+
+    // The q257 chain re-run under a BINDING cap=4 training sample:
+    // DuckDB draws the same md5-prefix sample, fits on it, and
+    // assigns the full corpus (g5 is unfiltered by construction).
+    "q289_ivf_sampled_train" ->
+      s"""WITH $eCteBody,
+         |${ivfChainBodyCap("4")},
+         |cnt AS (
+         |  SELECT g5.cell, count(*) AS n,
+         |         sum(CASE WHEN ${trainPredSql("g5", ivfNlistSqlExpr, "4")}
+         |             THEN 1 ELSE 0 END) AS nt
+         |  FROM g5 GROUP BY 1),
+         |nrm AS (SELECT cell, sqrt(sum(cv*cv)) AS cn FROM c4 GROUP BY 1)
+         |SELECT CAST(nrm.cell AS BIGINT) AS cell,
+         |       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_vecs,
+         |       CAST(coalesce(cnt.nt, 0) AS BIGINT) AS n_train,
          |       round(nrm.cn, 4) AS cn4
          |FROM nrm LEFT JOIN cnt ON nrm.cell = cnt.cell
          |ORDER BY cell""".stripMargin,

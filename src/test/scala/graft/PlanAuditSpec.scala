@@ -848,6 +848,32 @@ class PlanAuditSpec extends SparkSpec {
       "q287: NS matmul rollups must shuffle map-side partials")
   }
 
+  test("bounded-sample training draws by map-side FILTER, never a corpus top-S (q289)") {
+    // The 100 TB claim of the bounded trainer: the ≈cap·k sample is a
+    // hash-threshold FILTER of the scan (one pass, fully parallel) —
+    // drawing it must never funnel the corpus through a global sort.
+    // The only top-S allowed anywhere in the plan is the k-row seed
+    // init every Lloyd chain already had.
+    // (the trainer's own subtree is eagerly checkpointed, so the pin
+    // audits the sample RELATION the trainers consume, not the final
+    // census plan — which by then sees only the centroid RDD)
+    import org.apache.spark.sql.execution.{FilterExec, SortExec, TakeOrderedAndProjectExec}
+    val e = T.embeddings(spark, sf001)
+    val n = e.count()
+    val k = graft.ops.VectorOps.ivfNlist(n)
+    val p = physical(graft.ops.VectorOps.trainSample(e, n, k, cap = 4))
+    val sampleFilters = deepCollect(p) {
+      case f: FilterExec
+        if f.condition.toString.toLowerCase.contains("md5") &&
+           f.condition.toString.toLowerCase.contains("substring") => f
+    }
+    assert(sampleFilters.nonEmpty,
+      "the training sample must be a map-side md5-prefix Filter")
+    assert(deepCollect(p) { case s: ShuffleExchangeExec => s; case s: SortExec => s
+                            case t: TakeOrderedAndProjectExec => t }.isEmpty,
+      "drawing the sample must be one parallel scan — no exchange, sort, or top-S")
+  }
+
   test("vector substrate audits shuffle partials only (q257/q258)") {
     // IVF census: the argmin assignment collapses n·k candidate rows to
     // n map-side before the vec_id exchange

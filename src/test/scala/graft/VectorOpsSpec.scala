@@ -348,6 +348,38 @@ class VectorOpsSpec extends SparkSpec {
     rows.foreach(r => assert(direct.getOrElse(r.getLong(0), 0L) === r.getLong(1)))
   }
 
+  test("bounded-sample lloyd training: non-binding identity, exact threshold image, binding census conserved (q289)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val n = T.embeddings(spark, sf001).count()
+    val k = VectorOps.ivfNlist(n)
+    // the production cap (256/centroid, FAISS's max_points_per_centroid
+    // default) must NOT bind at fixture scale: trainSample returns the
+    // INPUT RELATION ITSELF, so every small-SF trainer result is
+    // bit-unchanged by construction, not by luck
+    val e = T.embeddings(spark, sf001)
+    assert(VectorOps.trainSample(e, n, k) eq e,
+      "non-binding cap must be the identity, not an all-pass filter")
+    // the threshold literal both engines compute: pin the Scala image
+    // against the DuckDB-verified hand value, and the all-pass clamp
+    assert(VectorOps.trainThrHex(200, 15, 4) === "4ccccccc")
+    assert(VectorOps.trainThrHex(100, 10, 256) === "ffffffff")
+    // binding tier (q289's cap=4 → ≈4·nlist of 500 vectors): census
+    // totals conserve the full corpus (g5 assigns UNFILTERED), the
+    // train subset is strict and per-cell bounded, the draw is
+    // deterministic across runs, and the sample is a FILTER of the
+    // corpus relation — re-derivable row-for-row from the predicate
+    val rows = VectorOps.queries("q289_ivf_sampled_train")(spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to k.toLong))
+    assert(rows.map(_.getLong(1)).sum === n, "every vector assigned exactly once")
+    val nTrain = rows.map(_.getLong(2)).sum
+    assert(nTrain < n && nTrain > 0, s"cap=4 must bind at N=$n (train=$nTrain)")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1), "train ⊆ members per cell"))
+    val expected = e.filter(VectorOps.trainPred(n, k, 4)).count()
+    assert(nTrain === expected, "census train count = the predicate's own row count")
+    val again = VectorOps.queries("q289_ivf_sampled_train")(spark, sf001).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq, "deterministic draw")
+  }
+
   test("pq codebook census: complete sub x cell grid, per-subspace conservation, substrate consistency (q259)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     val rows = VectorOps.queries("q259_pq_codebook")(spark, sf001).collect()
