@@ -546,8 +546,13 @@ object CorpusOps {
         .withColumn("w", expr("CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT)"))
       val tot = counts.agg(sum(col("n_tok")).as("tot_tok"), sum(col("w")).as("tot_w"))
       counts.crossJoin(broadcast(tot))
+        // raw_ppm's 1e6·n_tok rides DECIMAL(38,0): a dominant source's
+        // token count passes 9.2e12 (the int64/1e6 line) near ~40 TB of
+        // text — the q246b/q267b widening discipline; alpha's w is
+        // √n_tok ≤ ~5e6, int64-safe at any corpus size.
         .select(col("source"), col("n_tok"),
-          expr("(1000000 * n_tok) div tot_tok").as("raw_ppm"),
+          expr("CAST((1000000 * CAST(n_tok AS DECIMAL(38,0))) div tot_tok AS BIGINT)")
+            .as("raw_ppm"),
           expr("(1000000 * w) div tot_w").as("alpha_ppm"))
         .orderBy(col("source"))
     }),
@@ -1110,8 +1115,12 @@ object CorpusOps {
           coalesce(col("est_chars"), lit(0L)).as("est_chars"))
         .withColumn("docs_err_ppm",
           expr("(1000000 * abs(est_docs - true_docs)) div true_docs"))
+        // char totals pass int64/1e6 (9.2e12 chars ≈ 10 TB of text in
+        // one lang) long before doc counts do — the error product
+        // rides DECIMAL(38,0), the q246b/q267b widening discipline
         .withColumn("chars_err_ppm",
-          expr("(1000000 * abs(est_chars - true_chars)) div true_chars"))
+          expr("CAST((1000000 * abs(CAST(est_chars AS DECIMAL(38,0)) - true_chars))" +
+            " div true_chars AS BIGINT)"))
         .orderBy(col("lang"))
     }),
 
@@ -1334,7 +1343,11 @@ object CorpusOps {
         .select(col("decile").cast("long").as("decile"), col("thr_logit"),
           col("cum_docs"), col("cum_tokens"),
           expr("(1000000 * cum_docs) div td").as("doc_share_ppm"),
-          expr("(1000000 * cum_tokens) div tt").as("token_share_ppm"))
+          // cumulative TOKEN counts pass int64/1e6 near 40 TB of text;
+          // the share product rides DECIMAL(38,0) (doc counts don't —
+          // 1e6·1e12 docs still fits int64)
+          expr("CAST((1000000 * CAST(cum_tokens AS DECIMAL(38,0))) div tt AS BIGINT)")
+            .as("token_share_ppm"))
         .orderBy(col("decile"))
     }),
 
@@ -2116,12 +2129,17 @@ object CorpusOps {
         Seq(col("n_chars"), col("doc_id")),
         Seq(col("n_chars"), col("doc_id")), 32)
       .groupBy(col("source"))
+      // rank·chars sums and the n·sx closed-form products reach ~n·sx
+      // ≈ 1e25 at 100 TB (rank ~1e11 × per-source chars ~1e14) — far
+      // past int64, well inside DECIMAL(38,0); the ppm/bp images stay
+      // BIGINT (the q246b/q267b widening discipline)
       .agg(count(lit(1)).as("n"),
         sum(col("n_chars")).as("sx"),
-        sum(col("rn") * col("n_chars")).as("s1"),
+        sum(col("rn").cast("decimal(38,0)") * col("n_chars")).as("s1"),
         sum(expr("CASE WHEN rn > ntot - ntot div 10 THEN n_chars ELSE 0 END")).as("topx"))
       .select(col("source"), col("n"), col("sx"),
-        expr("(1000000 * (2 * s1 - (n + 1) * sx)) div (n * sx)").as("gini_ppm"),
+        expr("CAST((1000000 * (2 * s1 - (CAST(n AS DECIMAL(38,0)) + 1) * sx))" +
+          " div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)").as("gini_ppm"),
         expr("(10000 * topx) div sx").as("top_decile_bp"))
 
   /** Closed-form per-group OLS of y on x from one aggregation pass:
@@ -2436,8 +2454,8 @@ object CorpusOps {
         |       coalesce(s.est_chars, 0) AS est_chars,
         |       (1000000 * abs(coalesce(s.est_docs, 0) - t.true_docs)) // t.true_docs
         |         AS docs_err_ppm,
-        |       (1000000 * abs(coalesce(s.est_chars, 0) - t.true_chars)) // t.true_chars
-        |         AS chars_err_ppm
+        |       CAST((1000000 * abs(CAST(coalesce(s.est_chars, 0) AS HUGEINT) - t.true_chars))
+        |         // t.true_chars AS BIGINT) AS chars_err_ppm
         |FROM t LEFT JOIN s ON t.lang = s.lang
         |ORDER BY t.lang""".stripMargin,
 
@@ -2657,7 +2675,8 @@ object CorpusOps {
         |SELECT decile, CAST(min(logit) AS BIGINT) AS thr_logit,
         |       max(cum_docs) AS cum_docs, max(cum_tok) AS cum_tokens,
         |       (1000000 * max(cum_docs)) // max(td) AS doc_share_ppm,
-        |       (1000000 * max(cum_tok)) // max(tt) AS token_share_ppm
+        |       CAST((1000000 * CAST(max(cum_tok) AS HUGEINT)) // max(tt) AS BIGINT)
+        |         AS token_share_ppm
         |FROM r CROSS JOIN t
         |GROUP BY decile ORDER BY decile""".stripMargin,
 
@@ -2795,7 +2814,7 @@ object CorpusOps {
         |  FROM w
         |)
         |SELECT source, n_tok,
-        |       (1000000 * n_tok) // tot_tok AS raw_ppm,
+        |       CAST((1000000 * CAST(n_tok AS HUGEINT)) // tot_tok AS BIGINT) AS raw_ppm,
         |       (1000000 * w) // tot_w AS alpha_ppm
         |FROM w, t ORDER BY source""".stripMargin,
 
@@ -3165,12 +3184,13 @@ object CorpusOps {
         |), g AS (
         |  SELECT source, count(*) AS n,
         |         CAST(sum(n_chars) AS BIGINT) AS sx,
-        |         CAST(sum(rn * n_chars) AS BIGINT) AS s1,
+        |         sum(CAST(rn AS HUGEINT) * n_chars) AS s1,
         |         CAST(sum(CASE WHEN rn > ntot - ntot // 10 THEN n_chars ELSE 0 END) AS BIGINT) AS topx
         |  FROM r GROUP BY 1
         |)
-        |SELECT source, n, sx,
-        |       (1000000 * (2 * s1 - (n + 1) * sx)) // (n * sx) AS gini_ppm,
+        |SELECT source, CAST(n AS BIGINT) AS n, sx,
+        |       CAST((1000000 * (2 * s1 - (CAST(n AS HUGEINT) + 1) * sx))
+        |         // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_ppm,
         |       (10000 * topx) // sx AS top_decile_bp
         |FROM g ORDER BY source""".stripMargin,
 

@@ -991,11 +991,18 @@ object EventOps {
         .agg(count(lit(1)).as("n_true"),
              sum(col("in1")).as("n1"), sum(col("in2")).as("n2"),
              sum(col("in1") * col("in2")).as("m"))
+        // the n1·n2 capture products square a per-type user count —
+        // past int64 at ~3e9 users/type — so they ride DECIMAL(38,0)
+        // (the q246b/q267b widening discipline); the published
+        // estimates and ppm stay BIGINT
         .select(col("event_type"), col("n_true"), col("n1"), col("n2"), col("m"),
-          expr("(n1 * n2) div greatest(m, 1)").as("lp_est"),
-          expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1").as("chapman_est"),
-          expr("""(1000000 * abs(((n1 + 1) * (n2 + 1)) div (m + 1) - 1 - n_true))
-                 | div n_true""".stripMargin).as("err_ppm"))
+          expr("CAST((CAST(n1 AS DECIMAL(38,0)) * n2) div greatest(m, 1) AS BIGINT)")
+            .as("lp_est"),
+          expr("CAST(((CAST(n1 AS DECIMAL(38,0)) + 1) * (n2 + 1)) div (m + 1) - 1 AS BIGINT)")
+            .as("chapman_est"),
+          expr("""CAST((1000000 * CAST(abs(((CAST(n1 AS DECIMAL(38,0)) + 1) * (n2 + 1))
+                 | div (m + 1) - 1 - n_true) AS DECIMAL(38,0)))
+                 | div n_true AS BIGINT)""".stripMargin).as("err_ppm"))
         .orderBy(col("event_type"))
     }),
 
@@ -2397,10 +2404,11 @@ object EventOps {
         |  FROM per GROUP BY 1
         |)
         |SELECT event_type, n_true, n1, n2, m,
-        |       (n1 * n2) // greatest(m, 1) AS lp_est,
-        |       ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS chapman_est,
-        |       (1000000 * abs(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 - n_true)) // n_true
-        |         AS err_ppm
+        |       CAST((CAST(n1 AS HUGEINT) * n2) // greatest(m, 1) AS BIGINT) AS lp_est,
+        |       CAST(((CAST(n1 AS HUGEINT) + 1) * (n2 + 1)) // (m + 1) - 1 AS BIGINT)
+        |         AS chapman_est,
+        |       CAST((1000000 * CAST(abs(((CAST(n1 AS HUGEINT) + 1) * (n2 + 1))
+        |         // (m + 1) - 1 - n_true) AS HUGEINT)) // n_true AS BIGINT) AS err_ppm
         |FROM agg ORDER BY event_type""".stripMargin,
 
     "q242_sequential_ab" ->
