@@ -1204,6 +1204,72 @@ object VectorOps {
         .orderBy(col("cell"))
     }),
 
+    // Two-level (hierarchical) IVF assignment — the answer to the one
+    // remaining N·nlist term: after bounded-sample training (q289) the
+    // build's dominant cost is the full-corpus nearest-cell assignment
+    // (N·√N distance rows at the default sizing). A super-quantizer
+    // over the CENTROIDS (k2 = ⌈√nlist⌉ super-cells, trained on nlist
+    // rows — corpus-size-free) routes each vector to its
+    // 2 nearest super-cells (the quantizer-level nprobe), then argmins
+    // only over those supers' child cells:
+    // ≈ N·(√nlist + 2·nlist/k2) ≈ 3N·√nlist rows — N^1.25 end to end
+    // instead of N^1.5. The FAISS analog is the HNSW coarse quantizer
+    // on IndexIVF. The approximation is real (the true nearest cell
+    // can live under an unprobed super-cell), so the tier publishes
+    // its own agreement audit: per-cell counts under BOTH assignments
+    // plus the match count, fully oracle-checked. Scale shapes: both
+    // argmins are the partial-aggregable min(struct) groupBy, the
+    // routing table and child-cell map are broadcast (nlist rows).
+    "q290_ivf_two_level_assign" -> ((s, d) => {
+      val e = emb(s, d)
+      val n = e.count(); val k = ivfNlist(n)
+      val cent = kmeansCentroids(trainSample(e, n, k), k = k, iters = 4)
+      val k2 = math.max(3, math.ceil(math.sqrt(k.toDouble)).toInt)
+      // super-quantizer trained on the centroid set itself (nlist rows)
+      val e2 = cent.select(col("cell").as("vec_id"), col("cv").as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val sup = kmeansCentroids(e2, k = k2, iters = 2)
+        .select(col("cell").as("scell"), col("cv").as("scv"))
+      // cell -> super routing table (argmin over k2 supers; nlist rows)
+      val cellSup = assignCells(e2,
+          sup.select(col("scell").as("cell"), col("scv").as("cv")))
+        .select(col("vec_id").as("ccell"), col("cell").as("scell"))
+      // probe only supers that own >= 1 cell, so no vector can route
+      // to a childless super and lose its row
+      val supLive = sup.join(cellSup.select(col("scell")).distinct(),
+        Seq("scell"), "left_semi")
+      // each vector probes its top-2 supers (the quantizer-level
+      // nprobe FAISS's coarse search runs) — vec_id is a HIGH-card
+      // window key, and the rn <= 2 filter is WindowGroupLimit-
+      // prunable, so no task ever holds more than a vector's k2 rows
+      val wV = Window.partitionBy(col("vec_id")).orderBy(col("__sd2"), col("scell"))
+      val vSup = e.crossJoin(broadcast(supLive))
+        .withColumn("__sd2",
+          dot("v", "v") - lit(2.0) * dot("v", "scv") + dot("scv", "scv"))
+        .withColumn("pr", row_number().over(wV)).filter(col("pr") <= 2)
+        .select(col("vec_id"), col("v"), col("scell"))
+      val twol = vSup.join(broadcast(cellSup), Seq("scell"))
+        .join(broadcast(cent.select(col("cell").as("ccell"), col("cv"))), Seq("ccell"))
+        .withColumn("__d2",
+          dot("v", "v") - lit(2.0) * dot("v", "cv") + dot("cv", "cv"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("__d2"), col("ccell"))).as("__mc"))
+        .select(col("vec_id"), col("__mc.ccell").as("cell2"))
+      val exact = assignCells(e, cent).select(col("vec_id"), col("cell").as("cell1"))
+      val j = exact.join(twol, Seq("vec_id"))
+      val a1 = j.groupBy(col("cell1").as("cell"))
+        .agg(count(lit(1)).as("n_exact"),
+             sum(when(col("cell1") === col("cell2"), 1L).otherwise(0L)).as("n_match"))
+      val a2 = j.groupBy(col("cell2").as("cell")).agg(count(lit(1)).as("n_two_level"))
+      cent.select(col("cell")).join(a1, Seq("cell"), "left_outer")
+        .join(a2, Seq("cell"), "left_outer")
+        .select(col("cell").cast("long").as("cell"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_two_level"), lit(0L)).as("n_two_level"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"))
+        .orderBy(col("cell"))
+    }),
+
     // Product quantization codebook — the vector-compression tier the
     // int8 path (q105) can't reach: m=4 subspaces × 16 dims, each
     // with its own k=16 codebook learned by the SAME deterministic
@@ -2331,6 +2397,58 @@ object VectorOps {
     */
   private lazy val ivfChainCte: String = s"WITH $eCteBody,\n$ivfChainBody"
 
+  /** k2 = max(3, ⌈√nlist⌉) super-cells for the two-level assignment
+    * (q290), mirrored exactly like [[ivfNlistSqlExpr]].
+    */
+  private lazy val k2SqlExpr: String =
+    s"greatest(3, CAST(ceil(sqrt($ivfNlistSqlExpr)) AS BIGINT))"
+
+  /** The q290 super-quantizer chain over the c4 centroid relation
+    * (cell plays the vector role): md5-coin init on cell ids, 2 Lloyd
+    * iterations mirroring [[kmeansCentroids]]'s algebra, final
+    * cell→super routing (sgf). nlist rows throughout — corpus-free.
+    */
+  private lazy val superChainBody: String = {
+    def iter(n: Int): String = {
+      val prev = s"sc${n - 1}"
+      s"""sa$n AS (
+         |  SELECT c.cell, s.scell,
+         |         sum(c.cv*c.cv) - 2*sum(c.cv*s.cv) + sum(s.cv*s.cv) AS d2
+         |  FROM c4 c JOIN $prev s ON c.i = s.i GROUP BY 1, 2
+         |), sg$n AS (
+         |  SELECT cell, scell FROM (
+         |    SELECT cell, scell, row_number() OVER (
+         |      PARTITION BY cell ORDER BY d2, scell) AS rn
+         |    FROM sa$n) WHERE rn = 1
+         |), su$n AS (
+         |  SELECT g.scell, c.i, avg(c.cv) AS cv
+         |  FROM sg$n g JOIN c4 c USING (cell) GROUP BY 1, 2
+         |), sc$n AS MATERIALIZED (
+         |  SELECT p.scell, p.i, coalesce(u.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN su$n u ON p.scell = u.scell AND p.i = u.i
+         |)""".stripMargin
+    }
+    s"""sinit AS MATERIALIZED (
+       |  SELECT cell, row_number() OVER (
+       |      ORDER BY md5(CAST(cell AS VARCHAR)), cell) AS scell
+       |  FROM (SELECT DISTINCT cell FROM c4)
+       |  ORDER BY md5(CAST(cell AS VARCHAR)), cell LIMIT $k2SqlExpr
+       |), sc0 AS MATERIALIZED (
+       |  SELECT sinit.scell, c.i, c.cv FROM sinit JOIN c4 c USING (cell)
+       |),
+       |${(1 to 2).map(iter).mkString(",\n")},
+       |saf AS (
+       |  SELECT c.cell, s.scell,
+       |         sum(c.cv*c.cv) - 2*sum(c.cv*s.cv) + sum(s.cv*s.cv) AS d2
+       |  FROM c4 c JOIN sc2 s ON c.i = s.i GROUP BY 1, 2
+       |), sgf AS MATERIALIZED (
+       |  SELECT cell, scell FROM (
+       |    SELECT cell, scell, row_number() OVER (
+       |      PARTITION BY cell ORDER BY d2, scell) AS rn
+       |    FROM saf) WHERE rn = 1
+       |)""".stripMargin
+  }
+
   /** One PQ subspace's kmeans chain (absolute dim indexing: the
     * subspace covers i ∈ [PQ_D·sb+1, PQ_D·(sb+1)], so slices never
     * reindex): shared init16 seeds sliced to the range, PQ_ITERS Lloyd
@@ -2900,6 +3018,50 @@ object VectorOps {
          |       CAST(coalesce(cnt.nt, 0) AS BIGINT) AS n_train,
          |       round(nrm.cn, 4) AS cn4
          |FROM nrm LEFT JOIN cnt ON nrm.cell = cnt.cell
+         |ORDER BY cell""".stripMargin,
+
+    // The full two-level replay: super-quantizer over c4, cell→super
+    // routing, vector→super argmin restricted to live supers, child-
+    // cell argmin, and the per-cell agreement census vs g5.
+    "q290_ivf_two_level_assign" ->
+      s"""$ivfChainCte,
+         |$superChainBody,
+         |live AS (SELECT DISTINCT scell FROM sgf),
+         |va AS (
+         |  SELECT e.vec_id, s.scell,
+         |         sum(e.v*e.v) - 2*sum(e.v*s.cv) + sum(s.cv*s.cv) AS d2
+         |  FROM e JOIN sc2 s ON e.i = s.i
+         |  WHERE s.scell IN (SELECT scell FROM live) GROUP BY 1, 2
+         |), vg AS (
+         |  SELECT vec_id, scell FROM (
+         |    SELECT vec_id, scell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, scell) AS rn
+         |    FROM va) WHERE rn <= 2
+         |), cd AS (
+         |  SELECT vg.vec_id, f.cell FROM vg JOIN sgf f USING (scell)
+         |), ta AS (
+         |  SELECT cd.vec_id, cd.cell,
+         |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
+         |  FROM cd JOIN e ON e.vec_id = cd.vec_id
+         |          JOIN c4 c ON c.cell = cd.cell AND c.i = e.i
+         |  GROUP BY 1, 2
+         |), tg AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM ta) WHERE rn = 1
+         |), x1 AS (
+         |  SELECT g5.cell, count(*) AS n_exact,
+         |         sum(CASE WHEN g5.cell = tg.cell THEN 1 ELSE 0 END) AS n_match
+         |  FROM g5 JOIN tg USING (vec_id) GROUP BY 1
+         |), x2 AS (SELECT cell, count(*) AS n_two FROM tg GROUP BY 1),
+         |cl AS (SELECT DISTINCT cell FROM c4)
+         |SELECT CAST(cl.cell AS BIGINT) AS cell,
+         |       CAST(coalesce(x1.n_exact, 0) AS BIGINT) AS n_exact,
+         |       CAST(coalesce(x2.n_two, 0) AS BIGINT) AS n_two_level,
+         |       CAST(coalesce(x1.n_match, 0) AS BIGINT) AS n_match
+         |FROM cl LEFT JOIN x1 ON cl.cell = x1.cell
+         |        LEFT JOIN x2 ON cl.cell = x2.cell
          |ORDER BY cell""".stripMargin,
 
     // Full IVF oracle (round-8): with the kmeans chain expressible

@@ -1027,6 +1027,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("two-level assignment probes supers via a group-limit window, never a full frame (q290)") {
+    // The corpus-sized window in the two-level assignment is the
+    // top-2-supers probe, keyed by HIGH-card vec_id with an ORDER —
+    // so the rn <= 2 filter plans as a WindowGroupLimit (bounded heap
+    // per task) and no unordered full-frame window exists anywhere.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val p = physical("q290_ivf_two_level_assign")
+    assert(p.collect { case w: WindowGroupLimitExec => w }.nonEmpty,
+      "q290: expected a WindowGroupLimit on the super-probe")
+    p.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.orderSpec.nonEmpty, s"q290: full-frame (unordered) window: $w")
+    }
+  }
+
   test("bm25 scoring broadcasts the query relation — the corpus never shuffles on the bare term (q275)") {
     // The 6-row idf relation must reach the corpus-sized tf stream as
     // a broadcast; any exchange hash-keyed on the bare term would be

@@ -380,6 +380,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq, "deterministic draw")
   }
 
+  test("two-level ivf assignment: conservation, totality, agreement floor, determinism (q290)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val n = T.embeddings(spark, sf001).count()
+    val k = VectorOps.ivfNlist(n)
+    val rows = VectorOps.queries("q290_ivf_two_level_assign")(spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to k.toLong))
+    assert(rows.map(_.getLong(1)).sum === n, "exact assignment covers every vector")
+    // the live-super filter guarantees totality: no vector can route
+    // to a childless super and drop out of the two-level census
+    assert(rows.map(_.getLong(2)).sum === n, "two-level covers every vector")
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(1), "match ⊆ exact per cell"))
+    // measured agreement is 89% at sf0.01 / 78% at sf0.1 on the
+    // near-uniform synthetic embeddings (weak cluster structure is
+    // the hard case for a hierarchical quantizer); pin a conservative
+    // floor so a silent routing regression still fails loudly
+    val agree = rows.map(_.getLong(3)).sum
+    assert(agree * 2 >= n, s"two-level agreement $agree/$n under the 50% floor")
+    val again = VectorOps.queries("q290_ivf_two_level_assign")(spark, sf001).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq, "deterministic")
+  }
+
   test("pq codebook census: complete sub x cell grid, per-subspace conservation, substrate consistency (q259)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     val rows = VectorOps.queries("q259_pq_codebook")(spark, sf001).collect()
