@@ -169,4 +169,25 @@ class PropertiesSpec extends AnyFunSuite {
         java.lang.Double.doubleToRawLongBits(d)
     })
   }
+
+  test("bounded-training threshold: 8-hex lowercase, clamped, monotone in cap·k/n") {
+    val gen = for {
+      n   <- Gen.chooseNum(1L, 1000000000000L)
+      k   <- Gen.chooseNum(1, 1000000)
+      cap <- Gen.chooseNum(1, 100000)
+    } yield (n, k, cap)
+    check(Prop.forAll(gen) { case (n, k, cap) =>
+      val t = graft.ops.VectorOps.trainThrHex(n, k, cap)
+      // fixed-width lowercase hex — the form under which lexicographic
+      // string compare IS numeric compare, the invariant the md5-prefix
+      // predicate rests on in both engines
+      val wellFormed = t.length == 8 && t.forall(c => c.isDigit || ('a' to 'f').contains(c))
+      // cap·k >= n must admit everything (the non-binding identity law)
+      val allPassLaw = cap.toLong * k < n || t == "ffffffff"
+      // a bigger cap can never shrink the sample (string >= = numeric
+      // >= by wellFormed)
+      val mono = graft.ops.VectorOps.trainThrHex(n, k, cap + 1) >= t
+      wellFormed && allPassLaw && mono
+    })
+  }
 }

@@ -399,6 +399,13 @@ class VectorOpsSpec extends SparkSpec {
     assert(agree * 2 >= n, s"two-level agreement $agree/$n under the 50% floor")
     val again = VectorOps.queries("q290_ivf_two_level_assign")(spark, sf001).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq, "deterministic")
+    // substrate consistency: q290's EXACT census must equal q257's —
+    // both ride the identical sample-trained chain, so any divergence
+    // means the audit is grading a different index than the one served
+    val census = VectorOps.queries("q257_ivf_cell_audit")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(census(r.getLong(0)) === r.getLong(1),
+      s"cell ${r.getLong(0)}: q290 n_exact ${r.getLong(1)} != q257 ${census(r.getLong(0))}"))
   }
 
   test("pq codebook census: complete sub x cell grid, per-subspace conservation, substrate consistency (q259)") {
