@@ -113,6 +113,29 @@ object VectorOps {
 
   private lazy val ivfTrainCapSql: String = ivfTrainCap.toString
 
+  /** Two-level coarse-assignment dial (round-13, the q290 promotion
+    * the round-12 verdict asked for): when set, the STORED index's
+    * full-corpus cell assignment routes through the hierarchical
+    * super-quantizer probe (≈3N·√nlist distance rows instead of
+    * N·nlist — N^1.25 end to end), trading the q290-audited agreement
+    * rate for build cost. OFF by default: the two-level assignment is
+    * approximate (the true nearest cell can live under an unprobed
+    * super), so it is an explicit opt-in, not a silent default. The
+    * dial is part of the index-root identity (a t2 segment), and
+    * every STORE-READING oracle swaps its g5 replay to the two-level
+    * chain under the dial ([[ivfChainBodyStored]]) — live-chain
+    * oracles (q66/q257/q289/q290) are exact-assignment semantics and
+    * never switch.
+    */
+  def ivfTwoLevel: Boolean = sys.env.get("SPARK_GRAFT_IVF_TWOLEVEL")
+    .exists(v => v == "1" || v == "true")
+
+  /** k2 = max(3, ⌈√nlist⌉) super-cells — the q290 sizing, shared by
+    * the dial path ([[ivfNlist]]'s shape one level up).
+    */
+  def ivfK2(nlist: Int): Int =
+    math.max(3, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+
   /** Lowercase 8-hex md5-prefix threshold admitting ≈ cap·k of n rows
     * (clamped to the all-pass "ffffffff" when cap·k ≥ n). Both engines
     * run the SAME IEEE product/quotient (left-associated doubles on
@@ -304,6 +327,44 @@ object VectorOps {
            min(struct(col("__d2"), col("cell"))).as("__mc"))
       .select(col("vec_id"), col("v"), col("nrm"), col("__mc.cell").as("cell"))
 
+  /** Two-level (hierarchical) nearest-cell assignment — q290's
+    * construction, factored so the [[ivfTwoLevel]] build dial and the
+    * q290 audit tier share one implementation: a super-quantizer over
+    * the CENTROID set (k2 cells, trained on nlist rows — corpus-free,
+    * the documented trainSample exemption), cell→super routing, each
+    * vector probing its top-2 supers (high-card vec_id window, the
+    * rn <= 2 filter WindowGroupLimit-prunable), then argmin over the
+    * probed supers' child cells only. ≈ N·(√nlist + 2·nlist/k2)
+    * distance rows instead of N·nlist. Returns (vec_id, cell).
+    */
+  def twoLevelAssign(e: DataFrame, cent: DataFrame, k2: Int): DataFrame = {
+    val e2 = cent.select(col("cell").as("vec_id"), col("cv").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val sup = kmeansCentroids(e2, k = k2, iters = 2)
+      .select(col("cell").as("scell"), col("cv").as("scv"))
+    // cell -> super routing table (argmin over k2 supers; nlist rows)
+    val cellSup = assignCells(e2,
+        sup.select(col("scell").as("cell"), col("scv").as("cv")))
+      .select(col("vec_id").as("ccell"), col("cell").as("scell"))
+    // probe only supers that own >= 1 cell, so no vector can route
+    // to a childless super and lose its row
+    val supLive = sup.join(cellSup.select(col("scell")).distinct(),
+      Seq("scell"), "left_semi")
+    val wV = Window.partitionBy(col("vec_id")).orderBy(col("__sd2"), col("scell"))
+    val vSup = e.crossJoin(broadcast(supLive))
+      .withColumn("__sd2",
+        dot("v", "v") - lit(2.0) * dot("v", "scv") + dot("scv", "scv"))
+      .withColumn("pr", row_number().over(wV)).filter(col("pr") <= 2)
+      .select(col("vec_id"), col("v"), col("scell"))
+    vSup.join(broadcast(cellSup), Seq("scell"))
+      .join(broadcast(cent.select(col("cell").as("ccell"), col("cv"))), Seq("ccell"))
+      .withColumn("__d2",
+        dot("v", "v") - lit(2.0) * dot("v", "cv") + dot("cv", "cv"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("__d2"), col("ccell"))).as("__mc"))
+      .select(col("vec_id"), col("__mc.ccell").as("cell"))
+  }
+
   /** All PQ_M subspace slices of a (vec_id, v) relation as ONE fused
     * relation keyed by sub — the input shape for [[kmeansCentroidsFused]].
     */
@@ -396,15 +457,24 @@ object VectorOps {
     * layout q261's composition previously only documented:
     *
     *  - `centroids/`  — the nlist = ⌈√N⌉ IVF centroids (cell, cv, cn);
-    *  - `codebooks/`  — the 4 PQ codebooks, 64 rows (sub, cell, cv);
-    *  - `codes/`      — the corpus as 4-byte PQ codes (vec_id,
-    *    c0..c3 TINYINT), written `partitionBy(cell)` so the directory
-    *    structure IS the IVF index: a query lists only its nprobe cell
-    *    directories.
+    *  - `codebooks/`  — the 4 RAW-vector PQ codebooks, 64 rows
+    *    (sub, cell, cv) — the ablation tier q260/q261 serve from;
+    *  - `rcodebooks/` — the 4 RESIDUAL PQ codebooks (same shape),
+    *    trained on r = v − centroid(cell(v)) — FAISS IndexIVFPQ's
+    *    by_residual=true default (round-12 verdict item 2): the
+    *    16-way codebooks spend their bits on the part of the vector
+    *    the IVF tier hasn't already explained;
+    *  - `codes/`      — the corpus as PQ codes (vec_id, c0..c3 raw,
+    *    r0..r3 residual, all TINYINT), written `partitionBy(cell)` so
+    *    the directory structure IS the IVF index: a query lists only
+    *    its nprobe cell directories. The PRODUCTION serving tiers
+    *    (q263/q286) rank by the residual codes; the raw columns keep
+    *    the q260/q261 ablation exactly reproducible from the same
+    *    store.
     *
     * At 100 TB this is the whole point of IVFADC: the index is
-    * n×(8+4) bytes however wide the embeddings are, the build is the
-    * audited q66/q259 substrate (broadcast centroids + one keyed
+    * n×(8+8) bytes however wide the embeddings are, the build is the
+    * audited q66/q259/q264 substrate (broadcast centroids + one keyed
     * argmin shuffle per relation, never quadratic), and the write's
     * only shuffle is the cell-partitioned sink. Returns the index
     * root.
@@ -432,8 +502,11 @@ object VectorOps {
       // per dial, so the dial is part of the root's identity.
       val nVecs = T.embeddings(s, d).count()
       val nlist = ivfNlist(nVecs)
+      // the two-level dial changes the stored cell assignment, so it
+      // is part of the root's identity like the nlist dial
+      val t2 = if (ivfTwoLevel) "t2" else ""
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivfadc_${new java.io.File(d).getName}_${pathTag}_k${nlist}_p${ProcessHandle.current.pid}")
+        s"graft_ivfadc_${new java.io.File(d).getName}_${pathTag}_k${nlist}${t2}_p${ProcessHandle.current.pid}")
       val stage = new java.io.File(root.getParentFile, root.getName + ".build")
       def rmTree(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
@@ -451,7 +524,7 @@ object VectorOps {
       // nlist dial was.
       val sibling = (java.util.regex.Pattern.quote(
         s"graft_ivfadc_${new java.io.File(d).getName}_${pathTag}_") +
-        "(?:k\\d+_)?p(\\d+)(\\.build)?").r
+        "(?:k\\d+(?:t2)?_)?p(\\d+)(\\.build)?").r
       Option(root.getParentFile.listFiles()).foreach(_.foreach { f =>
         f.getName match {
           case sibling(pid, _) if pid.toLong != ProcessHandle.current.pid &&
@@ -476,8 +549,33 @@ object VectorOps {
       val baseT = trainSample(base, nVecs, PQ_K)
       val cbF = kmeansCentroidsFused(baseT, pqSubSlices(baseT), k = PQ_K, iters = PQ_ITERS)
       cbF.coalesce(1).write.mode("overwrite").parquet(s"$sp/codebooks")
-      assignCells(e64, cents).select(col("vec_id"), col("cell"))
+      // the cell assignment feeds the codes write AND the residual
+      // relation — checkpoint so the corpus-wide argmin runs once.
+      // Under the two-level dial it routes through the hierarchical
+      // probe (q290's audited relation — the agreement census is that
+      // tier's published output, which is why the dial is opt-in).
+      val cells = (if (ivfTwoLevel) twoLevelAssign(e64, cents, ivfK2(nlist))
+                   else assignCells(e64, cents).select(col("vec_id"), col("cell")))
+        .localCheckpoint(true)
+      // residual tier (round-13, verdict item 2): r = v − centroid of
+      // the assigned cell, through the codegen'd graft_sub kernel;
+      // materialized once — the residual Lloyd iterations and the
+      // final code assignment all consume it (the q264 posture, now
+      // IN the build where a production store trains it)
+      val resid = cells
+        .join(base, Seq("vec_id"))
+        .join(broadcast(cents.select(col("cell"), col("cv"))), Seq("cell"))
+        .select(col("vec_id"), expr("graft_sub(v, cv)").as("v"))
+        .localCheckpoint(true)
+      val residT = trainSample(resid, nVecs, PQ_K)
+      val rcbF = kmeansCentroidsFused(residT, pqSubSlices(residT), k = PQ_K, iters = PQ_ITERS)
+      rcbF.coalesce(1).write.mode("overwrite").parquet(s"$sp/rcodebooks")
+      val rCodes = pqCodesFused(pqSubSlices(resid), rcbF)
+        .select(col("vec_id"), col("c0").as("r0"), col("c1").as("r1"),
+                col("c2").as("r2"), col("c3").as("r3"))
+      cells
         .join(pqCodesFused(slices, cbF), Seq("vec_id"))
+        .join(rCodes, Seq("vec_id"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$sp/codes")
       if (root.exists()) rmTree(root)  // same pid re-ran after a memo-less restart
       java.nio.file.Files.move(stage.toPath, root.toPath,
@@ -488,8 +586,13 @@ object VectorOps {
   /** The IVFADC serving tail shared by the corpus-probe (q263) and
     * external-query (q286) tiers — nprobe=4 probe against the stored
     * centroids, DPP-pruned candidate fetch from the cell-partitioned
-    * codes, broadcast ADC tables from the stored codebooks, exact
-    * re-rank of the ≤50 shortlist by id-fetch.
+    * codes, broadcast ADC tables from the stored RESIDUAL codebooks
+    * (round-13: the production tiers now rank by the residual codes —
+    * FAISS's by_residual=true serving path; q260/q261 keep the
+    * raw-encoding ablation), exact re-rank of the ≤50 shortlist by
+    * id-fetch. The residual dq tables are per (query, PROBED CELL) —
+    * the query's residual wrt each probed centroid — |Q|·nprobe·16
+    * rows per subspace, still broadcast (the q264 shape).
     *
     * `q0` carries (q_id, qv, qn) and must be CHECKPOINTED by the
     * caller (it is referenced from the probes, the 4 dq tables, the
@@ -505,7 +608,7 @@ object VectorOps {
                           selfExclude: Boolean): DataFrame = {
     val root = ensureIvfadcIndex(s, d)
     val centsStored = s.read.parquet(s"$root/centroids")
-    val cbs = s.read.parquet(s"$root/codebooks")
+    val rcbs = s.read.parquet(s"$root/rcodebooks")
     val codes = s.read.parquet(s"$root/codes")
     val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
@@ -514,16 +617,26 @@ object VectorOps {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= 4)
       .select(col("q_id"), col("cell")))
+    // the probe relation that also carries the query vector and the
+    // probed centroid — feeds ONLY the broadcast residual dq tables
+    // (kept separate from `probes` so the DPP-filtering side stays
+    // the minimal (q_id, cell) projection)
+    val probesC = q0.crossJoin(broadcast(centsStored))
+      .withColumn("ccos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= 4)
+      .select(col("q_id"), col("qv"), col("cell"), col("cv"))
     val joined = codes.join(probes, Seq("cell"))
     val cand0 = if (selfExclude) joined.filter(col("q_id") =!= col("vec_id"))
                 else joined
     val dqs = (0 until PQ_M).map { sb =>
-      broadcast(q0.select(col("q_id"),
-          expr(s"slice(qv, ${PQ_D * sb + 1}, $PQ_D)").as("qs"))
-        .crossJoin(broadcast(cbs.filter(col("sub") === sb)
-          .select(col("cell").cast("byte").as(s"c$sb"), col("cv"))))
-        .select(col("q_id"), col(s"c$sb"),
-          expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cv) + graft_dot(cv, cv)")
+      broadcast(probesC
+        .select(col("q_id"), col("cell"),
+          expr(s"slice(graft_sub(qv, cv), ${PQ_D * sb + 1}, $PQ_D)").as("qs"))
+        .crossJoin(broadcast(rcbs.filter(col("sub") === sb)
+          .select(col("cell").cast("byte").as(s"r$sb"), col("cv").as("cw"))))
+        .select(col("q_id"), col("cell"), col(s"r$sb"),
+          expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cw) + graft_dot(cw, cw)")
             .as(s"d$sb")))
     }
     // n_cand is a partial-aggregable groupBy(q_id).count joined back
@@ -538,10 +651,10 @@ object VectorOps {
     // DPP-pruned to the probed cells (plan-pinned; a checkpoint here
     // would kill the pruning, the q263 localCheckpoint rule).
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("id2"))
-    val candAdc = cand0.join(dqs(0), Seq("q_id", "c0"))
-      .join(dqs(1), Seq("q_id", "c1"))
-      .join(dqs(2), Seq("q_id", "c2"))
-      .join(dqs(3), Seq("q_id", "c3"))
+    val candAdc = cand0.join(dqs(0), Seq("q_id", "cell", "r0"))
+      .join(dqs(1), Seq("q_id", "cell", "r1"))
+      .join(dqs(2), Seq("q_id", "cell", "r2"))
+      .join(dqs(3), Seq("q_id", "cell", "r3"))
       .select(col("q_id"), col("vec_id").as("id2"),
         expr("d0 + d1 + d2 + d3").as("adc"))
     val nCand = candAdc.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
@@ -1182,7 +1295,7 @@ object VectorOps {
     // this session): the production dial (ivfTrainCap=256, the FAISS
     // max_points_per_centroid default every trainer in this file now
     // rides) only binds above cap·k vectors, so this tier forces
-    // cap=4 — at sf0.01 that is a 60-of-200 training sample — and
+    // cap=4 — at sf0.01 that is a 101-of-500 training sample — and
     // oracle-checks that BOTH engines draw the identical
     // hash-threshold sample, fit the identical centroids on it, and
     // assign the identical FULL corpus. Census = per-cell total
@@ -1224,37 +1337,20 @@ object VectorOps {
       val e = emb(s, d)
       val n = e.count(); val k = ivfNlist(n)
       val cent = kmeansCentroids(trainSample(e, n, k), k = k, iters = 4)
-      val k2 = math.max(3, math.ceil(math.sqrt(k.toDouble)).toInt)
-      // super-quantizer trained on the centroid set itself (nlist rows)
-      val e2 = cent.select(col("cell").as("vec_id"), col("cv").as("v"))
-        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-      val sup = kmeansCentroids(e2, k = k2, iters = 2)
-        .select(col("cell").as("scell"), col("cv").as("scv"))
-      // cell -> super routing table (argmin over k2 supers; nlist rows)
-      val cellSup = assignCells(e2,
-          sup.select(col("scell").as("cell"), col("scv").as("cv")))
-        .select(col("vec_id").as("ccell"), col("cell").as("scell"))
-      // probe only supers that own >= 1 cell, so no vector can route
-      // to a childless super and lose its row
-      val supLive = sup.join(cellSup.select(col("scell")).distinct(),
-        Seq("scell"), "left_semi")
-      // each vector probes its top-2 supers (the quantizer-level
-      // nprobe FAISS's coarse search runs) — vec_id is a HIGH-card
-      // window key, and the rn <= 2 filter is WindowGroupLimit-
-      // prunable, so no task ever holds more than a vector's k2 rows
-      val wV = Window.partitionBy(col("vec_id")).orderBy(col("__sd2"), col("scell"))
-      val vSup = e.crossJoin(broadcast(supLive))
-        .withColumn("__sd2",
-          dot("v", "v") - lit(2.0) * dot("v", "scv") + dot("scv", "scv"))
-        .withColumn("pr", row_number().over(wV)).filter(col("pr") <= 2)
-        .select(col("vec_id"), col("v"), col("scell"))
-      val twol = vSup.join(broadcast(cellSup), Seq("scell"))
-        .join(broadcast(cent.select(col("cell").as("ccell"), col("cv"))), Seq("ccell"))
-        .withColumn("__d2",
-          dot("v", "v") - lit(2.0) * dot("v", "cv") + dot("cv", "cv"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("__d2"), col("ccell"))).as("__mc"))
-        .select(col("vec_id"), col("__mc.ccell").as("cell2"))
+      // super-quantizer trained on the centroid set itself (nlist
+      // rows) inside twoLevelAssign. Deliberate trainSample EXEMPTION
+      // (the CLAUDE.md every-Lloyd rule): that training relation is
+      // the CENTROID set — corpus-size-free by construction (nlist
+      // rows however big N gets), so the FAISS per-centroid cap has
+      // nothing to bound; the DuckDB super chain (superChainBody) is
+      // correspondingly unfiltered. Filtering one side only would
+      // break oracle agreement — keep BOTH unfiltered. Since round 13
+      // the assignment itself is the shared [[twoLevelAssign]] — the
+      // relation the SPARK_GRAFT_IVF_TWOLEVEL build dial routes
+      // ensureIvfadcIndex through, audited here against the exact
+      // argmin.
+      val twol = twoLevelAssign(e, cent, ivfK2(k))
+        .select(col("vec_id"), col("cell").as("cell2"))
       val exact = assignCells(e, cent).select(col("vec_id"), col("cell").as("cell1"))
       val j = exact.join(twol, Seq("vec_id"))
       val a1 = j.groupBy(col("cell1").as("cell"))
@@ -1496,15 +1592,23 @@ object VectorOps {
     // aggregates identically.
     "q262_ivfadc_index_build" -> ((s, d) => {
       val root = ensureIvfadcIndex(s, d)
+      // round-13: the census also checksums the RESIDUAL codes (the
+      // columns the production q263/q286 tiers now serve from), so a
+      // wrong/stale bit in EITHER encoding moves a sum
       s.read.parquet(s"$root/codes")
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_vecs"),
              sum(col("c0").cast("long")).as("sum_c0"),
              sum(col("c1").cast("long")).as("sum_c1"),
              sum(col("c2").cast("long")).as("sum_c2"),
-             sum(col("c3").cast("long")).as("sum_c3"))
+             sum(col("c3").cast("long")).as("sum_c3"),
+             sum(col("r0").cast("long")).as("sum_r0"),
+             sum(col("r1").cast("long")).as("sum_r1"),
+             sum(col("r2").cast("long")).as("sum_r2"),
+             sum(col("r3").cast("long")).as("sum_r3"))
         .select(col("cell").cast("long").as("cell"), col("n_vecs"),
-                col("sum_c0"), col("sum_c1"), col("sum_c2"), col("sum_c3"))
+                col("sum_c0"), col("sum_c1"), col("sum_c2"), col("sum_c3"),
+                col("sum_r0"), col("sum_r1"), col("sum_r2"), col("sum_r3"))
         .orderBy(col("cell"))
     }),
 
@@ -1515,9 +1619,12 @@ object VectorOps {
     // (2) candidates come from joining the cell-partitioned codes
     // files against the broadcast probe list — the partition column
     // is the join key, so only the probed cell directories are read
-    // (plan-pinned); (3) ADC ranks candidates from their 4-byte codes
-    // via four broadcast |Q|×16 lookup tables built from the stored
-    // codebooks (fixed-order d0+d1+d2+d3, the q260 argument); (4) the
+    // (plan-pinned); (3) ADC ranks candidates from their RESIDUAL
+    // codes (round-13 — FAISS's by_residual=true serving path) via
+    // four broadcast |Q|·nprobe×16 lookup tables built from the
+    // stored residual codebooks and the query's residual wrt each
+    // probed centroid (fixed-order d0+d1+d2+d3, the q260 argument;
+    // the raw encoding stays served by the q260/q261 ablation); (4) the
     // ONLY full-vector touch is the exact re-rank of the 50-deep
     // shortlist, fetched by id through a broadcast join (≤50 vectors
     // per query). No kmeans runs here — the chains live in the build
@@ -1570,12 +1677,14 @@ object VectorOps {
       ivfadcServe(s, d, q0, selfExclude = false)
     }),
 
-    // Residual-encoded IVFADC (round-9 reach): the FAITHFUL FAISS
-    // IVFADC — the PQ codes encode r = v − centroid(cell(v)), not the
-    // raw vector, so the 16-way codebooks spend their bits on the part
-    // of the vector the IVF tier hasn't already explained (the Jégou/
-    // Douze/Schmid construction every production FAISS index ships;
-    // q261 stays as the raw-encoding ablation next to it). Same
+    // Residual-encoded IVFADC RECALL AUDIT (round-9 reach; since
+    // round-13 the residual encoding IS the stored index's serving
+    // encoding — this tier publishes its recall summary): the PQ
+    // codes encode r = v − centroid(cell(v)), not the raw vector, so
+    // the 16-way codebooks spend their bits on the part of the vector
+    // the IVF tier hasn't already explained (the Jégou/Douze/Schmid
+    // construction every production FAISS index ships; q261 stays as
+    // the raw-encoding ablation next to it). Same
     // probe → ADC → exact-re-rank layout; what changes: (1) the
     // corpus-wide residual runs through the codegen'd graft_sub kernel
     // (a zip_with lambda would interpret per corpus row — the measured
@@ -1586,18 +1695,19 @@ object VectorOps {
     // so the whole tier is FULLY oracle-checked like its siblings.
     "q264_ivfadc_residual" -> ((s, d) => {
       graft.functions.VectorKernels.ensureRegistered(s)
-      // build ON the stored index (round-9 follow-up): the IVF tier —
-      // centroids and the corpus cell assignment — is read from
-      // q262's materialized files instead of re-running the 5-pass
-      // kmeans chain (measured 6.6 → 4.8 s at sf0.1); only the four
-      // RESIDUAL codebook chains compute here, which is exactly how a
-      // production store retrofits residual codes onto an existing
-      // coarse quantizer. Bits are identical either way (the stored
-      // index is the audited chain output), so the oracle is
-      // unchanged.
+      // serves ENTIRELY from the stored index (round-13): the residual
+      // codebooks and residual codes are index citizens now (the build
+      // trains them — see ensureIvfadcIndex), so this tier reads them
+      // back like q260 reads the raw ones, instead of re-running the
+      // residual Lloyd chains per query. Bits are identical either way
+      // (the stored index is the audited chain output), so the oracle
+      // is unchanged. What computes here: the probe ranking, the
+      // per-(query, probed-cell) residual dq tables, and the recall
+      // summary against the exact top-5.
       val root = ensureIvfadcIndex(s, d)
       val centsStored = s.read.parquet(s"$root/centroids")
-      val cells = s.read.parquet(s"$root/codes").select(col("vec_id"), col("cell"))
+      val stored = s.read.parquet(s"$root/codes")
+      val cbF = s.read.parquet(s"$root/rcodebooks")
       val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
       val q0 = base.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -1609,26 +1719,6 @@ object VectorOps {
         .withColumn("pr", row_number().over(wProbe))
         .filter(col("pr") <= 4)
         .select(col("q_id"), col("qv"), col("cell"), col("cv")))
-      // materialize the residual relation ONCE: every residual chain
-      // iteration and every code assignment consumes it, and without
-      // the checkpoint each consumer re-reads and re-joins the corpus
-      // (the pre-stored-index shape measured 9.6 → ~6 s at sf0.1 from
-      // this same checkpoint). The production posture is the same:
-      // residuals are written once before codebook training.
-      val resid = cells
-        .join(base, Seq("vec_id"))
-        .join(broadcast(centsStored.select(col("cell"), col("cv"))), Seq("cell"))
-        .select(col("vec_id"), expr("graft_sub(v, cv)").as("r"))
-        .localCheckpoint(true)
-      // all four residual subquantizers train in ONE fused chain over
-      // the checkpointed residuals — one pass per Lloyd iteration
-      // instead of PQ_M (bits equal to the per-sub chains the oracle
-      // replays, by the argmin-margin bound)
-      val rbase = resid.select(col("vec_id"), col("r").as("v"))
-      val rslices = pqSubSlices(rbase)
-      val rbaseT = trainSample(rbase, T.embeddings(s, d).count(), PQ_K)
-      val cbF = kmeansCentroidsFused(rbaseT, pqSubSlices(rbaseT), k = PQ_K, iters = PQ_ITERS)
-      val codes = pqCodesFused(rslices, cbF)
       val rdqs = (0 until PQ_M).map { sb =>
         broadcast(probes
           .select(col("q_id"), col("cell"),
@@ -1639,11 +1729,17 @@ object VectorOps {
             expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cw) + graft_dot(cw, cw)")
               .as(s"d$sb")))
       }
-      val cand0 = cells
+      // ONE cell-joined scan carries vec_id AND the residual codes
+      // (the q263 shape — a separate codes read joined on vec_id
+      // would scan every cell partition, defeating the pruning)
+      val cand0 = stored
         .join(probes.select(col("q_id"), col("cell")), Seq("cell"))
         .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("cell"), col("vec_id"),
+          col("r0").as("c0"), col("r1").as("c1"),
+          col("r2").as("c2"), col("r3").as("c3"))
       val nCand = cand0.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
-      val cand = cand0.join(codes, Seq("vec_id"))
+      val cand = cand0
         .join(rdqs(0), Seq("q_id", "cell", "c0"))
         .join(rdqs(1), Seq("q_id", "cell", "c1"))
         .join(rdqs(2), Seq("q_id", "cell", "c2"))
@@ -2365,7 +2461,10 @@ object VectorOps {
     * assignment covers the FULL corpus. `capSql` parameterizes the
     * per-centroid cap so q289 can force a binding sample at test scale.
     */
-  private def ivfChainBodyCap(capSql: String): String =
+  /** The TRAINING half of the IVF chain (init + 4 Lloyd iterations →
+    * c4) — shared by the exact tail and the two-level tail below.
+    */
+  private def ivfTrainChainCap(capSql: String): String =
     s"""init AS MATERIALIZED (
        |  SELECT vec_id, row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
@@ -2375,7 +2474,10 @@ object VectorOps {
        |), c0 AS MATERIALIZED (
        |  SELECT init.cell, e.i, e.v AS cv FROM init JOIN e USING (vec_id)
        |),
-       |${(1 to 4).map(ivfIterSql(_, capSql)).mkString(",\n")},
+       |${(1 to 4).map(ivfIterSql(_, capSql)).mkString(",\n")}""".stripMargin
+
+  private def ivfChainBodyCap(capSql: String): String =
+    s"""${ivfTrainChainCap(capSql)},
        |a5 AS (
        |  SELECT e.vec_id, c.cell,
        |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
@@ -2392,10 +2494,54 @@ object VectorOps {
     */
   private lazy val ivfChainBody: String = ivfChainBodyCap(ivfTrainCapSql)
 
+  /** The chain body STORE-READING oracles compose (q261-q264, q286,
+    * q269, q272): g5 replays the STORED cell assignment, which under
+    * the [[ivfTwoLevel]] dial is the hierarchical two-level argmin
+    * (tw-prefixed super chain + probe, q290's algebra verbatim)
+    * instead of the exact one. Live-chain oracles (q66/q257/q289/
+    * q290) keep [[ivfChainBody]] — their Spark sides always assign
+    * exactly.
+    */
+  private lazy val ivfChainBodyStored: String =
+    if (!ivfTwoLevel) ivfChainBody
+    else
+      s"""${ivfTrainChainCap(ivfTrainCapSql)},
+         |${superChainBodyP("tw")},
+         |twva AS (
+         |  SELECT e.vec_id, s.scell,
+         |         sum(e.v*e.v) - 2*sum(e.v*s.cv) + sum(s.cv*s.cv) AS d2
+         |  FROM e JOIN twsc2 s ON e.i = s.i
+         |  WHERE s.scell IN (SELECT scell FROM twsgf) GROUP BY 1, 2
+         |), twvg AS (
+         |  SELECT vec_id, scell FROM (
+         |    SELECT vec_id, scell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, scell) AS rn
+         |    FROM twva) WHERE rn <= 2
+         |), twcd AS (
+         |  SELECT twvg.vec_id, f.cell FROM twvg JOIN twsgf f USING (scell)
+         |), twta AS (
+         |  SELECT cd.vec_id, cd.cell,
+         |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
+         |  FROM twcd cd JOIN e ON e.vec_id = cd.vec_id
+         |          JOIN c4 c ON c.cell = cd.cell AND c.i = e.i
+         |  GROUP BY 1, 2
+         |), g5 AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM twta) WHERE rn = 1
+         |)""".stripMargin
+
   /** The full deterministic IVF substrate as a WITH-chain: shared by
     * the q257 census oracle and the full q66 oracle.
     */
   private lazy val ivfChainCte: String = s"WITH $eCteBody,\n$ivfChainBody"
+
+  /** Store-reading twin of [[ivfChainCte]] (g5 = stored assignment,
+    * dial-routed) — composed by the q269/q272 oracles.
+    */
+  private lazy val ivfChainCteStored: String =
+    s"WITH $eCteBody,\n$ivfChainBodyStored"
 
   /** k2 = max(3, ⌈√nlist⌉) super-cells for the two-level assignment
     * (q290), mirrored exactly like [[ivfNlistSqlExpr]].
@@ -2407,47 +2553,51 @@ object VectorOps {
     * (cell plays the vector role): md5-coin init on cell ids, 2 Lloyd
     * iterations mirroring [[kmeansCentroids]]'s algebra, final
     * cell→super routing (sgf). nlist rows throughout — corpus-free.
+    * `pfx` prefixes every CTE name so the [[ivfChainBodyStored]]
+    * instance (tw) can never collide with q290's plain one.
     */
-  private lazy val superChainBody: String = {
+  private def superChainBodyP(pfx: String): String = {
     def iter(n: Int): String = {
-      val prev = s"sc${n - 1}"
-      s"""sa$n AS (
+      val prev = s"${pfx}sc${n - 1}"
+      s"""${pfx}sa$n AS (
          |  SELECT c.cell, s.scell,
          |         sum(c.cv*c.cv) - 2*sum(c.cv*s.cv) + sum(s.cv*s.cv) AS d2
          |  FROM c4 c JOIN $prev s ON c.i = s.i GROUP BY 1, 2
-         |), sg$n AS (
+         |), ${pfx}sg$n AS (
          |  SELECT cell, scell FROM (
          |    SELECT cell, scell, row_number() OVER (
          |      PARTITION BY cell ORDER BY d2, scell) AS rn
-         |    FROM sa$n) WHERE rn = 1
-         |), su$n AS (
+         |    FROM ${pfx}sa$n) WHERE rn = 1
+         |), ${pfx}su$n AS (
          |  SELECT g.scell, c.i, avg(c.cv) AS cv
-         |  FROM sg$n g JOIN c4 c USING (cell) GROUP BY 1, 2
-         |), sc$n AS MATERIALIZED (
+         |  FROM ${pfx}sg$n g JOIN c4 c USING (cell) GROUP BY 1, 2
+         |), ${pfx}sc$n AS MATERIALIZED (
          |  SELECT p.scell, p.i, coalesce(u.cv, p.cv) AS cv
-         |  FROM $prev p LEFT JOIN su$n u ON p.scell = u.scell AND p.i = u.i
+         |  FROM $prev p LEFT JOIN ${pfx}su$n u ON p.scell = u.scell AND p.i = u.i
          |)""".stripMargin
     }
-    s"""sinit AS MATERIALIZED (
+    s"""${pfx}sinit AS MATERIALIZED (
        |  SELECT cell, row_number() OVER (
        |      ORDER BY md5(CAST(cell AS VARCHAR)), cell) AS scell
        |  FROM (SELECT DISTINCT cell FROM c4)
        |  ORDER BY md5(CAST(cell AS VARCHAR)), cell LIMIT $k2SqlExpr
-       |), sc0 AS MATERIALIZED (
-       |  SELECT sinit.scell, c.i, c.cv FROM sinit JOIN c4 c USING (cell)
+       |), ${pfx}sc0 AS MATERIALIZED (
+       |  SELECT ${pfx}sinit.scell, c.i, c.cv FROM ${pfx}sinit JOIN c4 c USING (cell)
        |),
        |${(1 to 2).map(iter).mkString(",\n")},
-       |saf AS (
+       |${pfx}saf AS (
        |  SELECT c.cell, s.scell,
        |         sum(c.cv*c.cv) - 2*sum(c.cv*s.cv) + sum(s.cv*s.cv) AS d2
-       |  FROM c4 c JOIN sc2 s ON c.i = s.i GROUP BY 1, 2
-       |), sgf AS MATERIALIZED (
+       |  FROM c4 c JOIN ${pfx}sc2 s ON c.i = s.i GROUP BY 1, 2
+       |), ${pfx}sgf AS MATERIALIZED (
        |  SELECT cell, scell FROM (
        |    SELECT cell, scell, row_number() OVER (
        |      PARTITION BY cell ORDER BY d2, scell) AS rn
-       |    FROM saf) WHERE rn = 1
+       |    FROM ${pfx}saf) WHERE rn = 1
        |)""".stripMargin
   }
+
+  private lazy val superChainBody: String = superChainBodyP("")
 
   /** One PQ subspace's kmeans chain (absolute dim indexing: the
     * subspace covers i ∈ [PQ_D·sb+1, PQ_D·(sb+1)], so slices never
@@ -2535,14 +2685,38 @@ object VectorOps {
     s"""$init16Cte,
        |${(0 until PQ_M).map(pqChainSql).mkString(",\n")}""".stripMargin
 
+  /** The residual relation er = v − centroid(cell(v)) as SQL (needs
+    * e, g5, c4 in scope) — shared by every residual-tier oracle
+    * (q262/q263/q264/q286 since round 13).
+    */
+  private lazy val residCteBody: String =
+    """er AS MATERIALIZED (
+      |  SELECT e.vec_id, e.i, e.v - c.cv AS v
+      |  FROM e JOIN g5 USING (vec_id)
+      |       JOIN c4 c ON c.cell = g5.cell AND c.i = e.i
+      |)""".stripMargin
+
+  /** The four RESIDUAL PQ chains (prefix r, trained over er — the
+    * STORED rcodebooks/r-codes replay) plus the shared seed draw and
+    * the per-vector residual-code pivot (`rcodes`).
+    */
+  private lazy val rChainBody: String =
+    s"""$init16Cte,
+       |${(0 until PQ_M).map(sb => pqChainSqlFrom(sb, "er", "r")).mkString(",\n")},
+       |rcodes AS (
+       |  SELECT g0.vec_id, g0.cell AS r0, g1.cell AS r1,
+       |         g2.cell AS r2, g3.cell AS r3
+       |  FROM r0gf g0 JOIN r1gf g1 USING (vec_id)
+       |       JOIN r2gf g2 USING (vec_id) JOIN r3gf g3 USING (vec_id)
+       |)""".stripMargin
+
   /** The IVFADC serving-tail SQL shared by the q263 and q286 oracles
-    * (the exact mirror of [[ivfadcServe]]): expects a `qe(q_id, i, v)`
-    * query CTE plus the e/ivf/pq chain bodies in scope. Norms, probe
-    * ranking, candidate fetch (optionally self-excluded), per-subspace
-    * ADC tables built from qe, the 50-shortlist, exact re-rank, top-5
-    * readout. The chain fragment's own `dq` CTEs (hardwired to corpus
-    * probes) are not referenced here — the tail builds its ADC tables
-    * from whatever qe the caller supplies.
+    * (the exact mirror of [[ivfadcServe]], residual-encoded since
+    * round 13): expects a `qe(q_id, i, v)` query CTE plus the
+    * e/ivf/residual chain bodies in scope. Norms, probe ranking,
+    * candidate fetch (optionally self-excluded), per-(query, probed
+    * cell) residual ADC tables built from qe − probed centroid, the
+    * 50-shortlist, exact re-rank, top-5 readout.
     */
   private def ivfadcTailSql(exclude: Boolean): String =
     s"""qn AS (SELECT q_id, sqrt(sum(v*v)) AS nrm FROM qe GROUP BY 1),
@@ -2558,30 +2732,32 @@ object VectorOps {
        |    FROM ccos JOIN qn nq ON ccos.q_id = nq.q_id
        |              JOIN cnn ON ccos.cell = cnn.cell)
        |  WHERE pr <= 4
-       |), codes AS (
-       |  SELECT g0.vec_id, g0.cell AS c0, g1.cell AS c1,
-       |         g2.cell AS c2, g3.cell AS c3
-       |  FROM s0gf g0 JOIN s1gf g1 USING (vec_id)
-       |       JOIN s2gf g2 USING (vec_id) JOIN s3gf g3 USING (vec_id)
-       |), cand0 AS (
-       |  SELECT pr.q_id, g5.vec_id FROM pr JOIN g5 ON pr.cell = g5.cell
+       |), qr AS MATERIALIZED (
+       |  SELECT pr.q_id, pr.cell, q.i, q.v - c.cv AS v
+       |  FROM pr JOIN qe q ON q.q_id = pr.q_id
+       |       JOIN c4 c ON c.cell = pr.cell AND c.i = q.i
+       |),
+       |${(0 until PQ_M).map(sb =>
+           s"""rdq$sb AS (
+              |  SELECT qr.q_id, qr.cell, c.cell AS code,
+              |         sum(qr.v*qr.v) - 2*sum(qr.v*c.cv) + sum(c.cv*c.cv) AS d
+              |  FROM qr JOIN r${sb}c$PQ_ITERS c ON qr.i = c.i
+              |  GROUP BY 1, 2, 3
+              |)""".stripMargin).mkString(",\n")},
+       |cand0 AS (
+       |  SELECT pr.q_id, g5.vec_id, g5.cell
+       |  FROM pr JOIN g5 ON pr.cell = g5.cell
        |  ${if (exclude) "WHERE g5.vec_id <> pr.q_id" else ""}
        |), nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
        |          FROM cand0 GROUP BY 1),
-       |${(0 until PQ_M).map(sb =>
-           s"""s${sb}dqx AS (
-              |  SELECT q.q_id, c.cell,
-              |         sum(q.v*q.v) - 2*sum(q.v*c.cv) + sum(c.cv*c.cv) AS d
-              |  FROM qe q JOIN s${sb}c$PQ_ITERS c ON q.i = c.i GROUP BY 1, 2
-              |)""".stripMargin).mkString(",\n")},
        |cand AS (
        |  SELECT cd.q_id, cd.vec_id AS id2,
        |         d0.d + d1.d + d2.d + d3.d AS adc
-       |  FROM cand0 cd JOIN codes ON cd.vec_id = codes.vec_id
-       |  JOIN s0dqx d0 ON d0.q_id = cd.q_id AND codes.c0 = d0.cell
-       |  JOIN s1dqx d1 ON d1.q_id = cd.q_id AND codes.c1 = d1.cell
-       |  JOIN s2dqx d2 ON d2.q_id = cd.q_id AND codes.c2 = d2.cell
-       |  JOIN s3dqx d3 ON d3.q_id = cd.q_id AND codes.c3 = d3.cell
+       |  FROM cand0 cd JOIN rcodes ON cd.vec_id = rcodes.vec_id
+       |  JOIN rdq0 d0 ON d0.q_id = cd.q_id AND d0.cell = cd.cell AND rcodes.r0 = d0.code
+       |  JOIN rdq1 d1 ON d1.q_id = cd.q_id AND d1.cell = cd.cell AND rcodes.r1 = d1.code
+       |  JOIN rdq2 d2 ON d2.q_id = cd.q_id AND d2.cell = cd.cell AND rcodes.r2 = d2.code
+       |  JOIN rdq3 d3 ON d3.q_id = cd.q_id AND d3.cell = cd.cell AND rcodes.r3 = d3.code
        |), tr50 AS (
        |  SELECT q_id, id2 FROM (
        |    SELECT q_id, id2, row_number() OVER (
@@ -3188,7 +3364,7 @@ object VectorOps {
     // replayed.
     "q261_ivfadc_recall" ->
       s"""WITH $eCteBody,
-         |$ivfChainBody,
+         |$ivfChainBodyStored,
          |$pqChainBody,
          |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY 1),
          |cnn AS (SELECT cell, sqrt(sum(cv*cv)) AS cn FROM c4 GROUP BY 1),
@@ -3300,49 +3476,66 @@ object VectorOps {
          |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
     // IVFADC build tier: the stored-codes census — the q66 cell chain
-    // (g5) crossed with the q259 code chains (s{sb}gf), aggregated per
-    // cell with code-sum checksums. What Spark reads back from the
-    // partitioned parquet must equal this replay bit-for-bit.
+    // (g5) crossed with the q259 raw code chains (s{sb}gf) AND the
+    // q264 residual code chains (r{sb}gf over er), aggregated per
+    // cell with code-sum checksums for BOTH encodings. What Spark
+    // reads back from the partitioned parquet must equal this replay
+    // bit-for-bit.
     "q262_ivfadc_index_build" ->
       s"""WITH $eCteBody,
-         |$ivfChainBody,
+         |$ivfChainBodyStored,
          |$pqChainBody,
+         |$residCteBody,
+         |${(0 until PQ_M).map(sb => pqChainSqlFrom(sb, "er", "r")).mkString(",\n")},
          |codes AS (
          |  SELECT g0.vec_id, g0.cell AS c0, g1.cell AS c1,
          |         g2.cell AS c2, g3.cell AS c3
          |  FROM s0gf g0 JOIN s1gf g1 USING (vec_id)
          |       JOIN s2gf g2 USING (vec_id) JOIN s3gf g3 USING (vec_id)
+         |),
+         |rcodes AS (
+         |  SELECT g0.vec_id, g0.cell AS r0, g1.cell AS r1,
+         |         g2.cell AS r2, g3.cell AS r3
+         |  FROM r0gf g0 JOIN r1gf g1 USING (vec_id)
+         |       JOIN r2gf g2 USING (vec_id) JOIN r3gf g3 USING (vec_id)
          |)
          |SELECT CAST(g5.cell AS BIGINT) AS cell,
          |       CAST(count(*) AS BIGINT) AS n_vecs,
          |       CAST(sum(codes.c0) AS BIGINT) AS sum_c0,
          |       CAST(sum(codes.c1) AS BIGINT) AS sum_c1,
          |       CAST(sum(codes.c2) AS BIGINT) AS sum_c2,
-         |       CAST(sum(codes.c3) AS BIGINT) AS sum_c3
-         |FROM g5 JOIN codes USING (vec_id)
+         |       CAST(sum(codes.c3) AS BIGINT) AS sum_c3,
+         |       CAST(sum(rcodes.r0) AS BIGINT) AS sum_r0,
+         |       CAST(sum(rcodes.r1) AS BIGINT) AS sum_r1,
+         |       CAST(sum(rcodes.r2) AS BIGINT) AS sum_r2,
+         |       CAST(sum(rcodes.r3) AS BIGINT) AS sum_r3
+         |FROM g5 JOIN codes USING (vec_id) JOIN rcodes USING (vec_id)
          |GROUP BY 1 ORDER BY cell""".stripMargin,
 
     // IVFADC query tier: the chains reconstruct the identical stored
-    // bits (centroids, codes, codebooks), then q261's probe/ADC tail
-    // runs to the actual retrieval result — per-rank rows with the
-    // exact re-ranked L2, instead of q261's recall summary.
+    // bits (centroids, cell assignment, RESIDUAL codebooks + codes —
+    // the production encoding since round 13), then the probe/ADC
+    // tail runs to the actual retrieval result — per-rank rows with
+    // the exact re-ranked L2, instead of q261's recall summary.
     "q263_ivfadc_query" ->
       s"""WITH $eCteBody,
-         |$ivfChainBody,
-         |$pqChainBody,
+         |$ivfChainBodyStored,
+         |$residCteBody,
+         |$rChainBody,
          |qe AS (SELECT vec_id AS q_id, i, v FROM e WHERE vec_id < 5),
          |${ivfadcTailSql(exclude = true)}""".stripMargin,
 
     // External-query IVFADC: the qe relation is generated from the
     // same exact integer/dyadic formula as the Spark side (no corpus
     // read, no libm), the index bits replay through the shared chains,
-    // and the tail mirrors q263 minus the self-exclusion. The dq
-    // tables build inline from qe (the chain fragment's own dq CTE is
-    // hardwired to corpus probes).
+    // and the tail mirrors q263 minus the self-exclusion. The residual
+    // dq tables build inline from qe − probed centroid (the chain
+    // fragment's own dq CTE is hardwired to corpus probes).
     "q286_ivfadc_external_query" ->
       s"""WITH $eCteBody,
-         |$ivfChainBody,
-         |$pqChainBody,
+         |$ivfChainBodyStored,
+         |$residCteBody,
+         |$rChainBody,
          |qe AS MATERIALIZED (
          |  SELECT q_id, i,
          |         CAST((q_id * 31 + i * 17) % 13 - 6 AS DOUBLE) / 8.0 AS v
@@ -3357,7 +3550,7 @@ object VectorOps {
     // are per probed cell (qr = query residual wrt that centroid).
     "q264_ivfadc_residual" ->
       s"""WITH $eCteBody,
-         |$ivfChainBody,
+         |$ivfChainBodyStored,
          |er AS MATERIALIZED (
          |  SELECT e.vec_id, e.i, e.v - c.cv AS v
          |  FROM e JOIN g5 USING (vec_id)
@@ -3525,7 +3718,7 @@ object VectorOps {
     // 0.35 gate and the round-4 boundary (VectorOpsSpec margin
     // audit).
     "q269_semdedup" ->
-      s"""$ivfChainCte,
+      s"""$ivfChainCteStored,
          |nn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
          |p AS (
          |  SELECT ga.vec_id AS id1, gb.vec_id AS id2, ga.cell,
@@ -3566,7 +3759,7 @@ object VectorOps {
     // index bits), q269's dropped set, then the centroid-distance
     // rank and the integer quarter cut replayed verbatim.
     "q272_d4_prune" ->
-      s"""$ivfChainCte,
+      s"""$ivfChainCteStored,
          |nn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
          |pp AS (
          |  SELECT ga.vec_id AS id1, gb.vec_id AS id2, sum(a.v * b.v) AS dot

@@ -22,6 +22,22 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("prefix-filtered exact Jaccard equals the all-pairs relation (q61/q67 feed)") {
+    // The round-13 de-quadratic: jaccardPairsPrefix must reproduce
+    // TextSim.jaccardPairs BIT-IDENTICALLY (same pairs, same rounded
+    // jaccard) at both production thresholds — the pigeonhole
+    // completeness proof, checked empirically on the real fixture.
+    val sh = TextSim.shingles(T.documents(spark, sf001), 3)
+    for ((num, den) <- Seq((6, 10), (8, 10))) {
+      val exact = TextSim.jaccardPairs(sh, num.toDouble / den)
+        .collect().map(_.toSeq).toSet
+      val pref = Dedup.jaccardPairsPrefix(sh, num, den)
+        .collect().map(_.toSeq).toSet
+      assert(exact.nonEmpty, s"no planted pairs at $num/$den — fixture drifted?")
+      assert(pref === exact, s"prefix tier diverges from all-pairs at $num/$den")
+    }
+  }
+
   test("exact-dup collapse keeps a 1000-deep identical cluster linear") {
     // Web corpora routinely contain thousands-deep exact-dup clusters;
     // without the collapse each of the k identical docs carries the

@@ -102,6 +102,40 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("exact Jaccard routes through the prefix filter — no all-pairs gram self-join remains (q61)") {
+    // The round-13 de-quadratic: q61 (and q67's pair feed — the same
+    // jaccardPairsPrefix path; q67's own plan roots at the components
+    // checkpoint so only q61 is inspectable end-to-end) must never
+    // contain the Σ_g m_g² shape — a gram-keyed join of two PER-DOC
+    // shingle relations with no prefix rank below it. The prefix
+    // route's candidate join (keyed on the dictionary gid) has the
+    // row_number window (rk <= L) on both sides; the gram-df and
+    // dictionary joins (doc-free right sides) are exempt by the
+    // both-sides-carry-doc-ids condition.
+    val docish = Set("doc_id", "id_a", "id_b", "id1", "id2")
+    val p = physical("q61_neardup_jaccard")
+    val gJoins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.size == 1 &&
+            j.leftKeys.forall {
+              case a: Attribute => a.name == "g" || a.name == "gid"
+              case _            => false
+            } &&
+            j.left.output.exists(a => docish(a.name)) &&
+            j.right.output.exists(a => docish(a.name)) => j
+    }
+    assert(gJoins.nonEmpty, "q61: expected the gram-keyed candidate join")
+    gJoins.foreach { j =>
+      val windows = j.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec          => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+      }
+      assert(windows.nonEmpty,
+        s"q61: gram self-join with no prefix-rank window below it — " +
+          s"the all-pairs Σ m_g² shape is back\n$j")
+    }
+  }
+
   test("filters reach the parquet scan and columns are pruned (q02)") {
     val p = plan("q02_filter_predicates")
     assert(p.contains("PushedFilters: ["), "no pushed filters in scan")

@@ -509,7 +509,8 @@ class VectorOpsSpec extends SparkSpec {
     graft.functions.VectorKernels.ensureRegistered(spark)
     val rows = VectorOps.queries("q262_ivfadc_index_build")(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1),
-        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))))
     val n = T.embeddings(spark, sf001).count()
     assert(rows.map(_._2).sum === n, "every corpus vector stored exactly once")
     rows.foreach { case (cell, nv, sums) =>
@@ -575,13 +576,17 @@ class VectorOpsSpec extends SparkSpec {
     val cents = spark.read.parquet(s"$root/centroids")
       .select("cell", "cv", "cn").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-    val cbs = spark.read.parquet(s"$root/codebooks")
+    // round-13: the serving tiers rank by the RESIDUAL codes — the
+    // replay reads rcodebooks + r0..r3 and subtracts the probed
+    // centroid from the query before each subspace lookup
+    val cbs = spark.read.parquet(s"$root/rcodebooks")
       .selectExpr("sub", "cell", "cv").collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val centVec = cents.map { case (cell, cv, _) => cell -> cv }.toMap
     val codes = spark.read.parquet(s"$root/codes")
       .selectExpr("vec_id", "CAST(cell AS INT) AS cell",
-        "CAST(c0 AS INT) c0", "CAST(c1 AS INT) c1",
-        "CAST(c2 AS INT) c2", "CAST(c3 AS INT) c3").collect()
+        "CAST(r0 AS INT) c0", "CAST(r1 AS INT) c1",
+        "CAST(r2 AS INT) c2", "CAST(r3 AS INT) c3").collect()
       .map(r => (r.getLong(0), r.getInt(1),
         Array(r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))))
     val corpus = T.embeddings(spark, d).select("vec_id", "embedding").collect()
@@ -605,9 +610,12 @@ class VectorOpsSpec extends SparkSpec {
       val cand = codes.filter(c => probed(c._2))
       assert(out.filter(_._1 == q).map(_._2).distinct.toSeq === Seq(cand.length.toLong),
         s"q$q n_cand")
-      val adc = cand.map { case (id2, _, cw) =>
+      val adc = cand.map { case (id2, cell, cw) =>
+        // query residual wrt the candidate's OWN (probed) centroid —
+        // the per-(query, cell) dq table the engine broadcasts
+        val qr = qv.zip(centVec(cell)).map { case (a, b) => a - b }
         val d = (0 until VectorOps.PQ_M).map { sb =>
-          val qs = qv.slice(VectorOps.PQ_D * sb, VectorOps.PQ_D * (sb + 1))
+          val qs = qr.slice(VectorOps.PQ_D * sb, VectorOps.PQ_D * (sb + 1))
           val cv = cbs((sb, cw(sb)))
           dotLR(qs, qs) - 2 * dotLR(qs, cv) + dotLR(cv, cv)
         }.sum
@@ -663,11 +671,11 @@ class VectorOpsSpec extends SparkSpec {
     val root = new java.io.File(VectorOps.ensureIvfadcIndex(spark, sf001))
     assert(root.exists, s"index root $root missing")
     val pid = ProcessHandle.current.pid
-    assert(root.getName.matches(s"graft_ivfadc_[^_]+_[0-9a-f]{8}_k\\d+_p$pid"),
-      s"root name ${root.getName} lacks the path-hash + nlist + pid key")
+    assert(root.getName.matches(s"graft_ivfadc_[^_]+_[0-9a-f]{8}_k\\d+(?:t2)?_p$pid"),
+      s"root name ${root.getName} lacks the path-hash + nlist(+dial) + pid key")
     assert(!new java.io.File(root.getParentFile, root.getName + ".build").exists,
       "staging dir survived a completed build")
-    Seq("centroids", "codebooks", "codes").foreach { rel =>
+    Seq("centroids", "codebooks", "rcodebooks", "codes").foreach { rel =>
       assert(new java.io.File(root, rel).exists, s"missing stored relation $rel")
     }
   }
