@@ -55,6 +55,20 @@ object CorpusOps {
     */
   val BPE_T = 8
 
+  /** Unigram-LM tokenizer (q291/q292) dials — the SentencePiece-style
+    * (Kudo 2018) trainer next to the BPE fold, in its deterministic
+    * hard-EM (Viterbi) form: UNI_PL caps candidate piece length,
+    * UNI_S caps the multi-char piece inventory per pruning step (all
+    * single chars are always kept — coverage), UNI_T is the fixed EM
+    * iteration count, and UNI_MAXLEN bounds the unrolled DP/backtrack
+    * (both engines'); the trainer REQUIRES max word length ≤ it and
+    * fails loudly otherwise (fixture max is 8).
+    */
+  val UNI_PL = 4
+  val UNI_S = 24
+  val UNI_T = 2
+  val UNI_MAXLEN = 16
+
   /** BM25 (q275) dials: Robertson k1/b at their textbook defaults and
     * the per-query result depth.
     */
@@ -1866,7 +1880,29 @@ object CorpusOps {
     // merge the drop equals the winning pair count exactly; for a
     // pa=pb merge it is the greedy run count (≤ the raw adjacency
     // count — overlaps in runs collapse).
-    "q278_bpe_curve" -> ((s, d) => bpeTokenCurve(s, d))
+    "q278_bpe_curve" -> ((s, d) => bpeTokenCurve(s, d)),
+
+    // Unigram-LM tokenizer induction (Kudo 2018 — the SentencePiece
+    // default, the OTHER tokenizer-induction family next to BPE):
+    // deterministic hard-EM. Seed = every ≤UNI_PL-char substring of
+    // the vocabulary with position-multiplicity counts; each EM step
+    // Viterbi-segments every vocabulary word under the current piece
+    // log-probs (a per-word DP+backtrack fold — vocab-sized, never a
+    // corpus pass), recounts pieces from the chosen segmentations,
+    // and prunes to all single chars (usage+1 — coverage floor) plus
+    // the top-UNI_S multi-char pieces by (count desc, piece). Fully
+    // oracle-checked: DuckDB replays the identical DP as unrolled
+    // position CTEs and the identical longest-piece backtrack; the
+    // published counts are exact integers, and the only floats (ln
+    // log-probs) feed argmax decisions whose margins CorpusOpsSpec
+    // audits (the kmeans discipline).
+    "q291_unigram_lm_trainer" -> ((s, d) => unigramTrainer(s, d)),
+
+    // Unigram compression curve — q278's BPE twin: corpus tokens
+    // under each EM step's Viterbi segmentation (step 0 = the
+    // single-char baseline), the number a tokenizer build tracks to
+    // compare induction families at equal inventory budgets.
+    "q292_unigram_curve" -> ((s, d) => unigramTokenCurve(s, d))
   )
 
   /** The q270 DSIR chain up to the UNROUNDED weights + global rank —
@@ -1945,6 +1981,138 @@ object CorpusOps {
       vocabs = vocabs :+ vocab
     }
     (steps, vocabs)
+  }
+
+  /** The (w, c) word vocabulary for the unigram-LM trainer — the one
+    * corpus pass (the bpeVocab discipline with the word kept whole).
+    */
+  def uniVocab(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** The Viterbi segmentation of `w` under the piece log-prob map
+    * `pm`, as ONE aggregate-HOF expression (interpreted, but over
+    * |vocab| rows only — the q274 fold trade): the init struct builds
+    * the DP best[] array (best[j] stored at index j+1; arms are
+    * best[s−1] + lp(substr(w, s, j−s+1)) over s ∈ [j−UNI_PL+1, j],
+    * absent pieces → −1e18 sentinel, always beaten because single
+    * chars are always in the inventory), then UNI_MAXLEN fold steps
+    * backtrack from pos = len: among arms that exactly reproduce
+    * best[pos] (same-engine double equality — the arm recomputes the
+    * identical expression the array_max saw), pick the SMALLEST s
+    * (longest piece), emit it, jump to s−1. Package-private for the
+    * spec's driver replay.
+    */
+  private[graft] val uniSegExpr: String = {
+    val pick =
+      s"""element_at(filter(transform(
+         |  sequence(greatest(1, st.pos - ${UNI_PL - 1}), st.pos),
+         |  s -> CASE WHEN element_at(pm, substring(w, s, st.pos - s + 1)) IS NOT NULL
+         |            AND element_at(st.best, s) +
+         |                element_at(pm, substring(w, s, st.pos - s + 1))
+         |                = element_at(st.best, st.pos + 1)
+         |       THEN substring(w, s, st.pos - s + 1) END),
+         |  q -> q IS NOT NULL), 1)""".stripMargin
+    s"""aggregate(
+       |  sequence(1, $UNI_MAXLEN),
+       |  named_struct(
+       |    'pos', length(w),
+       |    'ps', CAST(array() AS array<string>),
+       |    'best', aggregate(sequence(1, length(w)),
+       |      array(CAST(0.0 AS DOUBLE)),
+       |      (acc, j) -> concat(acc, array(array_max(transform(
+       |        sequence(greatest(1, j - ${UNI_PL - 1}), j),
+       |        s -> CASE WHEN element_at(pm, substring(w, s, j - s + 1)) IS NOT NULL
+       |             THEN element_at(acc, s) + element_at(pm, substring(w, s, j - s + 1))
+       |             ELSE CAST(-1e18 AS DOUBLE) END))))
+       |    )),
+       |  (st, z) -> CASE WHEN st.pos <= 0 THEN st ELSE named_struct(
+       |    'pos', st.pos - length($pick),
+       |    'ps', concat(array($pick), st.ps),
+       |    'best', st.best) END,
+       |  st -> st.ps)""".stripMargin
+  }
+
+  /** The shared unigram-LM hard-EM loop state: (per-step piece tables
+    * up0..upT with their smoothed counts, per-step segmented vocab
+    * relations seg1..segT). The corpus collapses to the (word, count)
+    * vocabulary once; every EM iteration is vocab-sized. Counts are
+    * exact integers; the ONLY floats are the ln() log-probs feeding
+    * the per-word argmax (the kmeans argmin-margin discipline —
+    * cross-engine ln drift is O(ulp), decision margins audited in
+    * CorpusOpsSpec). Piece smoothing: single chars are ALWAYS kept at
+    * usage+1 (coverage floor — an unused char must stay segmentable);
+    * multi-char pieces keep their raw usage and only the top UNI_S by
+    * (count desc, piece) survive pruning — a deterministic total
+    * order, like the BPE argmax tiebreak.
+    */
+  private def unigramChainState(s: SparkSession, d: String)
+      : (List[DataFrame], List[DataFrame]) = {
+    val words = uniVocab(s, d).localCheckpoint(true)
+    val maxLen = words.agg(max(length(col("w")))).head().getInt(0)
+    require(maxLen <= UNI_MAXLEN,
+      s"unigram trainer: max word length $maxLen exceeds UNI_MAXLEN=$UNI_MAXLEN " +
+        "— widen the dial (both engines' unrolled DP covers UNI_MAXLEN positions)")
+    val seed = words
+      .select(col("c"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), s ->
+           |  transform(sequence(s, least(s + ${UNI_PL - 1}, length(w))), e ->
+           |    substring(w, s, e - s + 1))))""".stripMargin)).as("p"))
+      .groupBy(col("p")).agg(sum(col("c")).as("cnt"))
+      .localCheckpoint(true)
+    val charSet = seed.filter(length(col("p")) === 1).select(col("p"))
+    def adjust(counts: DataFrame): DataFrame =
+      charSet.join(counts, Seq("p"), "left_outer")
+        .select(col("p"), (coalesce(col("cnt"), lit(0L)) + 1L).as("cnt"))
+        .unionByName(counts.filter(length(col("p")) >= 2)
+          .orderBy(col("cnt").desc, col("p")).limit(UNI_S))
+    var pieces = adjust(seed).localCheckpoint(true)
+    var pieceSteps = List(pieces)
+    var segSteps = List.empty[DataFrame]
+    for (_ <- 1 to UNI_T) {
+      val pm = pieces
+        .crossJoin(broadcast(pieces.agg(sum(col("cnt")).as("tot"))))
+        .select(col("p"),
+          (log(col("cnt").cast("double")) - log(col("tot").cast("double"))).as("lp"))
+        .agg(map_from_entries(collect_list(struct(col("p"), col("lp")))).as("pm"))
+      val segs = words.crossJoin(broadcast(pm))
+        .select(col("w"), col("c"), expr(uniSegExpr).as("seg"))
+        .localCheckpoint(true)
+      segSteps = segSteps :+ segs
+      val usage = segs.select(col("c"), explode(col("seg")).as("p"))
+        .groupBy(col("p")).agg(sum(col("c")).as("cnt"))
+      pieces = adjust(usage).localCheckpoint(true)
+      pieceSteps = pieceSteps :+ pieces
+    }
+    (pieceSteps, segSteps)
+  }
+
+  /** q291: the piece inventory with its (smoothed) counts after each
+    * EM step, step 0 = the seed inventory.
+    */
+  def unigramTrainer(s: SparkSession, d: String): DataFrame = {
+    val (pieceSteps, _) = unigramChainState(s, d)
+    pieceSteps.zipWithIndex.map { case (pdf, t) =>
+      pdf.select(lit(t.toLong).as("em_step"), col("p").as("piece"), col("cnt"))
+    }.reduce(_ unionByName _).orderBy(col("em_step"), col("piece"))
+  }
+
+  /** q292: corpus tokens under the step-t Viterbi segmentation
+    * (step 0 = the single-char baseline) — the unigram twin of q278's
+    * BPE compression curve.
+    */
+  def unigramTokenCurve(s: SparkSession, d: String): DataFrame = {
+    val (_, segSteps) = unigramChainState(s, d)
+    val words = uniVocab(s, d)
+    val step0 = words
+      .agg(sum(col("c") * length(col("w"))).cast("long").as("corpus_tokens"))
+      .select(lit(0L).as("step"), col("corpus_tokens"))
+    segSteps.zipWithIndex.map { case (sg, i) =>
+      sg.agg(sum(col("c") * size(col("seg"))).cast("long").as("corpus_tokens"))
+        .select(lit((i + 1).toLong).as("step"), col("corpus_tokens"))
+    }.foldLeft(step0)(_ unionByName _).orderBy(col("step"))
   }
 
   /** The q278 compression curve: corpus token count after each merge
@@ -3565,8 +3733,132 @@ object CorpusOps {
          |SELECT step, corpus_tokens FROM (${(0 to BPE_T).map(t =>
               s"SELECT $t AS step, CAST(sum(c * len(syms)) AS BIGINT) AS corpus_tokens FROM bv$t")
               .mkString(" UNION ALL ")})
-         |ORDER BY step""".stripMargin
+         |ORDER BY step""".stripMargin,
+
+    // The unigram-LM hard-EM chain replayed: seed substring counts,
+    // the char+topS piece inventory per step, the Viterbi DP as
+    // unrolled position CTEs (max over ≤UNI_PL arms per position),
+    // the longest-piece backtrack (row_number over start position,
+    // exact in-engine double equality against the DP's own max), and
+    // the usage recount. Published counts are exact integers.
+    "q291_unigram_lm_trainer" ->
+      s"""WITH $uniChainSql
+         |SELECT em_step, piece, cnt FROM (
+         |${(0 to UNI_T).map(t =>
+             s"SELECT CAST($t AS BIGINT) AS em_step, p AS piece, " +
+             s"CAST(cnt AS BIGINT) AS cnt FROM up$t").mkString("\n  UNION ALL ")}
+         |) ORDER BY em_step, piece""".stripMargin,
+
+    // q291's chain, read out as per-step corpus token sums (each
+    // u{t}seg row is one emitted piece for one vocabulary word, so
+    // the weighted row count IS the token count).
+    "q292_unigram_curve" ->
+      s"""WITH $uniChainSql
+         |SELECT step, corpus_tokens FROM (
+         |  SELECT CAST(0 AS BIGINT) AS step,
+         |         CAST(sum(c * len) AS BIGINT) AS corpus_tokens FROM uw
+         |${(1 to UNI_T).map(t =>
+             s"  UNION ALL SELECT CAST($t AS BIGINT), CAST(sum(c) AS BIGINT) " +
+             s"FROM u${t}seg JOIN uw USING (w)").mkString("\n")}
+         |) ORDER BY step""".stripMargin
   )
+
+  /** The q291/q292 unigram-LM chain as SQL: word vocab, seed
+    * substring counts, then per EM step the piece inventory
+    * (chars at usage+1 ∪ top-UNI_S multi), the log-prob table, the
+    * Viterbi DP unrolled over UNI_MAXLEN positions (≤UNI_PL arms per
+    * position — an absent piece is simply a missing join row, and the
+    * l=1 arm always exists because chars are always kept, so the max
+    * equals the Spark fold's sentinel-guarded array_max exactly), the
+    * longest-piece backtrack (smallest start via row_number; the
+    * equality predicate recomputes the winning arm's own sum, exact
+    * in-engine), and the usage recount. Every multiply-referenced CTE
+    * is MATERIALIZED (the CTE-inlining discipline).
+    */
+  private lazy val uniChainSql: String = {
+    val seedPieces =
+      s"""uw AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c, length(w) AS len
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w
+         |), useed AS MATERIALIZED (
+         |  SELECT p, CAST(sum(c) AS BIGINT) AS cnt FROM (
+         |    SELECT c, substr(w, CAST(s.s AS INT), CAST(e.e - s.s + 1 AS INT)) AS p
+         |    FROM uw
+         |    JOIN generate_series(1, $UNI_MAXLEN) s(s) ON s.s <= uw.len
+         |    JOIN generate_series(1, $UNI_MAXLEN) e(e)
+         |      ON e.e >= s.s AND e.e <= least(s.s + ${UNI_PL - 1}, uw.len)
+         |  ) GROUP BY p
+         |), uchars AS MATERIALIZED (SELECT p FROM useed WHERE length(p) = 1)""".stripMargin
+    def pieceStep(t: Int, cntRel: String): String =
+      s"""up$t AS MATERIALIZED (
+         |  SELECT uchars.p AS p, coalesce(n.cnt, 0) + 1 AS cnt
+         |  FROM uchars LEFT JOIN $cntRel n ON uchars.p = n.p
+         |  UNION ALL
+         |  SELECT p, cnt FROM (SELECT p, cnt FROM $cntRel
+         |                      WHERE length(p) >= 2
+         |                      ORDER BY cnt DESC, p LIMIT $UNI_S)
+         |), ulp$t AS MATERIALIZED (
+         |  SELECT p, ln(CAST(cnt AS DOUBLE)) -
+         |            ln((SELECT CAST(sum(cnt) AS DOUBLE) FROM up$t)) AS lp
+         |  FROM up$t
+         |)""".stripMargin
+    def emStep(t: Int): String = {
+      val lp = s"ulp${t - 1}"
+      val dj = (1 to UNI_MAXLEN).map { j =>
+        val arms = (1 to math.min(UNI_PL, j)).map { l =>
+          s"""    SELECT d.w AS w, d.b + q.lp AS v
+             |    FROM u${t}d${j - l} d JOIN uw ON uw.w = d.w AND uw.len >= $j
+             |    JOIN $lp q ON q.p = substr(d.w, ${j - l + 1}, $l)""".stripMargin
+        }
+        s"""u${t}d$j AS MATERIALIZED (
+           |  SELECT w, max(v) AS b FROM (
+           |${arms.mkString("\n    UNION ALL\n")}
+           |  ) GROUP BY w
+           |)""".stripMargin
+      }.mkString(",\n")
+      val dpUnion = (0 to UNI_MAXLEN)
+        .map(j => s"SELECT w, $j AS j, b FROM u${t}d$j")
+        .mkString("\n  UNION ALL ")
+      val bts = (1 to UNI_MAXLEN).map { k =>
+        s"""u${t}b$k AS MATERIALIZED (
+           |  SELECT w, pos - length(piece) AS pos, piece FROM (
+           |    SELECT b.w AS w, b.pos AS pos,
+           |           substr(b.w, CAST(s.s AS INT), CAST(b.pos - s.s + 1 AS INT)) AS piece,
+           |           row_number() OVER (PARTITION BY b.w ORDER BY s.s) AS rn
+           |    FROM u${t}b${k - 1} b
+           |    JOIN generate_series(1, $UNI_MAXLEN) s(s)
+           |      ON s.s >= greatest(1, b.pos - ${UNI_PL - 1}) AND s.s <= b.pos
+           |    JOIN $lp q
+           |      ON q.p = substr(b.w, CAST(s.s AS INT), CAST(b.pos - s.s + 1 AS INT))
+           |    JOIN u${t}dp d1 ON d1.w = b.w AND d1.j = s.s - 1
+           |    JOIN u${t}dp d2 ON d2.w = b.w AND d2.j = b.pos
+           |    WHERE b.pos > 0 AND d1.b + q.lp = d2.b
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      val segUnion = (1 to UNI_MAXLEN)
+        .map(k => s"SELECT w, piece FROM u${t}b$k")
+        .mkString("\n  UNION ALL ")
+      s"""u${t}d0 AS (SELECT w, CAST(0.0 AS DOUBLE) AS b FROM uw),
+         |$dj,
+         |u${t}dp AS MATERIALIZED (
+         |  $dpUnion
+         |),
+         |u${t}b0 AS (SELECT w, len AS pos FROM uw),
+         |$bts,
+         |u${t}seg AS MATERIALIZED (
+         |  $segUnion
+         |),
+         |u${t}n AS MATERIALIZED (
+         |  SELECT piece AS p, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM u${t}seg JOIN uw USING (w) GROUP BY 1
+         |)""".stripMargin
+    }
+    (Seq(seedPieces, pieceStep(0, "useed")) ++
+      (1 to UNI_T).flatMap(t => Seq(emStep(t), pieceStep(t, s"u${t}n")))
+    ).mkString(",\n")
+  }
 
   /** The q273 GD iterations unrolled (score → residual → gradient →
     * weight update), mirroring [[lrScores]]' aggregates exactly.

@@ -1841,4 +1841,82 @@ class CorpusOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("unigram-lm: driver Viterbi replay matches counts + curve, argmax margins wide (q291/q292)") {
+    // Independent Scala reimplementation of the hard-EM final step:
+    // segment every vocab word under the step-(T-1) inventory with the
+    // same DP (best[j] = max over <=UNI_PL arms) and the same
+    // longest-piece backtrack, then check the engine's step-T counts,
+    // the top-S pruning, and the curve point — plus the argmax-margin
+    // audit (ln is the only cross-engine float; a decision flips only
+    // if a margin is within drift, so every nonzero margin must dwarf
+    // 1e-9). StrictMath.log matches Spark's Log expression exactly.
+    val PL = CorpusOps.UNI_PL
+    val T = CorpusOps.UNI_T.toLong
+    val out = CorpusOps.queries("q291_unigram_lm_trainer")(spark, sf001).collect()
+    assert(out.map(_.getLong(0)).distinct.sorted.toSeq === (0L to T))
+    val byStep = out.groupBy(_.getLong(0)).map { case (t, rs) =>
+      t -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap
+    }
+    byStep.values.foreach { ps =>
+      assert(ps.keys.count(_.length >= 2) <= CorpusOps.UNI_S)
+      assert(ps.values.forall(_ >= 1L), "every kept piece has a positive count")
+    }
+    // the char inventory is fixed across steps (coverage floor)
+    assert(byStep(0L).keySet.filter(_.length == 1) ===
+      byStep(T).keySet.filter(_.length == 1))
+
+    val words = CorpusOps.uniVocab(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val prev = byStep(T - 1)
+    val tot = prev.values.sum.toDouble
+    val lp = prev.map { case (p, c) =>
+      p -> (StrictMath.log(c.toDouble) - StrictMath.log(tot))
+    }
+    var minGap = Double.MaxValue
+    val usage = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var tokensT = 0L
+    words.foreach { case (w, c) =>
+      val n = w.length
+      val best = new Array[Double](n + 1)
+      for (j <- 1 to n) {
+        val arms = (math.max(1, j - PL + 1) to j).flatMap { s =>
+          lp.get(w.substring(s - 1, j)).map(v => best(s - 1) + v)
+        }
+        assert(arms.nonEmpty, s"'$w' position $j unreachable — a char left the inventory?")
+        best(j) = arms.max
+        val ds = arms.distinct.sorted(Ordering[Double].reverse)
+        if (ds.size >= 2) minGap = math.min(minGap, ds(0) - ds(1))
+      }
+      var pos = n
+      var nPieces = 0
+      while (pos > 0) {
+        val s = (math.max(1, pos - PL + 1) to pos).find { s =>
+          lp.get(w.substring(s - 1, pos)).exists(v => best(s - 1) + v == best(pos))
+        }.get
+        usage(w.substring(s - 1, pos)) += c
+        nPieces += 1
+        pos = s - 1
+      }
+      tokensT += c * nPieces
+    }
+    val last = byStep(T)
+    last.foreach { case (p, cnt) =>
+      val expect = if (p.length == 1) usage(p) + 1 else usage(p)
+      assert(cnt === expect, s"piece '$p' count $cnt, replay expects $expect")
+    }
+    // pruning picked exactly the replay's top-S multi pieces
+    val multiReplay = usage.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(CorpusOps.UNI_S).toMap
+    assert(last.filter(_._1.length >= 2) === multiReplay)
+    if (minGap != Double.MaxValue)
+      assert(minGap > 1e-9, s"viterbi argmax margin $minGap within ln drift")
+
+    val curve = CorpusOps.queries("q292_unigram_curve")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(curve.keySet === (0L to T).toSet)
+    assert(curve(0L) === words.map { case (w, c) => c * w.length }.sum)
+    assert(curve(T) === tokensT, "curve point must equal the replayed segmentation")
+    assert(curve(1L) < curve(0L), "multi-char pieces must actually compress the corpus")
+  }
 }
