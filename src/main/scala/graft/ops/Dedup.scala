@@ -310,25 +310,38 @@ object Dedup {
     * long/long→double division, so the rounded digit can never
     * disagree with [[TextSim.jaccardPairs]].
     */
-  def jaccardPairsPrefix(sh: DataFrame, thrNum: Int, thrDen: Int): DataFrame = {
+  /** The dictionary-encoded distinct-shingle relation (doc_id, gid):
+    * vocabulary ranked by the (df asc, gram asc) global order — gid is
+    * simultaneously the prefix order AND a dense int id, so the verify
+    * arrays carry 4-byte ints instead of ~25-byte gram strings
+    * (measured: the string-array verify shuffle was the q61 10×
+    * bottleneck). The vocab relation is Heaps-sublinear in the corpus;
+    * ranking it rides ScalableRank (range-partitioned, never a
+    * one-task global window), and ScalableRank's internal checkpoint
+    * makes the ids consistent across every consumer. Intersection
+    * counts are invariant under the g↔gid bijection, so exactness is
+    * untouched.
+    */
+  private[graft] def gramIds(sh: DataFrame): DataFrame = {
     val p = sh.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // Gram DICTIONARY: vocabulary ranked by the (df asc, gram asc)
-    // global order — gid is simultaneously the prefix order AND a
-    // dense int id, so the verify arrays carry 4-byte ints instead of
-    // ~25-byte gram strings (measured: the string-array verify shuffle
-    // was the q61 10× bottleneck). The vocab relation is
-    // Heaps-sublinear in the corpus; ranking it rides ScalableRank
-    // (range-partitioned, never a one-task global window), and
-    // ScalableRank's internal checkpoint makes the ids consistent
-    // across all three consumers below. Intersection counts are
-    // invariant under the g↔gid bijection, so exactness is untouched.
     val gdf = sh.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
     val gids = graft.functions.ScalableRank
       .withRanks(gdf, Seq.empty, Seq(col("gdf"), col("g")),
         Seq(col("gdf"), col("g")), p)
       .select(col("g"), col("rn").cast("int").as("gid"))
-    val shg = sh.join(gids, "g").select(col("doc_id"), col("gid"))
+    sh.join(gids, "g").select(col("doc_id"), col("gid"))
+  }
+
+  /** PPJoin candidate pairs for Jaccard ≥ thrNum/thrDen over the
+    * dictionary-encoded shingles: symmetric prefix⋈prefix + length
+    * filter + positional filter, emitting (id1 < id2, n1, n2).
+    * Complete by the lemma in [[jaccardPairsPrefix]]'s doc; package-
+    * private so DedupSpec can assert the stop-gram kill (a gram shared
+    * by EVERY doc must generate zero candidates when the docs are
+    * dissimilar — the Σ m_g² term the prefix order exists to remove).
+    */
+  private[graft] def jaccardPrefixCandidates(shg: DataFrame, sizes: DataFrame,
+      thrNum: Int, thrDen: Int): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("gid"))
     val prefix = shg
       .withColumn("rk", row_number().over(wDoc).cast("long"))
@@ -337,7 +350,7 @@ object Dedup {
       .filter(col("rk") <=
         col("sz") - expr(s"($thrNum * sz + ${thrDen - 1}) div $thrDen") + 1)
       .select(col("doc_id"), col("gid"), col("sz"), col("rk"))
-    val cand = prefix
+    prefix
       .select(col("doc_id").as("id1"), col("gid"),
         col("sz").as("n1"), col("rk").as("rk1"))
       .join(prefix.select(col("doc_id").as("id2"), col("gid"),
@@ -354,6 +367,12 @@ object Dedup {
         expr(s"($thrNum * (n1 + n2) + ${thrNum + thrDen - 1}) " +
           s"div ${thrNum + thrDen}"))
       .select(col("id1"), col("id2"), col("n1"), col("n2"))
+  }
+
+  def jaccardPairsPrefix(sh: DataFrame, thrNum: Int, thrDen: Int): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shg = gramIds(sh)
+    val cand = jaccardPrefixCandidates(shg, sizes, thrNum, thrDen)
     val arrs = shg.groupBy(col("doc_id")).agg(collect_list(col("gid")).as("gs"))
     cand
       .join(arrs.select(col("doc_id").as("id1"), col("gs").as("gs1")), Seq("id1"))

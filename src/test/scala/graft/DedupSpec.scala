@@ -38,6 +38,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix filtering kills the stop-gram quadratic term (jaccardPairsPrefix)") {
+    // The 100 TB claim behind the round-13 de-quadratic, asserted
+    // directly: a gram shared by EVERY doc (df = n) is exactly the
+    // Σ_g m_g² killer — the all-pairs shingle join would materialize
+    // C(200,2) = 19,900 collision rows for it alone. With the
+    // (df asc, gram asc) prefix order it ranks LAST in every doc, so
+    // with 10 unique grams per doc and t = 0.6 (prefix = the 5 rarest)
+    // it appears in NO prefix, and the candidate relation — and hence
+    // the verify input — is empty.
+    import spark.implicits._
+    val docs = (1L to 200L).map { i =>
+      (i, (0 until 10).map(j => s"u${i}w$j").mkString(" ") + " zz1 zz2 zz3")
+    }.toDF("doc_id", "text")
+    val sh = TextSim.shingles(docs, 3)
+    assert(sh.filter(col("g") === "zz1 zz2 zz3").count() === 200L,
+      "the planted stop-gram must be universal")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val cand = Dedup.jaccardPrefixCandidates(Dedup.gramIds(sh), sizes, 6, 10)
+    assert(cand.count() === 0L,
+      "stop-gram collisions must never reach the candidate set")
+    // and the exact relation really is empty here (docs are dissimilar)
+    assert(Dedup.jaccardPairsPrefix(sh, 6, 10).count() === 0L)
+  }
+
   test("exact-dup collapse keeps a 1000-deep identical cluster linear") {
     // Web corpora routinely contain thousands-deep exact-dup clusters;
     // without the collapse each of the k identical docs carries the
