@@ -22,6 +22,14 @@ object One {
       SparkEntry.queries(q)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       println(s"TIMING $q run$i ${(System.nanoTime()-t0)/1e9}")
+      // Round-14 (r13 verdict item 1): mirror Bench's between-run sweep.
+      // Eager localCheckpoint sites leave RDD blocks cached forever, so
+      // a multi-query One invocation otherwise re-creates exactly the
+      // one-JVM contamination the isolated layer exists to remove
+      // (measured: q193 40.2 s in a shared 10-query child vs 5.4 s in a
+      // clean single-query run). Sweep sits outside the timed region.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

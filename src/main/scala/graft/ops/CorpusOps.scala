@@ -2051,7 +2051,13 @@ object CorpusOps {
   private def unigramChainState(s: SparkSession, d: String)
       : (List[DataFrame], List[DataFrame]) = {
     val words = uniVocab(s, d).localCheckpoint(true)
-    val maxLen = words.agg(max(length(col("w")))).head().getInt(0)
+    // r13 ADVICE: max() over an empty vocab returns a NULL row and
+    // getInt would NPE before the intended loud require below —
+    // surface the real failure mode (no words at all) diagnosably.
+    val maxLenRow = words.agg(max(length(col("w")))).head()
+    require(!maxLenRow.isNullAt(0),
+      "unigram trainer: empty word vocabulary — the corpus produced no words")
+    val maxLen = maxLenRow.getInt(0)
     require(maxLen <= UNI_MAXLEN,
       s"unigram trainer: max word length $maxLen exceeds UNI_MAXLEN=$UNI_MAXLEN " +
         "— widen the dial (both engines' unrolled DP covers UNI_MAXLEN positions)")

@@ -325,10 +325,19 @@ object Dedup {
   private[graft] def gramIds(sh: DataFrame): DataFrame = {
     val p = sh.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val gdf = sh.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    // r13 ADVICE: with >2^31 distinct shingles (plausible at the 100 TB
+    // posture) a silent non-ANSI long→int cast wraps, corrupting the
+    // prefix order and every array_intersect count with no error. Fail
+    // loudly instead: the guard is a codegen'd per-row branch (no extra
+    // pass, no action) that only the overflowing row ever takes.
     val gids = graft.functions.ScalableRank
       .withRanks(gdf, Seq.empty, Seq(col("gdf"), col("g")),
         Seq(col("gdf"), col("g")), p)
-      .select(col("g"), col("rn").cast("int").as("gid"))
+      .select(col("g"),
+        when(col("rn") > Int.MaxValue.toLong, raise_error(lit(
+          "gramIds: shingle vocabulary exceeds Int.MaxValue ranks — " +
+            "the int gid dictionary would wrap; widen gid to long")))
+          .otherwise(col("rn")).cast("int").as("gid"))
     sh.join(gids, "g").select(col("doc_id"), col("gid"))
   }
 
