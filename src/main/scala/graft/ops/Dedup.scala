@@ -554,7 +554,14 @@ object Dedup {
       // verify — q69's path, which shares q67's oracle): the exact
       // all-pairs substrate here was measured 19.5 s at sf0.1 vs 7.6 s
       // for this form, and its Σ m_g² term is the known 100 TB killer.
-      val oldLab = canonicalizeLsh(oldDocs)
+      // Checkpointed once: FOUR downstream consumers (l1, l2, parts,
+      // withL0) otherwise re-evaluate the exactReps windows + LSH
+      // subtree per consumer — the round-14 phase profile attributed
+      // 3.6 of q213's 11.0 s to exactly this multiplicity (full 11.0 s
+      // vs 7.4 s with oldLab+deltaPairs checkpointed; DESIGN round-14).
+      // Label relations are 2 longs/row — far smaller than the corpus
+      // they label — so materializing beats 4× recompute at any scale.
+      val oldLab = canonicalizeLsh(oldDocs).localCheckpoint(true)
       val shAll = TextSim.shingles(docs, 3)
       // delta candidates: q101's banded discipline — only the delta's
       // bands probe the full corpus's bands, old×old never re-pairs
@@ -567,8 +574,12 @@ object Dedup {
             col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
         .distinct()
+      // Checkpointed for the same reason: three consumers (contracted,
+      // parts ×2) of the band-probe + exact-verify subtree. The pair
+      // relation is delta-sized (near-dup pairs touching the delta).
       val deltaPairs = TextSim.verifyJaccard(cand, shAll, 0.8)
         .select(col("id1"), col("id2"))
+        .localCheckpoint(true)
       val l1 = oldLab.select(col("doc_id").as("id1"), col("canonical_id").as("c1"))
       val l2 = oldLab.select(col("doc_id").as("id2"), col("canonical_id").as("c2"))
       val contracted = deltaPairs
