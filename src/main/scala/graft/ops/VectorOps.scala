@@ -573,9 +573,38 @@ object VectorOps {
       val rCodes = pqCodesFused(pqSubSlices(resid), rcbF)
         .select(col("vec_id"), col("c0").as("r0"), col("c1").as("r1"),
                 col("c2").as("r2"), col("c3").as("r3"))
+      // OPQ-rotated residual encoding (round-14, r13 verdict item 4):
+      // q287's TRAINED rotation composed with the residual build — the
+      // residuals rotate through the codegen'd graft_matvec kernel
+      // before their own PQ training, exactly FAISS's "OPQ64,IVF…,PQ…"
+      // index_factory composition (OPQ as a VectorTransform in front
+      // of the residual quantizer). In FAISS that pretransform is
+      // OPT-IN (unlike by_residual=true, which is the default the
+      // round-13 flip tracked), so the o-encoding ships as an
+      // ADDITIONAL index citizen next to r0..r3 — q294 serves from it,
+      // q295 publishes its recall next to the unrotated store's, and
+      // the plain-residual tiers (q263/q286/q264) stay byte-stable.
+      // R itself is stored with the index (rot/) so serving needs no
+      // retraining — one extra matvec per (query, probed cell).
+      val rotDf = opqRotation(s, d)
+      rotDf.coalesce(1).write.mode("overwrite").parquet(s"$sp/rot")
+      val rflat = rotDf
+        .agg(array_sort(collect_list(struct(col("i"), col("j"), col("q")))).as("rs"))
+        .select(expr(s"transform(rs, x -> CAST(x.q AS DOUBLE) / $PCA_SCALE.0)")
+          .as("rflat"))
+      val residR = resid.crossJoin(broadcast(rflat))
+        .select(col("vec_id"), expr("graft_matvec(rflat, v)").as("v"))
+        .localCheckpoint(true)
+      val residRT = trainSample(residR, nVecs, PQ_K)
+      val ocbF = kmeansCentroidsFused(residRT, pqSubSlices(residRT), k = PQ_K, iters = PQ_ITERS)
+      ocbF.coalesce(1).write.mode("overwrite").parquet(s"$sp/ocodebooks")
+      val oCodes = pqCodesFused(pqSubSlices(residR), ocbF)
+        .select(col("vec_id"), col("c0").as("o0"), col("c1").as("o1"),
+                col("c2").as("o2"), col("c3").as("o3"))
       cells
         .join(pqCodesFused(slices, cbF), Seq("vec_id"))
         .join(rCodes, Seq("vec_id"))
+        .join(oCodes, Seq("vec_id"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$sp/codes")
       if (root.exists()) rmTree(root)  // same pid re-ran after a memo-less restart
       java.nio.file.Files.move(stage.toPath, root.toPath,
@@ -603,12 +632,21 @@ object VectorOps {
     * the dynamic pruning (measured: the codes scan reverts to reading
     * every cell). `selfExclude` drops the query's own corpus row —
     * meaningless for external queries, which have none.
+    *
+    * `opq = true` (q294) serves the OPQ-rotated residual encoding:
+    * the stored rotation (rot/) rotates the query's per-probed-cell
+    * residual through ONE extra graft_matvec before the dq slices,
+    * the lookup tables build from ocodebooks/, and the ADC joins key
+    * on o0..o3 — everything else (probe ranking, DPP-pruned cell
+    * reads, 50-shortlist exact re-rank) is byte-for-byte the plain
+    * path.
     */
   private def ivfadcServe(s: SparkSession, d: String, q0: DataFrame,
-                          selfExclude: Boolean): DataFrame = {
+                          selfExclude: Boolean, opq: Boolean = false): DataFrame = {
     val root = ensureIvfadcIndex(s, d)
     val centsStored = s.read.parquet(s"$root/centroids")
-    val rcbs = s.read.parquet(s"$root/rcodebooks")
+    val rcbs = s.read.parquet(
+      s"$root/${if (opq) "ocodebooks" else "rcodebooks"}")
     val codes = s.read.parquet(s"$root/codes")
     val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
@@ -621,21 +659,33 @@ object VectorOps {
     // probed centroid — feeds ONLY the broadcast residual dq tables
     // (kept separate from `probes` so the DPP-filtering side stays
     // the minimal (q_id, cell) projection)
-    val probesC = q0.crossJoin(broadcast(centsStored))
+    val probesC0 = q0.crossJoin(broadcast(centsStored))
       .withColumn("ccos", dot("qv", "cv") / (col("qn") * col("cn")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= 4)
       .select(col("q_id"), col("qv"), col("cell"), col("cv"))
+    // OPQ path: the stored rotation flattens to the row-major dyadic
+    // matrix (the q288 idiom) and rides the broadcast probe relation —
+    // |Q|·nprobe matvecs total, never a corpus-sized rotation.
+    val probesC =
+      if (!opq) probesC0
+      else probesC0.crossJoin(broadcast(s.read.parquet(s"$root/rot")
+        .agg(array_sort(collect_list(struct(col("i"), col("j"), col("q")))).as("rs"))
+        .select(expr(s"transform(rs, x -> CAST(x.q AS DOUBLE) / $PCA_SCALE.0)")
+          .as("rflat"))))
+    val qrExpr = if (opq) "graft_matvec(rflat, graft_sub(qv, cv))"
+                 else "graft_sub(qv, cv)"
+    val cp = if (opq) "o" else "r"
     val joined = codes.join(probes, Seq("cell"))
     val cand0 = if (selfExclude) joined.filter(col("q_id") =!= col("vec_id"))
                 else joined
     val dqs = (0 until PQ_M).map { sb =>
       broadcast(probesC
         .select(col("q_id"), col("cell"),
-          expr(s"slice(graft_sub(qv, cv), ${PQ_D * sb + 1}, $PQ_D)").as("qs"))
+          expr(s"slice($qrExpr, ${PQ_D * sb + 1}, $PQ_D)").as("qs"))
         .crossJoin(broadcast(rcbs.filter(col("sub") === sb)
-          .select(col("cell").cast("byte").as(s"r$sb"), col("cv").as("cw"))))
-        .select(col("q_id"), col("cell"), col(s"r$sb"),
+          .select(col("cell").cast("byte").as(s"$cp$sb"), col("cv").as("cw"))))
+        .select(col("q_id"), col("cell"), col(s"$cp$sb"),
           expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cw) + graft_dot(cw, cw)")
             .as(s"d$sb")))
     }
@@ -651,10 +701,10 @@ object VectorOps {
     // DPP-pruned to the probed cells (plan-pinned; a checkpoint here
     // would kill the pruning, the q263 localCheckpoint rule).
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("id2"))
-    val candAdc = cand0.join(dqs(0), Seq("q_id", "cell", "r0"))
-      .join(dqs(1), Seq("q_id", "cell", "r1"))
-      .join(dqs(2), Seq("q_id", "cell", "r2"))
-      .join(dqs(3), Seq("q_id", "cell", "r3"))
+    val candAdc = cand0.join(dqs(0), Seq("q_id", "cell", s"${cp}0"))
+      .join(dqs(1), Seq("q_id", "cell", s"${cp}1"))
+      .join(dqs(2), Seq("q_id", "cell", s"${cp}2"))
+      .join(dqs(3), Seq("q_id", "cell", s"${cp}3"))
       .select(col("q_id"), col("vec_id").as("id2"),
         expr("d0 + d1 + d2 + d3").as("adc"))
     val nCand = candAdc.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
@@ -1877,6 +1927,141 @@ object VectorOps {
       adcRecallOverRotated(s, d, er1)
     }),
 
+    // OPQ-rotated-residual BUILD census (round-14, r13 verdict item
+    // 4): the stored index now also carries the o-encoding — q287's
+    // trained rotation applied to the residuals before their own PQ
+    // (FAISS's "OPQ64,IVF…,PQ…" pretransform composition; opt-in in
+    // index_factory, hence an ADDITIONAL encoding, not a flip of the
+    // by_residual default the plain tiers serve). Same read-back
+    // census discipline as q262: per cell, size + the four o-code-sum
+    // checksums, computed FROM THE PARQUET — a wrong/stale rotated
+    // bit anywhere moves a sum. The oracle replays the full
+    // composition: IVF chain → residuals → the q287 OPQ chain (H·D,
+    // t-chains, M, NS iterations) → residual rotation → four o-Lloyd
+    // chains.
+    "q293_opq_residual_build" -> ((s, d) => {
+      val root = ensureIvfadcIndex(s, d)
+      s.read.parquet(s"$root/codes")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+             sum(col("o0").cast("long")).as("sum_o0"),
+             sum(col("o1").cast("long")).as("sum_o1"),
+             sum(col("o2").cast("long")).as("sum_o2"),
+             sum(col("o3").cast("long")).as("sum_o3"))
+        .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+                col("sum_o0"), col("sum_o1"), col("sum_o2"), col("sum_o3"))
+        .orderBy(col("cell"))
+    }),
+
+    // OPQ-rotated-residual QUERY tier (q263's twin on the o-encoding):
+    // identical probe → DPP-pruned cell read → ADC → bounded exact
+    // re-rank layout; the ONLY addition is one graft_matvec per
+    // (query, probed cell) — the stored rotation applied to the
+    // query's residual before the dq slices (codes were rotated at
+    // build time, so search-time cost is |Q|·nprobe matvecs,
+    // corpus-free). Serving reads rot/ + ocodebooks/ + the o0..o3
+    // columns of the SAME cell-partitioned codes files.
+    "q294_opq_ivfadc_query" -> ((s, d) => {
+      graft.functions.VectorKernels.ensureRegistered(s)
+      val q0 = T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
+        .localCheckpoint(true)
+      ivfadcServe(s, d, q0, selfExclude = true, opq = true)
+    }),
+
+    // OPQ-rotated-residual RECALL audit (q264's twin on the
+    // o-encoding — the honest measurement the composition exists
+    // for, published next to the unrotated store's q264 relation):
+    // ADC-shortlist and 50-deep-re-rank overlap against the exact
+    // top-5, served entirely from the stored o-bits. On the
+    // synthetic near-isotropic embeddings the trained rotation is
+    // expectedly ~recall-neutral vs the plain residual store (no
+    // subspace correlation to fix — the q288-vs-q266 posture); the
+    // tier's value is the audited machinery a correlated-embedding
+    // corpus would need, and the two published relations ARE the
+    // comparison.
+    "q295_opq_residual_recall" -> ((s, d) => {
+      graft.functions.VectorKernels.ensureRegistered(s)
+      val root = ensureIvfadcIndex(s, d)
+      val centsStored = s.read.parquet(s"$root/centroids")
+      val stored = s.read.parquet(s"$root/codes")
+      val cbF = s.read.parquet(s"$root/ocodebooks")
+      val rflat = broadcast(s.read.parquet(s"$root/rot")
+        .agg(array_sort(collect_list(struct(col("i"), col("j"), col("q")))).as("rs"))
+        .select(expr(s"transform(rs, x -> CAST(x.q AS DOUBLE) / $PCA_SCALE.0)")
+          .as("rflat")))
+      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val q0 = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
+        .localCheckpoint(true)
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+      val probes = broadcast(q0.crossJoin(broadcast(centsStored))
+        .withColumn("ccos", dot("qv", "cv") / (col("qn") * col("cn")))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= 4)
+        .select(col("q_id"), col("qv"), col("cell"), col("cv"))
+        .crossJoin(rflat))
+      val rdqs = (0 until PQ_M).map { sb =>
+        broadcast(probes
+          .select(col("q_id"), col("cell"),
+            expr(s"slice(graft_matvec(rflat, graft_sub(qv, cv)), " +
+              s"${PQ_D * sb + 1}, $PQ_D)").as("qs"))
+          .crossJoin(broadcast(cbF.filter(col("sub") === sb)
+            .select(col("cell").cast("byte").as(s"c$sb"), col("cv").as("cw"))))
+          .select(col("q_id"), col("cell"), col(s"c$sb"),
+            expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cw) + graft_dot(cw, cw)")
+              .as(s"d$sb")))
+      }
+      val cand0 = stored
+        .join(probes.select(col("q_id"), col("cell")), Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("cell"), col("vec_id"),
+          col("o0").as("c0"), col("o1").as("c1"),
+          col("o2").as("c2"), col("o3").as("c3"))
+      val nCand = cand0.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+      val cand = cand0
+        .join(rdqs(0), Seq("q_id", "cell", "c0"))
+        .join(rdqs(1), Seq("q_id", "cell", "c1"))
+        .join(rdqs(2), Seq("q_id", "cell", "c2"))
+        .join(rdqs(3), Seq("q_id", "cell", "c3"))
+        .select(col("q_id"), col("vec_id").as("id2"),
+          expr("d0 + d1 + d2 + d3").as("adc"))
+      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("id2"))
+      val ranked = cand.withColumn("rn", row_number().over(wAdc))
+      val topAdc = ranked.filter(col("rn") <= 5).select(col("q_id"), col("id2"))
+      val short50 = ranked.filter(col("rn") <= 50).select(col("q_id"), col("id2"))
+      val ef = base.withColumn("sq", expr("graft_dot(v, v)"))
+      val q = broadcast(ef.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv2"), col("sq").as("qq")))
+      val c = ef.select(col("vec_id").as("id2"), col("v").as("v2"), col("sq").as("s2"))
+      val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id2"))
+      val topEx = q.join(c, col("q_id") =!= col("id2"))
+        .withColumn("d2", expr("qq - 2 * graft_dot(qv2, v2) + s2"))
+        .withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") <= 5)
+        .select(col("q_id").as("fq"), col("id2").as("fid"))
+      val rerank = c.join(broadcast(short50.join(broadcast(q), Seq("q_id"))),
+          Seq("id2"))
+        .withColumn("d2", expr("qq - 2 * graft_dot(qv2, v2) + s2"))
+        .withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") <= 5).select(col("q_id"), col("id2"))
+      def overlap(top: DataFrame, n: String) =
+        top.join(broadcast(topEx),
+            col("q_id") === col("fq") && col("id2") === col("fid"), "left")
+          .groupBy(col("q_id")).agg(count(col("fid")).as(n))
+      nCand.join(overlap(topAdc, "n_overlap_adc"), Seq("q_id"))
+        .join(overlap(rerank, "n_overlap_rerank"), Seq("q_id"))
+        .select(col("q_id"), col("n_cand"),
+          col("n_overlap_adc"), (col("n_overlap_adc") * 2000).as("recall_adc_bp"),
+          col("n_overlap_rerank"),
+          (col("n_overlap_rerank") * 2000).as("recall_rerank_bp"))
+        .orderBy(col("q_id"))
+    }),
+
     // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     // at web-scale through semantic deduplication"): semantic dedup
     // blocked by LEARNED kmeans cells instead of q64's given labels —
@@ -2783,6 +2968,84 @@ object VectorOps {
        |WHERE trr.rn <= 5
        |ORDER BY trr.q_id, trr.rn""".stripMargin
 
+  /** [[ivfadcTailSql]]'s twin for the OPQ-rotated-residual tier
+    * (q294): identical probe ranking / candidate fetch / 50-shortlist
+    * exact re-rank; what changes is ONE extra CTE — the query's
+    * per-probed-cell residual rotated by the stored R (qrr = R·qr,
+    * the search-time graft_matvec) — and the dq/ADC joins keying on
+    * the o-chains' codebooks and codes. Expects qe plus the
+    * e/ivf/residual/[[oChainBody]] bodies in scope.
+    */
+  private def ivfadcTailSqlOpq(exclude: Boolean): String =
+    s"""qn AS (SELECT q_id, sqrt(sum(v*v)) AS nrm FROM qe GROUP BY 1),
+       |cnn AS (SELECT cell, sqrt(sum(cv*cv)) AS cn FROM c4 GROUP BY 1),
+       |ccos AS (
+       |  SELECT q.q_id, c.cell, sum(q.v * c.cv) AS dot
+       |  FROM qe q JOIN c4 c ON q.i = c.i GROUP BY 1, 2
+       |), pr AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT ccos.q_id, ccos.cell, row_number() OVER (
+       |        PARTITION BY ccos.q_id
+       |        ORDER BY ccos.dot/(nq.nrm*cnn.cn) DESC, ccos.cell) AS pr
+       |    FROM ccos JOIN qn nq ON ccos.q_id = nq.q_id
+       |              JOIN cnn ON ccos.cell = cnn.cell)
+       |  WHERE pr <= 4
+       |), qr AS MATERIALIZED (
+       |  SELECT pr.q_id, pr.cell, q.i, q.v - c.cv AS v
+       |  FROM pr JOIN qe q ON q.q_id = pr.q_id
+       |       JOIN c4 c ON c.cell = pr.cell AND c.i = q.i
+       |), qrr AS MATERIALIZED (
+       |  SELECT qr.q_id, qr.cell, r.i,
+       |         sum((CAST(r.q AS DOUBLE) / $PCA_SCALE.0) * qr.v) AS v
+       |  FROM ns$OPQ_NS_ITERS r JOIN qr ON qr.i = r.j
+       |  GROUP BY 1, 2, 3
+       |),
+       |${(0 until PQ_M).map(sb =>
+           s"""odq$sb AS (
+              |  SELECT qrr.q_id, qrr.cell, c.cell AS code,
+              |         sum(qrr.v*qrr.v) - 2*sum(qrr.v*c.cv) + sum(c.cv*c.cv) AS d
+              |  FROM qrr JOIN o${sb}c$PQ_ITERS c ON qrr.i = c.i
+              |  GROUP BY 1, 2, 3
+              |)""".stripMargin).mkString(",\n")},
+       |cand0 AS (
+       |  SELECT pr.q_id, g5.vec_id, g5.cell
+       |  FROM pr JOIN g5 ON pr.cell = g5.cell
+       |  ${if (exclude) "WHERE g5.vec_id <> pr.q_id" else ""}
+       |), nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+       |          FROM cand0 GROUP BY 1),
+       |cand AS (
+       |  SELECT cd.q_id, cd.vec_id AS id2,
+       |         d0.d + d1.d + d2.d + d3.d AS adc
+       |  FROM cand0 cd JOIN ocodes ON cd.vec_id = ocodes.vec_id
+       |  JOIN odq0 d0 ON d0.q_id = cd.q_id AND d0.cell = cd.cell AND ocodes.o0 = d0.code
+       |  JOIN odq1 d1 ON d1.q_id = cd.q_id AND d1.cell = cd.cell AND ocodes.o1 = d1.code
+       |  JOIN odq2 d2 ON d2.q_id = cd.q_id AND d2.cell = cd.cell AND ocodes.o2 = d2.code
+       |  JOIN odq3 d3 ON d3.q_id = cd.q_id AND d3.cell = cd.cell AND ocodes.o3 = d3.code
+       |), tr50 AS (
+       |  SELECT q_id, id2 FROM (
+       |    SELECT q_id, id2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY adc, id2) AS rn FROM cand)
+       |  WHERE rn <= 50
+       |), sq AS (SELECT vec_id, sum(v*v) AS s FROM e GROUP BY 1),
+       |qsq AS (SELECT q_id, sum(v*v) AS s FROM qe GROUP BY 1),
+       |dt AS (
+       |  SELECT a.q_id, b.vec_id AS id2, sum(a.v*b.v) AS dot
+       |  FROM qe a JOIN e b ON a.i = b.i GROUP BY 1, 2
+       |), trr AS (
+       |  SELECT q_id, id2, d2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY d2, id2) AS rn
+       |  FROM (
+       |    SELECT dt.q_id, dt.id2, sa.s - 2*dt.dot + sb.s AS d2
+       |    FROM tr50 JOIN dt ON tr50.q_id = dt.q_id AND tr50.id2 = dt.id2
+       |         JOIN qsq sa ON dt.q_id = sa.q_id
+       |         JOIN sq sb ON dt.id2 = sb.vec_id)
+       |)
+       |SELECT trr.q_id, nc.n_cand, trr.rn, trr.id2 AS neighbor_id,
+       |       round(trr.d2, 4) AS l2_4
+       |FROM trr JOIN nc ON trr.q_id = nc.q_id
+       |WHERE trr.rn <= 5
+       |ORDER BY trr.q_id, trr.rn""".stripMargin
+
   /** The fixed RR-PQ rotation as SQL (no WITH, needs e): the signed
     * diagonal from the md5('rot'||i) coin ([[hdSigns]] computes the
     * identical draw on the JVM), then the rotated corpus from the
@@ -2795,18 +3058,20 @@ object VectorOps {
     * PQ chains reference it repeatedly (the round-9 CTE-inlining
     * incident class).
     */
-  private lazy val rotCteBody: String =
-    """sg AS MATERIALIZED (
-      |  SELECT i, CASE WHEN CAST(('0x' || substr(md5('rot' || CAST(i AS VARCHAR)), 1, 8))
-      |                      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
-      |  FROM range(1, 65) t(i)
-      |), er AS MATERIALIZED (
-      |  SELECT e.vec_id, d.j AS i,
-      |         sum(CASE WHEN bit_count(CAST(d.j - 1 AS BIGINT) & CAST(e.i - 1 AS BIGINT)) % 2 = 0
-      |                  THEN e.v * sg.sgn ELSE -(e.v * sg.sgn) END) / 8 AS v
-      |  FROM e JOIN sg ON e.i = sg.i CROSS JOIN range(1, 65) d(j)
-      |  GROUP BY 1, 2
-      |)""".stripMargin
+  private def rotCteBodyP(name: String): String =
+    s"""sg AS MATERIALIZED (
+       |  SELECT i, CASE WHEN CAST(('0x' || substr(md5('rot' || CAST(i AS VARCHAR)), 1, 8))
+       |                      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |  FROM range(1, 65) t(i)
+       |), $name AS MATERIALIZED (
+       |  SELECT e.vec_id, d.j AS i,
+       |         sum(CASE WHEN bit_count(CAST(d.j - 1 AS BIGINT) & CAST(e.i - 1 AS BIGINT)) % 2 = 0
+       |                  THEN e.v * sg.sgn ELSE -(e.v * sg.sgn) END) / 8 AS v
+       |  FROM e JOIN sg ON e.i = sg.i CROSS JOIN range(1, 65) d(j)
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  private lazy val rotCteBody: String = rotCteBodyP("er")
 
   /** All PQ_M subspace chains plus the shared exploded/init prefix. */
   private lazy val pqPrefixCte: String = s"WITH $eCteBody,\n$pqChainBody"
@@ -2844,13 +3109,12 @@ object VectorOps {
     * float→int quantization (margins audited in VectorOpsSpec), and
     * the exact-integer NS iterations.
     */
-  private lazy val opqChainBody: String = {
+  private def opqChainBodyP(src: String, withInit: Boolean): String = {
     val yhatArms = (0 until PQ_M).map(sb =>
       s"  SELECT g.vec_id, c.i, c.cv AS y FROM t${sb}gf g " +
         s"JOIN t${sb}c$PQ_ITERS c ON g.cell = c.cell")
-    s"""$rotCteBody,
-       |$init16Cte,
-       |${(0 until PQ_M).map(sb => pqChainSqlFrom(sb, "er", "t")).mkString(",\n")},
+    s"""${rotCteBodyP(src)},
+       |${if (withInit) init16Cte + ",\n" else ""}${(0 until PQ_M).map(sb => pqChainSqlFrom(sb, src, "t")).mkString(",\n")},
        |yhat AS (
        |${yhatArms.mkString("\n  UNION ALL\n")}
        |), mm AS MATERIALIZED (
@@ -2869,6 +3133,33 @@ object VectorOps {
        |),
        |$nsIterSql""".stripMargin
   }
+
+  private lazy val opqChainBody: String = opqChainBodyP("er", withInit = true)
+
+  /** The OPQ chain + rotated-residual encoding chains for the stored
+    * o-tier oracles (q293-q295): the q287 chain re-instanced with the
+    * H·D-rotated corpus renamed `hr` (in stored-index oracles `er` is
+    * the RESIDUAL relation), the rotated-residual relation
+    * err = R·er (the exact mirror of the build's graft_matvec over
+    * the dyadic q/2^20 entries — per-dim sums differ by the usual
+    * O(ulp) the argmin-margin audit absorbs), the four o-Lloyd chains
+    * over err, and the per-vector o-code pivot. Expects e, er, init16
+    * in scope.
+    */
+  private lazy val oChainBody: String =
+    s"""${opqChainBodyP("hr", withInit = false)},
+       |err AS MATERIALIZED (
+       |  SELECT er.vec_id, r.i, sum((CAST(r.q AS DOUBLE) / $PCA_SCALE.0) * er.v) AS v
+       |  FROM ns$OPQ_NS_ITERS r JOIN er ON er.i = r.j
+       |  GROUP BY 1, 2
+       |),
+       |${(0 until PQ_M).map(sb => pqChainSqlFrom(sb, "err", "o")).mkString(",\n")},
+       |ocodes AS (
+       |  SELECT g0.vec_id, g0.cell AS o0, g1.cell AS o1,
+       |         g2.cell AS o2, g3.cell AS o3
+       |  FROM o0gf g0 JOIN o1gf g1 USING (vec_id)
+       |       JOIN o2gf g2 USING (vec_id) JOIN o3gf g3 USING (vec_id)
+       |)""".stripMargin
 
   /** The rotated-space ADC recall tail shared by the q266 and q288
     * oracles (the SQL mirror of [[adcRecallOverRotated]]): expects
@@ -3602,6 +3893,135 @@ object VectorOps {
          |  JOIN rdq1 d1 ON d1.q_id = cd.q_id AND d1.cell = cd.cell AND codes.c1 = d1.code
          |  JOIN rdq2 d2 ON d2.q_id = cd.q_id AND d2.cell = cd.cell AND codes.c2 = d2.code
          |  JOIN rdq3 d3 ON d3.q_id = cd.q_id AND d3.cell = cd.cell AND codes.c3 = d3.code
+         |), rk AS (
+         |  SELECT q_id, id2, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, id2) AS rn FROM cand
+         |), ta AS (SELECT q_id, id2 FROM rk WHERE rn <= 5),
+         |tr50 AS (SELECT q_id, id2 FROM rk WHERE rn <= 50),
+         |sq AS (SELECT vec_id, sum(v*v) AS s FROM e GROUP BY 1),
+         |dt AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS id2, sum(a.v*b.v) AS dot
+         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 5
+         |                    AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2
+         |), te AS (
+         |  SELECT q_id, id2 FROM (
+         |    SELECT dt.q_id, dt.id2, row_number() OVER (
+         |      PARTITION BY dt.q_id
+         |      ORDER BY sa.s - 2*dt.dot + sb.s, dt.id2) AS rn
+         |    FROM dt JOIN sq sa ON dt.q_id = sa.vec_id
+         |            JOIN sq sb ON dt.id2 = sb.vec_id)
+         |  WHERE rn <= 5
+         |), trr AS (
+         |  SELECT q_id, id2 FROM (
+         |    SELECT dt.q_id, dt.id2, row_number() OVER (
+         |      PARTITION BY dt.q_id
+         |      ORDER BY sa.s - 2*dt.dot + sb.s, dt.id2) AS rn
+         |    FROM tr50 JOIN dt ON tr50.q_id = dt.q_id AND tr50.id2 = dt.id2
+         |              JOIN sq sa ON dt.q_id = sa.vec_id
+         |              JOIN sq sb ON dt.id2 = sb.vec_id)
+         |  WHERE rn <= 5
+         |), ova AS (
+         |  SELECT ta.q_id, CAST(count(te.id2) AS BIGINT) AS n_overlap_adc
+         |  FROM ta LEFT JOIN te ON ta.q_id = te.q_id AND ta.id2 = te.id2
+         |  GROUP BY 1
+         |), ovr AS (
+         |  SELECT trr.q_id, CAST(count(te.id2) AS BIGINT) AS n_overlap_rerank
+         |  FROM trr LEFT JOIN te ON trr.q_id = te.q_id AND trr.id2 = te.id2
+         |  GROUP BY 1
+         |)
+         |SELECT nc.q_id, nc.n_cand, n_overlap_adc,
+         |       CAST(n_overlap_adc * 2000 AS BIGINT) AS recall_adc_bp,
+         |       n_overlap_rerank,
+         |       CAST(n_overlap_rerank * 2000 AS BIGINT) AS recall_rerank_bp
+         |FROM nc JOIN ova ON nc.q_id = ova.q_id JOIN ovr ON nc.q_id = ovr.q_id
+         |ORDER BY nc.q_id""".stripMargin,
+
+    // OPQ-rotated-residual build census: the full composition
+    // replayed — IVF chain (dial-routed g5), residuals, the q287 OPQ
+    // chain (hr-instanced), the rotated-residual o-chains — then the
+    // same per-cell checksum rollup q262 runs on the r/c encodings.
+    "q293_opq_residual_build" ->
+      s"""WITH $eCteBody,
+         |$ivfChainBodyStored,
+         |$residCteBody,
+         |$init16Cte,
+         |$oChainBody
+         |SELECT CAST(g5.cell AS BIGINT) AS cell,
+         |       CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(ocodes.o0) AS BIGINT) AS sum_o0,
+         |       CAST(sum(ocodes.o1) AS BIGINT) AS sum_o1,
+         |       CAST(sum(ocodes.o2) AS BIGINT) AS sum_o2,
+         |       CAST(sum(ocodes.o3) AS BIGINT) AS sum_o3
+         |FROM g5 JOIN ocodes USING (vec_id)
+         |GROUP BY 1 ORDER BY cell""".stripMargin,
+
+    // OPQ-rotated-residual query tier: the chains reconstruct the
+    // stored o-bits (incl. the trained rotation), then the q263 tail
+    // with the one extra rotated-query-residual CTE.
+    "q294_opq_ivfadc_query" ->
+      s"""WITH $eCteBody,
+         |$ivfChainBodyStored,
+         |$residCteBody,
+         |$init16Cte,
+         |$oChainBody,
+         |qe AS (SELECT vec_id AS q_id, i, v FROM e WHERE vec_id < 5),
+         |${ivfadcTailSqlOpq(exclude = true)}""".stripMargin,
+
+    // OPQ-rotated-residual recall audit: q264's oracle shape with the
+    // o-chains — the query residual rotates (qrr) before the dq
+    // tables, codes come from the o-pivot, exact reference and
+    // re-rank stay in raw space.
+    "q295_opq_residual_recall" ->
+      s"""WITH $eCteBody,
+         |$ivfChainBodyStored,
+         |$residCteBody,
+         |$init16Cte,
+         |$oChainBody,
+         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY 1),
+         |cnn AS (SELECT cell, sqrt(sum(cv*cv)) AS cn FROM c4 GROUP BY 1),
+         |ccos AS (
+         |  SELECT e.vec_id AS q_id, c.cell, sum(e.v * c.cv) AS dot
+         |  FROM e JOIN c4 c ON e.i = c.i WHERE e.vec_id < 5 GROUP BY 1, 2
+         |), pr AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT ccos.q_id, ccos.cell, row_number() OVER (
+         |        PARTITION BY ccos.q_id
+         |        ORDER BY ccos.dot/(nq.nrm*cnn.cn) DESC, ccos.cell) AS pr
+         |    FROM ccos JOIN vn nq ON ccos.q_id = nq.vec_id
+         |              JOIN cnn ON ccos.cell = cnn.cell)
+         |  WHERE pr <= 4
+         |), qr AS MATERIALIZED (
+         |  SELECT pr.q_id, pr.cell, e.i, e.v - c.cv AS v
+         |  FROM pr JOIN e ON e.vec_id = pr.q_id
+         |       JOIN c4 c ON c.cell = pr.cell AND c.i = e.i
+         |), qrr AS MATERIALIZED (
+         |  SELECT qr.q_id, qr.cell, r.i,
+         |         sum((CAST(r.q AS DOUBLE) / $PCA_SCALE.0) * qr.v) AS v
+         |  FROM ns$OPQ_NS_ITERS r JOIN qr ON qr.i = r.j
+         |  GROUP BY 1, 2, 3
+         |),
+         |${(0 until PQ_M).map(sb =>
+             s"""odq$sb AS (
+                |  SELECT qrr.q_id, qrr.cell, c.cell AS code,
+                |         sum(qrr.v*qrr.v) - 2*sum(qrr.v*c.cv) + sum(c.cv*c.cv) AS d
+                |  FROM qrr JOIN o${sb}c$PQ_ITERS c ON qrr.i = c.i
+                |  GROUP BY 1, 2, 3
+                |)""".stripMargin).mkString(",\n")},
+         |cand0 AS (
+         |  SELECT pr.q_id, g5.vec_id, g5.cell
+         |  FROM pr JOIN g5 ON pr.cell = g5.cell
+         |  WHERE g5.vec_id <> pr.q_id
+         |), nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+         |          FROM cand0 GROUP BY 1),
+         |cand AS (
+         |  SELECT cd.q_id, cd.vec_id AS id2,
+         |         d0.d + d1.d + d2.d + d3.d AS adc
+         |  FROM cand0 cd JOIN ocodes ON cd.vec_id = ocodes.vec_id
+         |  JOIN odq0 d0 ON d0.q_id = cd.q_id AND d0.cell = cd.cell AND ocodes.o0 = d0.code
+         |  JOIN odq1 d1 ON d1.q_id = cd.q_id AND d1.cell = cd.cell AND ocodes.o1 = d1.code
+         |  JOIN odq2 d2 ON d2.q_id = cd.q_id AND d2.cell = cd.cell AND ocodes.o2 = d2.code
+         |  JOIN odq3 d3 ON d3.q_id = cd.q_id AND d3.cell = cd.cell AND ocodes.o3 = d3.code
          |), rk AS (
          |  SELECT q_id, id2, row_number() OVER (
          |    PARTITION BY q_id ORDER BY adc, id2) AS rn FROM cand

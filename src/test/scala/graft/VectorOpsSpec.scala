@@ -793,6 +793,78 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("opq-rotated residual store: one store, recall bounds, o-chain margins wide (q293-q295)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    // q293's census must describe the SAME store as q262's — same
+    // cells, same per-cell sizes (the o-encoding is an additional
+    // column set on the same cell-partitioned codes files, not a
+    // second index).
+    val c62 = VectorOps.queries("q262_ivfadc_index_build")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val c93 = VectorOps.queries("q293_opq_residual_build")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(c93 === c62, "o-census cells/sizes diverge from the r/c census")
+    // q295 bounds + rerank dominance (the q288 argument: the exact
+    // re-rank selects from a superset of the ADC top-5, so any
+    // exact-top-5 member the ADC found survives re-ranking)
+    val rows = VectorOps.queries("q295_opq_residual_recall")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === (0L to 4L))
+    rows.foreach { case (q, na, ra, nr, rr) =>
+      assert(na >= 0L && na <= 5L && nr >= 0L && nr <= 5L)
+      assert(ra === na * 2000 && rr === nr * 2000)
+      assert(nr >= na, s"query $q: rerank overlap $nr < ADC overlap $na")
+    }
+    // q294 serves the same exact-re-ranked distances as q263 (both
+    // re-rank 50-deep shortlists exactly; shortlists may differ, the
+    // published distance for a SHARED neighbor may not)
+    val d263 = VectorOps.queries("q263_ivfadc_query")(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(3)), r.getDouble(4))).toMap
+    val d294 = VectorOps.queries("q294_opq_ivfadc_query")(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(3)), r.getDouble(4))).toMap
+    val shared = d263.keySet.intersect(d294.keySet)
+    assert(shared.nonEmpty, "q263/q294 share no neighbors — probe tier drifted?")
+    shared.foreach { k =>
+      assert(d263(k) === d294(k), s"exact distance diverges for $k")
+    }
+    // the q293-q295 oracles replay Lloyd chains over ROTATED RESIDUALS
+    // whose per-dim sums differ across engines by O(ulp) (kernel
+    // matvec loop vs DuckDB group sums) — audit the o-chain argmin
+    // margins in that exact space, the q288/rrpq discipline
+    val driftHeadroom = 1e-6
+    val d = sf("sf0.01")
+    val S = VectorOps.PCA_SCALE.toDouble
+    val root = VectorOps.ensureIvfadcIndex(spark, d)
+    val rflat = spark.read.parquet(s"$root/rot").collect()
+      .sortBy(r => (r.getInt(0), r.getInt(1))).map(_.getLong(2) / S).toSeq
+    val cents = spark.read.parquet(s"$root/centroids")
+      .select(col("cell"), col("cv"))
+    val cells = spark.read.parquet(s"$root/codes").select(col("vec_id"), col("cell"))
+    val er1 = T.embeddings(spark, d)
+      .join(cells, Seq("vec_id"))
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("vec_id"),
+        call_udf("graft_matvec", typedlit(rflat),
+          call_udf("graft_sub", col("embedding"), col("cv"))).as("v"))
+    (0 until VectorOps.PQ_M).foreach { sb =>
+      val es = er1.select(col("vec_id"),
+        expr(s"slice(v, ${VectorOps.PQ_D * sb + 1}, ${VectorOps.PQ_D})").as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val cent = VectorOps.kmeansCentroids(es, k = VectorOps.PQ_K, iters = VectorOps.PQ_ITERS)
+      val r = es.crossJoin(broadcast(cent.select(col("cell"), col("cv"))))
+        .withColumn("d2",
+          expr("graft_dot(v, v) - 2 * graft_dot(v, cv) + graft_dot(cv, cv)"))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("d2"), col("cell")))).as("ds"))
+        .select(col("vec_id"),
+          (element_at(col("ds"), 2).getField("d2") -
+           element_at(col("ds"), 1).getField("d2")).as("margin"))
+        .orderBy(col("margin")).limit(1).collect().head
+      assert(r.getDouble(1) > driftHeadroom,
+        s"opq-residual sub $sb: vec ${r.getLong(0)} margin ${r.getDouble(1)} within drift headroom")
+    }
+  }
+
   test("rotated-chain assignment margins dwarf cross-engine drift (rrpq stability audit)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     // q265/q266's oracles replay Lloyd chains over ROTATED values that
