@@ -931,7 +931,8 @@ class PlanAuditSpec extends SparkSpec {
     // joined on vec_id would scan every partition).
     import org.apache.spark.sql.execution.FileSourceScanExec
     Seq("q261_ivfadc_recall", "q263_ivfadc_query", "q264_ivfadc_residual",
-        "q286_ivfadc_external_query").foreach { qn =>
+        "q286_ivfadc_external_query", "q294_opq_ivfadc_query",
+        "q295_opq_residual_recall").foreach { qn =>
       val scans = physical(qn).collect {
         case f: FileSourceScanExec
           if f.relation.location.rootPaths.exists(_.toString.contains("graft_ivfadc")) &&
@@ -1037,7 +1038,8 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.execution.window.WindowGroupLimitExec
     Seq("q260_pq_adc_recall", "q261_ivfadc_recall", "q263_ivfadc_query",
         "q264_ivfadc_residual", "q266_rrpq_adc_recall",
-        "q286_ivfadc_external_query").foreach { qn =>
+        "q286_ivfadc_external_query", "q294_opq_ivfadc_query",
+        "q295_opq_residual_recall").foreach { qn =>
       val limits = physical(qn).collect { case w: WindowGroupLimitExec => w }
       assert(limits.nonEmpty, s"$qn: expected a WindowGroupLimit prune")
     }
@@ -1053,7 +1055,8 @@ class PlanAuditSpec extends SparkSpec {
     // window left on the serving path is an ORDERED one (the
     // rank/shortlist windows, all group-limit prunable).
     import org.apache.spark.sql.execution.window.WindowExec
-    Seq("q263_ivfadc_query", "q286_ivfadc_external_query").foreach { qn =>
+    Seq("q263_ivfadc_query", "q286_ivfadc_external_query",
+        "q294_opq_ivfadc_query").foreach { qn =>
       physical(qn).collect { case w: WindowExec => w }.foreach { w =>
         assert(w.orderSpec.nonEmpty,
           s"$qn: full-frame (unordered) window on the serving path: $w")
