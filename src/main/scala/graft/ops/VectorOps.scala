@@ -165,12 +165,16 @@ object VectorOps {
 
   /** SQL mirror of [[trainPred]] on relation alias `a` — scale-generic
     * (DuckDB derives the identical threshold from its own count, the
-    * [[ivfNlistSqlExpr]] pattern).
+    * [[ivfNlistSqlExpr]] pattern). `cntSql` parameterizes WHICH corpus
+    * the sample is drawn from (round-14: the incremental-add tier
+    * trains its frozen state on the OLD subset only); the default
+    * reproduces the historical text byte-for-byte.
     */
-  private def trainPredSql(a: String, kExpr: String, capSql: String): String =
+  private def trainPredSql(a: String, kExpr: String, capSql: String,
+      cntSql: String = "(SELECT count(*) FROM embeddings)"): String =
     s"substr(md5(CAST($a.vec_id AS VARCHAR)),1,8) <= lpad(lower(to_hex(" +
       s"CAST(least(4294967295, floor(4294967296.0 * $capSql * ($kExpr) / " +
-      "CAST((SELECT count(*) FROM embeddings) AS DOUBLE))) AS BIGINT))), 8, '0')"
+      s"CAST($cntSql AS DOUBLE))) AS BIGINT))), 8, '0')"
 
   /** ±1 diagonal of the fixed RR-PQ rotation (q265/q266): sign i is
     * the parity of the first 8 hex chars of md5("rot" + i), the
@@ -2062,6 +2066,63 @@ object VectorOps {
         .orderBy(col("q_id"))
     }),
 
+    // Incremental IVFADC index ADD (round-14 — the missing member of
+    // the incremental family next to q101/q140/q213, and FAISS
+    // IndexIVFPQ.add's exact semantics): a nightly delta batch joins
+    // a FROZEN trained index — centroids and residual codebooks stay
+    // fixed (they were trained on yesterday's corpus; retraining per
+    // batch is the 100 TB anti-pattern AND would invalidate every
+    // already-stored code), new vectors get one broadcast-argmin cell
+    // assignment + one frozen-codebook residual encode, and the new
+    // code rows append to the cell directories. Cost shape: the delta
+    // pays |delta|·nlist assignment rows + |delta| encode rows — the
+    // old corpus is never touched. Yesterday's state is built inline
+    // on the old 80% (the q213 posture: the oracle replays it from
+    // scratch, making "frozen state + delta add ≡ the replayed
+    // composition" a checked theorem); published: the per-cell census
+    // of exactly the APPENDED rows.
+    "q298_ivfadc_incremental_add" -> ((s, d) => {
+      graft.functions.VectorKernels.ensureRegistered(s)
+      val e64 = emb(s, d)
+      val cutDf = e64.agg(expr("(4 * max(vec_id)) div 5").as("cut"))
+      val oldE = e64.crossJoin(broadcast(cutDf))
+        .filter(col("vec_id") <= col("cut")).drop("cut").localCheckpoint(true)
+      val newE = e64.crossJoin(broadcast(cutDf))
+        .filter(col("vec_id") > col("cut")).drop("cut")
+      val nOld = oldE.count()
+      val nlist = ivfNlist(nOld)
+      // yesterday's FROZEN state: coarse centroids + residual
+      // codebooks trained on the OLD corpus only (bounded Lloyd)
+      val cents = kmeansCentroids(trainSample(oldE, nOld, nlist), k = nlist, iters = 4)
+        .localCheckpoint(true)
+      val oldResid = assignCells(oldE, cents)
+        .select(col("vec_id"), col("v"), col("cell"))
+        .join(broadcast(cents.select(col("cell"), col("cv"))), Seq("cell"))
+        .select(col("vec_id"), expr("graft_sub(v, cv)").as("v"))
+      val residT = trainSample(oldResid, nOld, PQ_K)
+      val rcbF = kmeansCentroidsFused(residT, pqSubSlices(residT),
+          k = PQ_K, iters = PQ_ITERS)
+        .localCheckpoint(true)
+      // the ADD: assign + encode the delta against the frozen state
+      val dCells = assignCells(newE, cents)
+        .select(col("vec_id"), col("v"), col("cell"))
+      val dResid = dCells
+        .join(broadcast(cents.select(col("cell"), col("cv"))), Seq("cell"))
+        .select(col("vec_id"), expr("graft_sub(v, cv)").as("v"))
+      val dCodes = pqCodesFused(pqSubSlices(dResid), rcbF)
+      dCells.select(col("vec_id"), col("cell"))
+        .join(dCodes, Seq("vec_id"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_new"),
+             sum(col("c0").cast("long")).as("sum_r0"),
+             sum(col("c1").cast("long")).as("sum_r1"),
+             sum(col("c2").cast("long")).as("sum_r2"),
+             sum(col("c3").cast("long")).as("sum_r3"))
+        .select(col("cell").cast("long").as("cell"), col("n_new"),
+                col("sum_r0"), col("sum_r1"), col("sum_r2"), col("sum_r3"))
+        .orderBy(col("cell"))
+    }),
+
     // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     // at web-scale through semantic deduplication"): semantic dedup
     // blocked by LEARNED kmeans cells instead of q64's given labels —
@@ -2607,13 +2668,15 @@ object VectorOps {
     * ([[trainPred]]; all-pass below cap·nlist vectors) — the FINAL
     * full-corpus assignment (a5/g5) is built by the caller unfiltered.
     */
-  private def ivfIterSql(n: Int, capSql: String): String = {
+  private def ivfIterSql(n: Int, capSql: String,
+      kExpr: String = ivfNlistSqlExpr,
+      cntSql: String = "(SELECT count(*) FROM embeddings)"): String = {
     val prev = s"c${n - 1}"
     s"""a$n AS (
        |  SELECT e.vec_id, c.cell,
        |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
        |  FROM e JOIN $prev c ON e.i = c.i
-       |  WHERE ${trainPredSql("e", ivfNlistSqlExpr, capSql)}
+       |  WHERE ${trainPredSql("e", kExpr, capSql, cntSql)}
        |  GROUP BY 1, 2
        |), g$n AS (
        |  SELECT vec_id, cell FROM (
@@ -2649,17 +2712,20 @@ object VectorOps {
   /** The TRAINING half of the IVF chain (init + 4 Lloyd iterations →
     * c4) — shared by the exact tail and the two-level tail below.
     */
-  private def ivfTrainChainCap(capSql: String): String =
+  private def ivfTrainChainCap(capSql: String,
+      tbl: String = "embeddings",
+      kExpr: String = ivfNlistSqlExpr,
+      cntSql: String = "(SELECT count(*) FROM embeddings)"): String =
     s"""init AS MATERIALIZED (
        |  SELECT vec_id, row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
-       |  FROM embeddings
-       |  WHERE ${trainPredSql("embeddings", ivfNlistSqlExpr, capSql)}
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ivfNlistSqlExpr
+       |  FROM $tbl
+       |  WHERE ${trainPredSql(tbl, kExpr, capSql, cntSql)}
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kExpr
        |), c0 AS MATERIALIZED (
        |  SELECT init.cell, e.i, e.v AS cv FROM init JOIN e USING (vec_id)
        |),
-       |${(1 to 4).map(ivfIterSql(_, capSql)).mkString(",\n")}""".stripMargin
+       |${(1 to 4).map(ivfIterSql(_, capSql, kExpr, cntSql)).mkString(",\n")}""".stripMargin
 
   private def ivfChainBodyCap(capSql: String): String =
     s"""${ivfTrainChainCap(capSql)},
@@ -2804,7 +2870,8 @@ object VectorOps {
     * is per PROBED CELL, built separately in q264's oracle); it is
     * simply never referenced there.
     */
-  private def pqChainSqlFrom(sb: Int, src: String, pfx: String): String = {
+  private def pqChainSqlFrom(sb: Int, src: String, pfx: String,
+      cntSql: String = "(SELECT count(*) FROM embeddings)"): String = {
     val lo = PQ_D * sb + 1; val hi = PQ_D * (sb + 1)
     val p = s"$pfx$sb"
     def iter(n: Int): String = {
@@ -2813,7 +2880,7 @@ object VectorOps {
          |  SELECT e.vec_id, c.cell,
          |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
          |  FROM $src e JOIN $prev c ON e.i = c.i
-         |  WHERE ${trainPredSql("e", PQ_K.toString, ivfTrainCapSql)}
+         |  WHERE ${trainPredSql("e", PQ_K.toString, ivfTrainCapSql, cntSql)}
          |  GROUP BY 1, 2
          |), ${p}g$n AS (
          |  SELECT vec_id, cell FROM (
@@ -2856,14 +2923,17 @@ object VectorOps {
     * and residual tiers pick their seed VECTORS from their own source
     * relation, but the seed ids are one deterministic draw).
     */
-  private lazy val init16Cte: String =
+  private def init16CteFrom(tbl: String,
+      cntSql: String = "(SELECT count(*) FROM embeddings)"): String =
     s"""init16 AS MATERIALIZED (
        |  SELECT vec_id, row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
-       |  FROM embeddings
-       |  WHERE ${trainPredSql("embeddings", PQ_K.toString, ivfTrainCapSql)}
+       |  FROM $tbl
+       |  WHERE ${trainPredSql(tbl, PQ_K.toString, ivfTrainCapSql, cntSql)}
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PQ_K
        |)""".stripMargin
+
+  private lazy val init16Cte: String = init16CteFrom("embeddings")
 
   /** All PQ_M subspace chain bodies (no WITH, no e). */
   private lazy val pqChainBody: String =
@@ -4065,6 +4135,80 @@ object VectorOps {
          |       CAST(n_overlap_rerank * 2000 AS BIGINT) AS recall_rerank_bp
          |FROM nc JOIN ova ON nc.q_id = ova.q_id JOIN ovr ON nc.q_id = ovr.q_id
          |ORDER BY nc.q_id""".stripMargin,
+
+    // Incremental add: yesterday's frozen state replayed from scratch
+    // over the OLD subset (its own init/nlist/train-sample draws, all
+    // count-parameterized to the old corpus), then the delta's
+    // frozen-centroid assignment + frozen-codebook encode, then the
+    // same per-cell census of the appended rows.
+    "q298_ivfadc_incremental_add" -> {
+      val cntOld = "(SELECT count(*) FROM oldemb)"
+      val kOld = sys.env.getOrElse("SPARK_GRAFT_IVF_NLIST",
+        s"greatest(10, CAST(ceil(sqrt($cntOld)) AS BIGINT))")
+      val dCodeChains = (0 until PQ_M).map { sb =>
+        s"""dr${sb}a AS (
+           |  SELECT erd.vec_id, c.cell,
+           |         sum(erd.v*erd.v) - 2*sum(erd.v*c.cv) + sum(c.cv*c.cv) AS d2
+           |  FROM erd JOIN r${sb}c$PQ_ITERS c ON erd.i = c.i GROUP BY 1, 2
+           |), dr${sb}g AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+           |    FROM dr${sb}a) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cut AS MATERIALIZED (
+         |  SELECT (4 * max(vec_id)) // 5 AS cut FROM embeddings
+         |), oldemb AS MATERIALIZED (
+         |  SELECT embeddings.* FROM embeddings, cut WHERE vec_id <= cut.cut
+         |), e AS MATERIALIZED (
+         |  SELECT vec_id, generate_subscripts(embedding,1) AS i,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM oldemb
+         |),
+         |${ivfTrainChainCap(ivfTrainCapSql, "oldemb", kOld, cntOld)},
+         |a5 AS (
+         |  SELECT e.vec_id, c.cell,
+         |         sum(e.v*e.v) - 2*sum(e.v*c.cv) + sum(c.cv*c.cv) AS d2
+         |  FROM e JOIN c4 c ON e.i = c.i GROUP BY 1, 2
+         |), g5 AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM a5) WHERE rn = 1
+         |),
+         |$residCteBody,
+         |${init16CteFrom("oldemb", cntOld)},
+         |${(0 until PQ_M).map(sb => pqChainSqlFrom(sb, "er", "r", cntOld)).mkString(",\n")},
+         |ed AS MATERIALIZED (
+         |  SELECT vec_id, generate_subscripts(embedding,1) AS i,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings, cut WHERE vec_id > cut.cut
+         |), da AS (
+         |  SELECT ed.vec_id, c.cell,
+         |         sum(ed.v*ed.v) - 2*sum(ed.v*c.cv) + sum(c.cv*c.cv) AS d2
+         |  FROM ed JOIN c4 c ON ed.i = c.i GROUP BY 1, 2
+         |), dg AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM da) WHERE rn = 1
+         |), erd AS MATERIALIZED (
+         |  SELECT ed.vec_id, ed.i, ed.v - c.cv AS v
+         |  FROM ed JOIN dg USING (vec_id)
+         |       JOIN c4 c ON c.cell = dg.cell AND c.i = ed.i
+         |),
+         |$dCodeChains
+         |SELECT CAST(dg.cell AS BIGINT) AS cell,
+         |       CAST(count(*) AS BIGINT) AS n_new,
+         |       CAST(sum(g0.cell) AS BIGINT) AS sum_r0,
+         |       CAST(sum(g1.cell) AS BIGINT) AS sum_r1,
+         |       CAST(sum(g2.cell) AS BIGINT) AS sum_r2,
+         |       CAST(sum(g3.cell) AS BIGINT) AS sum_r3
+         |FROM dg JOIN dr0g g0 USING (vec_id) JOIN dr1g g1 USING (vec_id)
+         |     JOIN dr2g g2 USING (vec_id) JOIN dr3g g3 USING (vec_id)
+         |GROUP BY 1 ORDER BY cell""".stripMargin
+    },
 
     // RR-PQ codebook census: rebuild the rotation from the closed
     // form, then replay the four Lloyd chains over the rotated

@@ -865,6 +865,82 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental ivfadc add: delta fully accounted, deterministic, frozen-state margins wide (q298)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val rows = VectorOps.queries("q298_ivfadc_incremental_add")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // every delta vector appends exactly once (no drops, no dups)
+    val mx = T.embeddings(spark, sf001).agg(max(col("vec_id"))).head().getLong(0)
+    val cut = 4 * mx / 5
+    val nDelta = T.embeddings(spark, sf001).filter(col("vec_id") > cut).count()
+    assert(rows.map(_._2).sum === nDelta, "appended rows must cover the delta exactly")
+    rows.foreach { case (cell, n, s0, s1, s2, s3) =>
+      assert(n >= 1L)
+      // codes are 1-based (row_number-seeded codewords): 1..PQ_K
+      Seq(s0, s1, s2, s3).foreach(sv =>
+        assert(sv >= n && sv <= n * VectorOps.PQ_K,
+          s"cell $cell: code checksum $sv outside the 1..${VectorOps.PQ_K} code range"))
+    }
+    // frozen-state determinism: the add is a pure function of
+    // (old corpus, delta) — a second evaluation is bit-identical
+    val again = VectorOps.queries("q298_ivfadc_incremental_add")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(again.toSeq === rows.toSeq)
+    // margin audit at sf0.01 (the oracle replays the OLD-trained
+    // chains + the delta argmins — new decision boundaries, audited
+    // like every other vector tier): coarse delta assignment AND the
+    // frozen-codebook residual encode per subspace
+    val driftHeadroom = 1e-6
+    val d = sf("sf0.01")
+    val base = T.embeddings(spark, d)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val mx1 = T.embeddings(spark, d).agg(max(col("vec_id"))).head().getLong(0)
+    val cut1 = 4 * mx1 / 5
+    val oldE = base.filter(col("vec_id") <= cut1).localCheckpoint(true)
+    val newE = base.filter(col("vec_id") > cut1)
+    val nOld = oldE.count()
+    val cents = VectorOps.kmeansCentroids(
+      VectorOps.trainSample(oldE, nOld, VectorOps.ivfNlist(nOld)),
+      k = VectorOps.ivfNlist(nOld), iters = 4).localCheckpoint(true)
+    def minMargin(es: org.apache.spark.sql.DataFrame,
+                  cent: org.apache.spark.sql.DataFrame): Double =
+      es.crossJoin(broadcast(cent.select(col("cell"), col("cv"))))
+        .withColumn("d2",
+          expr("graft_dot(v, v) - 2 * graft_dot(v, cv) + graft_dot(cv, cv)"))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("d2"), col("cell")))).as("ds"))
+        .select((element_at(col("ds"), 2).getField("d2") -
+                 element_at(col("ds"), 1).getField("d2")).as("margin"))
+        .agg(min(col("margin"))).head().getDouble(0)
+    assert(minMargin(newE.select(col("vec_id"), col("v")), cents) > driftHeadroom,
+      "delta coarse-assignment margin within drift headroom")
+    val oldResid = VectorOps.assignCells(oldE, cents)
+      .select(col("vec_id"), col("v"), col("cell"))
+      .join(broadcast(cents.select(col("cell"), col("cv"))), Seq("cell"))
+      .select(col("vec_id"), expr("graft_sub(v, cv)").as("v"))
+    val residT = VectorOps.trainSample(oldResid, nOld, VectorOps.PQ_K)
+    val residSlices = (0 until VectorOps.PQ_M).map { sb =>
+      residT.select(lit(sb).as("sub"), col("vec_id"),
+        expr(s"slice(v, ${VectorOps.PQ_D * sb + 1}, ${VectorOps.PQ_D})").as("v"))
+    }.reduce(_ unionByName _)
+    val rcbF = VectorOps.kmeansCentroidsFused(residT, residSlices,
+      k = VectorOps.PQ_K, iters = VectorOps.PQ_ITERS).localCheckpoint(true)
+    val dResid = VectorOps.assignCells(newE, cents)
+      .select(col("vec_id"), col("v"), col("cell"))
+      .join(broadcast(cents.select(col("cell"), col("cv"))), Seq("cell"))
+      .select(col("vec_id"), expr("graft_sub(v, cv)").as("v"))
+    (0 until VectorOps.PQ_M).foreach { sb =>
+      val es = dResid.select(col("vec_id"),
+        expr(s"slice(v, ${VectorOps.PQ_D * sb + 1}, ${VectorOps.PQ_D})").as("v"))
+      val cb = rcbF.filter(col("sub") === sb).select(col("cell"), col("cv"))
+      assert(minMargin(es, cb) > driftHeadroom,
+        s"delta residual-encode margin (sub $sb) within drift headroom")
+    }
+  }
+
   test("rotated-chain assignment margins dwarf cross-engine drift (rrpq stability audit)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     // q265/q266's oracles replay Lloyd chains over ROTATED values that
