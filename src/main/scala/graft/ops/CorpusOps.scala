@@ -428,6 +428,10 @@ object CorpusOps {
       // Build once (one tiny job over the eval side), ship as a literal.
       val bloom = bench.agg(expr("graft_bloom_agg(g, 65536)"))
         .head().getAs[Array[Byte]](0)
+      // BloomFilterAggregate yields NULL on empty input; fail loudly
+      // instead of letting a NullType literal die in analysis later
+      require(bloom != null,
+        "decontamination gate: empty benchmark side — no shingles to screen against")
       sh.filter(col("doc_id") >= 20)
         .filter(call_function("graft_might_contain", lit(bloom), col("g")))
         .join(bench, "g") // post-bloom exact verify: survivor-sized, no broadcast needed

@@ -254,6 +254,10 @@ object StreamingOps {
     val keyed = corpus.select(col("doc_id").as("corpus_id"),
       md5(col("text")).as("h"))
     val bloom = keyed.agg(expr("graft_bloom_agg(h)")).head().getAs[Array[Byte]](0)
+    // BloomFilterAggregate yields NULL on empty input; fail loudly
+    // instead of letting a NullType literal die in analysis later
+    require(bloom != null,
+      "bloom dedup gate: empty corpus side — nothing to deduplicate against")
     stream
       .withColumn("h", md5(col("text")))
       .filter(call_function("graft_might_contain", lit(bloom), col("h")))
