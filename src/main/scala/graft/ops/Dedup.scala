@@ -765,8 +765,17 @@ object Dedup {
       val sh = TextSim.shingles(docs, 3)
       val cand = TextSim.bandCandidates(
         TextSim.lshBands(TextSim.minhashSignatureNative(docs, 128, 3), 32, 4))
+      // Checkpointed once (round-14, the q213 discipline): inside
+      // triangleStats the edge input has THREE consumers (degree
+      // union ×2 + the orientation join), and here that input is the
+      // whole minhash+band+verify subtree — the round-6/7 "recompute
+      // beats materialization" measurement was about the ORIENTED
+      // relation (cheap to rebuild from edges), not about an
+      // expensive pair feed. The verified-pair relation is tiny.
+      // Measured: 6.1 → 2.6 s isolated at sf0.1.
       val pairs = TextSim.verifyJaccard(cand, sh, 0.8)
         .select(col("id1").as("a"), col("id2").as("b"))
+        .localCheckpoint(true)
       graft.ops.GraphOps.triangleStats(pairs)
         .agg(count(lit(1)).as("n_nodes"),
              sum(col("deg")).as("deg2"),
