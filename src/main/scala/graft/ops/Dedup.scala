@@ -130,7 +130,7 @@ object Dedup {
     */
   def canonicalizeLsh(docs: DataFrame): DataFrame = {
     val shingleWidth = 3
-    val withRep = exactReps(docs, shingleWidth)
+    val withRep = exactReps(docs, shingleWidth).localCheckpoint(true)
     val reps = withRep.filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("text"))
     val sh = TextSim.shingles(reps, shingleWidth)
