@@ -2338,27 +2338,64 @@ object VectorOps {
       .agg(sum(col("a.xq") * col("b.xq")).as("g"))
   }
 
-  /** The mirrored full Gram relation over a CHECKPOINTED half —
-    * checkpoint the half BEFORE mirroring (a naive union would
-    * reference the corpus join twice and recompute it). The mirror is
-    * an explode (1 row for the diagonal, 2 for strict pairs), NOT a
-    * self-union: Catalyst's union-constraint rewrite chokes on a
-    * self-union whose second child swap-aliases the first's columns
-    * (NoSuchElementException in UnionBase.rewriteConstraints, even
-    * behind localCheckpoint — LogicalRDD carries constraints over).
+  /** The upper-triangle Gram collected into exact BigInt form — the
+    * ONE corpus-derived input every power iteration consumes. G is
+    * dimension² (≤ 2016 rows at d=64) whatever the corpus size, so
+    * this is the bounded driver-side materialization class the OPQ
+    * rotation established (opqRotationCompute's 64×64 matrix): at
+    * 100 TB it is the same tiny fetch it is at sf0.001, and the
+    * distributed work stays exactly the audited pcaGramHalf pass.
+    * Round-15: the iterations themselves moved driver-side — 12
+    * renormalized matvecs on a 64×64 BigInt matrix were costing
+    * ~15 Spark jobs of eager-checkpoint latency per query (measured:
+    * q276 4.1 s clean at sf0.1 with the corpus pass under 1 s) for
+    * arithmetic that takes microseconds. Bits are UNCHANGED: every
+    * sum is an exact integer sum (order-free), and VectorOpsSpec's
+    * from-scratch BigInt replay is literally this code path now.
     */
-  private def mirrorGram(half: DataFrame): DataFrame =
-    half
-      .select(col("g"), explode(
-        when(col("i") < col("j"),
-          array(struct(col("i").as("a"), col("j").as("b")),
-            struct(col("j").as("a"), col("i").as("b"))))
-          .otherwise(array(struct(col("i").as("a"), col("j").as("b"))))).as("p"))
-      .select(col("p.a").as("i"), col("p.b").as("j"), col("g"))
+  private def gramLocal(s: SparkSession, d: String): Array[Array[BigInt]] = {
+    val rows = pcaGramHalf(s, d).collect()
+    val dim = rows.iterator.map(r =>
+      math.max(r.get(0).asInstanceOf[Number].intValue,
+               r.get(1).asInstanceOf[Number].intValue)).max
+    val g = Array.fill(dim, dim)(BigInt(0))
+    rows.foreach { r =>
+      val i = r.get(0).asInstanceOf[Number].intValue - 1
+      val j = r.get(1).asInstanceOf[Number].intValue - 1
+      val v = BigInt(r.getDecimal(2).toBigInteger)
+      g(i)(j) = v; g(j)(i) = v
+    }
+    g
+  }
 
-  /** PCA_ITERS renormalized power iterations over a (i, j, g) matrix
-    * relation, md5-coin init keyed by `seed` — shared by q276 (on G)
-    * and q281 (on the deflated G₂).
+  /** A computed direction as the 64-row (i, vq DECIMAL(38,0))
+    * relation the corpus-side consumers broadcast-join.
+    */
+  private def dirDf(s: SparkSession, v: Array[BigInt]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("vq",
+        org.apache.spark.sql.types.DecimalType(38, 0), nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      v.zipWithIndex.map { case (x, k) =>
+        org.apache.spark.sql.Row(k + 1, new java.math.BigDecimal(x.bigInteger))
+      }.toSeq.asJava
+    s.createDataFrame(rows, schema)
+  }
+
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+
+  /** PCA_ITERS renormalized power iterations over the collected
+    * 64×64 exact-integer G, md5-coin init keyed by `seed` — shared by
+    * q276 (on G) and q281 (on the deflated G₂). Driver-side BigInt
+    * (see [[gramLocal]] for why that is the right altitude): the
+    * algebra is the exact fixed-point chain the DuckDB oracles and
+    * the VectorOpsSpec BigInt replay compute, unchanged —
+    * y = G·v, then v ← sign(y)·((|y|·2^20) div max|y|).
     */
   /** `ortho`, when set, re-projects each matvec against the given
     * unit-scale direction BEFORE renormalizing (textbook deflated
@@ -2368,43 +2405,31 @@ object VectorOps {
     * under iteration (measured cos(v₁,v₂) ≈ 0.41 without this);
     * re-projection pins the overlap to quantization noise.
     */
-  private def powerLoop(gram: DataFrame, seed: String,
-      ortho: Option[DataFrame] = None): DataFrame = {
-    val S = PCA_SCALE
-    val vv = ortho.map(v1 =>
-      v1.agg(sum(col("vq") * col("vq")).as("vv")).localCheckpoint(true))
-    var v = gram.select(col("i")).distinct()
-      .select(col("i"),
-        when(conv(substring(md5(concat(lit(s"$seed:"), col("i").cast("string"))), 1, 8), 16, 10)
-            .cast("long") % 2 === 0, lit(S)).otherwise(lit(-S))
-          .cast("decimal(38,0)").as("vq"))
-      .localCheckpoint(true)
+  private def powerLoopLocal(g: Array[Array[BigInt]], seed: String,
+      ortho: Option[Array[BigInt]] = None): Array[BigInt] = {
+    val dim = g.length
+    val S = BigInt(PCA_SCALE)
+    val vv = ortho.map(v1 => v1.map(x => x * x).reduce(_ + _))
+    var v = Array.tabulate(dim) { k =>
+      if (java.lang.Long.parseLong(md5hex(s"$seed:${k + 1}").take(8), 16) % 2 == 0)
+        S else -S
+    }
     for (_ <- 1 to PCA_ITERS) {
-      var y = gram
-        .join(broadcast(v.select(col("i").as("j"), col("vq"))), Seq("j"))
-        .groupBy(col("i")).agg(sum(col("g") * col("vq")).as("y"))
+      var y = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => g(i)(j) * v(j)).reduce(_ + _))
       for (v1 <- ortho) {
-        val r = y.join(broadcast(v1.select(col("i"), col("vq").as("v1q"))), Seq("i"))
-          .agg(sum(col("v1q") * col("y")).as("rn"))
-          .crossJoin(broadcast(vv.get))
-          .select((when(col("rn") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr("abs(rn) div vv")).cast("decimal(38,0)").as("r"))
-        y = y.join(broadcast(v1.select(col("i"), col("vq").as("v1q"))), Seq("i"))
-          .crossJoin(broadcast(r))
-          .select(col("i"), (col("y") - col("v1q") * col("r")).as("y"))
+        val rn = (0 until dim).map(i => v1(i) * y(i)).reduce(_ + _)
+        val r = (if (rn < 0) BigInt(-1) else BigInt(1)) * (rn.abs / vv.get)
+        y = Array.tabulate(dim)(i => y(i) - v1(i) * r)
       }
-      val m = y.agg(max(abs(col("y"))).as("m"))
-      v = y.crossJoin(broadcast(m))
-        .select(col("i"),
-          (when(col("y") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr(s"(abs(y) * $S) div m")).cast("decimal(38,0)").as("vq"))
-        .localCheckpoint(true)
+      val m = y.map(_.abs).max
+      v = y.map(yi => (if (yi < 0) BigInt(-1) else BigInt(1)) * (yi.abs * S / m))
     }
     v
   }
 
   def pcaDirection(s: SparkSession, d: String): DataFrame =
-    powerLoop(mirrorGram(pcaGramHalf(s, d).localCheckpoint(true)), "pca")
+    dirDf(s, powerLoopLocal(gramLocal(s, d), "pca"))
 
   /** q281 dial: the deflation downshift 2^40. y = G·v₁ is truncated
     * to yp = y div 2^40 before the rank-1 subtraction so the
@@ -2423,64 +2448,78 @@ object VectorOps {
     * spec (measured, not assumed — the deflation is quantized).
     */
   def pcaSecondDirection(s: SparkSession, d: String): DataFrame = {
-    val gram = mirrorGram(pcaGramHalf(s, d).localCheckpoint(true))
-    deflatedSecond(gram, powerLoop(gram, "pca"))
+    val g = gramLocal(s, d)
+    dirDf(s, deflatedSecondLocal(g, powerLoopLocal(g, "pca")))
   }
 
   /** The deflation + re-orthogonalized loop given an already-built
     * Gram and v₁ — shared by q281 and q283 (which needs both
-    * directions without re-running the v₁ chain).
+    * directions without re-running the v₁ chain). Driver-side exact
+    * BigInt on the 64×64 G (see [[gramLocal]]) — the algebra is
+    * byte-for-byte the quantized fixed-point chain the oracle and
+    * the spec replay: yp = sign(y)·(|y| div 2^40), den = Σ v₁·yp,
+    * G₂ = G − sign(ypᵢypⱼ)·((|ypᵢypⱼ|·2^20) div den).
     */
-  private def deflatedSecond(gram: DataFrame, v1: DataFrame): DataFrame = {
-    val S = PCA_SCALE
-    val y = gram
-      .join(broadcast(v1.select(col("i").as("j"), col("vq"))), Seq("j"))
-      .groupBy(col("i")).agg(sum(col("g") * col("vq")).as("y"))
-    val yp = y.select(col("i"),
-        (when(col("y") < 0, lit(-1L)).otherwise(lit(1L)) *
-          expr(s"abs(y) div $PCA_DEFL_SHIFT")).cast("decimal(38,0)").as("yp"))
-      .localCheckpoint(true)
-    val den = yp.join(v1, Seq("i")).agg(sum(col("vq") * col("yp")).as("den"))
-    val g2 = gram
-      .join(broadcast(yp.select(col("i"), col("yp").as("ypi"))), Seq("i"))
-      .join(broadcast(yp.select(col("i").as("j"), col("yp").as("ypj"))), Seq("j"))
-      .crossJoin(broadcast(den))
-      .select(col("i"), col("j"),
-        (col("g") -
-          when(col("ypi") * col("ypj") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr(s"(abs(ypi * ypj) * $S) div den")).cast("decimal(38,0)").as("g"))
-      .localCheckpoint(true)
-    powerLoop(g2, "pca2", ortho = Some(v1))
+  private def deflatedSecondLocal(g: Array[Array[BigInt]],
+      v1: Array[BigInt]): Array[BigInt] = {
+    val dim = g.length
+    val S = BigInt(PCA_SCALE)
+    val shift = BigInt(PCA_DEFL_SHIFT)
+    val y = Array.tabulate(dim)(i =>
+      (0 until dim).map(j => g(i)(j) * v1(j)).reduce(_ + _))
+    val yp = y.map(x => (if (x < 0) BigInt(-1) else BigInt(1)) * (x.abs / shift))
+    val den = (0 until dim).map(i => v1(i) * yp(i)).reduce(_ + _)
+    val g2 = Array.tabulate(dim, dim) { (i, j) =>
+      val pij = yp(i) * yp(j)
+      g(i)(j) - (if (pij < 0) BigInt(-1) else BigInt(1)) * (pij.abs * S / den)
+    }
+    powerLoopLocal(g2, "pca2", ortho = Some(v1))
   }
 
   /** The q283 explained-variance decomposition: total embedding
     * energy Σ‖x‖² and the exact PC1/PC2 energies
     * Σ(xᵀv)² div (vᵀv), each with its share of total in ppm — all
     * 2^40-scaled integers (the q276 class). One shared Gram pass
-    * builds both directions; the corpus is touched twice more for
-    * the two projection aggs (vec-keyed partials under broadcast
-    * 64-row directions) and once for the total.
+    * builds both directions; then ONE fused corpus pass (round-15,
+    * r14 verdict item 3 — previously total/pc1/pc2 each scanned the
+    * quantized corpus separately) computes (Σxq², Σxq·v1, Σxq·v2)
+    * per vector under the two broadcast 64-row directions, and the
+    * three energies roll up from that single relation. All interior
+    * arithmetic is exact DECIMAL(38,0), so regrouping the total from
+    * a flat global sum into per-vector partials is bit-identical —
+    * the oracle and the BigInt spec replay are unchanged.
     */
   def pcaVariance(s: SparkSession, d: String): DataFrame = {
     val xq = pcaQuantized(s, d)
-    val gram = mirrorGram(pcaGramHalf(s, d).localCheckpoint(true))
-    val v1 = powerLoop(gram, "pca")
-    val v2 = deflatedSecond(gram, v1)
-    def energy(v: DataFrame): DataFrame = {
-      val vv = v.agg(sum(col("vq") * col("vq")).as("vv"))
-      xq.join(broadcast(v), Seq("i"))
-        .groupBy(col("vec_id")).agg(sum(col("xq") * col("vq")).as("proj"))
-        .agg(sum(col("proj") * col("proj")).as("pp"))
-        .crossJoin(broadcast(vv))
-        .select(expr("pp div vv").cast("decimal(38,0)").as("e"))
-    }
-    val etot = xq.agg(sum(col("xq") * col("xq")).as("e")).localCheckpoint(true)
+    val g = gramLocal(s, d)
+    val v1 = powerLoopLocal(g, "pca")
+    val v2 = deflatedSecondLocal(g, v1)
+    val vv1 = v1.map(x => x * x).reduce(_ + _)
+    val vv2 = v2.map(x => x * x).reduce(_ + _)
+    // one corpus pass: per-vector squared norm + both exact projections
+    val per = xq
+      .join(broadcast(dirDf(s, v1).select(col("i"), col("vq").as("v1q"))), Seq("i"))
+      .join(broadcast(dirDf(s, v2).select(col("i"), col("vq").as("v2q"))), Seq("i"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("xq") * col("xq")).as("x2"),
+           sum(col("xq") * col("v1q")).as("p1"),
+           sum(col("xq") * col("v2q")).as("p2"))
+    val tot = per
+      .agg(sum(col("x2")).as("et"),
+           sum(col("p1") * col("p1")).as("pp1"),
+           sum(col("p2") * col("p2")).as("pp2"))
+      .localCheckpoint(true)
     val rows = Seq(
-      etot.select(lit("total").as("component"), col("e")),
-      energy(v1).select(lit("pc1").as("component"), col("e")),
-      energy(v2).select(lit("pc2").as("component"), col("e")))
+      tot.select(lit("total").as("component"),
+        col("et").cast("decimal(38,0)").as("e")),
+      tot.select(lit("pc1").as("component"),
+        expr(s"pp1 div CAST('$vv1' AS DECIMAL(38,0))")
+          .cast("decimal(38,0)").as("e")),
+      tot.select(lit("pc2").as("component"),
+        expr(s"pp2 div CAST('$vv2' AS DECIMAL(38,0))")
+          .cast("decimal(38,0)").as("e")))
     rows.reduce(_ unionByName _)
-      .crossJoin(broadcast(etot.select(col("e").as("et"))))
+      .crossJoin(broadcast(tot.select(col("et"))))
       .select(col("component"), col("e").cast("long").as("energy_q2"),
         expr("(e * 1000000) div et").as("share_ppm"))
       .orderBy(col("component"))
