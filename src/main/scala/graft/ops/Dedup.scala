@@ -149,6 +149,75 @@ object Dedup {
         coalesce(col("rep_canon"), col("rep_id")).as("canonical_id"))
   }
 
+  /** Per-JVM registry of built canonicalization state dirs (sf dir →
+    * state root) — the [[graft.ops.VectorOps.ensureIvfadcIndex]]
+    * discipline applied to the incremental-dedup family (round-15,
+    * r14 verdict item 1): q213 proves the quotient-graph algebra but
+    * rebuilds "yesterday's state" inline, so its measured cost is
+    * dominated by audit scaffolding a production nightly never pays.
+    * This build persists that state once per JVM; q299 SERVES from it.
+    */
+  private val canonState = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** BUILD tier of the stored canonicalization state — the three
+    * relations a nightly near-dup ingest keeps between runs:
+    *
+    *  - `meta/`   — the ingest cut (yesterday's max doc_id; here the
+    *    q213 convention, oldest 80% by id);
+    *  - `labels/` — yesterday's (doc_id → canonical_id) map, the
+    *    [[canonicalizeLsh]] production composition over the old
+    *    corpus;
+    *  - `bands/`  — yesterday's LSH band index (doc_id, band, bh) —
+    *    MinHash(128)+LSH(32×4) over the old corpus, so tonight's
+    *    ingest sketches ONLY its delta and probes these rows.
+    *
+    * Root/staging/sweep discipline is ensureIvfadcIndex's verbatim:
+    * (abs-path-hash, pid)-keyed root under java.io.tmpdir, staged
+    * build atomically renamed into place, dead-pid siblings swept
+    * with a regex-quoted prefix. The bits are deterministic (md5
+    * minhash, exact verify), so rebuilds are idempotent and the
+    * DuckDB oracle can replay the stored chains from the raw tables —
+    * the q262 store discipline.
+    */
+  def ensureCanonState(s: SparkSession, d: String): String =
+    canonState.computeIfAbsent(d, _ => {
+      val abs = new java.io.File(d).getAbsolutePath
+      val pathTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(abs.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_canon_${new java.io.File(d).getName}_${pathTag}_p${ProcessHandle.current.pid}")
+      val stage = new java.io.File(root.getParentFile, root.getName + ".build")
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      val sibling = (java.util.regex.Pattern.quote(
+        s"graft_canon_${new java.io.File(d).getName}_${pathTag}_") +
+        "p(\\d+)(\\.build)?").r
+      Option(root.getParentFile.listFiles()).foreach(_.foreach { f =>
+        f.getName match {
+          case sibling(pid, _) if pid.toLong != ProcessHandle.current.pid &&
+            ProcessHandle.of(pid.toLong).isEmpty =>
+            rmTree(f)
+          case _ => ()
+        }
+      })
+      val sp = stage.getAbsolutePath
+      val docs = T.documents(s, d)
+      val cutDf = docs.agg(expr("(4 * max(doc_id)) div 5").as("cut"))
+        .localCheckpoint(true)
+      cutDf.coalesce(1).write.mode("overwrite").parquet(s"$sp/meta")
+      val oldDocs = docs.crossJoin(broadcast(cutDf))
+        .filter(col("doc_id") <= col("cut")).drop("cut")
+      canonicalizeLsh(oldDocs)
+        .write.mode("overwrite").parquet(s"$sp/labels")
+      TextSim.lshBands(TextSim.minhashSignatureNative(oldDocs, 128, 3), 32, 4)
+        .write.mode("overwrite").parquet(s"$sp/bands")
+      if (root.exists()) rmTree(root)
+      java.nio.file.Files.move(stage.toPath, root.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      root.getAbsolutePath
+    })
+
   /** Containment pairs over distinct n-gram shingles: emit
     * (contained, container, cont_bp) where |A∩B| · thrDen ≥ |A| ·
     * thrNum — exact integers decide membership. With `dfCap` set, the
@@ -580,6 +649,80 @@ object Dedup {
       val deltaPairs = TextSim.verifyJaccard(cand, shAll, 0.8)
         .select(col("id1"), col("id2"))
         .localCheckpoint(true)
+      val l1 = oldLab.select(col("doc_id").as("id1"), col("canonical_id").as("c1"))
+      val l2 = oldLab.select(col("doc_id").as("id2"), col("canonical_id").as("c2"))
+      val contracted = deltaPairs
+        .join(l1, Seq("id1"), "left_outer")
+        .join(l2, Seq("id2"), "left_outer")
+        .select(coalesce(col("c1"), col("id1")).as("id1"),
+                coalesce(col("c2"), col("id2")).as("id2"))
+        .filter(col("id1") =!= col("id2"))
+      val compM = Components.connectedComponents(contracted)
+        .select(col("doc_id").as("node"), col("canonical_id").as("cf"))
+      val parts = oldLab.select(col("doc_id"))
+        .unionByName(deltaPairs.select(col("id1").as("doc_id")))
+        .unionByName(deltaPairs.select(col("id2").as("doc_id")))
+        .distinct()
+      val withL0 = parts
+        .join(oldLab.withColumnRenamed("canonical_id", "l0"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("l0"), col("doc_id")).as("l0"))
+      withL0.join(compM, withL0("l0") === compM("node"), "left_outer")
+        .select(col("doc_id"), coalesce(col("cf"), col("l0")).as("canonical_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The PRODUCTION shape of q213 (round-15, r14 verdict item 1):
+    // yesterday's canonicalization state is READ FROM PARQUET (the
+    // ensureCanonState store — labels + band index + cut) instead of
+    // rebuilt inline, so what this query measures is what a nightly
+    // actually pays: sketch the delta, probe the stored band index,
+    // exact-verify the delta-touching candidates, contract through
+    // the stored labels, run components on the contracted (delta-
+    // sized) graph, fan out. The old corpus is touched only by (a)
+    // the stored-file reads and (b) the candidate-restricted shingle
+    // verify (left-semi on candidate ids — delta-proportional, never
+    // a corpus re-shingle). Same quotient-graph theorem as q213, so
+    // the oracle is the from-scratch full-graph recompute (q67's),
+    // verbatim — the stored bits are deterministic functions of the
+    // raw table, exactly like the q262 index census. The state
+    // UPDATE a nightly would write back is this query's own output
+    // (labels') plus the delta's bands appended to bands/ — one
+    // partitioned sink each, no recompute.
+    "q299_canonical_serve_stored" -> ((s, d) => {
+      val root = ensureCanonState(s, d)
+      val oldLab = s.read.parquet(s"$root/labels")
+      val oldBands = s.read.parquet(s"$root/bands")
+      val cutDf = s.read.parquet(s"$root/meta")
+      val docs = T.documents(s, d)
+      val deltaDocs = docs.crossJoin(broadcast(cutDf))
+        .filter(col("doc_id") > col("cut")).drop("cut")
+      // tonight's sketch work: the DELTA's signatures only; two
+      // consumers (union left side + probe right side) of the
+      // delta-sized kernel subtree
+      val deltaBands = TextSim.lshBands(
+        TextSim.minhashSignatureNative(deltaDocs, 128, 3), 32, 4)
+        .localCheckpoint(true)
+      val cand = oldBands.unionByName(deltaBands).as("l")
+        .join(deltaBands.as("r"),
+          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+        .distinct()
+      // verify touches only candidate docs' shingles (left-semi
+      // before the explode) — old docs re-shingle only if a delta
+      // band collided with them
+      val candIds = cand.select(col("id1").as("doc_id"))
+        .unionByName(cand.select(col("id2").as("doc_id"))).distinct()
+      val shCand = TextSim.shingles(
+        docs.join(candIds, Seq("doc_id"), "left_semi"), 3)
+      // three consumers (contracted, parts ×2) of the probe+verify
+      // subtree, delta-sized result — the q213 checkpoint discipline
+      val deltaPairs = TextSim.verifyJaccard(cand, shCand, 0.8)
+        .select(col("id1"), col("id2"))
+        .localCheckpoint(true)
+      // the stored labels are a parquet scan — cheap to re-read, so
+      // unlike q213's inline oldLab they are NOT checkpointed (the
+      // 4-consumer multiplicity that cost q213 3.6 s is free here)
       val l1 = oldLab.select(col("doc_id").as("id1"), col("canonical_id").as("c1"))
       val l2 = oldLab.select(col("doc_id").as("id2"), col("canonical_id").as("c2"))
       val contracted = deltaPairs
@@ -1396,6 +1539,22 @@ object Dedup {
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "q67_neardup_components" ->
+      s"""WITH RECURSIVE pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |), e(a, b) AS (
+         |  SELECT id1, id2 FROM pr UNION SELECT id2, id1 FROM pr
+         |), reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+         |)
+         |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS canonical_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // The stored-state serve tier produces the same relation as the
+    // inline incremental path (the stored bits are deterministic
+    // functions of the raw table) — q67's oracle, verbatim.
+    "q299_canonical_serve_stored" ->
       s"""WITH RECURSIVE pr AS (
          |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
          |), e(a, b) AS (

@@ -606,6 +606,23 @@ class DedupSpec extends SparkSpec {
     assert(inc === full)
   }
 
+  test("stored-state serve tier reproduces the full-graph canonicalization exactly (q299)") {
+    // Same theorem as q213, but yesterday's state comes off parquet
+    // (ensureCanonState) instead of being rebuilt inline — the serve
+    // output must STILL equal q67's from-scratch recompute row for
+    // row, and the state root must carry all three relations.
+    val root = new java.io.File(Dedup.ensureCanonState(spark, sf001))
+    Seq("meta", "labels", "bands").foreach(dir =>
+      assert(new java.io.File(root, dir).isDirectory,
+        s"state root missing $dir/"))
+    val served = Dedup.queries("q299_canonical_serve_stored")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.queries("q67_neardup_components")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty, "full graph must contain near-dup pairs at sf0.001")
+    assert(served === full)
+  }
+
   test("dedup transitivity: triangle/wedge recount from the exact pair set (q247)") {
     val r = Dedup.queries("q247_dedup_transitivity")(spark, sf001).collect().head
     val pairs = Dedup.queries("q61_neardup_jaccard")(spark, sf001)

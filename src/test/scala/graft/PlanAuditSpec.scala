@@ -945,6 +945,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("canonical serve tier reads stored labels; its tail never re-scans the corpus (q299)") {
+    // The production-shape claim of the stored-state split (round-15):
+    // after the delta-sized sketch/verify subtree (checkpointed — its
+    // corpus touches are the delta bands and the candidate-restricted
+    // shingle semi-join), the contraction/components/fan-out tail must
+    // consume ONLY the persisted state. In the plan: every file scan
+    // below the checkpoint boundary points at graft_canon/labels —
+    // labels feed ≥2 consumers (l1/l2/parts/withL0) as plain re-reads
+    // (cheap file scans, deliberately NOT checkpointed), and no
+    // documents.parquet scan survives in the tail.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val p = physical("q299_canonical_serve_stored")
+    val scans = p.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "q299: expected file scans in the serve tail")
+    val labelScans = scans.filter(_.relation.location.rootPaths
+      .exists(r => r.toString.contains("graft_canon") && r.toString.contains("labels")))
+    assert(labelScans.size >= 2,
+      s"q299: expected >=2 stored-label scans, got ${labelScans.size}")
+    scans.foreach(f => assert(
+      f.relation.location.rootPaths.forall(_.toString.contains("graft_canon")),
+      s"q299: serve tail scans a non-state file: ${f.relation.location.rootPaths}"))
+  }
+
   test("semdedup serves its cluster key from the stored index — no live chain, no dim explode (q269)") {
     // q269's 100 TB claim: the dedup path reads cell assignments from
     // the stored codes files and never recomputes kmeans. A leaked
