@@ -70,6 +70,12 @@ object VectorOps {
     */
   val EXTQ_N = 4
 
+  /** Size of q300's ADD batch — external vectors (same dyadic
+    * generator as [[EXTQ_N]]'s query set, wider id range) encoded
+    * into the stored index without retraining.
+    */
+  val ADDQ_N = 16
+
   /** IVF cell count (nlist) for the coarse quantizer — the whole IVF
     * substrate (live q66/q257 chain AND the stored q262 index; they
     * must agree, see the q262 substrate-agreement spec) uses ONE dial.
@@ -2121,6 +2127,47 @@ object VectorOps {
         .select(col("cell").cast("long").as("cell"), col("n_new"),
                 col("sum_r0"), col("sum_r1"), col("sum_r2"), col("sum_r3"))
         .orderBy(col("cell"))
+    }),
+
+    // The STORED-STATE twin of q298 (round-15, r14 verdict item 1):
+    // FAISS IndexIVFPQ.add_with_ids against the PERSISTED index —
+    // frozen coarse centroids and frozen residual codebooks are READ
+    // FROM the q262 store (never retrained, never rebuilt inline),
+    // and the add batch is q286's external-vector class (dyadic
+    // formula, 16 rows — vectors the index has never seen). What the
+    // query measures is exactly what a production add pays: one
+    // broadcast-argmin assign + one frozen-codebook encode, all
+    // |delta|-sized — the corpus is touched only through the tiny
+    // centroid/codebook files. Output: each added vector's routed
+    // cell + residual codes, i.e. the rows a nightly would append to
+    // codes/ (partitionBy(cell) — the same sink the build uses).
+    // Oracle: the stored chains replay (ivfChainBodyStored + residual
+    // chains — the q262 census discipline), then the same assign +
+    // encode algebra runs over the generated batch in SQL.
+    "q300_ivfadc_add_stored" -> ((s, d) => {
+      graft.functions.VectorKernels.ensureRegistered(s)
+      val root = ensureIvfadcIndex(s, d)
+      val cents = s.read.parquet(s"$root/centroids")
+      val rcb = s.read.parquet(s"$root/rcodebooks")
+      // the add batch: ADDQ_N external vectors from the exact dyadic
+      // generator (no corpus scan, replayed bit-identically in SQL)
+      val q0 = s.range(ADDQ_N).select(col("id").as("vec_id"),
+          expr("transform(sequence(1, 64), " +
+            "i -> CAST((id * 31 + i * 17) % 13 - 6 AS DOUBLE) / 8.0)").as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      val cells = assignCells(q0, cents)
+        .select(col("vec_id"), col("v"), col("cell"))
+        .localCheckpoint(true) // two consumers: residual join + output
+      val resid = cells
+        .join(broadcast(cents.select(col("cell"), col("cv"))), Seq("cell"))
+        .select(col("vec_id"), expr("graft_sub(v, cv)").as("v"))
+      val codes = pqCodesFused(pqSubSlices(resid), rcb)
+      cells.select(col("vec_id"), col("cell"))
+        .join(codes, Seq("vec_id"))
+        .select(col("vec_id").as("add_id"), col("cell").cast("long").as("cell"),
+          col("c0").cast("long").as("r0"), col("c1").cast("long").as("r1"),
+          col("c2").cast("long").as("r2"), col("c3").cast("long").as("r3"))
+        .orderBy(col("add_id"))
     }),
 
     // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
@@ -4247,6 +4294,57 @@ object VectorOps {
          |FROM dg JOIN dr0g g0 USING (vec_id) JOIN dr1g g1 USING (vec_id)
          |     JOIN dr2g g2 USING (vec_id) JOIN dr3g g3 USING (vec_id)
          |GROUP BY 1 ORDER BY cell""".stripMargin
+    },
+
+    // Stored-index add: the index bits replay through the shared
+    // stored chains (dial-routed g5, residual codebooks over er),
+    // the add batch generates from the exact dyadic formula, and the
+    // assign + encode algebra is the same argmin discipline as the
+    // corpus encode (ties break on cell both sides).
+    "q300_ivfadc_add_stored" -> {
+      val addCodeChains = (0 until PQ_M).map { sb =>
+        s"""qr${sb}a AS (
+           |  SELECT qr.q_id, c.cell,
+           |         sum(qr.v*qr.v) - 2*sum(qr.v*c.cv) + sum(c.cv*c.cv) AS d2
+           |  FROM qr JOIN r${sb}c$PQ_ITERS c ON qr.i = c.i GROUP BY 1, 2
+           |), qr${sb}g AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT q_id, cell, row_number() OVER (
+           |      PARTITION BY q_id ORDER BY d2, cell) AS rn
+           |    FROM qr${sb}a) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $eCteBody,
+         |$ivfChainBodyStored,
+         |$residCteBody,
+         |$rChainBody,
+         |qe AS MATERIALIZED (
+         |  SELECT q_id, i,
+         |         CAST((q_id * 31 + i * 17) % 13 - 6 AS DOUBLE) / 8.0 AS v
+         |  FROM generate_series(0, ${ADDQ_N - 1}) t(q_id)
+         |       CROSS JOIN generate_series(1, 64) s(i)
+         |), qa AS (
+         |  SELECT qe.q_id, c.cell,
+         |         sum(qe.v*qe.v) - 2*sum(qe.v*c.cv) + sum(c.cv*c.cv) AS d2
+         |  FROM qe JOIN c4 c ON qe.i = c.i GROUP BY 1, 2
+         |), qg AS MATERIALIZED (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q_id, cell, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY d2, cell) AS rn
+         |    FROM qa) WHERE rn = 1
+         |), qr AS MATERIALIZED (
+         |  SELECT qe.q_id, qe.i, qe.v - c.cv AS v
+         |  FROM qe JOIN qg USING (q_id)
+         |       JOIN c4 c ON c.cell = qg.cell AND c.i = qe.i
+         |),
+         |$addCodeChains
+         |SELECT CAST(qg.q_id AS BIGINT) AS add_id,
+         |       CAST(qg.cell AS BIGINT) AS cell,
+         |       CAST(g0.cell AS BIGINT) AS r0, CAST(g1.cell AS BIGINT) AS r1,
+         |       CAST(g2.cell AS BIGINT) AS r2, CAST(g3.cell AS BIGINT) AS r3
+         |FROM qg JOIN qr0g g0 USING (q_id) JOIN qr1g g1 USING (q_id)
+         |     JOIN qr2g g2 USING (q_id) JOIN qr3g g3 USING (q_id)
+         |ORDER BY add_id""".stripMargin
     },
 
     // RR-PQ codebook census: rebuild the rotation from the closed

@@ -941,6 +941,162 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("stored-index add: frozen bits only, batch fully accounted, margins wide (q300)") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val rows = VectorOps.queries("q300_ivfadc_add_stored")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // every batch vector is encoded exactly once, codes in 1..PQ_K
+    assert(rows.map(_._1).toSeq === (0L until VectorOps.ADDQ_N.toLong))
+    rows.foreach { case (id, cell, r0, r1, r2, r3) =>
+      Seq(r0, r1, r2, r3).foreach(c =>
+        assert(c >= 1L && c <= VectorOps.PQ_K,
+          s"add $id: code $c outside 1..${VectorOps.PQ_K}"))
+      assert(cell >= 1L, s"add $id: cell $cell")
+    }
+    // routed cells exist in the stored centroid relation
+    val d01 = sf("sf0.01")
+    val root = VectorOps.ensureIvfadcIndex(spark, sf001)
+    val storedCells = spark.read.parquet(s"$root/centroids")
+      .select(col("cell")).collect()
+      .map(_.get(0).asInstanceOf[Number].longValue).toSet
+    rows.foreach { case (id, cell, _, _, _, _) =>
+      assert(storedCells.contains(cell), s"add $id routed to unknown cell $cell")
+    }
+    // frozen-state determinism: a second evaluation is bit-identical
+    val again = VectorOps.queries("q300_ivfadc_add_stored")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(again.toSeq === rows.toSeq)
+    // margin audit at sf0.01 (the batch's argmins are NEW decision
+    // boundaries over the stored bits): coarse assignment against
+    // centroids/ and residual encode against rcodebooks/
+    val driftHeadroom = 1e-6
+    val root01 = VectorOps.ensureIvfadcIndex(spark, d01)
+    val cents = spark.read.parquet(s"$root01/centroids")
+      .select(col("cell"), col("cv"))
+    val rcb = spark.read.parquet(s"$root01/rcodebooks")
+    val q0 = spark.range(VectorOps.ADDQ_N).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), " +
+          "i -> CAST((id * 31 + i * 17) % 13 - 6 AS DOUBLE) / 8.0)").as("v"))
+    def minMargin(es: org.apache.spark.sql.DataFrame,
+                  cent: org.apache.spark.sql.DataFrame): Double =
+      es.crossJoin(broadcast(cent))
+        .withColumn("d2",
+          expr("graft_dot(v, v) - 2 * graft_dot(v, cv) + graft_dot(cv, cv)"))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("d2"), col("cell")))).as("ds"))
+        .select((element_at(col("ds"), 2).getField("d2") -
+                 element_at(col("ds"), 1).getField("d2")).as("margin"))
+        .agg(min(col("margin"))).head().getDouble(0)
+    assert(minMargin(q0, cents) > driftHeadroom,
+      "add-batch coarse-assignment margin within drift headroom")
+    val resid = q0.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        expr("graft_dot(v, v) - 2 * graft_dot(v, cv) + graft_dot(cv, cv)"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"),
+           min(struct(col("d2"), col("cell"), col("cv"))).as("mc"))
+      .select(col("vec_id"), expr("graft_sub(v, mc.cv)").as("v"))
+    (0 until VectorOps.PQ_M).foreach { sb =>
+      val es = resid.select(col("vec_id"),
+        expr(s"slice(v, ${VectorOps.PQ_D * sb + 1}, ${VectorOps.PQ_D})").as("v"))
+      val cb = rcb.filter(col("sub") === sb).select(col("cell"), col("cv"))
+      assert(minMargin(es, cb) > driftHeadroom,
+        s"add-batch residual-encode margin (sub $sb) within drift headroom")
+    }
+  }
+
+  test("o-path ADC shortlist boundaries: rank-50 and rank-5 gaps dwarf drift (q294/q295)") {
+    // r14 ADVICE: the o-chain Lloyd argmin margins were audited, but
+    // the rn<=50 ADC shortlist cut and the rn<=5 exact-re-rank cut
+    // had no tie/margin audit — an O(ulp) cross-engine drift on a
+    // near-tie adc value could flip shortlist membership. Audit both
+    // boundaries at sf0.01 (where n_cand > 50 so the cut binds).
+    // EXACT ties are engine-safe (two candidates with identical code
+    // tuples get identical dq sums in each engine, and the id2
+    // tie-break agrees), so a zero gap is accepted only when the
+    // boundary rows carry identical codes / identical vectors.
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val d = sf("sf0.01")
+    val S = VectorOps.PCA_SCALE.toDouble
+    val root = VectorOps.ensureIvfadcIndex(spark, d)
+    val cents = spark.read.parquet(s"$root/centroids")
+    val ocbs = spark.read.parquet(s"$root/ocodebooks")
+    val codes = spark.read.parquet(s"$root/codes")
+    val rflat = spark.read.parquet(s"$root/rot").collect()
+      .sortBy(r => (r.getInt(0), r.getInt(1))).map(_.getLong(2) / S).toSeq
+    val q0 = T.embeddings(spark, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .withColumn("qn", sqrt(expr("graft_dot(qv, qv)")))
+      .localCheckpoint(true)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+    val probesC = q0.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("graft_dot(qv, cv)") / (col("qn") * col("cn")))
+      .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= 4)
+      .select(col("q_id"), col("qv"), col("cell"), col("cv"))
+      .withColumn("rf", typedlit(rflat))
+    val dqs = (0 until VectorOps.PQ_M).map { sb =>
+      probesC.select(col("q_id"), col("cell"),
+          expr(s"slice(graft_matvec(rf, graft_sub(qv, cv)), " +
+            s"${VectorOps.PQ_D * sb + 1}, ${VectorOps.PQ_D})").as("qs"))
+        .crossJoin(broadcast(ocbs.filter(col("sub") === sb)
+          .select(col("cell").cast("byte").as(s"o$sb"), col("cv").as("cw"))))
+        .select(col("q_id"), col("cell"), col(s"o$sb"),
+          expr("graft_dot(qs, qs) - 2 * graft_dot(qs, cw) + graft_dot(cw, cw)")
+            .as(s"d$sb"))
+    }
+    val candAdc = codes
+      .join(probesC.select(col("q_id"), col("cell")), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(dqs(0), Seq("q_id", "cell", "o0"))
+      .join(dqs(1), Seq("q_id", "cell", "o1"))
+      .join(dqs(2), Seq("q_id", "cell", "o2"))
+      .join(dqs(3), Seq("q_id", "cell", "o3"))
+      .select(col("q_id"), col("cell"), col("vec_id").as("id2"),
+        col("o0"), col("o1"), col("o2"), col("o3"),
+        expr("d0 + d1 + d2 + d3").as("adc"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getDouble(7), r.getLong(2),
+        (r.get(1).asInstanceOf[Number].longValue,
+          r.getByte(3), r.getByte(4), r.getByte(5), r.getByte(6)))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(t => (t._1, t._2))).toMap
+    val driftHeadroom = 1e-6
+    var boundaries = 0
+    candAdc.foreach { case (q, sorted) =>
+      if (sorted.size > 50) {
+        boundaries += 1
+        val (a50, _, k50) = sorted(49)
+        val (a51, _, k51) = sorted(50)
+        val gap = a51 - a50
+        assert(gap > driftHeadroom || (gap == 0.0 && k50 == k51),
+          s"q294 query $q: rank-50 adc gap $gap within drift headroom " +
+            s"(codes $k50 vs $k51)")
+      }
+    }
+    assert(boundaries > 0, "no query had > 50 candidates — boundary audit vacuous")
+    // exact-re-rank rank-5 boundary within each 50-deep shortlist
+    val emb = T.embeddings(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    candAdc.foreach { case (q, sorted) =>
+      val short50 = sorted.take(50).map(_._2)
+      val qv = emb(q)
+      val d2s = short50.map { id =>
+        val v = emb(id)
+        val d2 = (0 until 64).map(i =>
+          (qv(i).toDouble - v(i).toDouble) * (qv(i).toDouble - v(i).toDouble)).sum
+        (d2, id)
+      }.sorted
+      if (d2s.size > 5) {
+        val gap = d2s(5)._1 - d2s(4)._1
+        assert(gap > driftHeadroom ||
+            (gap == 0.0 && emb(d2s(4)._2).sameElements(emb(d2s(5)._2))),
+          s"q294 query $q: rank-5 exact gap $gap within drift headroom")
+      }
+    }
+  }
+
   test("rotated-chain assignment margins dwarf cross-engine drift (rrpq stability audit)") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     // q265/q266's oracles replay Lloyd chains over ROTATED values that
