@@ -1925,6 +1925,12 @@ object CorpusOps {
     // cross-engine half).
     "q296_unigram_soft_em" -> ((s, d) => unigramSoftTrainer(s, d)),
 
+    // SentencePiece's ACTUAL trainer shape (Kudo 2018 §3.2, the r14
+    // verdict item 6): EM alternating with likelihood-loss pruning
+    // until the target vocabulary — see [[unigramPruneLoop]] for the
+    // leave-one-out loss in the engine's no-ln fixed-point story.
+    "q301_unigram_prune_loop" -> ((s, d) => unigramPruneLoop(s, d)),
+
     // Soft-EM expected-token curve — q292's posterior-weighted twin:
     // Σ of occurrence posteriors per step (in q20 units) instead of
     // Viterbi path lengths; always ≤ the hard curve's count at step 0
@@ -2280,6 +2286,150 @@ object CorpusOps {
       pieceSteps = pieceSteps :+ pieces
     }
     (pieceSteps, termSteps)
+  }
+
+  /** q301 dial: the multi-char inventory size the prune loop shrinks
+    * to (SentencePiece's vocab_size), from UNI_S=24 via the paper's
+    * 75% shrinking factor: 24 → 18 → 13 → 12.
+    */
+  val UNI_PRUNE_TARGET = 12
+
+  /** The per-round keep sizes implied by (UNI_S, 3/4 shrink, target):
+    * both the Spark loop and the SQL generator unroll THIS list, so
+    * the two engines can never disagree on the round count.
+    */
+  private[graft] val uniPruneKeeps: List[Int] = {
+    val b = scala.collection.mutable.ListBuffer.empty[Int]
+    var n = UNI_S
+    while (n > UNI_PRUNE_TARGET) {
+      n = math.max(UNI_PRUNE_TARGET, (3 * n) / 4)
+      b += n
+    }
+    b.toList
+  }
+
+  /** Distinct multi-char substrings of `w` present in the current
+    * inventory map `pm` — the per-word candidate set the prune loss
+    * evaluates (needs w, pm).
+    */
+  private[graft] val uniMultiInWExpr: String =
+    s"""filter(array_distinct(flatten(transform(sequence(1, length(w)), s ->
+       |  transform(sequence(s, least(s + ${UNI_PL - 1}, length(w))), e ->
+       |    substring(w, s, e - s + 1))))),
+       |  x -> length(x) >= 2 AND element_at(pm, x) IS NOT NULL)""".stripMargin
+
+  /** [[uniSoftAlphaExpr]] with one piece EXCLUDED (needs w, pm, px):
+    * the leave-one-out forward DP — Z without px's arms. Identical
+    * fold orders, so per-arm floats match the base chain's exactly;
+    * the exclusion only swaps some arms to the same explicit 0.0 the
+    * base chain uses for absent pieces (adding 0.0 to a non-negative
+    * double is exact), hence Z^{−p} ≤ Z holds in float, not just in
+    * exact arithmetic (non-negative float addition is monotone).
+    */
+  private[graft] val uniSoftAlphaExclExpr: String =
+    s"""aggregate(
+       |  sequence(1, length(w)),
+       |  array(CAST(1 AS DOUBLE)),
+       |  (acc, j) -> concat(acc, array(
+       |    aggregate(sequence(greatest(1, j - ${UNI_PL - 1}), j), CAST(0 AS DOUBLE),
+       |      (sm, s) -> sm + CASE WHEN substring(w, s, j - s + 1) <> px
+       |           AND element_at(pm, substring(w, s, j - s + 1)) IS NOT NULL
+       |           THEN element_at(acc, s) * element_at(pm, substring(w, s, j - s + 1))
+       |           ELSE CAST(0 AS DOUBLE) END))))""".stripMargin
+
+  /** q301: the SentencePiece prune loop (Kudo 2018 §3.2 — the piece
+    * the r14 verdict asked for next to the fixed-inventory EM of
+    * q296): alternate one soft-EM recount with vocabulary PRUNING by
+    * leave-one-out likelihood loss until the target size. The loss
+    * for piece p is the posterior probability mass of segmentations
+    * that USE p, summed over word occurrences —
+    * loss_p = Σ_w c_w·⌊((Z_w − Z_w^{−p})/Z_w)·2^20⌋ — where Z^{−p}
+    * is the forward DP with p's arms removed
+    * ([[uniSoftAlphaExclExpr]]); dropping the lowest-loss pieces is
+    * exactly dropping the pieces whose removal costs the corpus
+    * likelihood least (the paper's criterion, in the engine's no-ln
+    * fixed-point discipline: one floor per word before any unordered
+    * sum, exact-integer ranking after). Keep sizes unroll
+    * [[uniPruneKeeps]] (24 → 18 → 13 → 12, the 75% shrink); single
+    * chars are never pruned (coverage). Scale shape: every relation
+    * is word-vocab-sized (Heaps-sublinear) × a ≤ UNI_S piece factor;
+    * the corpus is touched once for the vocab count.
+    *
+    * Output: one row per (round, evaluated multi-char piece) with
+    * its recounted expected usage, its loss, and whether it survived
+    * that round's cut — the per-step pruned vocab + loss audit trail.
+    */
+  def unigramPruneLoop(s: SparkSession, d: String): DataFrame = {
+    val words = uniVocab(s, d).localCheckpoint(true)
+    val maxLenRow = words.agg(max(length(col("w")))).head()
+    require(!maxLenRow.isNullAt(0),
+      "unigram prune loop: empty word vocabulary — the corpus produced no words")
+    require(maxLenRow.getInt(0) <= UNI_MAXLEN,
+      s"unigram prune loop: max word length ${maxLenRow.getInt(0)} exceeds " +
+        s"UNI_MAXLEN=$UNI_MAXLEN — widen the dial")
+    val seed = words
+      .select(col("c"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), s ->
+           |  transform(sequence(s, least(s + ${UNI_PL - 1}, length(w))), e ->
+           |    substring(w, s, e - s + 1))))""".stripMargin)).as("p"))
+      .groupBy(col("p")).agg(sum(col("c")).as("cnt"))
+      .localCheckpoint(true)
+    val charSet = seed.filter(length(col("p")) === 1).select(col("p"))
+    var pieces = charSet.join(seed, Seq("p"), "left_outer")
+      .select(col("p"), (coalesce(col("cnt"), lit(0L)) * UNI_Q + UNI_Q).as("cnt"))
+      .unionByName(seed.filter(length(col("p")) >= 2)
+        .orderBy(col("cnt").desc, col("p")).limit(UNI_S)
+        .select(col("p"), (col("cnt") * UNI_Q).as("cnt")))
+      .localCheckpoint(true)
+    var rounds = List.empty[DataFrame]
+    uniPruneKeeps.zipWithIndex.foreach { case (kKeep, r0) =>
+      val r = r0 + 1
+      val pm = pieces
+        .crossJoin(broadcast(
+          pieces.agg(sum(col("cnt").cast("decimal(38,0)")).as("tot"))))
+        .select(col("p"),
+          (col("cnt").cast("double") / col("tot").cast("double")).as("pr"))
+        .agg(map_from_entries(collect_list(struct(col("p"), col("pr")))).as("pm"))
+      // one DP pass feeds BOTH the EM recount (terms) and the loss
+      val withDp = words.crossJoin(broadcast(pm))
+        .withColumn("al", expr(uniSoftAlphaExpr))
+        .withColumn("bt", expr(uniSoftBetaExpr))
+        .localCheckpoint(true)
+      val usage = withDp
+        .select(explode(expr(uniSoftTermsExpr)).as("t"))
+        .select(col("t.p").as("p"), col("t.tq").as("tq"))
+        .groupBy(col("p"))
+        .agg(sum(col("tq").cast("decimal(38,0)")).cast("long").as("cnt"))
+        .localCheckpoint(true)
+      val loss = withDp
+        .select(col("w"), col("c"), col("pm"), col("al"),
+          explode(expr(uniMultiInWExpr)).as("px"))
+        .withColumn("alx", expr(uniSoftAlphaExclExpr))
+        .select(col("px").as("p"),
+          expr(s"""CAST(floor((CAST(c AS DOUBLE) *
+                   |  ((element_at(al, length(w) + 1) - element_at(alx, length(w) + 1))
+                   |   / element_at(al, length(w) + 1))) * CAST($UNI_Q AS DOUBLE))
+                   |AS BIGINT)""".stripMargin).as("lq"))
+        .groupBy(col("p"))
+        .agg(sum(col("lq").cast("decimal(38,0)")).cast("long").as("loss"))
+      val multi = usage.filter(length(col("p")) >= 2)
+        .join(loss, Seq("p"), "left_outer")
+        .select(col("p"), col("cnt"), coalesce(col("loss"), lit(0L)).as("loss"))
+        .localCheckpoint(true)
+      val kept = multi.orderBy(col("loss").desc, col("p")).limit(kKeep)
+        .select(col("p"))
+      rounds = rounds :+ multi
+        .join(kept.withColumn("k", lit(1L)), Seq("p"), "left_outer")
+        .select(lit(r.toLong).as("round"), col("p").as("piece"),
+          col("cnt").as("cnt_q20"), col("loss").as("loss_q20"),
+          coalesce(col("k"), lit(0L)).as("kept"))
+      pieces = charSet.join(usage, Seq("p"), "left_outer")
+        .select(col("p"), (coalesce(col("cnt"), lit(0L)) + UNI_Q).as("cnt"))
+        .unionByName(usage.join(kept, Seq("p"), "left_semi")
+          .select(col("p"), col("cnt")))
+        .localCheckpoint(true)
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"), col("piece"))
   }
 
   /** q296: the piece inventory with q20 fixed-point expected counts
@@ -3971,6 +4121,22 @@ object CorpusOps {
              s"CAST(cnt AS BIGINT) AS cnt_q20 FROM usp$t").mkString("\n  UNION ALL ")}
          |) ORDER BY em_step, piece""".stripMargin,
 
+    // The prune chain replayed: per round, every evaluated multi-char
+    // piece with its recounted usage, its leave-one-out loss, and the
+    // loss-ranked keep decision.
+    "q301_unigram_prune_loop" ->
+      s"""WITH $uniPruneChainSql
+         |SELECT round, piece, cnt_q20, loss_q20, kept FROM (
+         |${uniPruneKeeps.indices.map { r0 =>
+             val t = r0 + 1
+             s"SELECT CAST($t AS BIGINT) AS round, m.p AS piece, " +
+             s"CAST(m.cnt AS BIGINT) AS cnt_q20, " +
+             s"CAST(m.loss AS BIGINT) AS loss_q20, " +
+             s"CAST(CASE WHEN k.p IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS kept " +
+             s"FROM u${t}mu m LEFT JOIN u${t}keep k USING (p)"
+           }.mkString("\n  UNION ALL ")}
+         |) ORDER BY round, piece""".stripMargin,
+
     // The soft chain read out as per-step expected-token sums (step 0
     // = the exact single-char baseline; steps 1+ = the exact-integer
     // sum of the quantized occurrence posteriors).
@@ -4096,10 +4262,13 @@ object CorpusOps {
     * integers agree exactly — no margin argument needed (the spec's
     * driver replay proves the fixed-order claim independently).
     */
-  private lazy val uniSoftChainSql: String = {
+  /** The soft-EM seed CTEs (word vocab, substring counts, chars,
+    * usp0) — shared verbatim by the q296/q297 chain and the q301
+    * prune chain.
+    */
+  private lazy val uniSoftSeedSql: String = {
     val Q = UNI_Q
-    val seed =
-      s"""uw AS MATERIALIZED (
+    s"""uw AS MATERIALIZED (
          |  SELECT w, CAST(count(*) AS BIGINT) AS c, length(w) AS len
          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
          |  WHERE w <> '' GROUP BY w
@@ -4120,13 +4289,24 @@ object CorpusOps {
          |                                  WHERE length(p) >= 2
          |                                  ORDER BY cnt DESC, p LIMIT $UNI_S)
          |)""".stripMargin
-    def prob(t: Int): String =
-      s"""uprob$t AS MATERIALIZED (
-         |  SELECT p, CAST(cnt AS DOUBLE) /
-         |            (SELECT CAST(sum(cnt) AS DOUBLE) FROM usp$t) AS pr
-         |  FROM usp$t
-         |)""".stripMargin
-    def emStep(t: Int): String = {
+  }
+
+  private def uniSoftProbSql(t: Int): String =
+    s"""uprob$t AS MATERIALIZED (
+       |  SELECT p, CAST(cnt AS DOUBLE) /
+       |            (SELECT CAST(sum(cnt) AS DOUBLE) FROM usp$t) AS pr
+       |  FROM usp$t
+       |)""".stripMargin
+
+  /** The forward/backward DP + quantized terms + usage recount for
+    * one soft-EM step (the u{t}fa/u{t}fb chains, u{t}fl, u{t}tm,
+    * u{t}n) — shared
+    * verbatim by the q296/q297 chain and the q301 prune chain (which
+    * appends its loss CTEs and replaces the usage-ranked prune with
+    * the loss-ranked one).
+    */
+  private def uniSoftDpSql(t: Int): String = {
+      val Q = UNI_Q
       val lpRel = s"uprob${t - 1}"
       // forward chain: a_j = Σ arms, l DESCENDING (Spark folds s asc)
       val fas = (1 to UNI_MAXLEN).map { j =>
@@ -4183,17 +4363,99 @@ object CorpusOps {
          |  JOIN $lpRel q ON q.p = substr(f.w, CAST(s.s AS INT), CAST(l.l AS INT))
          |), u${t}n AS MATERIALIZED (
          |  SELECT p, sum(tq) AS cnt FROM u${t}tm GROUP BY 1
+         |)""".stripMargin
+  }
+
+  /** One full q296 EM step: the shared DP block + the usage-ranked
+    * piece-table update (chars at usage+Q ∪ top-UNI_S multi by cnt).
+    */
+  private def uniSoftEmStepSql(t: Int): String = {
+    val Q = UNI_Q
+    s"""${uniSoftDpSql(t)},
+       |usp$t AS MATERIALIZED (
+       |  SELECT uchars.p AS p, coalesce(n.cnt, 0) + $Q AS cnt
+       |  FROM uchars LEFT JOIN u${t}n n ON uchars.p = n.p
+       |  UNION ALL
+       |  SELECT p, cnt FROM (SELECT p, cnt FROM u${t}n
+       |                      WHERE length(p) >= 2
+       |                      ORDER BY cnt DESC, p LIMIT $UNI_S)
+       |)""".stripMargin
+  }
+
+  private lazy val uniSoftChainSql: String =
+    (Seq(uniSoftSeedSql) ++
+      (1 to UNI_T).flatMap(t =>
+        Seq(uniSoftProbSql(t - 1), uniSoftEmStepSql(t)))).mkString(",\n")
+
+  /** The q301 prune chain: the shared seed + per round the shared DP
+    * block, then the leave-one-out loss CTEs — candidate (word,
+    * piece) pairs, the EXCLUSION forward chain (the base chain's
+    * arms with `q.p <> f.p`, same l-descending order, so per-arm
+    * floats match [[uniSoftAlphaExclExpr]] exactly), the per-word
+    * quantized loss terms, the loss-ranked keep set, and the pruned
+    * piece table. Keep sizes unroll [[uniPruneKeeps]].
+    */
+  private lazy val uniPruneChainSql: String = {
+    val Q = UNI_Q
+    def pruneStep(t: Int, kKeep: Int): String = {
+      val lpRel = s"uprob${t - 1}"
+      // exclusion forward chain keyed (w, p): one extra carried
+      // column p; arm order mirrors the base chain (l descending)
+      val xas = (1 to UNI_MAXLEN).map { j =>
+        val ls = (1 to math.min(UNI_PL, j)).reverse
+        val joins = ls.map(l =>
+          s"  LEFT JOIN $lpRel q$l ON q$l.p = substr(f.w, ${j - l + 1}, $l)")
+        val arms = ls.map(l =>
+          s"CASE WHEN $j <= f.len AND q$l.pr IS NOT NULL " +
+            s"AND q$l.p <> f.p " +
+            s"THEN f.a${j - l} * q$l.pr ELSE CAST(0 AS DOUBLE) END")
+        val carry = (0 until j).map(i => s"f.a$i").mkString(", ")
+        s"""u${t}xa$j AS MATERIALIZED (
+           |  SELECT f.w, f.len, f.c, f.p, $carry,
+           |         ${arms.mkString("\n         + ")} AS a$j
+           |  FROM u${t}xa${j - 1} f
+           |${joins.mkString("\n")}
+           |)""".stripMargin
+      }.mkString(",\n")
+      val xlList = (0 to UNI_MAXLEN).map(i => s"x.a$i").mkString(", ")
+      s"""u${t}wp AS MATERIALIZED (
+         |  SELECT DISTINCT uw.w, uw.len, uw.c,
+         |         substr(uw.w, CAST(s.s AS INT), CAST(l.l AS INT)) AS p
+         |  FROM uw
+         |  JOIN generate_series(1, $UNI_MAXLEN) s(s) ON s.s <= uw.len
+         |  JOIN generate_series(2, $UNI_PL) l(l) ON s.s + l.l - 1 <= uw.len
+         |  JOIN $lpRel q ON q.p = substr(uw.w, CAST(s.s AS INT), CAST(l.l AS INT))
+         |),
+         |u${t}xa0 AS (SELECT w, len, c, p, CAST(1 AS DOUBLE) AS a0 FROM u${t}wp),
+         |$xas,
+         |u${t}xfl AS MATERIALIZED (
+         |  SELECT x.w, x.p, x.c, list_value($xlList) AS xl
+         |  FROM u${t}xa$UNI_MAXLEN x
+         |), u${t}ls AS MATERIALIZED (
+         |  SELECT x.p,
+         |         sum(CAST(floor((CAST(x.c AS DOUBLE) *
+         |           ((f.al[CAST(f.len + 1 AS INT)] - x.xl[CAST(f.len + 1 AS INT)])
+         |            / f.al[CAST(f.len + 1 AS INT)])) * CAST($Q AS DOUBLE))
+         |         AS BIGINT)) AS loss
+         |  FROM u${t}xfl x JOIN u${t}fl f USING (w) GROUP BY 1
+         |), u${t}mu AS MATERIALIZED (
+         |  SELECT u.p, u.cnt, coalesce(l.loss, 0) AS loss
+         |  FROM u${t}n u LEFT JOIN u${t}ls l USING (p)
+         |  WHERE length(u.p) >= 2
+         |), u${t}keep AS MATERIALIZED (
+         |  SELECT p FROM u${t}mu ORDER BY loss DESC, p LIMIT $kKeep
          |), usp$t AS MATERIALIZED (
          |  SELECT uchars.p AS p, coalesce(n.cnt, 0) + $Q AS cnt
          |  FROM uchars LEFT JOIN u${t}n n ON uchars.p = n.p
          |  UNION ALL
-         |  SELECT p, cnt FROM (SELECT p, cnt FROM u${t}n
-         |                      WHERE length(p) >= 2
-         |                      ORDER BY cnt DESC, p LIMIT $UNI_S)
+         |  SELECT n.p, n.cnt FROM u${t}n n JOIN u${t}keep USING (p)
          |)""".stripMargin
     }
-    (Seq(seed) ++
-      (1 to UNI_T).flatMap(t => Seq(prob(t - 1), emStep(t)))).mkString(",\n")
+    (Seq(uniSoftSeedSql) ++
+      uniPruneKeeps.zipWithIndex.flatMap { case (k, r0) =>
+        val t = r0 + 1
+        Seq(uniSoftProbSql(t - 1), uniSoftDpSql(t), pruneStep(t, k))
+      }).mkString(",\n")
   }
 
   /** The q273 GD iterations unrolled (score → residual → gradient →

@@ -1920,6 +1920,108 @@ class CorpusOpsSpec extends SparkSpec {
     assert(curve(1L) < curve(0L), "multi-char pieces must actually compress the corpus")
   }
 
+  test("unigram prune loop: driver replay is BIT-EXACT, loss ranking honored, target reached (q301)") {
+    // Same bar as the q296 spec: a pure-Scala replay of ALL prune
+    // rounds with the same association order must reproduce every
+    // quantized count, every leave-one-out loss, and every keep
+    // decision exactly.
+    val PL = CorpusOps.UNI_PL
+    val Q = CorpusOps.UNI_Q
+    val keeps = CorpusOps.uniPruneKeeps
+    assert(keeps.last === CorpusOps.UNI_PRUNE_TARGET)
+    val out = CorpusOps.queries("q301_unigram_prune_loop")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).distinct.sorted.toSeq === (1L to keeps.size.toLong))
+    val byRound = out.groupBy(_._1)
+
+    val words = CorpusOps.uniVocab(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // seed inventory
+    val seedCnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    words.foreach { case (w, c) =>
+      for (s <- 1 to w.length; e <- s to math.min(s + PL - 1, w.length))
+        seedCnt(w.substring(s - 1, e)) += c
+    }
+    val chars = seedCnt.keySet.filter(_.length == 1).toSet
+    var pieces: Map[String, Long] =
+      chars.map(p => p -> (seedCnt(p) * Q + Q)).toMap ++
+        seedCnt.filter(_._1.length >= 2).toSeq
+          .sortBy { case (p, c) => (-c, p) }.take(CorpusOps.UNI_S)
+          .map { case (p, c) => p -> (c * Q) }
+    keeps.zipWithIndex.foreach { case (kKeep, r0) =>
+      val r = (r0 + 1).toLong
+      val tot = pieces.values.sum
+      val pv = pieces.map { case (p, c) => p -> c.toDouble / tot.toDouble }
+      val usage = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      val loss = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      words.foreach { case (w, c) =>
+        val n = w.length
+        def alpha(excl: String): Array[Double] = {
+          val al = new Array[Double](n + 1); al(0) = 1.0
+          for (j <- 1 to n) {
+            var sm = 0.0
+            for (s <- math.max(1, j - PL + 1) to j) {
+              val piece = w.substring(s - 1, j)
+              sm += (if (piece != excl) pv.get(piece) match {
+                case Some(p) => al(s - 1) * p
+                case None    => 0.0
+              } else 0.0)
+            }
+            al(j) = sm
+          }
+          al
+        }
+        val al = alpha("")
+        val bt = new Array[Double](n + 1); bt(0) = 1.0
+        for (k <- 1 to n) {
+          var sm = 0.0
+          for (l <- 1 to math.min(PL, k))
+            sm += (pv.get(w.substring(n - k, n - k + l)) match {
+              case Some(p) => p * bt(k - l)
+              case None    => 0.0
+            })
+          bt(k) = sm
+        }
+        val z = al(n)
+        assert(z > 0.0, s"'$w': Z = 0")
+        for (s <- 1 to n; l <- 1 to math.min(PL, n - s + 1)) {
+          val piece = w.substring(s - 1, s - 1 + l)
+          pv.get(piece).foreach { p =>
+            usage(piece) +=
+              math.floor(((c.toDouble * ((al(s - 1) * p) * bt(n - s - l + 1))) / z) * Q.toDouble).toLong
+          }
+        }
+        val multiInW = (for {
+          s <- 1 to n; e <- s to math.min(s + PL - 1, n)
+          piece = w.substring(s - 1, e)
+          if piece.length >= 2 && pv.contains(piece)
+        } yield piece).distinct
+        multiInW.foreach { px =>
+          val zx = alpha(px)(n)
+          loss(px) +=
+            math.floor((c.toDouble * ((z - zx) / z)) * Q.toDouble).toLong
+        }
+      }
+      val evaluated = usage.keys.filter(_.length >= 2).toSeq
+      val expectRows = evaluated.map(p => (p, usage(p), loss(p))).sortBy(_._1)
+      val keptSet = evaluated.map(p => (p, loss(p)))
+        .sortBy { case (p, l) => (-l, p) }.take(kKeep).map(_._1).toSet
+      val got = byRound(r).sortBy(_._2)
+      assert(got.map(_._2).toSeq === expectRows.map(_._1),
+        s"round $r: evaluated piece set diverges")
+      got.zip(expectRows).foreach { case ((_, p, cnt, l, k), (ep, ecnt, el)) =>
+        assert(p === ep)
+        assert(cnt === ecnt, s"round $r piece '$p': cnt $cnt != $ecnt")
+        assert(l === el, s"round $r piece '$p': loss $l != $el")
+        assert(k === (if (keptSet(p)) 1L else 0L), s"round $r piece '$p': kept flag")
+      }
+      pieces = chars.map(p => p -> (usage(p) + Q)).toMap ++
+        keptSet.map(p => p -> usage(p))
+    }
+    assert(pieces.keys.count(_.length >= 2) === CorpusOps.UNI_PRUNE_TARGET,
+      "final multi-char inventory must equal the prune target")
+  }
+
   test("unigram soft-EM: driver forward-backward replay is BIT-EXACT, posteriors compress (q296/q297)") {
     // The soft tier's whole float story is "fixed fold order + one
     // floor quantization per occurrence" — so the spec's bar is
