@@ -81,7 +81,11 @@ if duckdb.__version__ != SWEPT_DUCKDB:
 
 con = duckdb.connect()
 for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    # driver testdata ships flat files; Spark-written scale-up dirs
+    # (graft.ScaleUp) are directories of part files — glob those
+    pat = (f"{SF}/{t}.parquet/*.parquet"
+           if os.path.isdir(f"{SF}/{t}.parquet") else f"{SF}/{t}.parquet")
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 if "--only-present" in sys.argv:
