@@ -218,6 +218,41 @@ object Dedup {
       root.getAbsolutePath
     })
 
+  /** The delta-touching verified near-dup pair relation served from
+    * the STORED band index (shared by q299's components tail and
+    * q302's pair readout): tonight's ingest sketches ONLY the delta,
+    * probes yesterday's persisted bands, and exact-verifies with a
+    * left-semi candidate-restricted shingle join — old docs
+    * re-shingle only if a delta band collided with them, so the cost
+    * is delta-proportional end to end. Output: (id1, id2, jaccard),
+    * id-ordered.
+    */
+  private def storedDeltaVerified(s: SparkSession, d: String): DataFrame = {
+    val root = ensureCanonState(s, d)
+    val oldBands = s.read.parquet(s"$root/bands")
+    val cutDf = s.read.parquet(s"$root/meta")
+    val docs = T.documents(s, d)
+    val deltaDocs = docs.crossJoin(broadcast(cutDf))
+      .filter(col("doc_id") > col("cut")).drop("cut")
+    // tonight's sketch work: the DELTA's signatures only; two
+    // consumers (union left side + probe right side) of the
+    // delta-sized kernel subtree
+    val deltaBands = TextSim.lshBands(
+      TextSim.minhashSignatureNative(deltaDocs, 128, 3), 32, 4)
+      .localCheckpoint(true)
+    val cand = oldBands.unionByName(deltaBands).as("l")
+      .join(deltaBands.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+      .distinct()
+    val candIds = cand.select(col("id1").as("doc_id"))
+      .unionByName(cand.select(col("id2").as("doc_id"))).distinct()
+    val shCand = TextSim.shingles(
+      docs.join(candIds, Seq("doc_id"), "left_semi"), 3)
+    TextSim.verifyJaccard(cand, shCand, 0.8)
+  }
+
   /** Containment pairs over distinct n-gram shingles: emit
     * (contained, container, cont_bp) where |A∩B| · thrDen ≥ |A| ·
     * thrNum — exact integers decide membership. With `dfCap` set, the
@@ -691,33 +726,9 @@ object Dedup {
     "q299_canonical_serve_stored" -> ((s, d) => {
       val root = ensureCanonState(s, d)
       val oldLab = s.read.parquet(s"$root/labels")
-      val oldBands = s.read.parquet(s"$root/bands")
-      val cutDf = s.read.parquet(s"$root/meta")
-      val docs = T.documents(s, d)
-      val deltaDocs = docs.crossJoin(broadcast(cutDf))
-        .filter(col("doc_id") > col("cut")).drop("cut")
-      // tonight's sketch work: the DELTA's signatures only; two
-      // consumers (union left side + probe right side) of the
-      // delta-sized kernel subtree
-      val deltaBands = TextSim.lshBands(
-        TextSim.minhashSignatureNative(deltaDocs, 128, 3), 32, 4)
-        .localCheckpoint(true)
-      val cand = oldBands.unionByName(deltaBands).as("l")
-        .join(deltaBands.as("r"),
-          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-            col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
-        .distinct()
-      // verify touches only candidate docs' shingles (left-semi
-      // before the explode) — old docs re-shingle only if a delta
-      // band collided with them
-      val candIds = cand.select(col("id1").as("doc_id"))
-        .unionByName(cand.select(col("id2").as("doc_id"))).distinct()
-      val shCand = TextSim.shingles(
-        docs.join(candIds, Seq("doc_id"), "left_semi"), 3)
       // three consumers (contracted, parts ×2) of the probe+verify
       // subtree, delta-sized result — the q213 checkpoint discipline
-      val deltaPairs = TextSim.verifyJaccard(cand, shCand, 0.8)
+      val deltaPairs = storedDeltaVerified(s, d)
         .select(col("id1"), col("id2"))
         .localCheckpoint(true)
       // the stored labels are a parquet scan — cheap to re-read, so
@@ -744,6 +755,16 @@ object Dedup {
         .select(col("doc_id"), coalesce(col("cf"), col("l0")).as("canonical_id"))
         .orderBy(col("doc_id"))
     }),
+
+    // q101's PRODUCTION shape (round-15, completing the r14 verdict's
+    // stored-state ask for the pair-level incremental tier): the same
+    // delta-vs-stored-band-index serve as q299, read out as the
+    // verified pair relation itself — what a nightly audit log
+    // appends. Produces exactly q101's relation (pairs with the
+    // newer endpoint in the delta — a pair's larger id is always the
+    // newer doc), so it shares q101's oracle verbatim.
+    "q302_incremental_neardup_stored" -> ((s, d) =>
+      storedDeltaVerified(s, d)),
 
     // The capstone pipeline: corpus cleaning = quality gate + near-dup
     // removal. Now composed on the PRODUCTION canonicalization
@@ -1351,6 +1372,20 @@ object Dedup {
     // in the delta (id2 is always the newer doc, so this is exactly
     // "pairs involving the new batch").
     "q101_incremental_neardup" ->
+      s"""WITH pr AS (
+         |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
+         |), cut AS (
+         |  SELECT (4 * CAST(max(doc_id) AS BIGINT)) // 5 AS cut FROM documents
+         |)
+         |SELECT p.id1, p.id2, p.jaccard
+         |FROM pr p, cut
+         |WHERE p.id2 > cut.cut
+         |ORDER BY p.id1, p.id2""".stripMargin,
+
+    // The stored-band serve produces q101's relation exactly (the
+    // stored bands are deterministic functions of the raw table) —
+    // q101's oracle, verbatim.
+    "q302_incremental_neardup_stored" ->
       s"""WITH pr AS (
          |${jaccardOracle("0.8").linesIterator.map("  " + _).mkString("\n")}
          |), cut AS (

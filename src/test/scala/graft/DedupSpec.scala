@@ -623,6 +623,15 @@ class DedupSpec extends SparkSpec {
     assert(served === full)
   }
 
+  test("stored-band pair serve reproduces the inline incremental pair relation exactly (q302)") {
+    val served = Dedup.queries("q302_incremental_neardup_stored")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = Dedup.queries("q101_incremental_neardup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inline.nonEmpty, "delta must touch near-dup pairs at sf0.001")
+    assert(served === inline)
+  }
+
   test("dedup transitivity: triangle/wedge recount from the exact pair set (q247)") {
     val r = Dedup.queries("q247_dedup_transitivity")(spark, sf001).collect().head
     val pairs = Dedup.queries("q61_neardup_jaccard")(spark, sf001)
