@@ -212,6 +212,31 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$sp/labels")
       TextSim.lshBands(TextSim.minhashSignatureNative(oldDocs, 128, 3), 32, 4)
         .write.mode("overwrite").parquet(s"$sp/bands")
+      // containment-audit state (q303): the old corpus's gram index,
+      // per-doc sizes, and df-ranked prefixes at q140's 9/10
+      // threshold. The written grams file doubles as the checkpoint
+      // for its two derivations (sizes, prefixes) — reading state we
+      // are writing anyway beats re-exploding the corpus. The stored
+      // prefix order is the OLD corpus's df order; tonight's delta
+      // shifts dfs, but the prefix-filter lemma holds for ANY fixed
+      // per-doc order (if the container misses all L prefix grams,
+      // overlap ≤ sz − L < t — pigeonhole, order-free), so stale
+      // prefixes stay COMPLETE and only affect candidate cost, which
+      // the exact verify absorbs.
+      TextSim.shingles(oldDocs, 3)
+        .write.mode("overwrite").parquet(s"$sp/grams")
+      val shOldW = s.read.parquet(s"$sp/grams")
+      shOldW.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        .write.mode("overwrite").parquet(s"$sp/gsizes")
+      val szOldW = s.read.parquet(s"$sp/gsizes")
+      val gdfOld = shOldW.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      val wDocOld = Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))
+      shOldW.join(gdfOld, "g")
+        .withColumn("rk", row_number().over(wDocOld).cast("long"))
+        .join(szOldW, "doc_id")
+        .filter(col("rk") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+        .select(col("doc_id"), col("g"))
+        .write.mode("overwrite").parquet(s"$sp/gprefix")
       if (root.exists()) rmTree(root)
       java.nio.file.Files.move(stage.toPath, root.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -894,6 +919,71 @@ object Dedup {
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
       inter
         .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .filter(col("inter") * 10 >= col("sz_a") * 9)
+        .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+          expr("(10000 * inter) div sz_a").as("cont_bp"))
+        .orderBy(col("contained_id"), col("container_id"))
+    }),
+
+    // q140's PRODUCTION shape (round-15, the last member of the
+    // stored-state family): the inline form builds the FULL corpus's
+    // prefix-candidate set before the delta filter — at scale that is
+    // Σ_g pf_g·m_g over the whole corpus per nightly run. Here the
+    // old corpus's gram index / sizes / df-ranked prefixes are READ
+    // FROM the ensureCanonState store and only the delta shingles:
+    // candidates = (delta prefixes ⋈ full index) ∪ (stored old
+    // prefixes ⋈ delta index) — both terms delta-proportional. The
+    // stored prefixes carry the OLD corpus's df order; the prefix
+    // lemma is order-free (see the build comment), so completeness
+    // is a theorem and the exact verify reproduces q140's relation
+    // identically — its oracle, verbatim.
+    "q303_incremental_containment_stored" -> ((s, d) => {
+      val root = ensureCanonState(s, d)
+      val shOld = s.read.parquet(s"$root/grams")
+      val szOld = s.read.parquet(s"$root/gsizes")
+      val pfOld = s.read.parquet(s"$root/gprefix")
+      val cutDf = s.read.parquet(s"$root/meta")
+      val docs = T.documents(s, d)
+      val deltaDocs = docs.crossJoin(broadcast(cutDf))
+        .filter(col("doc_id") > col("cut")).drop("cut")
+      // the only text work tonight: the delta's shingles (five
+      // consumers: sizes, df recount, prefix, candB index, verify)
+      val shDelta = TextSim.shingles(deltaDocs, 3).localCheckpoint(true)
+      val szDelta = shDelta.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val shAll = shOld.unionByName(shDelta)
+      val szAll = szOld.unionByName(szDelta)
+      // delta prefixes under the CURRENT df order — one gram-keyed
+      // agg over stored files + delta (a file scan, not a re-shingle)
+      val gdf = shAll.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))
+      val pfDelta = shDelta.join(gdf, "g")
+        .withColumn("rk", row_number().over(wDoc).cast("long"))
+        .join(szDelta, "doc_id")
+        .filter(col("rk") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+        .select(col("doc_id"), col("g"))
+      val candA = pfDelta.select(col("doc_id").as("id_a"), col("g"))
+        .join(shAll.select(col("doc_id").as("id_b"), col("g")), "g")
+      val candB = pfOld.select(col("doc_id").as("id_a"), col("g"))
+        .join(shDelta.select(col("doc_id").as("id_b"), col("g")), "g")
+      val cand = candA.unionByName(candB)
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      // verify in q140's shape (pair-keyed gram joins + count). An
+      // array_intersect variant was tried and REVERTED (round-15,
+      // measured): the candidate relation's dup-heavy sorted pairs
+      // compress so well that AQE's compressed-vs-raw comparison
+      // elected IT as a shuffled-hash BUILD side against the tiny
+      // per-doc array relation — a 512 MB raw build per task at 10×
+      // (the CLAUDE.md compressed-map-bytes trap, manifesting as a
+      // join-side choice rather than a conversion). The explode form
+      // keeps the candidate relation on the streamed side of every
+      // join, matching the inline q140's measured decade behavior.
+      val inter = cand
+        .join(shAll.select(col("doc_id").as("id_a"), col("g")), "id_a")
+        .join(shAll.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(szAll.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
         .filter(col("inter") * 10 >= col("sz_a") * 9)
         .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
           expr("(10000 * inter) div sz_a").as("cont_bp"))
@@ -1736,6 +1826,33 @@ object Dedup {
     // newest-fifth delta — q101's oracle discipline for the
     // asymmetric tier.
     "q140_incremental_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM (SELECT doc_id, ws,
+        |               unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        |        FROM t)
+        |  WHERE len(ws) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), ov AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |), cut AS (
+        |  SELECT (4 * max(doc_id)) // 5 AS c FROM documents
+        |)
+        |SELECT id_a AS contained_id, id_b AS container_id,
+        |       (10000 * n_inter) // sz AS cont_bp
+        |FROM ov JOIN sizes ON id_a = sizes.doc_id, cut
+        |WHERE n_inter * 10 >= sz * 9 AND (id_a > cut.c OR id_b > cut.c)
+        |ORDER BY contained_id, container_id""".stripMargin,
+
+    // The stored-prefix serve produces q140's relation exactly (the
+    // prefix lemma is order-free, the verify exact) — q140's oracle.
+    "q303_incremental_containment_stored" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
         |), sh AS (

@@ -612,7 +612,7 @@ class DedupSpec extends SparkSpec {
     // output must STILL equal q67's from-scratch recompute row for
     // row, and the state root must carry all three relations.
     val root = new java.io.File(Dedup.ensureCanonState(spark, sf001))
-    Seq("meta", "labels", "bands").foreach(dir =>
+    Seq("meta", "labels", "bands", "grams", "gsizes", "gprefix").foreach(dir =>
       assert(new java.io.File(root, dir).isDirectory,
         s"state root missing $dir/"))
     val served = Dedup.queries("q299_canonical_serve_stored")(spark, sf001)
@@ -629,6 +629,20 @@ class DedupSpec extends SparkSpec {
     val inline = Dedup.queries("q101_incremental_neardup")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(inline.nonEmpty, "delta must touch near-dup pairs at sf0.001")
+    assert(served === inline)
+  }
+
+  test("stored-prefix containment serve reproduces the inline incremental relation exactly (q303)") {
+    // The stale-prefix completeness claim, checked in-engine: stored
+    // old-df prefixes + delta-df prefixes generate a candidate set
+    // whose exact verify equals q140's full-corpus-prefix relation
+    // row for row (the lemma is order-free; candidates only differ
+    // in cost).
+    val served = Dedup.queries("q303_incremental_containment_stored")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inline = Dedup.queries("q140_incremental_containment")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inline.nonEmpty, "delta must touch containment pairs at sf0.001")
     assert(served === inline)
   }
 
