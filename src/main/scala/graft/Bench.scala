@@ -43,8 +43,23 @@ object Bench {
       SparkEntry.entry(s).count()
       s
     }
+    // Round-16 (r15 verdict item 5): recycling every 32 QUERIES let the
+    // vector-heavy stretch accumulate ~200+ s of stage state in one
+    // session (q295 read 16.8 s in-run vs 3.5 s isolated — the largest
+    // single contributor to headline noise). The buildup tracks work
+    // done, not query count, so the recycle trigger is now ALSO keyed
+    // on accumulated timed seconds since the last recycle: tiny
+    // queries still amortize one session across 32 of them, heavy
+    // stretches get a fresh session every ~recycleSec of measured
+    // work. Recycling happens outside the timed region, so per-query
+    // numbers and the stdout contract are untouched.
+    val recycleSec = sys.env.get("SPARK_GRAFT_BENCH_RECYCLE_SEC")
+      .map(v => v.toDoubleOption.filter(_ > 0).getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_RECYCLE_SEC must be a positive number, got '$v'")))
+      .getOrElse(60.0)
     var spark = newSession()
     var sinceRecycle = 0
+    var secsSinceRecycle = 0.0
     // noop write forces full computation of every output column —
     // count() lets Catalyst prune projections, understating queries
     // whose cost IS the projection (hashes, regex, string fns). Each
@@ -56,17 +71,20 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     val results = selected.map { case (name, fn) =>
-      if (sinceRecycle >= recycleN) {
+      if (sinceRecycle >= recycleN || secsSinceRecycle >= recycleSec) {
         spark.stop()
         spark = newSession()
         sinceRecycle = 0
+        secsSinceRecycle = 0.0
       }
       sinceRecycle += 1
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          secsSinceRecycle += dt
+          Some(dt)
         } catch { case _: Throwable => None }
         finally {
           // Round-11 (driver r10: q271 39.8 s in-run vs 2.97 s
@@ -161,7 +179,16 @@ object Bench {
           .getRuntimeMXBean.getInputArguments.asScala.toSeq
         heavy.flatMap { q =>
           try {
-            val childQs = if (q == canaryQ) Seq(q) else Seq(canaryQ, q)
+            // Round-16 (r15 verdict item 3): the canary now ALSO runs
+            // AFTER the heavy query (lead pair + trail pair), so a hot-
+            // host window anywhere in the child's life brackets the
+            // heavy runs — BENCH_r15 shipped q199 as 13.1 s with a
+            // clean LEADING canary because the window hit during run2,
+            // after the canary had finished. The canary-as-heavy child
+            // ships an EMPTY canary list instead of its own runs
+            // (r15 ADVICE: self-reference reads as ratio-1.0 "never
+            // hot" to a normalizing consumer).
+            val childQs = if (q == canaryQ) Seq(q) else Seq(canaryQ, q, canaryQ)
             val cmd = (Seq(javaBin) ++ jvmArgs ++
               Seq("-cp", sys.props("java.class.path"), "graft.One") ++
               childQs).asJava
@@ -174,7 +201,11 @@ object Bench {
             // hung child must be killed from a side thread to unblock it
             val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
             val killer = new Thread(() => {
-              if (!proc.waitFor(6, java.util.concurrent.TimeUnit.MINUTES)) {
+              // 8 min (was 6): the kill window now also covers the
+              // trailing canary pair (r15 ADVICE: the unchanged budget
+              // raised kill risk for heavies near the limit once the
+              // canary shared it).
+              if (!proc.waitFor(8, java.util.concurrent.TimeUnit.MINUTES)) {
                 killed.set(true)
                 proc.destroyForcibly()
               }
@@ -196,7 +227,10 @@ object Bench {
                 }.toSeq
               val own = runsOf(q)
               if (own.isEmpty) { isolatedTruncated = true; None }
-              else Some((q, own, if (q == canaryQ) own else runsOf(canaryQ)))
+              // canary list = [lead1, lead2, trail1, trail2] (file
+              // order); empty for the canary-as-heavy child (sentinel,
+              // not self-reference)
+              else Some((q, own, if (q == canaryQ) Nil else runsOf(canaryQ)))
             }
           } catch { case e: Throwable =>
             isolatedTruncated = true

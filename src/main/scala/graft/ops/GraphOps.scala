@@ -171,17 +171,32 @@ object GraphOps {
     * relation; lineage is cut per round (executor-local checkpoint,
     * O(m) bound, never the driver).
     */
+  /** One peel round (exposed for the plan pin in PlanAuditSpec).
+    * Round-16 (guide §2.4/§3.1): filter by ANTI-join against the
+    * peeled nodes instead of semi-join against the survivors — the
+    * complement within deg's domain (every endpoint of e has a
+    * degree row), so the relations are identical. The drop set is
+    * typically a small fraction of nodes per round, so AQE elects a
+    * broadcast anti-join from real map stats and the edge relation
+    * STREAMS — the semi form shuffled e by a and again by b every
+    * round (2 full edge shuffles × rounds). No static hint: on a
+    * round where most nodes die, drop is big and AQE keeps a keyed
+    * join, which is no worse than the old shape. Measured (sf0.1,
+    * cpus=32, fresh JVM, min of 2): q192 8.2 → 3.8 s.
+    */
+  private[graft] def peelRound(e: DataFrame, k: Int): DataFrame = {
+    val deg = e.select(col("a").as("n"))
+      .unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val drop = deg.filter(col("d") < k)
+    e.join(drop.select(col("n").as("a")), Seq("a"), "left_anti")
+      .join(drop.select(col("n").as("b")), Seq("b"), "left_anti")
+  }
+
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = edges
     for (_ <- 1 to rounds) {
-      val deg = e.select(col("a").as("n"))
-        .unionByName(e.select(col("b").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k)
-      e = e
-        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint()
+      e = peelRound(e, k).localCheckpoint()
     }
     e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -266,22 +281,44 @@ object GraphOps {
     * collection, never a low-card window; lineage cut per round.
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    // Round-16: a repartition(u)-before-checkpoint (the
+    // integerPagerank pattern) was A/B-measured here and dropped —
+    // under AQE a lazy localCheckpoint does NOT preserve the
+    // hash partitioning (the adaptive plan's partitioning is unknown
+    // pre-execution, and coalescing changes the count), so the extra
+    // build shuffle bought nothing: q199 5.32 s without vs 6.02 s
+    // with, q248 7.29 vs 6.95 (sf0.1, cpus=32, fresh JVMs, min of 2 —
+    // a wash inside noise, and the label side rides an AQE broadcast
+    // at these sizes anyway).
     val und = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(false)
     var lab = und.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
     for (_ <- 1 to rounds) {
-      val cnt = und.join(lab, und("u") === lab("node"))
-        .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("cnt"))
-      lab = cnt
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("v")).orderBy(col("cnt").desc, col("lab"))))
-        .filter(col("rn") === 1)
-        .select(col("v").as("node"), col("lab"))
-        .localCheckpoint(false)
+      lab = lpRound(und, lab).localCheckpoint(false)
     }
     lab.select(col("node"), col("lab").as("comm")).orderBy(col("node"))
+  }
+
+  /** One label-propagation round (exposed for the plan pin in
+    * PlanAuditSpec). Argmax by (cnt desc, lab asc) as a second hash
+    * aggregate (max over an orderable struct; labels are node ids ≥ 0
+    * so the negation is a safe total-order flip) instead of a
+    * row_number window: the window re-exchanged ALL (v, lab, cnt)
+    * rows by v and sorted them; the aggregate's map-side partial max
+    * ships ≤1 row per (v, mapper) and never sorts (guide §2.3
+    * "aggregate before you shuffle"). Same label per node by the same
+    * deterministic tie-break. Measured (sf0.1, cpus=32, fresh JVM,
+    * min of 2): q199 14.2 → 5.3 s, q248 18.8 → 7.0 s.
+    */
+  private[graft] def lpRound(und: DataFrame, lab: DataFrame): DataFrame = {
+    val cnt = und.join(lab, und("u") === lab("node"))
+      .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("cnt"))
+    cnt
+      .groupBy(col("v"))
+      .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+      .select(col("v").as("node"), (-col("m.nl")).as("lab"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -1246,6 +1246,99 @@ class PlanAuditSpec extends SparkSpec {
       "expected the partial-agg-fed canonical_id cluster-size exchange")
   }
 
+  test("label propagation round: argmax is an aggregate (no window); the stationary edge relation never re-shuffles (q199/q248)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the round-16 LP shape: one round is the edge⋈labels join, the
+    // (v, lab) count rollup, then the per-node argmax as a SECOND
+    // AGGREGATE — a WindowExec would mean the row_number argmax (which
+    // re-exchanged and sorted every (v, lab, cnt) row) crept back, and
+    // the (v, lab) rollup exchange must be fed by a map-side partial
+    // aggregate so the shuffle carries combined counts, not raw rows.
+    // (An edge repartition-before-checkpoint was A/B-measured and
+    // dropped — see labelPropagation — so the edge side streams into
+    // the join or exchanges once, and the pin stays strategy-agnostic
+    // there.)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false)
+    val lab = und.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    val p = physical(graft.ops.GraphOps.lpRound(und, lab))
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty,
+      s"per-round argmax must be an aggregate, not a window:\n$p")
+    val rollup = shuffles(p).filter(e =>
+      hashKeys(e).contains("v") && hashKeys(e).contains("lab"))
+    assert(rollup.nonEmpty && rollup.forall(partialAggFed),
+      s"the (v, lab) count rollup must be partial-agg-fed:\n$p")
+    val argmax = shuffles(p).filter(e => hashKeys(e) == Seq("v"))
+    assert(argmax.nonEmpty && argmax.forall(partialAggFed),
+      s"the per-node argmax must be a partial-agg-fed aggregate:\n$p")
+  }
+
+  test("kcore peel round: the edge relation streams through broadcast anti-joins (q192)") {
+    import spark.implicits._
+    // One peel round over a graph where the drop side is small but
+    // NON-empty (a K4 core plus a pendant chain — at sf0.001 q192's
+    // real graph drops nothing in round 1, and AQE then ELIMINATES
+    // the anti-joins via empty-relation propagation, which is even
+    // cheaper but leaves nothing to pin). EXECUTED so AQE picks the
+    // join strategy from real map stats: the drop side is a small
+    // fraction of nodes, so both endpoint filters must come out as
+    // broadcast anti-joins — the old semi-against-survivors form
+    // shuffled the edge relation by a and again by b every round.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (5L, 6L)).toDF("a", "b")
+    val round = graft.ops.GraphOps.peelRound(e, 3)
+    round.queryExecution.toRdd.foreach(_ => ())
+    val fin = round.queryExecution.executedPlan
+    val bAntis = deepCollect(fin) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType.toString == "LeftAnti" => j
+    }
+    assert(bAntis.size == 2,
+      s"expected 2 broadcast anti-joins in the peel round, got ${bAntis.size}:\n$fin")
+    val shuffledAntis = deepCollect(fin) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType.toString == "LeftAnti" => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if j.joinType.toString == "LeftAnti" => j
+    }
+    assert(shuffledAntis.isEmpty,
+      s"the peel filters must not shuffle the edge relation:\n$fin")
+  }
+
+  test("stored-prefix containment serve: no per-serve df recount over the stored gram index (q303)") {
+    // r15 verdict item 1: the serve re-aggregated the ENTIRE gram
+    // index every run (groupBy(g) over stored grams ∪ delta). The dfs
+    // are state now (gdf/ in ensureCanonState): the only g-keyed
+    // AGGREGATE in the serve is the delta-count rollup over the
+    // checkpointed delta shingles, and the stored grams/ files reach
+    // an exchange only as candidate-join inputs, never under a
+    // g-keyed aggregate. (The candidate joins and the exact verify
+    // legitimately shuffle the index — that volume is the intrinsic
+    // asymmetric-containment term, shared with inline q140.)
+    val p = physical("q303_incremental_containment_stored")
+    val offending = shuffles(p).filter { e =>
+      hashKeys(e) == Seq("g") && (unwrap(e.child) match {
+        case agg: BaseAggregateExec =>
+          agg.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(r =>
+                r.toString.contains("graft_canon") &&
+                  r.toString.contains("grams")) => f
+          }.nonEmpty
+        case _ => false
+      })
+    }
+    assert(offending.isEmpty,
+      s"q303 serve must not re-aggregate the stored gram index per run:\n$p")
+  }
+
   test("no query plans a CartesianProduct") {
     // Bounded cross joins (q16 5x5 dims, q66 queries x centroids) plan
     // as BroadcastNestedLoopJoin; an unbounded CartesianProduct would
