@@ -82,11 +82,14 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          val dt = (System.nanoTime() - t0) / 1e9
-          secsSinceRecycle += dt
-          Some(dt)
+          Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
         finally {
+          // r16 ADVICE: count elapsed time toward the recycle trigger on
+          // the FAILURE path too — a stretch of long-failing queries
+          // otherwise accumulates JVM state without ever tripping the
+          // time-keyed recycle. The finally block sees both outcomes.
+          secsSinceRecycle += (System.nanoTime() - t0) / 1e9
           // Round-11 (driver r10: q271 39.8 s in-run vs 2.97 s
           // isolated): 55 eager localCheckpoint sites leave their RDD
           // blocks cached forever in a one-JVM run — by the vector
@@ -217,7 +220,7 @@ object Bench {
             proc.waitFor()
             if (killed.get) {
               isolatedTruncated = true
-              System.err.println(s"[bench] isolated child for $q killed at 6 min")
+              System.err.println(s"[bench] isolated child for $q killed at 8 min")
               None  // a killed child's partial timings never enter the map
             } else {
               def runsOf(name: String): Seq[Double] =
@@ -241,7 +244,11 @@ object Bench {
       }
     isolated.foreach { case (k, runs, can) =>
       println(s"BENCHI $k ${r3(runs.min)}")
-      println(s"BENCHI-RUNS $k ${runs.map(r3).mkString(",")} canary ${can.map(r3).mkString(",")}")
+      // r16 ADVICE: the canary-as-heavy child has no canary runs; emit
+      // an explicit "-" placeholder so a whitespace-splitting consumer
+      // never sees a dangling "canary" token at end of line.
+      val canTok = if (can.isEmpty) "-" else can.map(r3).mkString(",")
+      println(s"BENCHI-RUNS $k ${runs.map(r3).mkString(",")} canary $canTok")
     }
     // stdout marker (parsed with the BENCHI lines): a kill/parse
     // failure anywhere in the layer makes the isolated map partial
