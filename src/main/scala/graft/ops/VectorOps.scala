@@ -1439,20 +1439,34 @@ object VectorOps {
     // broadcast + argmin-groupBy substrate; nothing is ever quadratic.
     "q259_pq_codebook" -> ((s, d) => {
       graft.functions.VectorKernels.ensureRegistered(s)
-      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // Round-17 (guide §1.2/§2.4): train all four subspace codebooks
+      // in ONE fused Lloyd chain (kmeansCentroidsFused — the round-9
+      // machinery the index build already uses) instead of four
+      // sequential per-sub chains: each iteration is one corpus pass
+      // keyed by (sub, cell) instead of PQ_M passes, and the census is
+      // one fused assignment instead of four. Semantics per subspace
+      // are the per-sub chains exactly (same md5 seed draw — the
+      // trainSample predicate is vec_id-only, so the sample is
+      // identical per sub; same argmin tie-break; empty cells keep
+      // their codeword); per-group float sums may merge in a different
+      // order, absorbed by the same argmin-margin bound the fused
+      // index build already rests on — re-gated at all three SFs.
+      // Measured (sf0.1, cpus=32, fresh JVM, min of 2, same day):
+      // 6.34 → 3.16 s.
+      val base = T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("v"))
       val n = base.count()
-      (0 until PQ_M).map { sb =>
-        val e = base.select(col("vec_id"),
-          expr(s"slice(embedding, ${PQ_D * sb + 1}, $PQ_D)").as("v"))
-          .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-        val cent = kmeansCentroids(trainSample(e, n, PQ_K), k = PQ_K, iters = PQ_ITERS)
-        val counts = assignCells(e, cent)
-          .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
-        cent.join(counts, Seq("cell"), "left_outer")
-          .select(lit(sb.toLong).as("sub"), col("cell").cast("long").as("cell"),
-            coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
-            round(col("cn"), 4).as("cn4"))
-      }.reduce(_ unionByName _).orderBy(col("sub"), col("cell"))
+      val baseT = trainSample(base, n, PQ_K)
+      val cbF = kmeansCentroidsFused(baseT, pqSubSlices(baseT),
+        k = PQ_K, iters = PQ_ITERS)
+      val counts = assignCellsFused(pqSubSlices(base), cbF)
+        .groupBy(col("sub"), col("cell")).agg(count(lit(1)).as("n_vecs"))
+      cbF.join(counts, Seq("sub", "cell"), "left_outer")
+        .select(col("sub").cast("long").as("sub"),
+          col("cell").cast("long").as("cell"),
+          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+          round(sqrt(expr("graft_dot(cv, cv)")), 4).as("cn4"))
+        .orderBy(col("sub"), col("cell"))
     }),
 
     // PQ asymmetric-distance recall audit — does the 4-byte code

@@ -1337,6 +1337,21 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offending.isEmpty,
       s"q303 serve must not re-aggregate the stored gram index per run:\n$p")
+    // Round-17 (guide §2.3 "narrower types"): the stored index is
+    // dictionary-encoded — the serve reads (doc_id, gid int) files
+    // (gramsid/gprefix) plus the vocab sidecar, NEVER the string
+    // grams/ explode checkpoint, so every candidate/verify join
+    // shuffles 4-byte gids instead of gram strings. Pin: no stored
+    // string-gram scan reaches the serve plan at all.
+    val stringGramScans = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(r =>
+          r.toString.contains("graft_canon") &&
+            r.toString.matches(".*?/grams$")) => f
+    }
+    assert(stringGramScans.isEmpty,
+      s"q303 serve must read the dictionary-encoded index, not the " +
+        s"string grams checkpoint:\n$p")
   }
 
   test("no query plans a CartesianProduct") {
