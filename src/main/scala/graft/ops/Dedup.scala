@@ -404,14 +404,48 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** [[prefixCandidates]] over the dictionary-encoded shingle relation
+    * (doc_id, gid) from [[gramIds]] — gid IS the (df asc, gram asc)
+    * order, so the prefix is the rank window over gid alone and every
+    * candidate join shuffles 4-byte ints instead of gram strings
+    * (round-17, guide §2.3 "narrower types"). Same candidate set as
+    * the string form by construction (identical order, identical L).
+    */
+  private[graft] def prefixCandidatesId(shg: DataFrame, sizes: DataFrame,
+      thrNum: Int, thrDen: Int): DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("gid"))
+    val prefix = shg
+      .withColumn("rk", row_number().over(wDoc).cast("long"))
+      .join(sizes, "doc_id")
+      // L = sz − ceil(sz·thrNum/thrDen) + 1, all exact integers
+      .filter(col("rk") <=
+        col("sz") - expr(s"($thrNum * sz + ${thrDen - 1}) div $thrDen") + 1)
+      .select(col("doc_id"), col("gid"))
+    prefix.select(col("doc_id").as("id_a"), col("gid"))
+      .join(shg.select(col("doc_id").as("id_b"), col("gid")), "gid")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   def containmentPairsPrefix(docs: DataFrame, n: Int, thrNum: Int,
                              thrDen: Int): DataFrame = {
     val sh = TextSim.shingles(docs, n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val cand = prefixCandidates(sh, sizes, thrNum, thrDen)
+    // Round-17 (guide §2.3): dictionary-encode once (gramIds — the
+    // jaccardPairsPrefix discipline), so the candidate AND verify
+    // joins — the tier's dominant cost — shuffle ints. gid rank =
+    // (gdf, g) order, so candidates are identical to the string form
+    // and intersection counts are bijection-invariant: same output,
+    // same oracle. Measured: a wash at sf0.1 (6.82 → 7.23 s, cpus=32,
+    // fresh JVM, min of 2 — the rank chain's fixed cost ≈ the string
+    // savings at toy scale) and a 36% win at 10× where the verify
+    // bytes dominate (q140, the same candidate+verify shape:
+    // 149.0 → 95.2 s, cpus=8, same day).
+    val shg = gramIds(sh)
+    val cand = prefixCandidatesId(shg, sizes, thrNum, thrDen)
     val inter = cand
-      .join(sh.select(col("doc_id").as("id_a"), col("g")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .join(shg.select(col("doc_id").as("id_a"), col("gid")), "id_a")
+      .join(shg.select(col("doc_id").as("id_b"), col("gid")), Seq("id_b", "gid"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
@@ -946,13 +980,18 @@ object Dedup {
       val cutDf = docs.agg(expr("(4 * max(doc_id)) div 5").as("cut"))
       val sh = TextSim.shingles(docs, 3)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val cand = prefixCandidates(sh, sizes, 9, 10)
+      // Round-17 (guide §2.3): dictionary-encoded like q135/q303 —
+      // identical candidates (gid rank = (gdf, g) order), bijection-
+      // invariant verify counts, same oracle. Measured (10×, cpus=8,
+      // fresh JVM, min of 2, same day): 149.0 → 95.2 s.
+      val shg = gramIds(sh)
+      val cand = prefixCandidatesId(shg, sizes, 9, 10)
         .crossJoin(broadcast(cutDf))
         .filter(col("id_a") > col("cut") || col("id_b") > col("cut"))
         .drop("cut")
       val inter = cand
-        .join(sh.select(col("doc_id").as("id_a"), col("g")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+        .join(shg.select(col("doc_id").as("id_a"), col("gid")), "id_a")
+        .join(shg.select(col("doc_id").as("id_b"), col("gid")), Seq("id_b", "gid"))
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
       inter
         .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
